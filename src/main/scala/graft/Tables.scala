@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All queries receive an `sfDir` (e.g. /root/testdata/sf0.01) and read the
+  * per-table parquet from it. Reads are plain `spark.read.parquet` so that
+  * Catalyst handles column pruning + predicate pushdown into the scan — at
+  * 100 TB the scan is the dominant cost and must only read the referenced
+  * columns / row groups.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as a long (nanosAsLong) and convert to a
+    * microsecond TimestampType with integer division (epoch-nanos exceeds
+    * 2^53, so float math would corrupt it).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Shared determinism helpers for the DuckDB-oracle contract (SURVEY §2.3):
+  * every query totally ordered, double aggregates rounded to 4 decimals,
+  * timestamps rendered as strings.
+  *
+  * Double SUM/AVG over many rows is order-sensitive; at sf0.1 the float
+  * accumulation error can exceed the 1e-4 round granularity. We therefore
+  * sum through DECIMAL(38,10) (exact, associative — identical in Spark and
+  * DuckDB regardless of partial-aggregation order) and cast back to double
+  * only at the end. This also keeps map-side partial aggregation safe at
+  * cluster scale.
+  */
+object Q {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+  /** Exact decimal-backed SUM of a double column, rounded to 4. */
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType), 4)
+
+  /** Exact decimal-backed AVG (sum/count), rounded to 4. */
+  def davg(c: Column): Column =
+    round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType) / count(c), 4)
+
+  /** DuckDB-side equivalents of dsum/davg (string SQL fragments). */
+  def sqlDsum(expr: String): String =
+    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE), 4)"
+  def sqlDavg(expr: String): String =
+    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE) / COUNT($expr), 4)"
+
+  /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string (session TZ pinned UTC). */
+  def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  /** Timestamp → 'yyyy-MM-dd' date string. */
+  def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

@@ -1,0 +1,515 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Relational operator inventory Q01–Q21 (SURVEY.md §2.3).
+  *
+  * Each query is a declarative DataFrame program: filters/projections reach
+  * the parquet scan via Catalyst pushdown, joins pick broadcast vs
+  * sort-merge via the planner (we hint `broadcast` only where a side is a
+  * dimension table that stays small at every scale factor), aggregations
+  * run as partial+final HashAggregate, and top-k lowers to
+  * TakeOrderedAndProject. Nothing here collects to the driver.
+  *
+  * Determinism contract (FIXTURES.md §B): total ORDER BY, doubles through
+  * Q.dsum/Q.davg (exact decimal accumulation), timestamps as UTC strings.
+  */
+object Relational {
+  import Q._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q01 — scan + projection
+    "q01_scan_project" -> ((s, d) => {
+      Tables.region(s, d)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // Q02 — conjunctive ∧ disjunctive predicates, pushed to the scan
+    "q02_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(
+          (col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_quantity") < 10) ||
+            col("l_discount") > 0.09)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_discount"), 4).as("l_discount"),
+          dstr(col("l_shipdate")).as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Q03 — inner equi-join, dimension side broadcast (customer is bounded
+    // by the customer universe — safe to broadcast at any SF where dims
+    // stay dimension-sized; Catalyst would also pick BHJ under the
+    // threshold, the hint makes the plan explicit).
+    "q03_join_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q04 — multi-way join + agg + top-k (TPC-H Q3 shape)
+    "q04_join_agg_topk" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          dstr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q05 — left outer join (customers with zero orders survive, n=0)
+    "q05_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q06 — left semi join (EXISTS)
+    "q06_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q07 — left anti join (NOT EXISTS); anti-joins against high-value
+    // orders so the result is non-empty at every SF (every customer has
+    // *some* order in this data, so a plain anti-join would be vacuous).
+    "q07_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 4).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Q08 — full outer join over disjoint-ish aggregates (nulls both sides)
+    "q08_full_outer" -> ((s, d) => {
+      val sa = Tables.supplier(s, d).filter(col("s_nationkey") < 13)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      val ca = Tables.customer(s, d).filter(col("c_nationkey") >= 7)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      sa.join(ca, sa("s_nationkey") === ca("c_nationkey"), "full_outer")
+        .select(
+          coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+          coalesce(col("n_supp"), lit(-1L)).as("n_supp"),
+          coalesce(col("n_cust"), lit(-1L)).as("n_cust"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Q09 — non-equi / range join: equi key + date-range residual; lowers
+    // to a shuffled join on the equi key with the range as post-filter (no
+    // cartesian — safe at scale).
+    "q09_range_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      l.join(o,
+          l("l_orderkey") === o("o_orderkey") &&
+            l("l_shipdate") >= o("o_orderdate") &&
+            l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("ym"))
+    }),
+
+    // Q10 — as-of (latest event per user at-or-before a cutoff): composes
+    // from row_number, no custom operator needed.
+    "q10_asof_latest" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), tstr(col("ts")).as("ts_s"),
+          col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q11 — hash aggregation (TPC-H Q1 shape); partial+final HashAggregate
+    "q11_agg_q1" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Q12 — exact distinct counts (expand-based multi-distinct)
+    "q12_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q13 — ROLLUP with GROUPING markers
+    "q13_rollup" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).cast("int").as("g_r"),
+          grouping(col("n_name")).cast("int").as("g_n"),
+          dsum(col("o_totalprice")).as("rev"), count(lit(1)).as("n_ord"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("g_r"), col("g_n"), col("rev"), col("n_ord"))
+        .orderBy(col("g_r"), col("g_n"), col("r_name"), col("n_name"))
+    }),
+
+    // Q14 — ranking windows (rank/dense_rank keep ties; row_number gets a
+    // total tiebreak so it is deterministic)
+    "q14_window_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      val total = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(total))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .filter(col("rn") <= 5)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"),
+          col("rn"), col("rnk"), col("drnk"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Q15 — analytic window fns + ROWS frame running sum (decimal-exact)
+    "q15_window_lag_runsum" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_v",
+          round(lag(col("value"), 1).over(w).cast(DoubleType), 4))
+        .withColumn("next_v",
+          round(lead(col("value"), 1).over(w).cast(DoubleType), 4))
+        .withColumn("run_sum",
+          round(sum(col("value").cast(DecimalType(38, 10)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType), 4))
+        .select(col("user_id"), col("event_id"), col("prev_v"), col("next_v"),
+          col("run_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Q16 — RANGE frame: 10-minute moving average per user over epoch-ms
+    "q16_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-600000L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("mov_avg",
+          round(sum(col("value").cast(DecimalType(38, 10))).over(w)
+            .cast(DoubleType) / count(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("mov_avg"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Q17 — global top-k (TakeOrderedAndProject; never a full sort at scale)
+    "q17_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 4).as("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // Q18 — set operations with op markers (single deterministic result)
+    "q18_setops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_acctbal") > 7000).select(col("c_custkey"))
+      val b = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionByName(a.union(b).withColumn("op", lit("union_all")))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select(col("op"), col("c_custkey"))
+        .orderBy(col("op"), col("c_custkey"))
+    }),
+
+    // Q19 — string functions (all codegen'd built-ins)
+    "q19_strings" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_type")).as("type_u"),
+          lower(col("p_brand")).as("brand_l"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          col("p_name").like("%a%").cast("int").as("has_a"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+          trim(concat(lit("  "), col("p_type"), lit("  "))).as("type_trim"),
+          split(col("p_name"), " ").getItem(0).as("first_tok"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Q20 — date/time functions (session TZ = UTC)
+    "q20_dates" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dstr(date_trunc("quarter", col("o_orderdate"))).as("qtr_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          dstr(last_day(col("o_orderdate"))).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Q21 — math functions
+    "q21_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price_r2"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+          (col("l_partkey") % 7).as("pk_mod7"),
+          round(pow(col("l_quantity"), 2.0), 4).as("qty_sq"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | ROUND(l_discount, 4) AS l_discount,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE (l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_quantity < 10) OR l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT o_orderkey, c_name, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_join_agg_topk" ->
+      s"""SELECT l_orderkey,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |  AND l_shipdate > TIMESTAMP '1999-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q05_left_outer" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         | ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS total_spent
+         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_full_outer" ->
+      """WITH sa AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |            WHERE s_nationkey < 13 GROUP BY s_nationkey),
+        |     ca AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |            WHERE c_nationkey >= 7 GROUP BY c_nationkey)
+        |SELECT COALESCE(s_nationkey, c_nationkey) AS nationkey,
+        |       COALESCE(n_supp, -1) AS n_supp, COALESCE(n_cust, -1) AS n_cust
+        |FROM sa FULL OUTER JOIN ca ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_range_join" ->
+      s"""SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS ym,
+         | COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | AND l_shipdate >= o_orderdate
+         | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+         |GROUP BY ym ORDER BY ym""".stripMargin,
+
+    "q10_asof_latest" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        | event_type
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q11_agg_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sqlDsum("l_quantity")} AS sum_qty,
+         | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         | ${sqlDavg("l_quantity")} AS avg_qty,
+         | ${sqlDavg("l_extendedprice")} AS avg_price,
+         | ${sqlDavg("l_discount")} AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        | COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_rollup" ->
+      s"""SELECT COALESCE(r_name, '(all)') AS r_name,
+         | COALESCE(n_name, '(all)') AS n_name,
+         | GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+         | ${sqlDsum("o_totalprice")} AS rev, COUNT(*) AS n_ord
+         |FROM orders
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY g_r, g_n, r_name, n_name""".stripMargin,
+
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
+        | rn, rnk, drnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS drnk
+        | FROM orders)
+        |WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q15_window_lag_runsum" ->
+      """SELECT user_id, event_id,
+        | ROUND(CAST(LAG(value, 1) OVER w AS DOUBLE), 4) AS prev_v,
+        | ROUND(CAST(LEAD(value, 1) OVER w AS DOUBLE), 4) AS next_v,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |   AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q16_window_range" ->
+      """SELECT user_id, event_id, ts_ms,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+        |   / COUNT(value) OVER w, 4) AS mov_avg
+        |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q18_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+        |     b AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING')
+        |SELECT 'union' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM a UNION SELECT c_custkey FROM b)
+        |UNION ALL SELECT 'union_all' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM a UNION ALL SELECT c_custkey FROM b)
+        |UNION ALL SELECT 'intersect' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM a INTERSECT SELECT c_custkey FROM b)
+        |UNION ALL SELECT 'except' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM a EXCEPT SELECT c_custkey FROM b)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q19_strings" ->
+      """SELECT p_partkey,
+        | UPPER(p_type) AS type_u, LOWER(p_brand) AS brand_l,
+        | LENGTH(p_name) AS name_len, SUBSTR(p_name, 1, 5) AS name_pfx,
+        | CONCAT(p_brand, ':', p_type) AS brand_type,
+        | CAST(p_name LIKE '%a%' AS INT) AS has_a,
+        | regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+        | TRIM(CONCAT('  ', p_type, '  ')) AS type_trim,
+        | string_split(p_name, ' ')[1] AS first_tok
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_dates" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | dayofmonth(o_orderdate) AS dom,
+        | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |   AS days_since,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice, 2) AS price_r2,
+        | ROUND(ABS(l_discount - 0.05), 4) AS disc_dev,
+        | (l_partkey % 7) AS pk_mod7,
+        | ROUND(POWER(l_quantity, 2.0), 4) AS qty_sq,
+        | CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        | CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}
