@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log-analytics / LLM-data-pipeline inventory Q22–Q26 (SURVEY.md §2.3).
+  *
+  * Design notes for the 100-TB posture:
+  *  - Q23 sessionization is a single window pass (one shuffle on user_id) —
+  *    the batch analog of `session_window`; no self-joins.
+  *  - Q24 dedup is a hash aggregation on the normalized key — map-side
+  *    partial aggregation combines duplicates before the shuffle, so the
+  *    shuffle volume is one row per *distinct* key per mapper, never an
+  *    all-pairs comparison.
+  *  - Q25 is a single narrow pass: per-row sequential fold over the
+  *    embedding array (deterministic summation order) + global top-k via
+  *    TakeOrderedAndProject. No shuffle except the final k rows.
+  */
+object Pipeline {
+  import Q._
+
+  /** Deterministic 64-dim query vector for Q25. Interpolated as exact
+    * decimal literals into BOTH the Spark plan and the DuckDB oracle, so
+    * the two engines consume bit-identical constants.
+    */
+  val queryVec: Seq[Double] = (1 to 64).map(i => math.sin(i.toDouble))
+  val queryVecNorm: Double = math.sqrt(queryVec.map(x => x * x).sum)
+
+  private val GapUs = 1800000000L // 30 min session gap, microseconds
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q22 — semi-structured access: JSON path, map element, array element
+    "q22_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          element_at(map(lit("t"), col("event_type")), "t").as("mval"),
+          element_at(split(col("props"), ":"), 1).as("first_frag"),
+          size(split(col("props"), ":")).cast("long").as("n_frags"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Q23 — sessionization: lag → gap flag → running sum = session id, then
+    // per-session aggregation. One shuffle (partition by user_id).
+    "q23_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(w) > GapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("gap")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"),
+          max(col("us")).as("end_us"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Q24 — exact dedup on normalized text. Hash-aggregate, not all-pairs:
+    // partial aggregation collapses duplicates map-side before the shuffle.
+    "q24_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(lower(trim(col("text"))).as("norm"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"), length(col("norm")).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q25 — cosine similarity top-k against a literal query vector.
+    // aggregate() is a sequential left fold → deterministic summation
+    // order; top-k lowers to TakeOrderedAndProject (no global sort).
+    "q25_similarity_topk" -> ((s, d) => {
+      val qv = typedLit(queryVec)
+      val e = col("embedding").cast("array<double>")
+      def fold(arr: Column): Column =
+        aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+      val dot = fold(zip_with(e, qv, (x, y) => x * y))
+      val na = sqrt(fold(transform(e, x => x * x)))
+      val cos = round(dot / (na * lit(queryVecNorm)), 4)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), cos.as("cos"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(e, 1), 4).as("e0"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Q26 — tokenize + explode + count, top-20. explode feeds a hash
+    // aggregate with map-side combine; shuffle volume is distinct tokens.
+    "q26_text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    })
+  )
+
+  private def sqlQueryVec: String = queryVec.mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q22_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | event_type AS mval,
+        | string_split(props, ':')[1] AS first_frag,
+        | len(string_split(props, ':')) AS n_frags
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q23_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |             epoch_ns(ts) // 1000 AS us FROM events),
+         |     g AS (SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000
+         |                          THEN 1 ELSE 0 END AS gap
+         |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |     ss AS (SELECT *, SUM(gap) OVER (PARTITION BY user_id
+         |              ORDER BY us, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |              AS session_id FROM g)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(us) AS start_us, MAX(us) AS end_us,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM ss GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups,
+        | LENGTH(LOWER(TRIM(text))) AS norm_len
+        |FROM documents GROUP BY LOWER(TRIM(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_similarity_topk" ->
+      s"""WITH q AS (SELECT ${sqlQueryVec}::DOUBLE[] AS qv),
+         |     sc AS (SELECT vec_id, label,
+         |              len(embedding) AS dim,
+         |              ROUND(embedding[1]::DOUBLE, 4) AS e0,
+         |              ROUND(
+         |                list_sum(list_transform(list_zip(embedding, qv),
+         |                  x -> x[1]::DOUBLE * x[2]::DOUBLE))
+         |                / (sqrt(list_sum(list_transform(embedding,
+         |                     x -> x::DOUBLE * x::DOUBLE)))
+         |                   * ${queryVecNorm}), 4) AS cos
+         |            FROM embeddings, q)
+         |SELECT vec_id, label, cos, dim, e0 FROM sc
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q26_text_tokens" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+  )
+}
