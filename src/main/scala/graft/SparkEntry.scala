@@ -18,12 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Pipeline.queries
+    operators.Relational.queries ++ operators.Pipeline.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.TextOps.queries ++ operators.Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check.
     */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql ++ operators.Pipeline.oracleSql
+    operators.Relational.oracleSql ++ operators.Pipeline.oracleSql ++
+      operators.Dedup.oracleSql ++ operators.Similarity.oracleSql ++
+      operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql
 }

@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` — the scalable dedup family a
+  * training-data pipeline needs (exact dedup is Q24 in [[Pipeline]]).
+  *
+  * All three operators avoid the naive all-pairs O(n²) compare; candidate
+  * generation is a *join on a blocking key*, which shuffles by that key and
+  * scales horizontally:
+  *
+  *  - q32: prefix-filtered set-similarity join (AllPairs/PPJoin family,
+  *    Bayardo et al., WWW'07): only docs sharing one of their rarest
+  *    shingles meet. EXACT — the prefix length `|d| - floor(t·|d|) + 1`
+  *    (integer arithmetic, conservatively ≥ the canonical
+  *    `|d| - ceil(t·|d|) + 1`) guarantees every pair with Jaccard ≥ t
+  *    shares a prefix shingle.
+  *  - q33: SimHash (Charikar'02) band join. 60-bit signature over shingle
+  *    sets, split into 4 bands of 15 bits; hamming ≤ 3 < 4 bands means ≥ 1
+  *    band is untouched (pigeonhole), so band-equality candidate
+  *    generation has GUARANTEED 100% recall at the threshold — the banded
+  *    output provably equals the all-pairs oracle.
+  *  - q34: MinHash-LSH (Broder'97): 32 minhash signature, 8 bands × 4
+  *    rows. Output keeps pairs with ≥ 26/32 positions equal; ≤ 6 unequal
+  *    positions can touch at most 6 of 8 bands, so ≥ 1 full band matches —
+  *    again guaranteed recall, the estimate itself is the deterministic
+  *    filter, and the DuckDB oracle reproduces it bit-for-bit via the
+  *    portable md5-based hashes ([[Shared.hash60]]).
+  *
+  * At 100 TB: shingling+hashing are narrow map work; the blocking joins
+  * shuffle on (band, signature) / shingle keys; the final verify join
+  * touches only candidate pairs. Skewed blocking keys (a shingle shared by
+  * everything) are the known hazard — q32 orders prefixes by global
+  * document frequency so the prefix keeps only each doc's *rarest*
+  * shingles.
+  */
+object Dedup {
+  import Shared._
+
+  private val JaccardT = 0.6
+  private val SimhashBits = 60
+  private val SimhashBands = 4 // 15 bits each; hamming<=3 => >=1 band equal
+  private val MinhashK = 32
+  private val MinhashEq = 26 // >=26/32 equal => <=6 unequal < 8 bands
+
+  /** (doc_id, sh, sz) with distinct 3-shingles. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join
+    "q32_neardup_jaccard" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      // Keep each doc's (sz - floor(t*sz)) + 1 rarest shingles. Integer
+      // arithmetic (t = 3/5) — float ceil(0.6*sz) can round the wrong way.
+      val prefix = ex.join(dfreq, "s")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+        .filter(col("rk") <= col("sz") - expr("(3 * sz) div 5") + 1)
+        .select(col("doc_id"), col("s"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard", round(col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+        .filter(col("jaccard") >= JaccardT)
+      verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Q33 — SimHash near-dup, banded self-join, hamming <= 3
+    "q33_neardup_simhash" -> ((s, d) => {
+      val feats = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h", hash60(col("s")))
+      val contribAggs = (0 until SimhashBits).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+      val contribs = feats.groupBy(col("doc_id"))
+        .agg(contribAggs.head, contribAggs.tail: _*)
+      val simBits = (0 until SimhashBits).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      val sim = contribs.select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
+      val bandWidth = SimhashBits / SimhashBands
+      val bands = sim.select(col("doc_id"), col("sim"),
+          explode(array((0 until SimhashBands).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sim"), b * bandWidth)
+                .bitwiseAND(lit((1L << bandWidth) - 1)).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sim.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+        .join(sim.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Q34 — MinHash-LSH near-dup, 8 bands x 4 rows, est >= 26/32
+    "q34_neardup_minhash" -> ((s, d) => {
+      val feats = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+      val mhAggs = (0 until MinhashK).map(i =>
+        min(hash60(concat(lit(i.toString), lit("|"), col("s")))).as(s"mh$i"))
+      val sigs = feats.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+        .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh$i")): _*))
+        .select(col("doc_id"), col("sig"))
+      val bands = sigs.select(col("doc_id"),
+          explode(array((0 until MinhashK / 4).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(",", (0 until 4).map(r =>
+                element_at(col("sig"), b * 4 + r + 1)): _*).as("bv"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("n_eq", foldSum(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0d).otherwise(0.0d))).cast("long"))
+        .filter(col("n_eq") >= MinhashEq)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_eq") / lit(MinhashK.toDouble), 4).as("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val simhashSums = (0 until SimhashBits)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")
+    val simhashBits = (0 until SimhashBits)
+      .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END")
+      .mkString(" +\n    ")
+    val minhashMins = (0 until MinhashK)
+      .map(i => s"MIN(${sqlHash60(s"concat('$i', '|', s)")}) AS mh$i")
+      .mkString(",\n    ")
+    val minhashSig = (0 until MinhashK).map(i => s"mh$i").mkString("[", ", ", "]")
+
+    Map(
+      "q32_neardup_jaccard" ->
+        s"""WITH s AS ($sqlShingles3)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+           |    AS jaccard
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+           |    >= $JaccardT
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q33_neardup_simhash" ->
+        s"""WITH s AS ($sqlShingles3),
+           |  f AS (SELECT doc_id, ${sqlHash60("x.s")} AS h
+           |        FROM (SELECT doc_id, unnest(sh) AS s FROM s) x),
+           |  c AS (SELECT doc_id,
+           |    $simhashSums
+           |    FROM f GROUP BY doc_id),
+           |  sim AS (SELECT doc_id,
+           |    $simhashBits
+           |    AS sim FROM c)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q34_neardup_minhash" ->
+        s"""WITH s AS ($sqlShingles3),
+           |  f AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           |  sg AS (SELECT doc_id,
+           |    $minhashMins
+           |    FROM f GROUP BY doc_id),
+           |  sig AS (SELECT doc_id, $minhashSig AS sig FROM sg),
+           |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |          len(list_filter(list_zip(a.sig, b.sig), x -> x[1] = x[2]))
+           |            AS n_eq
+           |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, ROUND(n_eq / ${MinhashK.toDouble}, 4) AS est_jaccard
+           |FROM p WHERE n_eq >= $MinhashEq
+           |ORDER BY doc_a, doc_b""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared by the dedup / similarity / text-analysis
+  * operators, with their DuckDB-SQL twins.
+  *
+  * Everything here is *engine-portable arithmetic*: the only hash primitive
+  * is md5 (identical in Spark and DuckDB), widened to a 60-bit positive
+  * long by parsing the first 15 hex chars. That makes every derived
+  * signature (minhash, simhash, fingerprints) bit-identical across the two
+  * engines, so even approximate-dedup results are exact-hash-checkable.
+  */
+object Shared {
+
+  /** 60-bit positive hash of a string column: first 15 hex chars of md5.
+    * Portable: DuckDB twin is `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hash60]] as a SQL fragment over expression `x`. */
+  def sqlHash60(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Distinct 3-token shingles of a space-tokenized text column.
+    * Empty array when the doc has fewer than 3 tokens (guards against
+    * Spark's `sequence` producing a *descending* range for start > stop).
+    */
+  def shingles3(text: Column): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    when(n >= 3,
+      array_distinct(transform(sequence(lit(0), n - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[shingles3]]: a CTE body producing (doc_id, sh). */
+  val sqlShingles3: String =
+    """SELECT doc_id, list_distinct(
+      |    [array_to_string(toks[i:i+2], ' ')
+      |     FOR i IN generate_series(1, len(toks)-2)]) AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** Sequential left-fold sum of a double array — deterministic summation
+    * order in both engines (Spark `aggregate`, DuckDB `list_sum`).
+    */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y)) /
+      (sqrt(foldSum(transform(a, x => x * x))) *
+        sqrt(foldSum(transform(b, x => x * x))))
+}

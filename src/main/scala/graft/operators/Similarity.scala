@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators over `embeddings` (64-dim float
+  * vectors). Q25 (brute-force cosine top-k vs a literal query) lives in
+  * [[Pipeline]]; these are the *scale-path* variants:
+  *
+  *  - q35: embedding near-dup pairs within a blocking key (`label` — in a
+  *    real corpus: shard / source / cluster id). The block join keeps the
+  *    pair count at sum(block²) instead of n², shuffles on the key, and is
+  *    embarrassingly parallel across blocks. Exact within blocks.
+  *  - q36: IVF-style ANN: vectors are assigned to 1 of 256 cells by the
+  *    sign pattern of their first 8 dims (axis-aligned hyperplane
+  *    quantizer). The query probes its own cell plus the 8 cells at
+  *    hamming distance 1 (9/256 of the data — at 100 TB the cell id is a
+  *    partition key, so this becomes partition pruning on the scan), then
+  *    ranks candidates by exact cosine. Deterministic, so the DuckDB
+  *    oracle replays the identical arithmetic.
+  */
+object Similarity {
+  import Shared._
+
+  private val CosT = 0.3
+
+  /** IVF cell = sign bits of the first 8 dims. */
+  private def cellOf(e: org.apache.spark.sql.Column) =
+    (0 until 8).map(i =>
+      when(element_at(e, i + 1) > 0.0d, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _).cast("long")
+
+  /** Query cell + its 8 hamming-1 neighbors, computed once in Scala and
+    * interpolated into both engines.
+    */
+  val queryCell: Int = {
+    val qv = Pipeline.queryVec
+    (0 until 8).map(i => if (qv(i) > 0) 1 << i else 0).sum
+  }
+  val probeCells: Seq[Int] = queryCell +: (0 until 8).map(i => queryCell ^ (1 << i))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q35 — blocked exact near-dup: same-label pairs with cosine >= 0.3
+    "q35_neardup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+        col("emb").as("emb_b"))
+      a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= CosT)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Q36 — IVF ANN: probe 9/256 cells, exact cosine rank inside them
+    "q36_ann_ivf" -> ((s, d) => {
+      val qv = typedLit(Pipeline.queryVec)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("cell", cellOf(col("emb")))
+        .filter(col("cell").isin(probeCells.map(_.toLong): _*))
+      e.withColumn("cos",
+          round(foldSum(zip_with(col("emb"), qv, (x, y) => x * y)) /
+            (sqrt(foldSum(transform(col("emb"), x => x * x))) *
+              lit(Pipeline.queryVecNorm)), 4))
+        .select(col("vec_id"), col("cell"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val cellSql = (0 until 8)
+      .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+    val qvList = Pipeline.queryVec.mkString("[", ", ", "]")
+
+    Map(
+      "q35_neardup_embedding" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |  p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           |    ROUND(
+           |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+           |      (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           |       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+           |      4) AS cos
+           |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, label, cos FROM p
+           |WHERE cos >= $CosT ORDER BY vec_a, vec_b""".stripMargin,
+
+      "q36_ann_ivf" ->
+        s"""WITH q AS (SELECT $qvList::DOUBLE[] AS qv),
+           |  e AS (SELECT vec_id, embedding,
+           |          CAST($cellSql AS BIGINT) AS cell FROM embeddings)
+           |SELECT vec_id, cell,
+           |  ROUND(
+           |    list_sum(list_transform(list_zip(embedding, qv),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           |       * ${Pipeline.queryVecNorm}), 4) AS cos
+           |FROM e, q WHERE cell IN (${probeCells.mkString(", ")})
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: language ID, quality
+  * scoring, token counting, fingerprinting. All narrow per-row column
+  * work — no shuffle at all except the output ORDER BY, so they scale
+  * linearly with input splits.
+  *
+  * The scoring formulas are pure rational arithmetic (no exp/log/sin) so
+  * the DuckDB oracle reproduces them bit-for-bit: libm transcendentals are
+  * the one place two engines can legally differ in the last ulp.
+  */
+object TextOps {
+  import Shared._
+
+  /** Marker stopwords per language (n-gram-heuristic language ID). */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("的", "是"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t))).cast("long")
+
+  private def sqlCountIn(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q37 — language ID: marker-word scores, argmax with fixed tie order
+    "q37_lang_id" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .select(Seq(col("doc_id"), col("lang")) ++
+          markers.map { case (l, ws) => countIn(col("toks"), ws).as(s"s_$l") }: _*)
+      // argmax with ties broken by declaration order: a CASE chain where
+      // branch l fires iff s_l >= every other score — first true wins.
+      val pred = markers.foldRight(lit("und")) { case ((l, _), rest) =>
+        val isMax = markers.filter(_._1 != l)
+          .map { case (o, _) => col(s"s_$l") >= col(s"s_$o") }
+          .reduce(_ && _)
+        when(isMax, lit(l)).otherwise(rest)
+      }
+      scored
+        .withColumn("pred_lang", pred)
+        .withColumn("correct", (col("pred_lang") === col("lang")).cast("int").cast("long"))
+        .select(Seq(col("doc_id"), col("pred_lang"), col("lang"),
+          col("correct")) ++ markers.map { case (l, _) => col(s"s_$l") }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q38 — quality score: rational-arithmetic heuristics
+    "q38_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+        .withColumn("stop_ratio",
+          countIn(col("toks"), markers.head._2).cast("double") / col("n_toks"))
+        .withColumn("score", round(
+          (lit(2.0) * col("stop_ratio") + col("uniq_ratio") +
+            least(col("n_toks") / 100.0d, lit(1.0d))) / 4.0d, 4))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("uniq_ratio"), 4).as("uniq_ratio"),
+          round(col("stop_ratio"), 4).as("stop_ratio"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q39 — token counting: whitespace + BPE-ish regex word count
+    "q39_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z0-9]+")).cast("long")
+            .as("word_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q40 — document fingerprinting: md5 + sha256 + min-shingle-hash
+    "q40_fingerprint" -> ((s, d) => {
+      val norm = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(norm).as("fp_md5"),
+          sha2(norm, 256).as("fp_sha256"),
+          coalesce(array_min(transform(shingles3(col("text")),
+            s => hash60(s))), lit(-1L)).as("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val scoreCols = markers
+      .map { case (l, ws) => s"${sqlCountIn(ws)} AS s_$l" }.mkString(",\n  ")
+    // argmax CASE chain, same tie order as the Spark side (first true wins)
+    val predCase = markers.map { case (l, _) =>
+      val conds = markers.filter(_._1 != l)
+        .map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+
+    Map(
+      "q37_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           |           FROM documents),
+           |  sc AS (SELECT doc_id, lang,
+           |  $scoreCols
+           |  FROM t),
+           |  p AS (SELECT *, $predCase AS pred_lang FROM sc)
+           |SELECT doc_id, pred_lang, lang,
+           |  CAST(pred_lang = lang AS BIGINT) AS correct,
+           |  ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")}
+           |FROM p ORDER BY doc_id""".stripMargin,
+
+      "q38_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents),
+           |  m AS (SELECT doc_id, len(toks) AS n_toks,
+           |    len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
+           |    ${sqlCountIn(markers.head._2)}::DOUBLE / len(toks) AS stop_ratio
+           |  FROM t)
+           |SELECT doc_id, n_toks,
+           |  ROUND(uniq_ratio, 4) AS uniq_ratio,
+           |  ROUND(stop_ratio, 4) AS stop_ratio,
+           |  ROUND((2.0 * stop_ratio + uniq_ratio +
+           |         least(n_toks / 100.0, 1.0)) / 4.0, 4) AS score
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q39_token_count" ->
+        """SELECT doc_id,
+          | len(string_split(text, ' ')) AS ws_tokens,
+          | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word_tokens,
+          | length(text) AS n_chars,
+          | octet_length(encode(text)) AS n_bytes
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q40_fingerprint" ->
+        s"""WITH s AS ($sqlShingles3),
+           |  d AS (SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+           |          sha256(lower(trim(text))) AS fp_sha256
+           |        FROM documents)
+           |SELECT d.doc_id, d.fp_md5, d.fp_sha256,
+           |  COALESCE(list_min([${sqlHash60("x")} FOR x IN s.sh]), -1)
+           |    AS min_shingle_hash
+           |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+    )
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the pipeline operators, checked on sf0.001 —
+  * independent of the DuckDB oracle (which checks value equality; these
+  * check the *properties* the operators promise).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q23 sessionization: gaps within a session never exceed 30 min") {
+    val rows = SparkEntry.queries("q23_sessionize")(spark, sf)
+    // every event belongs to exactly one session
+    val nEvents = rows.agg(sum("n_events")).head.getLong(0)
+    val total = Tables.events(spark, sf).count()
+    assert(nEvents === total, "sessionization must partition all events")
+    // sessions of one user are time-ordered and disjoint
+    import spark.implicits._
+    val byUser = rows.select("user_id", "session_id", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    byUser.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._3, s"sessions overlap: $a then $b")
+          assert(b._3 - a._4 > 1800000000L,
+            s"adjacent sessions closer than the 30-min gap: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("q24 exact dedup: survivors are distinct and cover all docs") {
+    val rows = SparkEntry.queries("q24_dedup_exact")(spark, sf)
+    val n = rows.count()
+    assert(rows.select("doc_id").distinct().count() === n)
+    assert(rows.agg(sum("n_dups")).head.getLong(0) ===
+      Tables.documents(spark, sf).count())
+  }
+
+  test("q32 prefix-filter join finds exactly the all-pairs >= 0.6 set") {
+    import spark.implicits._
+    // brute-force oracle computed in Scala on the tiny SF
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val toks = t.split(" ")
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.6
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("q32_neardup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("q36 ANN probes a strict subset of cells") {
+    val rows = SparkEntry.queries("q36_ann_ivf")(spark, sf)
+    import spark.implicits._
+    val cells = rows.select("cell").as[Long].collect().toSet
+    val probes = operators.Similarity.probeCells.map(_.toLong).toSet
+    assert(cells.subsetOf(probes))
+    assert(probes.size === 9)
+  }
+
+  test("q41 multimodal stub features are byte-exact") {
+    val r = operators.MediaRow(7L, "hello world!".getBytes("UTF-8"), "text/plain")
+    val f = operators.Multimodal.extractFeatures(r)
+    assert(f.n_bytes === 12L)
+    assert(f.head_hex === "68656C6C6F20776F") // "hello wo"
+    assert(f.n_frames === 1L)
+  }
+
+  test("q25/q36 share the same deterministic query vector") {
+    assert(operators.Pipeline.queryVec.length === 64)
+    // regression-pin the first values so the oracle SQL can't drift
+    assert(math.abs(operators.Pipeline.queryVec.head - math.sin(1.0)) < 1e-15)
+    assert(operators.Similarity.queryCell ===
+      (0 until 8).map(i => if (math.sin(i + 1.0) > 0) 1 << i else 0).sum)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t1 smoke (SURVEY §5.2): every declared query runs end-to-end on
+  * sf0.001 with a sane schema; queries whose semantics guarantee output
+  * at every SF must be non-empty.
+  */
+class SmokeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // Queries that may legitimately return zero rows at some SF (pair
+  // thresholds depend on planted duplicates).
+  private val mayBeEmpty = Set(
+    "q32_neardup_jaccard", "q33_neardup_simhash", "q34_neardup_minhash",
+    "q35_neardup_embedding")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.schema.fields.nonEmpty, "schema must be non-empty")
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries impl: $missing")
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
