@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode}
+
+/** SparkSessionExtensions entry point: registers the ingest wire-format
+  * expressions as SQL functions. Activated either programmatically
+  * (`Sessions.builder`) or via `spark.sql.extensions=graft.GraftExtensions`
+  * on any cluster — the standard deployment story for a library shipping
+  * native expressions.
+  *
+  * Usage: `call_function("avro_logline", struct(...))`,
+  * `SELECT fnv1a32(value) FROM ...`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("avro_logline"),
+      new ExpressionInfo(classOf[AvroLogLineEncode].getName, "avro_logline"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AvroLogLineEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("proto_logline"),
+      new ExpressionInfo(classOf[ProtoLogLineEncode].getName, "proto_logline"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ProtoLogLineEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("fnv1a32"),
+      new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Fnv1a32(children.head)))
+  }
+}

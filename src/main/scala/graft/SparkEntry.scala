@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Pipeline.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextOps.queries ++ operators.Multimodal.queries
+      operators.TextOps.queries ++ operators.Multimodal.queries ++
+      operators.Ingest.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.Pipeline.oracleSql ++
       operators.Dedup.oracleSql ++ operators.Similarity.oracleSql ++
-      operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql
+      operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql ++
+      operators.Ingest.oracleSql
 }
