@@ -21,7 +21,7 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Pipeline.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextOps.queries ++ operators.Multimodal.queries ++
-      operators.Ingest.queries
+      operators.Ingest.queries ++ streaming.StreamingQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -31,5 +31,5 @@ object SparkEntry {
     operators.Relational.oracleSql ++ operators.Pipeline.oracleSql ++
       operators.Dedup.oracleSql ++ operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql ++
-      operators.Ingest.oracleSql
+      operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql
 }

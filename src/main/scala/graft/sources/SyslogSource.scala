@@ -1,0 +1,237 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.{DatagramPacket, DatagramSocket, InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Syslog *server* streaming source (DataSourceV2) — the reference's O1-O3
+  * re-expressed as a MicroBatchStream. The built-in `socket` source
+  * connects OUT as a client; the reference LISTENS (TCP accept loop +
+  * UDP datagrams, /root/reference/syslog/syslog_producer.go:117-183), so a
+  * custom source is required (SURVEY §4.3).
+  *
+  * Semantics preserved from the reference:
+  *  - no syslog parsing: every '\n'-terminated line is an opaque record;
+  *  - hostname = the *server's own* hostname, captured once
+  *    (syslog_producer.go:66-76);
+  *  - timestamp = receive time, epoch millis (syslog_producer.go:180).
+  *
+  * Documented deviations (both improvements):
+  *  - each TCP connection is served on its own thread — the reference
+  *    scans a connection inside the accept loop, so one long-lived sender
+  *    blocks all others (syslog_producer.go:138-143);
+  *  - UDP datagrams are framed per-datagram (the reference wraps the UDP
+  *    socket in one bufio.Scanner, which can merge datagrams, SURVEY §3.3).
+  *
+  * Delivery: the buffer is volatile memory, offsets are buffer indices;
+  * replay is possible within the uncommitted window, at-most-once across
+  * restarts — matching the reference's at-most-once contract (SURVEY
+  * §2.2). Backpressure: a full buffer (maxBufferedRows) blocks TCP
+  * readers (propagates to senders) and drops UDP datagrams, mirroring the
+  * reference's bounded-channel behavior.
+  *
+  * Options: tcp.port, udp.port (0 = disabled; -1 = ephemeral, for tests),
+  * tcp.host/udp.host, maxBufferedRows. `graft.sources.SyslogState` exposes
+  * bound ports for tests.
+  */
+class SyslogSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-syslog"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyslogSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SyslogTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SyslogSource {
+  val schema: StructType = StructType(Seq(
+    StructField("message", StringType, nullable = false),
+    StructField("hostname", StringType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false)))
+}
+
+class SyslogTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  override def name(): String = "graft-syslog"
+  override def schema(): StructType = SyslogSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = SyslogSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SyslogMicroBatchStream(options)
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException("streaming only")
+      }
+    }
+}
+
+/** One enqueued record: (line, receive-time epoch millis). */
+private[sources] final case class SyslogRecord(line: String, tsMillis: Long)
+
+/** Test hook: bound ports of the most recently started stream. */
+object SyslogState {
+  @volatile var lastTcpPort: Int = -1
+  @volatile var lastUdpPort: Int = -1
+}
+
+class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private val hostname: String = // server's own hostname, captured once
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" }
+
+  private val maxBuffered = options.getInt("maxBufferedRows", 100000)
+  private val buffer = new ArrayBuffer[SyslogRecord]()
+  private var base = 0L // offset of buffer(0)
+  private val lock = new Object
+
+  private def enqueue(line: String, blockWhenFull: Boolean): Boolean =
+    lock.synchronized {
+      while (buffer.size >= maxBuffered) {
+        if (!blockWhenFull) return false // UDP: drop
+        lock.wait(100) // TCP: block the reader -> sender backpressure
+      }
+      buffer += SyslogRecord(line, System.currentTimeMillis())
+      true
+    }
+
+  // --- listeners -----------------------------------------------------
+  @volatile private var closed = false
+  private var tcpServer: ServerSocket = _
+  private var udpSocket: DatagramSocket = _
+
+  private def startTcp(host: String, port: Int): Unit = {
+    tcpServer = new ServerSocket()
+    tcpServer.bind(new InetSocketAddress(host, if (port == -1) 0 else port))
+    SyslogState.lastTcpPort = tcpServer.getLocalPort
+    val acceptor = new Thread(() => {
+      while (!closed) {
+        try {
+          val sock = tcpServer.accept()
+          val t = new Thread(() => serveTcp(sock), "graft-syslog-conn")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: Exception => /* socket closed */ }
+      }
+    }, "graft-syslog-tcp-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+  }
+
+  private def serveTcp(sock: Socket): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    try {
+      var line = in.readLine()
+      while (line != null && !closed) {
+        enqueue(line, blockWhenFull = true)
+        line = in.readLine()
+      }
+    } catch { case _: Exception => } finally sock.close()
+  }
+
+  private def startUdp(host: String, port: Int): Unit = {
+    udpSocket = new DatagramSocket(
+      new InetSocketAddress(host, if (port == -1) 0 else port))
+    SyslogState.lastUdpPort = udpSocket.getLocalPort
+    val t = new Thread(() => {
+      val buf = new Array[Byte](65536)
+      while (!closed) {
+        try {
+          val pkt = new DatagramPacket(buf, buf.length)
+          udpSocket.receive(pkt)
+          val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
+            StandardCharsets.UTF_8)
+          // per-datagram framing; split multi-line datagrams on '\n'
+          text.split("\n", -1).filter(_.nonEmpty)
+            .foreach(enqueue(_, blockWhenFull = false))
+        } catch { case _: Exception => }
+      }
+    }, "graft-syslog-udp")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  locally {
+    val tcpPort = options.getInt("tcp.port", 5140)
+    val udpPort = options.getInt("udp.port", 5141)
+    if (tcpPort != 0) startTcp(options.getOrDefault("tcp.host", "0.0.0.0"), tcpPort)
+    if (udpPort != 0) startUdp(options.getOrDefault("udp.host", "0.0.0.0"), udpPort)
+  }
+
+  // --- MicroBatchStream ----------------------------------------------
+  private case class SyslogOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = SyslogOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    SyslogOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    lock.synchronized(SyslogOffset(base + buffer.size))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SyslogOffset].v
+    val e = end.asInstanceOf[SyslogOffset].v
+    val rows = lock.synchronized {
+      val from = math.max(0L, s - base).toInt
+      val to = math.max(0L, e - base).toInt
+      buffer.slice(from, to).toArray
+    }
+    if (rows.isEmpty) Array.empty
+    else Array(SyslogPartition(rows, hostname))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[SyslogPartition]
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < p.rows.length }
+        override def get(): InternalRow = {
+          val r = p.rows(i)
+          InternalRow(UTF8String.fromString(r.line),
+            UTF8String.fromString(p.hostname),
+            r.tsMillis * 1000L) // micros for TimestampType
+        }
+        override def close(): Unit = ()
+      }
+    }
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    // retention trim: committed rows can never be replanned
+    val e = end.asInstanceOf[SyslogOffset].v
+    val drop = math.max(0L, e - base).toInt
+    if (drop > 0) {
+      buffer.remove(0, math.min(drop, buffer.size))
+      base = math.max(base, e)
+      lock.notifyAll()
+    }
+  }
+
+  override def stop(): Unit = {
+    closed = true
+    if (tcpServer != null) try tcpServer.close() catch { case _: Exception => }
+    if (udpSocket != null) try udpSocket.close() catch { case _: Exception => }
+  }
+}
+
+/** Serializable slice of the driver-side buffer shipped to the executor. */
+private[sources] final case class SyslogPartition(
+  rows: Array[SyslogRecord], hostname: String) extends InputPartition

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Streaming inventory Q27–Q30 (SURVEY §2.3): real Structured Streaming
+  * queries over the `events` table replayed as a stream, drained with
+  * `Trigger.AvailableNow` into a memory sink, returned as the final batch
+  * result so the driver's oracle harness can hash-check them.
+  *
+  *  - q27/q28/q29 run in COMPLETE output mode (no watermark): every
+  *    window is in the final state, so the result equals the batch
+  *    semantics the DuckDB oracle computes. The production deployment of
+  *    the same query uses append mode + watermark (q30 exercises that
+  *    path, where dropping *is* the object under test).
+  *  - q30 replays events as two ordered files (maxFilesPerTrigger=1) with
+  *    a 1-hour watermark in APPEND mode: batch 1 is days < SplitDay,
+  *    batch 2 the rest including now-late rows. Late rows whose window
+  *    closed before watermark₁ are dropped, and windows past the final
+  *    watermark never emit — both effects are deterministic functions of
+  *    the data, which the DuckDB oracle reproduces in SQL.
+  *
+  * Scale posture: these lower to streaming HashAggregate over the state
+  * store keyed by (window, group) — partitioned by group key, spillable,
+  * RocksDB-backed in production. Complete-mode memory sinks are test
+  * harness only.
+  */
+object StreamingQueries {
+  import Q._
+
+  /** Streaming view of events: nanos column read as long (session conf)
+    * then floor-converted to a microsecond timestamp, like Tables.events.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    // The file streaming source requires a *directory*; stage a symlink to
+    // the single events.parquet in a temp dir keyed by the sf dir.
+    val stage = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_events_stream_${math.abs(d.hashCode)}")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(
+        when(col("ts") >= 0, expr("ts div 1000"))
+          .otherwise(expr("(ts - 999) div 1000"))))
+  }
+
+  /** Run a streaming aggregation to completion, return the sink table. */
+  private def drain(s: SparkSession, agg: DataFrame, name: String,
+                    mode: String): DataFrame = {
+    s.catalog.dropTempView(name) // allow re-runs in one session (bench)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q27 — tumbling 1h window, count per event_type
+    "q27_stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"))
+      drain(s, agg, "q27_mem", "complete")
+        .select(tstr(col("window.start")).as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // Q28 — sliding 1h window every 30 min, avg value. The average is
+    // computed in exact integer arithmetic (1e-6 units, half-up at 4dp):
+    // double division creates half-way cases (e.g. 73.91375) that the two
+    // engines' round() can resolve differently; integer math cannot.
+    // (Positive-domain formula; at petabyte row counts the unit sum needs
+    // a decimal accumulator instead of int64 — documented trade.)
+    "q28_stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 10)) * 1000000)
+            .cast("long").as("su"))
+      drain(s, agg, "q28_mem", "complete")
+        .withColumn("avg_value",
+          expr("(2 * su + n * 100) div (2 * n * 100)") / 10000.0d)
+        .select(tstr(col("window.start")).as("w_start"), col("n"),
+          col("avg_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Q29 — session window, 30-min gap, per user
+    "q29_stream_session" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+      drain(s, agg, "q29_mem", "complete")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // Q30 — watermark / late data: 2-batch ordered replay, append mode
+    "q30_stream_late" -> ((s, d) => {
+      val dir = Files.createTempDirectory("graft_q30")
+      def writeBatch(df: DataFrame, n: Int): Unit = {
+        val stage = dir.resolve(s"stage$n")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = dir.resolve(f"batch$n%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + n * 60000L)
+      }
+      val raw = s.read.parquet(s"$d/events.parquet") // ts still nano-long
+      val split = QThirty.splitNanos
+      writeBatch(raw.filter(col("ts") < split), 1)
+      writeBatch(raw.filter(col("ts") >= split), 2)
+
+      val schema = raw.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drain(s, agg, "q30_mem", "append")
+        .select(tstr(col("window.start")).as("w_start"), col("event_type"),
+          col("n"))
+        .orderBy(col("w_start"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q27_stream_tumbling" ->
+      s"""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         |    AS w_start, event_type, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type,
+         |        value FROM events)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q28_stream_sliding" ->
+      """WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+        |           FROM events),
+        |  w AS (SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+        |                       time_bucket(INTERVAL 30 MINUTES, ts)
+        |                         - INTERVAL 30 MINUTES]) AS w_start, value
+        |        FROM e),
+        |  a AS (SELECT w_start, COUNT(*) AS n,
+        |          CAST(SUM(CAST(value AS DECIMAL(38,10)) * 1000000) AS BIGINT)
+        |            AS su
+        |        FROM w GROUP BY 1)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, n,
+        |  ((2 * su + n * 100) // (2 * n * 100)) / 10000.0 AS avg_value
+        |FROM a ORDER BY w_start""".stripMargin,
+
+    // Session merge rule mirrors Spark's exclusive gap boundary: a new
+    // session starts when the gap is >= 30 min (q23 batch uses >).
+    "q29_stream_session" ->
+      s"""WITH e AS (SELECT user_id, event_id, value,
+         |             epoch_ns(ts) // 1000 AS us FROM events),
+         |  g AS (SELECT *, CASE WHEN us - LAG(us) OVER w >= 1800000000
+         |                       THEN 1 ELSE 0 END AS gap
+         |        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |  ss AS (SELECT *, SUM(gap) OVER (PARTITION BY user_id
+         |           ORDER BY us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |         FROM g)
+         |SELECT user_id, MIN(us) AS start_us,
+         |  MAX(us) + 1800000000 AS end_us,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM ss GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin,
+
+    "q30_stream_late" -> QThirty.oracle
+  )
+}
+
+/** Q30 constants + oracle, shared between the query and its SQL twin. */
+object QThirty {
+  /** Batch split point: 2024-01-20 00:00:00 UTC in epoch NANOS (the raw
+    * parquet column is TIMESTAMP(NANOS) read as long).
+    */
+  val splitNanos: Long = 1705708800000000000L
+
+  /** DuckDB replay of the two-batch watermark semantics:
+    * wm1 = max(ts | batch1) - 1h; batch-2 rows with window_end <= wm1 are
+    * dropped; wm2 = max(ts) - 1h; emitted windows are those with
+    * window_end <= wm2. Hour windows never tie with wm (data has
+    * sub-second components), so boundary strictness cannot bite.
+    */
+  val oracle: String =
+    s"""WITH e AS (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+       |             event_type, epoch_ns(ts) AS ns FROM events),
+       |  wm AS (SELECT
+       |    (SELECT max(ts) - INTERVAL 1 HOUR FROM e WHERE ns < ${splitNanos}) AS w1,
+       |    (SELECT max(ts) - INTERVAL 1 HOUR FROM e) AS w2),
+       |  kept AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+       |             event_type FROM e, wm
+       |           WHERE ns < ${splitNanos}
+       |              OR time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR > wm.w1)
+       |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       |  event_type, COUNT(*) AS n
+       |FROM kept, wm
+       |WHERE w_start + INTERVAL 1 HOUR <= wm.w2
+       |GROUP BY w_start, event_type
+       |ORDER BY w_start, event_type""".stripMargin
+}
