@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode}
+import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode}
 
 /** SparkSessionExtensions entry point: registers the ingest wire-format
   * expressions as SQL functions. Activated either programmatically
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ProtoLogLineEncode].getName, "proto_logline"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ProtoLogLineEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("avro_logline_decode"),
+      new ExpressionInfo(classOf[AvroLogLineDecode].getName,
+        "avro_logline_decode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        AvroLogLineDecode(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("fnv1a32"),
       new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),

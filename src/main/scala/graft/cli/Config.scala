@@ -85,6 +85,37 @@ object Config {
     "kafka.request.timeout.ms" -> c.acksTimeoutMs.toString,
     "kafka.compression.type" -> "none")
 
+  /** `key=value` producer-config file (O21), mirroring
+    * ProducerConfigFromFile (V:elodina/siesta-producer/kafka_producer.go:158-205):
+    * '#' comments and blank lines skipped, unknown keys passed through as
+    * `kafka.`-prefixed sink options.
+    */
+  def fromFile(lines: Seq[String]): Map[String, String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        val i = l.indexOf('=')
+        if (i < 0) None else Some(l.substring(0, i).trim -> l.substring(i + 1).trim)
+      }.toMap
+
+  /** Merge a producer-config file into sink options: known reference keys
+    * map to their Kafka names, the rest pass through verbatim.
+    */
+  def sinkOptionsFromFile(base: Map[String, String],
+                          file: Map[String, String]): Map[String, String] = {
+    val mapped = file.collect {
+      case ("batch.size", v) => "kafka.batch.size" -> v
+      case ("linger", v) => "kafka.linger.ms" -> v
+      case ("required.acks", v) =>
+        "kafka.acks" -> (if (v == "-1") "all" else v)
+      case ("ack.timeout.ms", v) => "kafka.request.timeout.ms" -> v
+      case ("metadata.expire.ms", v) => "kafka.metadata.max.age.ms" -> v
+      case (k, v) if !Set("batch.size", "linger", "required.acks",
+        "ack.timeout.ms", "metadata.expire.ms")(k) => s"kafka.$k" -> v
+    }
+    base ++ mapped
+  }
+
   /** Syslog source options (O1-O3). */
   def sourceOptions(c: GraftConfig): Map[String, String] = Map(
     "tcp.host" -> c.tcpHost, "tcp.port" -> c.tcpPort.toString,

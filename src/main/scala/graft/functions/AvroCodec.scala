@@ -93,6 +93,75 @@ object AvroCodec {
     if (row.isNullAt(i)) writeLong(b, 0L)
     else { writeLong(b, 1L); writeString(b, row.getUTF8String(i)) }
 
+  // ----- decode (O22: consumer side of the Confluent topic) -----------
+
+  /** Streaming cursor over an Avro-binary buffer. */
+  final class Cursor(val buf: Array[Byte]) { var pos: Int = 0 }
+
+  def readLong(c: Cursor): Long = {
+    var v = 0L; var shift = 0
+    var b = c.buf(c.pos); c.pos += 1
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7fL) << shift; shift += 7
+      b = c.buf(c.pos); c.pos += 1
+    }
+    v |= (b & 0x7fL) << shift
+    (v >>> 1) ^ -(v & 1L) // un-zigzag
+  }
+
+  def readString(c: Cursor): UTF8String = {
+    val n = readLong(c).toInt
+    val s = UTF8String.fromBytes(c.buf, c.pos, n)
+    c.pos += n
+    s
+  }
+
+  /** Decode Avro-binary logLine bytes back to an InternalRow shaped as
+    * [[inputSchema]] — the inverse of [[encodeStruct]], used by the
+    * avro_logline_decode expression (reference consumer path,
+    * V:elodina/go-kafka-avro/avro_encoder_decoder.go:127-170).
+    */
+  def decodeStruct(bytes: Array[Byte]): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    val c = new Cursor(bytes)
+    val out = new Array[Any](5)
+    out(0) = if (readLong(c) == 0L) null else readString(c)
+    out(1) = if (readLong(c) == 0L) null else readString(c)
+    out(2) = if (readLong(c) == 0L) null
+    else {
+      val ks = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = readLong(c)
+      while (n != 0L) {
+        if (n < 0) { readLong(c); n = -n } // block-size form
+        var i = 0L
+        while (i < n) { ks += readString(c); vs += readString(c); i += 1 }
+        n = readLong(c)
+      }
+      new ArrayBasedMapData(new GenericArrayData(ks.toArray),
+        new GenericArrayData(vs.toArray))
+    }
+    out(3) = if (readLong(c) == 0L) null else readLong(c)
+    out(4) = if (readLong(c) == 0L) null
+    else {
+      val items = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = readLong(c)
+      while (n != 0L) {
+        if (n < 0) { readLong(c); n = -n }
+        var i = 0L
+        while (i < n) {
+          items += new GenericInternalRow(
+            Array[Any](readString(c), readLong(c)))
+          i += 1
+        }
+        n = readLong(c)
+      }
+      new GenericArrayData(items.toArray)
+    }
+    new GenericInternalRow(out)
+  }
+
   /** Encode one logLine from an InternalRow shaped as [[inputSchema]].
     * Called from both interpreted eval and generated code.
     */

@@ -47,6 +47,23 @@ case class ProtoLogLineEncode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** binary → logLine struct: inverse of [[AvroLogLineEncode]] (O22). */
+case class AvroLogLineDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = AvroCodec.inputSchema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"avro_logline_decode expects binary, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    AvroCodec.decodeStruct(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AvroCodec.decodeStruct($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** FNV-1a 32-bit over a binary column — byte-parity with the reference's
   * hash partitioner (V:elodina/siesta-producer/partitioner.go:15-44).
   * Codegen inlines the multiply-xor loop directly into the stage.

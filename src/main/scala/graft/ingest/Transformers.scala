@@ -70,6 +70,15 @@ object Transformers {
       array(col("timestamp"), produceMs).as("timings")))
       .as("value")
 
+  /** O11 hash-partition parity: `abs(fnv1a32(keyBytes)) mod n`, matching
+    * HashPartitioner (V:elodina/siesta-producer/partitioner.go:15-44).
+    * Emit as a `partition` column — the Kafka sink routes by it (O13
+    * manual partitioning is the same column with a user-supplied value).
+    */
+  def fnvPartition(keyBytes: Column, numPartitions: Int): Column =
+    pmod(abs(call_function("fnv1a32", keyBytes)), lit(numPartitions))
+      .as("partition")
+
   /** Decode side of the Confluent framing (O22): strip the 5-byte header
     * after asserting the magic byte, yielding the raw Avro body.
     */

@@ -45,16 +45,37 @@ object Dedup {
   private val SimhashBands = 4 // 15 bits each; hamming<=3 => >=1 band equal
   private val MinhashK = 32
   private val MinhashEq = 26 // >=26/32 equal => <=6 unequal < 8 bands
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
 
-  /** (doc_id, sh, sz) with distinct 3-shingles. */
+  /** Deterministic universal-hash coefficients (odd a, arbitrary b),
+    * identical literals interpolated into the DuckDB oracle.
+    */
+  val permA: Seq[Long] =
+    (0 until MinhashK).map(i => (((i + 1) * 2654435761L) % MinhashP) | 1L)
+  val permB: Seq[Long] =
+    (0 until MinhashK).map(i => ((i + 1) * 1099511628211L) % MinhashP)
+
+  /** (doc_id, sh, sz) with distinct 3-shingles.
+    *
+    * Repartitioned by doc_id BEFORE shingling: the testdata is one small
+    * parquet file, so without this the whole shingle pipeline (higher-
+    * order functions — interpreted, CPU-heavy) runs in a single task;
+    * hashing by doc_id both spreads that work across cores and pre-aligns
+    * the partitioning with the downstream per-doc window, which then
+    * needs no second exchange. At 100 TB the scan has thousands of
+    * splits, and this exchange is absorbed by the one the window needs
+    * anyway.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join
+    // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
+    // the PPJoin positional filter (Xiao et al., WWW'08)
     "q32_neardup_jaccard" -> ((s, d) => {
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
@@ -65,9 +86,17 @@ object Dedup {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
         .filter(col("rk") <= col("sz") - expr("(3 * sz) div 5") + 1)
-        .select(col("doc_id"), col("s"))
+        .select(col("doc_id"), col("s"), col("rk"), col("sz"))
+      // Positional filter: at the lowest-rank shared prefix shingle the
+      // overlap is bounded by 1 + min(remaining items on either side); a
+      // pair with J >= t needs overlap >= ceil(t/(1+t)*(|A|+|B|)) =
+      // ceil(3(|A|+|B|)/8). Exact — only provably-unreachable candidates
+      // are cut before the verify join.
+      val minOv = floor((lit(3) * (col("a.sz") + col("b.sz")) + 7) / 8)
       val cand = prefix.as("a").join(prefix.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+            (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
+              >= minOv)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       val verified = cand
@@ -115,12 +144,17 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Q34 — MinHash-LSH near-dup, 8 bands x 4 rows, est >= 26/32
+    // Q34 — MinHash-LSH near-dup, 8 bands x 4 rows, est >= 26/32.
+    // One md5 per shingle; the 32 "permutations" are a universal-hash
+    // family h_i(x) = (a_i*x + b_i) mod p over the 31-bit base hash
+    // (32x cheaper than per-permutation md5, same portable determinism).
     "q34_neardup_minhash" -> ((s, d) => {
       val feats = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h31", hash60(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
       val mhAggs = (0 until MinhashK).map(i =>
-        min(hash60(concat(lit(i.toString), lit("|"), col("s")))).as(s"mh$i"))
+        min((lit(Dedup.permA(i)) * col("h31") + lit(Dedup.permB(i)))
+          % lit(MinhashP)).as(s"mh$i"))
       val sigs = feats.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
         .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh$i")): _*))
         .select(col("doc_id"), col("sig"))
@@ -154,7 +188,7 @@ object Dedup {
       .map(j => s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END")
       .mkString(" +\n    ")
     val minhashMins = (0 until MinhashK)
-      .map(i => s"MIN(${sqlHash60(s"concat('$i', '|', s)")}) AS mh$i")
+      .map(i => s"MIN((${permA(i)} * h31 + ${permB(i)}) % $MinhashP) AS mh$i")
       .mkString(",\n    ")
     val minhashSig = (0 until MinhashK).map(i => s"mh$i").mkString("[", ", ", "]")
 
@@ -189,7 +223,8 @@ object Dedup {
 
       "q34_neardup_minhash" ->
         s"""WITH s AS ($sqlShingles3),
-           |  f AS (SELECT doc_id, unnest(sh) AS s FROM s),
+           |  f AS (SELECT doc_id, ${sqlHash60("x.s")} & 2147483647 AS h31
+           |        FROM (SELECT doc_id, unnest(sh) AS s FROM s) x),
            |  sg AS (SELECT doc_id,
            |    $minhashMins
            |    FROM f GROUP BY doc_id),

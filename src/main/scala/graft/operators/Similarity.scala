@@ -43,7 +43,11 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — blocked exact near-dup: same-label pairs with cosine >= 0.3
     "q35_neardup_embedding" -> ((s, d) => {
+      // Repartition by the blocking key: co-locates each label's vectors
+      // (the join needs it anyway) and parallelizes the per-pair cosine
+      // folds, which a single-file scan would otherwise run on one core.
       val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("label"))
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
       val a = e.select(col("vec_id").as("vec_a"), col("label"),

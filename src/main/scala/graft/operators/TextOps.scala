@@ -85,10 +85,13 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Q40 — document fingerprinting: md5 + sha256 + min-shingle-hash
+    // Q40 — document fingerprinting: md5 + sha256 + min-shingle-hash.
+    // Repartition first: single-file input would otherwise run the
+    // per-shingle hash fold on one core.
     "q40_fingerprint" -> ((s, d) => {
       val norm = lower(trim(col("text")))
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           md5(norm).as("fp_md5"),
           sha2(norm, 256).as("fp_sha256"),

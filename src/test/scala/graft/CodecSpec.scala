@@ -182,6 +182,49 @@ class CodecSpec extends AnyFunSuite {
     assert(parsed.flatMap(Config.validate).isRight)
   }
 
+  test("avro_logline_decode inverts avro_logline (O22 consumer path)") {
+    val df = spark.range(1).select(lit("msg").as("message"),
+      lit("host").as("hostname"), lit(1065910455003L).as("timestamp"))
+    val decoded = df
+      .select(Transformers.avro(Seq("dc" -> "dc1"), Some(7L), 42).as("value"))
+      .select(Transformers.confluentUnframe(col("value")).as("body"))
+      .select(call_function("avro_logline_decode", col("body")).as("r"))
+      .select(col("r.line"), col("r.source"), col("r.tag"),
+        col("r.logtypeid"), col("r.timings"))
+      .head
+    assert(decoded.getString(0) === "msg")
+    assert(decoded.getString(1) === "host")
+    assert(decoded.getMap[String, String](2) === Map("dc" -> "dc1"))
+    assert(decoded.getLong(3) === 7L)
+    val t = decoded.getSeq[org.apache.spark.sql.Row](4)
+    assert(t.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("received", 1065910455003L)))
+  }
+
+  test("fnv partition column matches reference partitioner arithmetic") {
+    val got = spark.range(1).select(Transformers.fnvPartition(
+      encode(lit("foobar"), "UTF-8"), 7)).head.getInt(0)
+    // abs(0xbf9cf968 as int32) mod 7, computed like partitioner.go:15-44
+    val h = Fnv1a32.hash("foobar".getBytes("UTF-8"))
+    assert(got === math.floorMod(math.abs(h), 7))
+  }
+
+  test("producer-config file load (O21)") {
+    import cli.Config
+    val file = Config.fromFile(Seq(
+      "# comment", "", "batch.size=500", "linger = 250",
+      "required.acks=-1", "client.id=syslog", "metadata.expire.ms=60000"))
+    val opts = Config.sinkOptionsFromFile(
+      Config.kafkaSinkOptions(cli.GraftConfig(brokerList = "b:9092",
+        topic = "t")), file)
+    assert(opts("kafka.batch.size") === "500")
+    assert(opts("kafka.linger.ms") === "250")
+    assert(opts("kafka.acks") === "all")
+    assert(opts("kafka.client.id") === "syslog")
+    assert(opts("kafka.metadata.max.age.ms") === "60000")
+    assert(opts("kafka.bootstrap.servers") === "b:9092")
+  }
+
   test("registry response parser") {
     assert(ingest.SchemaRegistry.parseId("""{"id": 42}""") === 42)
     assert(ingest.SchemaRegistry.parseId("""{ "id":7 }""") === 7)
