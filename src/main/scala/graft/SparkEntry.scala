@@ -21,7 +21,8 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Pipeline.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextOps.queries ++ operators.Multimodal.queries ++
-      operators.Ingest.queries ++ streaming.StreamingQueries.queries
+      operators.Ingest.queries ++ streaming.StreamingQueries.queries ++
+      streaming.StatefulSession.queries ++ operators.Bucketed.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -31,5 +32,6 @@ object SparkEntry {
     operators.Relational.oracleSql ++ operators.Pipeline.oracleSql ++
       operators.Dedup.oracleSql ++ operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql ++
-      operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql
+      operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql ++
+      streaming.StatefulSession.oracleSql ++ operators.Bucketed.oracleSql
 }

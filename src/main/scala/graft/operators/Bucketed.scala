@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q43 — co-located join via bucketing: both sides pre-hashed into the
+  * same bucket layout on the join key, so the join runs with ZERO shuffle
+  * of either fact table — the 100-TB pattern for repeated joins on a
+  * stable key (bucket once at ingest, join free forever after).
+  *
+  * The query writes `orders`/`customer` bucketed by custkey (8 buckets,
+  * sorted) into the session warehouse, then joins the bucketed tables
+  * with autoBroadcast disabled so the planner must prove the co-location
+  * (SortMergeJoin with no Exchange below it — asserted in PlanSpec).
+  * Oracle: the identical join+agg in plain SQL.
+  */
+object Bucketed {
+  import Q._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_bucketed_join" -> ((s, d) => {
+      val db = s"graft_b${math.abs(d.hashCode)}"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      def rewrite(df: DataFrame, name: String, key: String): Unit = {
+        // the warehouse dir outlives the in-memory catalog: drop both the
+        // table entry and any stale location from a previous session
+        s.sql(s"DROP TABLE IF EXISTS $db.$name")
+        val loc = java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db", name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        df.write.format("parquet").bucketBy(8, key).sortBy(key)
+          .saveAsTable(s"$db.$name")
+      }
+      rewrite(Tables.orders(s, d), "orders_b", "o_custkey")
+      rewrite(Tables.customer(s, d), "customer_b", "c_custkey")
+      // merge hint: at real scale neither side broadcasts; the hint makes
+      // the planner prove bucket co-location here (SMJ with no exchange)
+      // instead of falling back to a broadcast that only works because the
+      // test data is small.
+      val o = s.table(s"$db.orders_b")
+      val c = s.table(s"$db.customer_b").hint("merge")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q43_bucketed_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         | ${sqlDsum("o_totalprice")} AS rev
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}

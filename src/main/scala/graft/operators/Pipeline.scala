@@ -90,6 +90,18 @@ object Pipeline {
         .limit(10)
     }),
 
+    // Q12b — approx_count_distinct (HLL++): the scale path for distinct
+    // counts (mergeable sketch, no expand). No SQL oracle — HLL estimates
+    // are engine-specific; the driver records a rows-only check and
+    // OperatorSpec asserts the estimate lands within 5% of exact.
+    "q12b_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Q26 — tokenize + explode + count, top-20. explode feeds a hash
     // aggregate with map-side combine; shuffle volume is distinct tokens.
     "q26_text_tokens" -> ((s, d) => {

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan property checks: the scale contract is that these hold
+  * at ANY data size, so they are asserted on the plan itself rather than
+  * observed from timings.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 filters are pushed into the parquet scan") {
+    val p = plan("q02_filter")
+    // the disjunctive predicate must reach the scan, not sit above it
+    assert(p.contains("PushedFilters: [Or("), p.take(2000))
+  }
+
+  test("q01 scan prunes to the two referenced columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<r_regionkey:int,r_name:string>"))
+  }
+
+  test("q17 top-k lowers to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q17_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortExec"))
+  }
+
+  test("q04 top-10 after aggregation also lowers to TakeOrderedAndProject") {
+    assert(plan("q04_join_agg_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no fact-table broadcast hints: only region/nation may be hinted") {
+    // q13 joins all four dims+facts; its *logical* plan must carry
+    // broadcast hints only on nation/region (customer is fact-scale).
+    val lp = SparkEntry.queries("q13_rollup")(spark, sf)
+      .queryExecution.analyzed.toString
+    val hinted = "(?s)ResolvedHint.*?relation=\\[?([a-z_]*)".r
+    // crude but effective: count hint nodes; there must be exactly 2
+    val n = "ResolvedHint".r.findAllIn(lp).length
+    assert(n === 2, s"expected 2 broadcast hints (nation, region), got $n")
+  }
+
+  test("q11 aggregation is partial+final (map-side combine)") {
+    val p = plan("q11_agg_q1")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("partial_sum") || p.contains("partial_count") ||
+      p.contains("merge_sum"), "no partial aggregation found")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // AQE hides the final plan until execution; run the query, then look
+    // at the adaptively-finalized plan. Codegen spans print as "*(n)".
+    for (q <- Seq("q02_filter", "q11_agg_q1", "q19_strings", "q21_math")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("*("), s"$q lost whole-stage codegen:\n${p.take(800)}")
+    }
+  }
+
+  test("ingest expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(4).select(
+      concat(lit("line"), col("id")).as("message"),
+      lit("h").as("hostname"), col("id").as("timestamp"))
+    val p = df.select(graft.ingest.Transformers.avro(Nil, None, 1))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [concat(0x0000000001, avrologlineencode"),
+      s"avro_logline fell out of codegen:\n${p.take(800)}")
+  }
+
+  test("q43 bucketed join runs with no shuffle below the join") {
+    val df = SparkEntry.queries("q43_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("Bucketed: true"), "scan did not use buckets")
+    // no exchange on the join keys anywhere (bucketing provides the
+    // co-partitioning); the agg/orderBy exchanges on other keys are fine
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      "join sides were shuffled despite bucketing")
+  }
+
+  test("q12b HLL estimate lands within 5% of the exact distinct count") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q12b_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("q36 ANN cell filter prunes before the cosine computation") {
+    val p = plan("q36_ann_ivf")
+    // the cell IN (...) filter must appear below the projection that
+    // computes the cosine fold (i.e., we never fold excluded vectors)
+    val fi = p.indexOf("cell#")
+    assert(fi >= 0)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
