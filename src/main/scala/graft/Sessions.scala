@@ -24,6 +24,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // default codegen class cache (100) thrashes across this library's
+      // ~44 queries x several stages: wide-aggregate stages (60-sum
+      // simhash) then re-Janino-compile on every execution, turning 10s
+      // queries into 60s ones. One long-lived entry per stage is cheap.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
