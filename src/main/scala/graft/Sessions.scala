@@ -29,6 +29,12 @@ object Sessions {
       // simhash) then re-Janino-compile on every execution, turning 10s
       // queries into 60s ones. One long-lived entry per stage is cheap.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // RocksDB state store: streaming state spills to local disk instead
+      // of living on the executor heap — the only provider that survives
+      // 100-TB-scale keyed state (the default HDFSBacked provider keeps
+      // every key in JVM memory).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
