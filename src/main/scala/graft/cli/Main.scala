@@ -32,8 +32,11 @@ object Main {
 
     val value = conf.pattern match {
       case "avro" =>
-        val schemaId = SchemaRegistry.register(conf.registryUrl.get,
-          "logLine-value", AvroCodec.schemaJson)
+        // dry-run must not touch live services; 0 stands in for the id
+        val schemaId =
+          if (dryRun) 0
+          else SchemaRegistry.register(conf.registryUrl.get,
+            "logLine-value", AvroCodec.schemaJson)
         Transformers.avro(conf.tags, conf.logTypeId, schemaId)
       case "proto" => Transformers.proto(conf.tags, conf.logTypeId)
       case _ => Transformers.plain(source)
