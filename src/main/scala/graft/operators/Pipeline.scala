@@ -102,6 +102,31 @@ object Pipeline {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Q44 — grouped exact percentiles (type-7 linear interpolation, the
+    // convention both Spark's percentile() and DuckDB's quantile_cont
+    // implement). Exact percentile sorts per group — the scale path is
+    // approx_percentile (t-digest sketch), same shape as q12 vs q12b.
+    "q44_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q45 — histogram: fixed-width bucketing is pure float arithmetic
+    // (identical IEEE division in both engines), then a hash aggregate.
+    "q45_histogram" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000.0d).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("bucket"))
+    }),
+
     // Q26 — tokenize + explode + count, top-20. explode feeds a hash
     // aggregate with map-side combine; shuffle volume is distinct tokens.
     "q26_text_tokens" -> ((s, d) => {
@@ -161,6 +186,19 @@ object Pipeline {
          |            FROM embeddings, q)
          |SELECT vec_id, label, cos, dim, e0 FROM sc
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_histogram" ->
+      s"""SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+         | COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q26_text_tokens" ->
       """SELECT token, COUNT(*) AS cnt
