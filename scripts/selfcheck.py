@@ -60,6 +60,14 @@ def main():
             n_fail += 1
             continue
         try:
+            # Guard against oracle output types the driver's hasher may
+            # represent differently than Spark's parquet (e.g. HUGEINT from
+            # SUM over integers — caused the round-2 q23/q42 hash mismatch).
+            typ_rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+            exotic = [(c, str(t)) for c, t in zip(typ_rel.columns, typ_rel.types)
+                      if str(t) not in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR")]
+            if exotic:
+                print(f"WARN {name}: exotic oracle output types {exotic}")
             got_rel = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
             got_cols = [c[0] for c in got_rel.description]

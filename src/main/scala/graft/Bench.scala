@@ -3,25 +3,63 @@ package graft
 /** Benchmark harness (driver contract): runs every query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Methodology (fixes the round-1 harness the judge flagged):
+  * Methodology:
   *  - materializes through the `noop` sink, not `count()` — `count()` lets
   *    Catalyst prune every projected column, so projection-heavy queries
-  *    were benchmarked as near-empty scans;
-  *  - one untimed warmup query first (JIT + codegen + parquet footer cache)
-  *    so per-query numbers aren't dominated by first-touch cost;
+  *    would be benchmarked as near-empty scans;
+  *  - two timed passes for batch queries, min reported: pass 1 doubles as
+  *    the codegen/JIT warmup (a fresh JVM spends 5-20s per query shape on
+  *    Janino + JIT), pass 2 measures steady-state plan cost. Streaming
+  *    queries run ONCE — their cost is dominated by fixed micro-batch +
+  *    state-store machinery that re-runs every time, so a warmup pass buys
+  *    nothing and triples their wall-clock;
+  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 900)
+  *    stops issuing new queries before the driver's external timeout, and a
+  *    shutdown hook emits the JSON line with whatever was measured even if
+  *    the process is SIGTERMed mid-run — round 2's bench was killed by the
+  *    driver timeout and recorded NOTHING ("parsed": null);
   *  - failures are *surfaced* (negative time + stderr), never swallowed;
   *  - identical session config to Verify via [[Sessions]] (UTC etc).
   */
 object Bench {
+  private val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  @volatile private var nQueries = 0
+  @volatile private var sfDir = ""
+  private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Print the ONE result line. Idempotent: called from the normal path and
+    * from the shutdown hook (driver kill), whichever comes first.
+    */
+  private def emit(): Unit = if (printed.compareAndSet(false, true)) {
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq.sortBy(_._1)
+    val qs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = rs.collect { case (_, v) if v >= 0 => v }.sum
+    val nFailed = rs.count(_._2 < 0)
+    val nSkipped = nQueries - rs.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val t0 = System.nanoTime()
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // Stop issuing new queries this close to the deadline; a query already
+    // running past it is covered by the shutdown hook.
+    val margin = 30.0
+
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.addShutdownHook(emit())
     val spark = Sessions.local()
 
     def run(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
+      val s = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - s) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -29,27 +67,25 @@ object Bench {
       }
     }
 
-    // Warmup pass: run every query once untimed. A fresh JVM spends 5-20s
-    // per *query shape* on whole-stage-codegen compilation + JIT; timing
-    // the second pass measures steady-state plan cost (the signal that
-    // scales to a long-lived cluster), not Janino compile time.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(n => run(s"warmup:$n", SparkEntry.queries(n)))
+    nQueries = names.size
+    val streaming = names.filter(_.contains("stream")).toSet
 
-    // Two timed passes, report the min: the box is shared, and one-off
-    // contention spikes (observed 10x on sub-second queries) would
-    // otherwise pollute the recorded number.
-    val pass1 = names.map(n => n -> run(n, SparkEntry.queries(n))).toMap
-    val results = names.map { n =>
+    // Pass 1 (timed, cold): every query once. These numbers include codegen
+    // + JIT; they are the fallback if the deadline cuts pass 2 short.
+    for (n <- names if elapsed < deadlineSec - margin)
+      results.put(n, run(n, SparkEntry.queries(n)))
+
+    // Pass 2 (timed, warm): batch queries only; report min of the passes.
+    // The box is shared — one-off contention spikes (observed 10x on
+    // sub-second queries) would otherwise pollute the recorded number.
+    for (n <- names if !streaming(n) && elapsed < deadlineSec - margin) {
       val t2 = run(n, SparkEntry.queries(n))
-      val t1 = pass1(n)
-      n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      val t1 = Option(results.get(n)).getOrElse(-1.0)
+      results.put(n, if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+
+    emit()
     spark.stop()
   }
 }

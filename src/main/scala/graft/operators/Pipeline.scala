@@ -150,16 +150,19 @@ object Pipeline {
         | len(string_split(props, ':')) AS n_frags
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // session_id must be CAST to BIGINT: DuckDB's SUM over integers yields
+    // HUGEINT (int128), which downstream arrow/pandas consumers represent
+    // differently than int64 even when values are equal (r2 hash mismatch).
     "q23_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, value,
          |             epoch_ns(ts) // 1000 AS us FROM events),
          |     g AS (SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000
          |                          THEN 1 ELSE 0 END AS gap
          |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |     ss AS (SELECT *, SUM(gap) OVER (PARTITION BY user_id
+         |     ss AS (SELECT *, CAST(SUM(gap) OVER (PARTITION BY user_id
          |              ORDER BY us, event_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |              AS session_id FROM g)
+         |              AS BIGINT) AS session_id FROM g)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(us) AS start_us, MAX(us) AS end_us,
          |  ${sqlDsum("value")} AS sum_value

@@ -88,6 +88,7 @@ object StatefulSession {
   )
 
   // Same semantics as q23 (gap > 30 min), emitted via the state function.
+  // session_id CAST to BIGINT: DuckDB SUM(int) is HUGEINT — see q23 note.
   def oracleSql: Map[String, String] = Map(
     "q42_stream_session_state" ->
       s"""WITH e AS (SELECT user_id, event_id, value,
@@ -95,10 +96,10 @@ object StatefulSession {
          |     g AS (SELECT *, CASE WHEN us - LAG(us) OVER w > $GapUs
          |                          THEN 1 ELSE 0 END AS gap
          |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |     ss AS (SELECT *, SUM(gap) OVER (PARTITION BY user_id
+         |     ss AS (SELECT *, CAST(SUM(gap) OVER (PARTITION BY user_id
          |              ORDER BY us, event_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |              AS session_id FROM g)
+         |              AS BIGINT) AS session_id FROM g)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(us) AS start_us, MAX(us) AS end_us,
          |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 4)
