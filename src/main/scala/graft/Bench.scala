@@ -67,7 +67,10 @@ object Bench {
       }
     }
 
+    // Optional args restrict to the named queries (dev iteration).
+    val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     nQueries = names.size
     val streaming = names.filter(_.contains("stream")).toSet
 
@@ -76,10 +79,14 @@ object Bench {
     for (n <- names if elapsed < deadlineSec - margin)
       results.put(n, run(n, SparkEntry.queries(n)))
 
-    // Pass 2 (timed, warm): batch queries only; report min of the passes.
-    // The box is shared — one-off contention spikes (observed 10x on
-    // sub-second queries) would otherwise pollute the recorded number.
-    for (n <- names if !streaming(n) && elapsed < deadlineSec - margin) {
+    // Passes 2..4 (timed, warm): batch queries only; report min across
+    // passes. The box is shared and its effective CPU swings 3-15x between
+    // identical passes — min-of-N is the only defensible point estimate.
+    // Extra passes run only while comfortably inside the deadline.
+    val passBudget = Map(2 -> 0.55, 3 -> 0.70, 4 -> 0.85)
+    for (pass <- 2 to 4;
+         n <- names
+         if !streaming(n) && elapsed < deadlineSec * passBudget(pass) - margin) {
       val t2 = run(n, SparkEntry.queries(n))
       val t1 = Option(results.get(n)).getOrElse(-1.0)
       results.put(n, if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))

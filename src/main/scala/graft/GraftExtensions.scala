@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode}
+import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode, ShingleSet, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the ingest wire-format
   * expressions as SQL functions. Activated either programmatically
@@ -37,5 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fnv1a32].getName, "fnv1a32"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Fnv1a32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleSet(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(children.head, children(1))))
   }
 }

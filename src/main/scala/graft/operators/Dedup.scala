@@ -92,17 +92,26 @@ object Dedup {
       // pair with J >= t needs overlap >= ceil(t/(1+t)*(|A|+|B|)) =
       // ceil(3(|A|+|B|)/8). Exact — only provably-unreachable candidates
       // are cut before the verify join.
+      // Candidate join: shared prefix shingle + positional filter + the
+      // AllPairs length filter (J >= t forces 5*min(sz) >= 3*max(sz)).
       val minOv = floor((lit(3) * (col("a.sz") + col("b.sz")) + 7) / 8)
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
             (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
-              >= minOv)
+              >= minOv &&
+            lit(5) * least(col("a.sz"), col("b.sz"))
+              >= lit(3) * greatest(col("a.sz"), col("b.sz")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
+      // arrays — array_intersect built a hash set per evaluation, and the
+      // filter+projections re-evaluate the intersect several times per pair.
       val verified = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("inter",
+          call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+            .cast("double"))
         .withColumn("jaccard", round(col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
         .filter(col("jaccard") >= JaccardT)
@@ -110,18 +119,17 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Q33 — SimHash near-dup, banded self-join, hamming <= 3
+    // Q33 — SimHash near-dup, banded self-join, hamming <= 3.
+    // The signature is one typed Aggregator pass (ObjectHashAggregate):
+    // 60 separate sum() columns generated a >1 MB codegen stage with
+    // multi-second Janino compiles ([[graft.functions.SignatureAggs]]).
     "q33_neardup_simhash" -> ((s, d) => {
+      import s.implicits.newLongArrayEncoder
       val feats = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h", hash60(col("s")))
-      val contribAggs = (0 until SimhashBits).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
-      val contribs = feats.groupBy(col("doc_id"))
-        .agg(contribAggs.head, contribAggs.tail: _*)
-      val simBits = (0 until SimhashBits).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      val sim = contribs.select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
+      val simAgg = udaf(new graft.functions.SignatureAggs.SimhashAgg(SimhashBits))
+      val sim = feats.groupBy(col("doc_id")).agg(simAgg(col("h")).as("sim"))
       val bandWidth = SimhashBits / SimhashBands
       val bands = sim.select(col("doc_id"), col("sim"),
           explode(array((0 until SimhashBands).map(b =>
@@ -149,15 +157,13 @@ object Dedup {
     // family h_i(x) = (a_i*x + b_i) mod p over the 31-bit base hash
     // (32x cheaper than per-permutation md5, same portable determinism).
     "q34_neardup_minhash" -> ((s, d) => {
+      import s.implicits.newLongArrayEncoder
       val feats = shingled(s, d)
         .select(col("doc_id"), explode(col("sh")).as("s"))
         .withColumn("h31", hash60(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
-      val mhAggs = (0 until MinhashK).map(i =>
-        min((lit(Dedup.permA(i)) * col("h31") + lit(Dedup.permB(i)))
-          % lit(MinhashP)).as(s"mh$i"))
-      val sigs = feats.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-        .withColumn("sig", array((0 until MinhashK).map(i => col(s"mh$i")): _*))
-        .select(col("doc_id"), col("sig"))
+      val mhAgg = udaf(new graft.functions.SignatureAggs.MinhashAgg(
+        permA.toArray, permB.toArray, MinhashP))
+      val sigs = feats.groupBy(col("doc_id")).agg(mhAgg(col("h31")).as("sig"))
       val bands = sigs.select(col("doc_id"),
           explode(array((0 until MinhashK / 4).map(b =>
             struct(lit(b).as("band"),

@@ -24,19 +24,13 @@ object Shared {
   def sqlHash60(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
-  /** Distinct 3-token shingles of a space-tokenized text column.
-    * Empty array when the doc has fewer than 3 tokens (guards against
-    * Spark's `sequence` producing a *descending* range for start > stop).
+  /** Distinct 3-token shingles of a space-tokenized text column, as the
+    * native [[graft.functions.ShingleSet]] expression (registered by
+    * GraftExtensions): one compiled split + hash-set pass per row. The
+    * declarative HOF formulation ran as interpreted eval with the `split`
+    * subtree re-inlined into every element access — O(tokens²) per doc.
     */
-  def shingles3(text: Column): Column = {
-    val toks = split(text, " ")
-    val n = size(toks)
-    when(n >= 3,
-      array_distinct(transform(sequence(lit(0), n - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles3(text: Column): Column = call_function("shingle_set", text)
 
   /** DuckDB twin of [[shingles3]]: a CTE body producing (doc_id, sh). */
   val sqlShingles3: String =
