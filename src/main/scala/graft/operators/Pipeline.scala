@@ -31,9 +31,13 @@ object Pipeline {
   private val GapUs = 1800000000L // 30 min session gap, microseconds
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q22 — semi-structured access: JSON path, map element, array element
+    // Q22 — semi-structured access: JSON path, map element, array element.
+    // Repartition first: the single-file local scan would otherwise run
+    // every Jackson parse on one core (at cluster scale the scan has
+    // thousands of splits and the exchange is noise next to the parse).
     "q22_json" -> ((s, d) => {
       Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           element_at(map(lit("t"), col("event_type")), "t").as("mval"),
@@ -114,6 +118,28 @@ object Pipeline {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
           count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q44b — approx_percentile (Greenwald-Khanna sketch): the scale path
+    // for q44's exact per-group sort, mirroring q12 vs q12b. The sketch is
+    // mergeable (map-side combinable), so percentiles over 100 TB cost one
+    // bounded-memory pass instead of a per-group global sort. No SQL
+    // oracle — sketch estimates are engine-specific; the driver records a
+    // rows-only check and OperatorSpec asserts each estimate falls within
+    // the sketch's rank-error bound of the exact q44 values.
+    "q44b_approx_percentiles" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D), 10000)")
+            .as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("ap"), 1).as("p50"),
+          element_at(col("ap"), 2).as("p95"),
+          element_at(col("ap"), 3).as("p99"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
 

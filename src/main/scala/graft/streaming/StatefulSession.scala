@@ -79,9 +79,16 @@ object StatefulSession {
         .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.NoTimeout)(sessionize)
       s.catalog.dropTempView("q42_mem")
-      val q = sessions.writeStream.format("memory").queryName("q42_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
+      // Narrow state partitions around start() — see StreamingQueries
+      // .StatePartitions (RocksDB instance load is seconds per partition).
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamingQueries.StatePartitions)
+      try {
+        val q = sessions.writeStream.format("memory").queryName("q42_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table("q42_mem")
         .orderBy(col("user_id"), col("session_id"))
     })

@@ -80,6 +80,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.n_frames === 1L)
   }
 
+  test("q44b approx percentile lands within the sketch's rank-error bound") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("q44b_approx_percentiles")(spark, sf)
+      .select("l_returnflag", "p50", "p95", "p99")
+      .as[(String, Double, Double, Double)].collect()
+    val byFlag = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // approx_percentile(acc=10000) guarantees rank error <= n/10000; the
+    // returned value must be an actual data value whose rank is within
+    // that bound (+1 for the floor/ceil of the target rank) of q*(n-1).
+    for ((flag, p50, p95, p99) <- approx; (q, v) <- Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99)) {
+      val vs = byFlag(flag)
+      val bound = vs.length / 10000.0 + 1.0
+      val lo = vs.indexWhere(_ >= v) // first rank holding the value
+      val hi = vs.lastIndexWhere(_ <= v) // last rank holding the value
+      assert(lo >= 0 && hi >= 0, s"$flag q=$q: $v is not a data value")
+      val target = q * (vs.length - 1)
+      assert(target >= lo - bound && target <= hi + bound,
+        s"$flag q=$q: value $v spans ranks [$lo,$hi], target $target, bound $bound")
+    }
+  }
+
+  test("q46 streaming dedup state yields exactly the batch-distinct key set") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("q46_stream_dedup")(spark, sf)
+      .as[(Long, String)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
