@@ -4,7 +4,9 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Q43 — co-located join via bucketing: both sides pre-hashed into the
+/** Join-layout operators for the 100-TB posture.
+  *
+  * Q43 — co-located join via bucketing: both sides pre-hashed into the
   * same bucket layout on the join key, so the join runs with ZERO shuffle
   * of either fact table — the 100-TB pattern for repeated joins on a
   * stable key (bucket once at ingest, join free forever after).
@@ -14,9 +16,24 @@ import org.apache.spark.sql.functions._
   * with autoBroadcast disabled so the planner must prove the co-location
   * (SortMergeJoin with no Exchange below it — asserted in PlanSpec).
   * Oracle: the identical join+agg in plain SQL.
+  *
+  * Q48 — salted join for skewed keys: when one join key carries a
+  * disproportionate share of rows, hash partitioning sends that key's
+  * entire volume to ONE reducer and the stage runs at the speed of its
+  * hottest task. Salting splits each hot key into `SaltFanout` synthetic
+  * sub-keys: the fact side gets a deterministic salt, the (smaller) build
+  * side is replicated once per salt value, and the join runs on
+  * (key, salt) — spreading each hot key over `SaltFanout` tasks. AQE's
+  * skew-join split covers the sort-merge case automatically at runtime;
+  * explicit salting is the portable form that also works where AQE
+  * cannot re-plan (stream-stream joins, aggregation pipelines feeding
+  * the join, fixed bucket layouts).
   */
 object Bucketed {
   import Q._
+
+  /** Salt fanout for Q48 — how many sub-keys each hot key spreads over. */
+  val SaltFanout = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_bucketed_join" -> ((s, d) => {
@@ -48,6 +65,30 @@ object Bucketed {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("rev"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    "q48_salted_join" -> ((s, d) => {
+      // Fact side: deterministic salt derived from a uniform column
+      // (event_id), NOT from the join key — salting the key itself would
+      // put all of a hot key's rows in the same sub-key again.
+      val fact = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          pmod(col("event_id"), lit(SaltFanout)).cast("int").as("salt"))
+      // Build side: replicate each row once per salt value. The
+      // replication factor is SaltFanout x |dim| — the price of skew
+      // immunity, paid on the SMALL side only.
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(lit((0 until SaltFanout).toArray)))
+      // shuffle_hash hint: at test scale AQE would broadcast the dim and
+      // no shuffle would exist for salting to fix; the hint reproduces
+      // the both-sides-shuffled regime the operator is for.
+      val joined = fact.join(dim.hint("shuffle_hash"),
+        fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -56,6 +97,12 @@ object Bucketed {
       s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
          | ${sqlDsum("o_totalprice")} AS rev
          |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q48_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         | ${sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -148,6 +148,37 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Q47 — stream-stream interval join: purchases within one hour after
+    // a click by the same user. Both sides carry watermarks and the join
+    // condition bounds event time, so each side's buffered state is
+    // evictable (clicks older than watermark - 1h can never match a
+    // future purchase and are dropped) — the property that makes a
+    // stream-stream join runnable forever rather than accumulating an
+    // unbounded build side. The join itself is a state-store symmetric
+    // hash join partitioned by user_id. Under one AvailableNow batch no
+    // row is ever dropped, so the output equals the batch interval join
+    // the oracle computes. Event ids make the ORDER BY a total order.
+    "q47_stream_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_eid"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_eid"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_eid"), col("purchase_eid"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+      drain(s, joined, "q47_mem", "append")
+        .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
+    }),
+
     // Q30 — watermark / late data: 2-batch ordered replay, append mode
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
@@ -226,6 +257,18 @@ object StreamingQueries {
     "q46_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q47_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+        |SELECT c.user_id, c.event_id AS click_eid,
+        |  p.event_id AS purchase_eid,
+        |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM e c JOIN e p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY c.user_id, click_eid, purchase_eid""".stripMargin,
 
     "q30_stream_late" -> QThirty.oracle
   )

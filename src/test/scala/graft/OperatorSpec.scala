@@ -114,6 +114,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q47 stream-stream join equals the batch interval join") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("q47_stream_join")(spark, sf)
+      .select("user_id", "click_eid", "purchase_eid")
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("ce"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pe"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "ce", "pe").as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift

@@ -87,6 +87,21 @@ class PlanSpec extends AnyFunSuite {
       "join sides were shuffled despite bucketing")
   }
 
+  test("q48 salted join shuffles on (key, salt), not the bare hot key") {
+    val df = SparkEntry.queries("q48_salted_join")(spark, sf)
+    df.collect() // AQE: final plan only materializes on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(600))
+    // both join sides must carry the salt column in their keys — the
+    // whole point is that no exchange partitions by user_id alone
+    assert(p.contains("salt#"), "salt column missing from the plan")
+    // a bare-key exchange prints `hashpartitioning(user_id#N, <nParts>)`;
+    // the salted one carries a second key expression before the count
+    val bareKey = """hashpartitioning\(user_id#\d+, \d+\)""".r
+    assert(bareKey.findFirstIn(p).isEmpty,
+      "fact side was shuffled on the bare key despite salting")
+  }
+
   test("q12b HLL estimate lands within 5% of the exact distinct count") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("q12b_approx_distinct")(spark, sf)
