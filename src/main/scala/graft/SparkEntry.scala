@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextOps.queries ++ operators.Multimodal.queries ++
       operators.Ingest.queries ++ streaming.StreamingQueries.queries ++
-      streaming.StatefulSession.queries ++ operators.Bucketed.queries
+      streaming.StatefulSession.queries ++ operators.Bucketed.queries ++
+      operators.Sampling.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Dedup.oracleSql ++ operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql ++
       operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql ++
-      streaming.StatefulSession.oracleSql ++ operators.Bucketed.oracleSql
+      streaming.StatefulSession.oracleSql ++ operators.Bucketed.oracleSql ++
+      operators.Sampling.oracleSql
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data sampling operators: deterministic hash-based splitting
+  * and weighted mixture sampling over the `documents` table.
+  *
+  * Both derive every decision from [[Shared.hash60]] of the document id —
+  * never from `rand()` or row position. That is the only splitting scheme
+  * that survives 100 TB: it is reproducible across runs and engines,
+  * needs no coordination (each row decides locally — a narrow map with no
+  * shuffle), is stable under repartitioning/backfill (a re-run assigns
+  * every document to the same split), and sidesteps the classic
+  * TABLESAMPLE trap where the sample changes with the scan's split
+  * layout. The DuckDB oracle computes the identical assignment, so the
+  * checks are exact row-set equality, not statistical.
+  */
+object Sampling {
+  import Q._
+  import Shared.{hash60, sqlHash60}
+
+  /** Per-mille keep-threshold by source tier for Q50: curated low-index
+    * sources (src0-src4) keep 90%, mid-tier half, the tail 20% — the
+    * "mixture weights" knob of a pretraining data recipe.
+    */
+  private def tierPermille(srcNum: Column): Column =
+    when(srcNum < 5, 900).when(srcNum < 10, 500).otherwise(200)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q49 — train/val/test split: hash bucket 0-99 → 80/10/10. The
+    // aggregate proves the assignment (counts + chars per split × lang);
+    // the assignment expression itself is the operator a pipeline reuses
+    // as `withColumn("split", ...)`.
+    "q49_hash_split" -> ((s, d) => {
+      val bucket = pmod(hash60(col("doc_id").cast("string")), lit(100))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise(lit("test")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Q50 — weighted mixture sampling: per-source keep rates applied via
+    // an independent hash stream (salted "mix|" prefix so the sampling
+    // decision is uncorrelated with the q49 split assignment). Row-level
+    // output: both engines must select the IDENTICAL document subset.
+    "q50_mixture_sample" -> ((s, d) => {
+      val srcNum = regexp_replace(col("source"), "^src", "").cast("int")
+      val bucket =
+        pmod(hash60(concat(lit("mix|"), col("doc_id").cast("string"))),
+          lit(1000))
+      Tables.documents(s, d)
+        .withColumn("keep", bucket < tierPermille(srcNum))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q49_hash_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT lang, n_chars,
+         |        ${sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |      FROM documents)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q50_mixture_sample" ->
+      s"""SELECT doc_id, source, lang, n_chars
+         |FROM (SELECT *,
+         |        CAST(regexp_replace(source, '^src', '') AS INT) AS sn,
+         |        ${sqlHash60("concat('mix|', CAST(doc_id AS VARCHAR))")} % 1000 AS b
+         |      FROM documents)
+         |WHERE b < (CASE WHEN sn < 5 THEN 900 WHEN sn < 10 THEN 500
+         |           ELSE 200 END)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -133,6 +133,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q49 hash split partitions every document exactly once, ~80/10/10") {
+    val rows = SparkEntry.queries("q49_hash_split")(spark, sf)
+    val bySplit = rows.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(bySplit.values.sum === total, "split must cover all docs")
+    // hash buckets are uniform enough that train lands well clear of the
+    // val/test shares even at sf0.001 (50 docs)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("q50 mixture sample is a deterministic subset honoring tier rates") {
+    val kept = SparkEntry.queries("q50_mixture_sample")(spark, sf)
+    val again = SparkEntry.queries("q50_mixture_sample")(spark, sf)
+    import spark.implicits._
+    assert(kept.select("doc_id").as[Long].collect().toSeq ===
+      again.select("doc_id").as[Long].collect().toSeq,
+      "sampling must be reproducible run-to-run")
+    assert(kept.count() < Tables.documents(spark, sf).count())
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
