@@ -13,8 +13,11 @@ package graft
   *    queries run ONCE — their cost is dominated by fixed micro-batch +
   *    state-store machinery that re-runs every time, so a warmup pass buys
   *    nothing and triples their wall-clock;
-  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 900)
-  *    stops issuing new queries before the driver's external timeout, and a
+  *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 780)
+  *    stops issuing new queries before the driver's external timeout (the
+  *    round-3 full run took 916 s of sbt wall at deadline 900 — too close
+  *    to a kill window if the driver allows ~900; 780 leaves sbt startup +
+  *    JVM shutdown headroom while still fitting 3-4 passes), and a
   *    shutdown hook emits the JSON line with whatever was measured even if
   *    the process is SIGTERMed mid-run — round 2's bench was killed by the
   *    driver timeout and recorded NOTHING ("parsed": null);
@@ -45,7 +48,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
     val deadlineSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "780").toDouble
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // Stop issuing new queries this close to the deadline; a query already
     // running past it is covered by the shutdown hook.
