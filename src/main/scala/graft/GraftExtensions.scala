@@ -16,6 +16,10 @@ import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogL
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // map-side partial top-k below row_number()<=k rank filters
+    // (graft.plans.LocalTopK): rule + strategy + physical operator
+    ext.injectOptimizerRule(_ => graft.plans.PushLocalTopK)
+    ext.injectPlannerStrategy(_ => graft.plans.LocalTopKStrategy)
     ext.injectFunction((
       new FunctionIdentifier("avro_logline"),
       new ExpressionInfo(classOf[AvroLogLineEncode].getName, "avro_logline"),

@@ -218,6 +218,28 @@ object Relational {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Q51 — top-k per key through the LocalTopK rewrite
+    // (graft/plans/LocalTopK.scala): the row_number()<=k idiom over the
+    // full lineitem fact, where the injected rule prunes each map
+    // partition to k rows per key BEFORE the window's shuffle — at 100 TB
+    // the exchange carries O(keys x k) instead of O(rows). PlanSpec
+    // asserts the LocalTopKPerKey operator is present below the shuffle;
+    // OperatorSpec re-runs with the rule disabled and compares.
+    "q51_local_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 4).as("l_extendedprice"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
     // Q15 — analytic window fns + ROWS frame running sum (decimal-exact)
     "q15_window_lag_runsum" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -443,6 +465,15 @@ object Relational {
         |    ORDER BY o_totalprice DESC) AS drnk
         | FROM orders)
         |WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q51_local_topk" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice, 4) AS l_extendedprice, rn
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
 
     "q15_window_lag_runsum" ->
       """SELECT user_id, event_id,

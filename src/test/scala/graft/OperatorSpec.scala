@@ -155,6 +155,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept.count() < Tables.documents(spark, sf).count())
   }
 
+  test("q51 local top-k rewrite returns byte-identical rows to the plain plan") {
+    def rows() = SparkEntry.queries("q51_local_topk")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val optimized = rows()
+    spark.conf.set("spark.graft.localTopK.enabled", "false")
+    val plain = try rows()
+      finally spark.conf.set("spark.graft.localTopK.enabled", "true")
+    assert(optimized === plain)
+    assert(optimized.nonEmpty)
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift

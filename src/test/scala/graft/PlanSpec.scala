@@ -87,6 +87,19 @@ class PlanSpec extends AnyFunSuite {
       "join sides were shuffled despite bucketing")
   }
 
+  test("q51 rank filter gets a map-side LocalTopKPerKey below the shuffle") {
+    val p = plan("q51_local_topk")
+    val topk = p.indexOf("LocalTopKPerKey")
+    assert(topk >= 0, s"custom operator missing:\n${p.take(1200)}")
+    // the partial top-k must run BEFORE the window's exchange (below it
+    // in the tree = later in the plan string)
+    val exch = p.indexOf("Exchange hashpartitioning(l_returnflag")
+    assert(exch >= 0 && exch < topk,
+      "LocalTopKPerKey must sit below the window's exchange")
+    // q10's rn=1 as-of idiom must get the same treatment for free
+    assert(plan("q10_asof_latest").contains("LocalTopKPerKey"))
+  }
+
   test("q48 salted join shuffles on (key, salt), not the bare hot key") {
     val df = SparkEntry.queries("q48_salted_join")(spark, sf)
     df.collect() // AQE: final plan only materializes on execution
