@@ -45,6 +45,37 @@ object Ingest {
           hex(Transformers.proto(FixtureTags, FixtureLogTypeId,
             produceMs = lit(FixtureTs + 1))).as("proto_hex"))
         .orderBy(col("line_no"))
+    }),
+
+    // Q31b — ingest throughput at data scale: every events row pushed
+    // through all three wire pipelines (plain / Avro+Confluent / proto2)
+    // with the q31 fixture pins, aggregated to row + byte totals. The
+    // oracle is the *wire-size law*: under pinned source/tags/logtypeid/
+    // timings the frame length is an arithmetic function of the message
+    // byte length (confluent 5 + union 1 + zigzag-varint(len) + len +
+    // const suffix for avro; tag 1 + varint(len) + len + const suffix
+    // for proto), so DuckDB predicts the totals without an Avro encoder
+    // and any drift in the encoders' framing shows up as a byte-count
+    // mismatch. Bench-wise this is the single-node encode throughput
+    // number the reference's producer pipeline would be compared on.
+    "q31b_ingest_throughput" -> ((s, d) => {
+      val base = graft.Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .select(
+          concat(col("event_type"), lit(" "), col("props")).as("message"),
+          lit(FixtureHost).as("hostname"),
+          lit(FixtureTs).as("timestamp"))
+      base.select(
+          Transformers.plain(base).as("plain"),
+          Transformers.avro(FixtureTags, FixtureLogTypeId,
+            FixtureSchemaId).as("avro"),
+          Transformers.proto(FixtureTags, FixtureLogTypeId,
+            produceMs = lit(FixtureTs + 1)).as("proto"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(length(col("plain"))).as("plain_bytes"),
+          sum(length(col("avro"))).as("avro_bytes"),
+          sum(length(col("proto"))).as("proto_bytes"))
     })
   )
 
@@ -79,12 +110,30 @@ object Ingest {
         else s"0A${protoLen(i)}${plain(i)}$goldenProtoSuffix"
       s"($i, '${plain(i)}', '$avro', '$proto')"
     }
+    // wire-size law constants: bytes of the pinned record tails
+    val avroSuffixBytes = goldenAvroSuffix.length / 2
+    val protoSuffixBytes = goldenProtoSuffix.length / 2
     Map(
       "q31_ingest_parity" ->
         s"""SELECT * FROM (VALUES
            |  ${rows.mkString(",\n  ")}
            |) AS t(line_no, plain_hex, avro_hex, proto_hex)
-           |ORDER BY line_no""".stripMargin
+           |ORDER BY line_no""".stripMargin,
+
+      // avro len varint is zigzag (2n): 1 byte below 64, 2 below 8192;
+      // proto len varint is plain: 1 byte below 128, 2 below 16384.
+      "q31b_ingest_throughput" ->
+        s"""SELECT COUNT(*) AS n,
+           | CAST(SUM(ol) AS BIGINT) AS plain_bytes,
+           | CAST(SUM(6 + CASE WHEN ol < 64 THEN 1 WHEN ol < 8192 THEN 2
+           |                   ELSE 3 END + ol + $avroSuffixBytes) AS BIGINT)
+           |   AS avro_bytes,
+           | CAST(SUM(1 + CASE WHEN ol < 128 THEN 1 WHEN ol < 16384 THEN 2
+           |                   ELSE 3 END + ol + $protoSuffixBytes) AS BIGINT)
+           |   AS proto_bytes
+           |FROM (SELECT octet_length(encode(concat(event_type, ' ', props)))
+           |        AS ol
+           |      FROM events)""".stripMargin
     )
   }
 }
