@@ -166,6 +166,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(optimized.nonEmpty)
   }
 
+  test("q41b frame-sample stub matches hand-computed byte arithmetic") {
+    // 130 bytes = 3 frames (64+64+2); frames 0 is sampled (0%4==0),
+    // frames 1,2 are not; resize keeps even offsets of frame 0 (32 bytes)
+    val payload = Array.tabulate(130)(i => (i % 251).toByte)
+    val r = operators.Multimodal.sampleFrames(
+      operators.MediaRow(1L, payload, "video/fake"))
+    assert(r.n_frames === 3L)
+    assert(r.n_sampled === 1L)
+    assert(r.sampled_sum === (0 until 64).map(_ % 251).sum.toLong)
+    assert(r.resized_bytes === 32L)
+    assert(r.resized_sum === (0 until 64 by 2).map(_ % 251).sum.toLong)
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
