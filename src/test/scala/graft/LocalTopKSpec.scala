@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized soundness checks for the LocalTopK rewrite
+  * (graft/plans/LocalTopK.scala) beyond the fixed q51 shape: many keys,
+  * many partitions, random k, and — separately — duplicate order keys,
+  * where row_number is nondeterministic by contract so only the
+  * invariants (per-key counts, rank bound) are asserted.
+  */
+class LocalTopKSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def topk(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  private def withRule[A](enabled: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.localTopK.enabled", enabled.toString)
+    try f finally spark.conf.set("spark.graft.localTopK.enabled", "true")
+  }
+
+  test("rewrite is semantics-preserving on random data with unique orders") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 300 + rnd.nextInt(300)
+      val k = 1 + rnd.nextInt(5)
+      // unique ord per key: shuffle global ints so no (key, ord) repeats
+      val rows = rnd.shuffle((0 until n).toVector)
+        .map(i => (i % 13, i, rnd.nextInt(1000)))
+      val df = rows.toDF("key", "ord", "payload").repartition(7)
+      val fast = topk(df, k).collect().map(_.toString).sorted.toSeq
+      val plain = withRule(enabled = false) {
+        topk(df, k).collect().map(_.toString).sorted.toSeq
+      }
+      assert(fast === plain, s"n=$n k=$k")
+    }
+  }
+
+  test("with duplicate order keys the invariants still hold") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map(_ => (rnd.nextInt(5), rnd.nextInt(4), rnd.nextInt(100)))
+    val df = rows.toDF("key", "ord", "payload").repartition(7)
+    val k = 3
+    val got = topk(df, k).select("key", "ord", "rn")
+      .as[(Int, Int, Int)].collect()
+    val groupSizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val byKey = got.groupBy(_._1)
+    for ((key, rs) <- byKey) {
+      assert(rs.length === math.min(k, groupSizes(key)), s"key=$key")
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length), s"key=$key rns")
+      // no returned row may have >= k rows strictly before it
+      val full = rows.filter(_._1 == key)
+      for ((_, ord, _) <- rs)
+        assert(full.count(_._2 < ord) < k, s"key=$key ord=$ord")
+    }
+    assert(byKey.keySet === groupSizes.keySet)
+  }
+}
