@@ -76,6 +76,33 @@ object Ingest {
           sum(length(col("plain"))).as("plain_bytes"),
           sum(length(col("avro"))).as("avro_bytes"),
           sum(length(col("proto"))).as("proto_bytes"))
+    }),
+
+    // Q31c — consumer-path round-trip (O9/O10/O22 in one plan): every
+    // events row Avro-encoded, Confluent-framed, unframed, decoded, and
+    // field-compared against the original. n_ok is computed Spark-side;
+    // the oracle pins n_ok = n per group, so any decode regression
+    // (framing offset, varint, map/array layout) fails the hash compare
+    // at data scale, not just on the four golden fixture rows.
+    "q31c_decode_roundtrip" -> ((s, d) => {
+      val base = graft.Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
+        .select(col("event_type"),
+          concat(col("event_type"), lit(" "), col("props")).as("message"),
+          lit(FixtureHost).as("hostname"),
+          unix_micros(col("ts")).as("timestamp"))
+      val dec = base.select(col("event_type"), col("message"),
+          col("timestamp"),
+          call_function("avro_logline_decode", Transformers.confluentUnframe(
+            Transformers.avro(FixtureTags, FixtureLogTypeId,
+              FixtureSchemaId))).as("r"))
+      dec.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r.line") === col("message") &&
+              col("r.source") === lit(FixtureHost) &&
+              element_at(col("r.timings"), 1).getField("value")
+                === col("timestamp"), 1L).otherwise(0L)).as("n_ok"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -133,7 +160,11 @@ object Ingest {
            |   AS proto_bytes
            |FROM (SELECT octet_length(encode(concat(event_type, ' ', props)))
            |        AS ol
-           |      FROM events)""".stripMargin
+           |      FROM events)""".stripMargin,
+
+      "q31c_decode_roundtrip" ->
+        """SELECT event_type, COUNT(*) AS n, COUNT(*) AS n_ok
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     )
   }
 }
