@@ -41,6 +41,24 @@ class LocalTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("rule does not fire on rank()/dense_rank() or oversized k") {
+    val df = (1 to 50).map(i => (i % 5, i)).toDF("key", "ord")
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    // rank() semantics keep ties — the row_number pruning argument does
+    // not transfer, so the rule must leave these plans alone
+    val ranked = df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString
+      .contains("LocalTopKPerKey"), "must not fire on rank()")
+    val dense = df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 3)
+    assert(!dense.queryExecution.executedPlan.toString
+      .contains("LocalTopKPerKey"), "must not fire on dense_rank()")
+    // k above MaxK: heaps would stop being memory-trivial
+    val big = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.plans.PushLocalTopK.MaxK + 1)
+    assert(!big.queryExecution.executedPlan.toString
+      .contains("LocalTopKPerKey"), "must not fire above MaxK")
+  }
+
   test("with duplicate order keys the invariants still hold") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map(_ => (rnd.nextInt(5), rnd.nextInt(4), rnd.nextInt(100)))
