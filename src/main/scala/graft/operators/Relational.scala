@@ -240,6 +240,40 @@ object Relational {
         .orderBy(col("l_returnflag"), col("rn"))
     }),
 
+    // Q52/Q53 — keep-ties top-k through the same LocalTopK rewrite:
+    // rank() and dense_rank() filters over a massively tied order key
+    // (l_quantity has ~50 distinct values), where the retained set is
+    // value-determined — all boundary ties survive — so the output is
+    // deterministic even though the order is not total.
+    "q52_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("rnk").cast("long").as("rnk"))
+        .orderBy(col("l_returnflag"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
+    "q53_dense_rank_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("drnk") <= 3)
+        .groupBy(col("l_returnflag"), col("drnk"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("drnk"))
+    }),
+
     // Q15 — analytic window fns + ROWS frame running sum (decimal-exact)
     "q15_window_lag_runsum" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -474,6 +508,27 @@ object Relational {
         |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         | FROM lineitem)
         |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q52_rank_topk" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        | CAST(l_quantity AS DOUBLE) AS l_quantity, rnk
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |  RANK() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC) AS rnk
+        | FROM lineitem)
+        |WHERE rnk <= 2
+        |ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber""".stripMargin,
+
+    "q53_dense_rank_topk" ->
+      """SELECT l_returnflag, drnk, CAST(l_quantity AS DOUBLE) AS l_quantity,
+        | COUNT(*) AS n_rows
+        |FROM (SELECT l_returnflag, l_quantity,
+        |  DENSE_RANK() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC) AS drnk
+        | FROM lineitem)
+        |WHERE drnk <= 3
+        |GROUP BY l_returnflag, drnk, l_quantity
+        |ORDER BY l_returnflag, drnk""".stripMargin,
 
     "q15_window_lag_runsum" ->
       """SELECT user_id, event_id,

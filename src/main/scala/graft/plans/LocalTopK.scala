@@ -8,44 +8,60 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
-/** Map-side partial top-k below `row_number() <= k` rank filters.
+/** Map-side partial top-k below ranking filters:
+  * `row_number()/rank()/dense_rank() <= k`.
   *
-  * `PARTITION BY key ORDER BY o` + `filter(rn <= k)` is the universal
+  * `PARTITION BY key ORDER BY o` + `filter(rnk <= k)` is the universal
   * "top k per key" idiom, and Spark's physical plan for it shuffles the
   * ENTIRE input to the window's hash partitioning before computing a
-  * single row number — at 100 TB that is a full-table shuffle to keep a
+  * single rank — at 100 TB that is a full-table shuffle to keep a
   * handful of rows per key. But top-k per key has the same algebraic
   * structure as an aggregation: a partition-local top-k is a correct
-  * "partial" (the global top-k per key is a subset of the union of
-  * per-partition top-k per key), so each map task can prune to at most
-  * k rows per key it sees before the exchange — the map-side-combine
-  * story, applied to rank filters. Shuffle volume drops from O(rows) to
-  * O(keys-per-partition × k).
+  * "partial" (the global top-k per key is contained in the union of
+  * per-partition top-k per key), so each map task can prune before the
+  * exchange — the map-side-combine story, applied to rank filters.
+  * Shuffle volume drops from O(rows) to O(keys-per-partition × k)
+  * (times the tie multiplicity for rank/dense_rank, which keep ties by
+  * definition).
+  *
+  * What a partition must retain, per ranking function:
+  *  - row_number: any k minimal rows under the sort order;
+  *  - rank: every row whose sort key is ≤ the k-th smallest key
+  *    (counting duplicates) — ties at the boundary are rank ≤ k;
+  *  - dense_rank: every row in the k smallest *distinct*-key buckets.
   *
   * Soundness of leaving the filter in place (not just intuition): for a
-  * kept row x with pruned-rank ≤ k, any dropped row y < x would have had
-  * ≥ k rows before it in y's own map partition, all of which were kept
-  * and are < x — contradicting pruned-rank(x) ≤ k. So no dropped row
-  * precedes any surviving row, pruned ranks equal global ranks on the
-  * survivor set, and the final Window + Filter produce byte-identical
-  * output (for the strict total orders our queries use; with ties,
-  * row_number is nondeterministic by contract either way).
+  * kept row x whose pruned rank is ≤ k, any dropped row y strictly
+  * before x would have had ≥ k rows (rank: ≥ k rows; dense_rank: ≥ k
+  * distinct keys) strictly before it in y's own map partition, all of
+  * which were retained and precede x — contradicting pruned-rank(x) ≤ k.
+  * So no dropped row precedes any surviving row, pruned ranks equal
+  * global ranks on the survivor set, and the final Window + Filter
+  * produce identical output. (Ties never straddle the cut for
+  * rank/dense_rank because retention is key-closed: a row equal to a
+  * retained key is itself retained. For row_number with non-total
+  * orders the choice among tied rows is nondeterministic by contract,
+  * exactly as without the rewrite.)
   *
   * The pieces, wired through [[graft.GraftExtensions]]:
   *  - [[LocalTopKPerKey]]: logical marker node (output = child output);
   *  - [[PushLocalTopK]]: optimizer rule matching
-  *    Filter(rn cmp lit, Window(row_number over (p, o))) — the rule
+  *    Filter(rnk cmp lit, Window(ranking fn over (p, o))) — the rule
   *    runs in the operator-optimization fixed point, so it is guarded
   *    idempotent and togglable via `spark.graft.localTopK.enabled`;
   *  - [[LocalTopKStrategy]] + [[LocalTopKPerKeyExec]]: one pass over
-  *    each input partition holding a size-k bounded heap per key
-  *    (memory O(keys-per-partition × k × rowsize); the rule caps k at
-  *    [[PushLocalTopK.MaxK]] so the heaps stay task-memory-trivial).
+  *    each input partition with a sorted bucket map per key (bucket =
+  *    rows sharing a sort key), evicting from the tail under the
+  *    mode-specific invariant. Memory is O(keys-per-partition × k ×
+  *    rowsize) for row_number, plus tie multiplicity (= the true output
+  *    size) for rank/dense_rank; the rule caps k at
+  *    [[PushLocalTopK.MaxK]] so the buckets stay task-memory-trivial.
   */
 case class LocalTopKPerKey(
     partitionExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    mode: RankMode,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -53,13 +69,19 @@ case class LocalTopKPerKey(
     copy(child = newChild)
 }
 
+/** Which ranking function the retained set must be correct for. */
+sealed trait RankMode extends Serializable
+case object ByRowNumber extends RankMode
+case object ByRank extends RankMode
+case object ByDenseRank extends RankMode
+
 object PushLocalTopK extends Rule[LogicalPlan] {
-  /** Above this k the per-key heaps stop being memory-trivial and the
-    * shuffle saving stops being interesting; leave the plan alone.
+  /** Above this k the per-key retention stops being memory-trivial and
+    * the shuffle saving stops being interesting; leave the plan alone.
     */
   val MaxK = 1000
 
-  /** k such that `cond` implies rn <= k, if any. */
+  /** k such that `cond` implies rnk <= k, if any. */
   private def limit(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case And(l, r) =>
       (limit(l, rn), limit(r, rn)) match {
@@ -75,19 +97,28 @@ object PushLocalTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def modeOf(fn: Expression): Option[RankMode] = fn match {
+    case _: RowNumber => Some(ByRowNumber)
+    case _: Rank      => Some(ByRank)
+    case _: DenseRank => Some(ByDenseRank)
+    case _            => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.localTopK.enabled", "true").toBoolean) plan
     else plan.transformUp {
-      // exactly one window expression and it is row_number: any other
-      // window function in the same node needs the unpruned partition
+      // exactly one window expression and it is a ranking function: any
+      // other window function in the same node needs the full partition
       case f @ Filter(cond, w @ Window(
-          Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          Seq(alias @ Alias(WindowExpression(fn, _), _)),
           _, order, child, _))
-          if order.nonEmpty && !child.isInstanceOf[LocalTopKPerKey] =>
+          if order.nonEmpty && modeOf(fn).isDefined &&
+            !child.isInstanceOf[LocalTopKPerKey] =>
         limit(cond, alias.toAttribute) match {
           case Some(k) if k > 0 && k <= MaxK =>
-            f.copy(child = w.withNewChildren(
-              Seq(LocalTopKPerKey(w.partitionSpec, order, k, child))))
+            f.copy(child = w.withNewChildren(Seq(
+              LocalTopKPerKey(w.partitionSpec, order, k, modeOf(fn).get,
+                child))))
           case _ => f
         }
     }
@@ -95,8 +126,8 @@ object PushLocalTopK extends Rule[LogicalPlan] {
 
 object LocalTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case LocalTopKPerKey(p, o, k, child) =>
-      LocalTopKPerKeyExec(p, o, k, planLater(child)) :: Nil
+    case LocalTopKPerKey(p, o, k, m, child) =>
+      LocalTopKPerKeyExec(p, o, k, m, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -105,32 +136,82 @@ case class LocalTopKPerKeyExec(
     partitionExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    mode: RankMode,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
+  /** Rows of one key, as sorted buckets of order-key-equal rows. The
+    * mode-specific invariant is restored by evicting tail buckets (the
+    * before-count is monotone in bucket order, so the tail is always
+    * the first evictable bucket):
+    *  - row_number: total rows ≤ k (tail bucket may shed single rows);
+    *  - rank: rows before the tail bucket < k;
+    *  - dense_rank: at most k buckets.
+    */
+  private final class Retained(ord: Ordering[InternalRow], kk: Int, m: RankMode) {
+    val buckets = new java.util.TreeMap[InternalRow, java.util.ArrayList[InternalRow]](ord)
+    private var total = 0
+
+    def add(row: InternalRow): Unit = {
+      // cheap reject: row past the current cut can never be retained
+      if (!admissible(row)) return
+      val copy = row.copy()
+      var b = buckets.get(copy)
+      if (b == null) { b = new java.util.ArrayList[InternalRow](1); buckets.put(copy, b) }
+      b.add(copy); total += 1
+      evict()
+    }
+
+    private def admissible(row: InternalRow): Boolean =
+      buckets.isEmpty || (m match {
+        case ByRowNumber => total < kk || ord.compare(row, buckets.lastKey()) < 0
+        case ByRank => total < kk || ord.compare(row, buckets.lastKey()) <= 0
+        case ByDenseRank =>
+          buckets.size < kk || ord.compare(row, buckets.lastKey()) <= 0
+      })
+
+    private def evict(): Unit = m match {
+      case ByRowNumber =>
+        while (total > kk) {
+          val tail = buckets.lastEntry()
+          tail.getValue.remove(tail.getValue.size - 1); total -= 1
+          if (tail.getValue.isEmpty) buckets.remove(tail.getKey)
+        }
+      case ByRank =>
+        while (buckets.size > 1 && total - buckets.lastEntry().getValue.size >= kk) {
+          total -= buckets.lastEntry().getValue.size
+          buckets.remove(buckets.lastKey())
+        }
+      case ByDenseRank =>
+        while (buckets.size > kk) {
+          total -= buckets.lastEntry().getValue.size
+          buckets.remove(buckets.lastKey())
+        }
+    }
+
+    def rows: Iterator[InternalRow] = {
+      import scala.jdk.CollectionConverters._
+      buckets.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
-    val (parts, order, kk) = (partitionExprs, orderExprs, k)
+    val (parts, order, kk, m) = (partitionExprs, orderExprs, k, mode)
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(parts, out)
       val ord = RowOrdering.create(order, out)
-      // keep the k first rows under `ord` per key: a max-heap (reverse
-      // ordering) of size k, worst survivor on top
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      val byKey = new java.util.HashMap[UnsafeRow, Retained]()
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row) // reused buffer; value-equality lookup
-        var h = heaps.get(key)
-        if (h == null) {
-          h = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-          heaps.put(key.copy(), h)
-        }
-        if (h.size < kk) h.add(row.copy())
-        else if (ord.compare(row, h.peek()) < 0) { h.poll(); h.add(row.copy()) }
+        var r = byKey.get(key)
+        if (r == null) { r = new Retained(ord, kk, m); byKey.put(key.copy(), r) }
+        r.add(row)
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      byKey.values().iterator().asScala.flatMap(_.rows)
     }, preservesPartitioning = true)
   }
 

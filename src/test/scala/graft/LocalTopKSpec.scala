@@ -41,18 +41,34 @@ class LocalTopKSpec extends AnyFunSuite {
     }
   }
 
-  test("rule does not fire on rank()/dense_rank() or oversized k") {
+  test("rank()/dense_rank() filters fire and preserve keep-ties semantics") {
+    val rnd = new scala.util.Random(23)
+    // heavy ties: ord drawn from 6 values over 5 keys
+    val rows = (0 until 500).map(_ => (rnd.nextInt(5), rnd.nextInt(6), rnd.nextInt(100)))
+    val df = rows.toDF("key", "ord", "payload").repartition(7)
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    for ((fn, name) <- Seq(rank() -> "rank", dense_rank() -> "dense_rank")) {
+      val q = df.withColumn("r", fn.over(w)).filter(col("r") <= 2)
+      assert(q.queryExecution.executedPlan.toString
+        .contains("LocalTopKPerKey"), s"$name must fire")
+      // rank outputs are value-determined (ties all kept), so even with
+      // duplicates the row multiset must be identical to the plain plan
+      val fast = q.collect().map(_.toString).sorted.toSeq
+      val plain = withRule(enabled = false) {
+        q.collect().map(_.toString).sorted.toSeq
+      }
+      assert(fast === plain, name)
+    }
+  }
+
+  test("rule does not fire on non-ranking functions or oversized k") {
     val df = (1 to 50).map(i => (i % 5, i)).toDF("key", "ord")
     val w = Window.partitionBy(col("key")).orderBy(col("ord"))
-    // rank() semantics keep ties — the row_number pruning argument does
-    // not transfer, so the rule must leave these plans alone
-    val ranked = df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
-    assert(!ranked.queryExecution.executedPlan.toString
-      .contains("LocalTopKPerKey"), "must not fire on rank()")
-    val dense = df.withColumn("r", dense_rank().over(w)).filter(col("r") <= 3)
-    assert(!dense.queryExecution.executedPlan.toString
-      .contains("LocalTopKPerKey"), "must not fire on dense_rank()")
-    // k above MaxK: heaps would stop being memory-trivial
+    // ntile needs the whole partition; the pruning argument cannot apply
+    val nt = df.withColumn("r", ntile(4).over(w)).filter(col("r") <= 1)
+    assert(!nt.queryExecution.executedPlan.toString
+      .contains("LocalTopKPerKey"), "must not fire on ntile()")
+    // k above MaxK: retention stops being memory-trivial
     val big = df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= graft.plans.PushLocalTopK.MaxK + 1)
     assert(!big.queryExecution.executedPlan.toString
