@@ -202,19 +202,50 @@ case class LocalTopKPerKeyExec(
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(parts, out)
       val ord = RowOrdering.create(order, out)
-      val byKey = new java.util.HashMap[UnsafeRow, Retained]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row) // reused buffer; value-equality lookup
-        var r = byKey.get(key)
-        if (r == null) { r = new Retained(ord, kk, m); byKey.put(key.copy(), r) }
-        r.add(row)
+      // Chunked retention: with near-unique window keys the per-key map
+      // would otherwise hold most of the input partition in memory.
+      // Emitting each chunk's retained set and starting fresh is still
+      // sound — retention may only ever keep a SUPERSET of the rows the
+      // final Window + Filter need (the union of chunk-local top-k
+      // contains the partition top-k contains the global top-k), and
+      // every input row is emitted at most once. Memory is bounded by
+      // ChunkRows regardless of key cardinality; for few-key inputs the
+      // chunk cut costs at most k extra rows per key per chunk.
+      new Iterator[InternalRow] {
+        private var outIt: Iterator[InternalRow] = Iterator.empty
+        private def refill(): Unit = {
+          val byKey = new java.util.HashMap[UnsafeRow, Retained]()
+          var processed = 0
+          while (iter.hasNext && processed < LocalTopKPerKeyExec.ChunkRows) {
+            val row = iter.next()
+            val key = keyProj(row) // reused buffer; value-equality lookup
+            var r = byKey.get(key)
+            if (r == null) {
+              r = new Retained(ord, kk, m); byKey.put(key.copy(), r)
+            }
+            r.add(row)
+            processed += 1
+          }
+          import scala.jdk.CollectionConverters._
+          outIt = byKey.values().iterator().asScala.flatMap(_.rows)
+        }
+        override def hasNext: Boolean = {
+          while (!outIt.hasNext && iter.hasNext) refill()
+          outIt.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          outIt.next()
+        }
       }
-      import scala.jdk.CollectionConverters._
-      byKey.values().iterator().asScala.flatMap(_.rows)
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): LocalTopKPerKeyExec =
     copy(child = newChild)
+}
+
+object LocalTopKPerKeyExec {
+  /** Rows per retention chunk — the memory bound of the operator. */
+  val ChunkRows: Int = 1 << 20
 }

@@ -75,6 +75,21 @@ class LocalTopKSpec extends AnyFunSuite {
       .contains("LocalTopKPerKey"), "must not fire above MaxK")
   }
 
+  test("retention chunking across ChunkRows is semantics-preserving") {
+    // one input partition larger than ChunkRows forces at least two
+    // retention chunks; the emitted superset must still reduce to the
+    // same top-k after the window
+    val n = graft.plans.LocalTopKPerKeyExec.ChunkRows + 200000
+    val df = spark.range(n.toLong)
+      .selectExpr("id % 997 AS key", "id AS ord").coalesce(1)
+    val fast = topk(df, 2).collect().map(_.toString).sorted.toSeq
+    val plain = withRule(enabled = false) {
+      topk(df, 2).collect().map(_.toString).sorted.toSeq
+    }
+    assert(fast === plain)
+    assert(fast.size === 997 * 2)
+  }
+
   test("with duplicate order keys the invariants still hold") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map(_ => (rnd.nextInt(5), rnd.nextInt(4), rnd.nextInt(100)))
