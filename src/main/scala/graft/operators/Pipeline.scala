@@ -153,6 +153,38 @@ object Pipeline {
         .orderBy(col("bucket"))
     }),
 
+    // Q54 — pivot: long→wide on the five known event types. Supplying
+    // the pivot values explicitly matters at scale: without them Spark
+    // runs an extra distinct-collect job over the whole input just to
+    // discover the column set. With values given, this lowers to one
+    // hash aggregate with `count(CASE WHEN ...)` partials per column —
+    // single shuffle on user_id, map-side combinable.
+    "q54_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // Q55 — unpivot (melt): wide→long without a shuffle (a narrow
+    // per-row expansion; the only exchange is the verification ORDER BY).
+    "q55_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "measure", "value")
+        .withColumn("value", round(col("value"), 4))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // Q26 — tokenize + explode + count, top-20. explode feeds a hash
     // aggregate with map-side combine; shuffle volume is distinct tokens.
     "q26_text_tokens" -> ((s, d) => {
@@ -228,6 +260,28 @@ object Pipeline {
       s"""SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
          | COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q54_pivot" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (event_type = 'click') AS click,
+        | COUNT(*) FILTER (event_type = 'error') AS error,
+        | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q55_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, ROUND(value, 4) AS value
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |    CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "q26_text_tokens" ->
       """SELECT token, COUNT(*) AS cnt
