@@ -202,6 +202,42 @@ object Relational {
 
     // Q14 — ranking windows (rank/dense_rank keep ties; row_number gets a
     // total tiebreak so it is deterministic)
+    // Q56 — CUBE: all 2^n grouping sets in one pass. Physically a single
+    // Expand (one replicated row per grouping set) feeding one hash
+    // aggregate — the row multiplier is the grouping-set count (4 here),
+    // paid map-side before the combine, never an n-pass re-scan.
+    "q56_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_f"),
+          grouping(col("l_linestatus")).cast("int").as("g_s"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("g_f"), col("g_s"), col("n"), col("sum_qty"))
+        .orderBy(col("g_f"), col("g_s"), col("l_returnflag"),
+          col("l_linestatus"))
+    }),
+
+    // Q57 — ntile: equal-frequency bucketing per key. Over the total
+    // order the bucket assignment is deterministic; aggregating per
+    // bucket yields quartile summaries (the windowed cousin of q44's
+    // percentiles).
+    "q57_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("l_returnflag"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 4).as("lo"),
+          round(max(col("l_extendedprice")), 4).as("hi"))
+        .orderBy(col("l_returnflag"), col("quartile"))
+    }),
+
     "q14_window_rank" -> ((s, d) => {
       val byPrice = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc)
@@ -487,6 +523,27 @@ object Relational {
          | JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP(r_name, n_name)
          |ORDER BY g_r, g_n, r_name, n_name""".stripMargin,
+
+    "q56_cube" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         | COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         | GROUPING(l_returnflag) AS g_f, GROUPING(l_linestatus) AS g_s,
+         | COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY g_f, g_s, l_returnflag, l_linestatus""".stripMargin,
+
+    "q57_ntile" ->
+      """SELECT l_returnflag, quartile, COUNT(*) AS n,
+        | ROUND(MIN(l_extendedprice), 4) AS lo,
+        | ROUND(MAX(l_extendedprice), 4) AS hi
+        |FROM (SELECT l_returnflag, l_extendedprice,
+        |  CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+        |    AS quartile
+        | FROM lineitem)
+        |GROUP BY l_returnflag, quartile
+        |ORDER BY l_returnflag, quartile""".stripMargin,
 
     "q14_window_rank" ->
       """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice,
