@@ -39,7 +39,12 @@ object Sessions {
       .config("spark.ui.enabled", "false")
 
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core on the box: the driver invokes Bench/Verify
+    // without SPARK_GRAFT_CPUS, and a 4-thread default quietly ran the
+    // round-2 driver bench at 1/8th parallelism (a likely contributor to
+    // its rc=124 timeout). Local runs can still pin it down via the env.
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val s = builder(cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

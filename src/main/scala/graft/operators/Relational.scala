@@ -407,10 +407,60 @@ object Relational {
           ceil(col("l_extendedprice")).as("price_ceil"),
           signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Q58 — ordered string aggregation (LISTAGG): nations per region as a
+    // sorted comma-joined list. collect_list is per-group bounded (25
+    // nations max regardless of fact-table scale); sorting inside the
+    // group makes the result independent of partial-aggregation order.
+    "q58_string_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .join(Tables.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    }),
+
+    // Q59 — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    // quantity is below half the average for their part. Written as the
+    // correlated form on purpose: Catalyst DECORRELATES it into a
+    // partial+final aggregate on l_partkey joined back to lineitem — the
+    // only shape that survives at 100 TB (a per-row subquery execution
+    // would be O(rows × rows)). Both engines evaluate the same decorrelated
+    // plan semantics; the half-average threshold is exact decimal math.
+    "q59_corr_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q59_lineitem")
+      s.sql(
+        s"""SELECT l.l_partkey, COUNT(*) AS n_low,
+           |  ${sqlDsum("l.l_extendedprice")} AS low_revenue
+           |FROM q59_lineitem l
+           |WHERE l.l_quantity < (
+           |  SELECT 0.5 * AVG(l2.l_quantity) FROM q59_lineitem l2
+           |  WHERE l2.l_partkey = l.l_partkey)
+           |GROUP BY l.l_partkey
+           |ORDER BY l.l_partkey""".stripMargin)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q58_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q59_corr_subquery" ->
+      s"""SELECT l.l_partkey, COUNT(*) AS n_low,
+         |  ${sqlDsum("l.l_extendedprice")} AS low_revenue
+         |FROM lineitem l
+         |WHERE l.l_quantity < (
+         |  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+         |  WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY l.l_partkey
+         |ORDER BY l.l_partkey""".stripMargin,
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

@@ -76,6 +76,25 @@ object Similarity {
         .select(col("vec_id"), col("cell"), col("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Q63 — per-cluster centroids: elementwise mean vector per label (one
+    // k-means M-step / the IVF codebook refresh). posexplode turns the
+    // vector column into (label, dim, value) rows so the centroid is a
+    // plain partial+final hash aggregate on (label, dim) — fully
+    // distributed, no per-group vector buffering, shuffle volume
+    // labels × dims regardless of row count. Decimal-backed mean keeps the
+    // result order-insensitive.
+    "q63_centroids" -> ((s, d) => {
+      import graft.Q._
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"), davg(col("x")).as("centroid"))
+        .orderBy(col("label"), col("dim"))
     })
   )
 
@@ -110,7 +129,16 @@ object Similarity {
            |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
            |       * ${Pipeline.queryVecNorm}), 4) AS cos
            |FROM e, q WHERE cell IN (${probeCells.mkString(", ")})
-           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q63_centroids" ->
+        s"""SELECT label, dim, COUNT(*) AS n,
+           |  ${graft.Q.sqlDavg("x")} AS centroid
+           |FROM (SELECT CAST(label AS BIGINT) AS label,
+           |        unnest(embedding)::DOUBLE AS x,
+           |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+           |      FROM embeddings)
+           |GROUP BY label, dim ORDER BY label, dim""".stripMargin
     )
   }
 }

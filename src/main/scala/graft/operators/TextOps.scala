@@ -98,6 +98,55 @@ object TextOps {
           coalesce(array_min(transform(shingles3(col("text")),
             s => hash60(s))), lit(-1L)).as("min_shingle_hash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q60 — entity/PII redaction: regexp_replace over the corpus with a
+    // match count per document. The term list stands in for the usual
+    // email/phone/SSN patterns (this corpus is synthetic word-salad with
+    // no digits); the operator — one codegen'd regex pass per row, zero
+    // shuffle — is identical whatever the pattern. \b is an ASCII word
+    // boundary in both Java regex and RE2, so the engines agree.
+    "q60_redact" -> ((s, d) => {
+      val pat = "\\b(customer|spark)\\b"
+      val red = regexp_replace(col("text"), pat, "<ENT>")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          md5(red).as("redacted_md5"),
+          length(red).cast("long").as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q61 — train/test contamination check: 5-token shingles of every test
+    // document (doc_id mod 10 in {8,9}) probed against the distinct
+    // shingle set of the train split. Shingles are hashed to portable
+    // 60-bit longs before the join — at 100 TB the shuffle moves fixed
+    // 8-byte keys instead of ~50-byte strings, and the join is a plain
+    // hash-partitioned equi-join on the hash (map-side distinct collapses
+    // repeated shingles first). Output: contaminated test docs with the
+    // overlap count and ratio. n=5 is a tunable; production
+    // decontamination typically runs 8-13-gram.
+    "q61_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(1), size(col("toks")) - 4),
+            i => hash60(concat_ws(" ", slice(col("toks"), i, lit(5))))))
+          .as("sh"))
+      val train = docs.filter(col("doc_id") % 10 < 8)
+        .select(explode(col("sh")).as("h")).distinct()
+      val test = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("h"))
+      test.join(train, "h")
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          round(col("n_shared") / col("n_shingles").cast("double"), 4)
+            .as("overlap_ratio"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -155,7 +204,34 @@ object TextOps {
            |  COALESCE(list_min([${sqlHash60("x")} FOR x IN s.sh]), -1)
            |    AS min_shingle_hash
            |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
-           |ORDER BY d.doc_id""".stripMargin
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "q60_redact" ->
+        """SELECT doc_id,
+          | len(regexp_extract_all(text, '\b(customer|spark)\b'))
+          |   AS n_redacted,
+          | md5(regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g'))
+          |   AS redacted_md5,
+          | length(regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g'))
+          |   AS redacted_len
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q61_contamination" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents),
+           |  sh AS (SELECT doc_id, list_distinct(
+           |           [${sqlHash60("array_to_string(toks[i:i+4], ' ')")}
+           |            FOR i IN generate_series(1, len(toks)-4)]) AS sh
+           |         FROM d WHERE len(toks) >= 5),
+           |  train AS (SELECT DISTINCT unnest(sh) AS h FROM sh
+           |            WHERE doc_id % 10 < 8),
+           |  test AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS h
+           |           FROM sh WHERE doc_id % 10 >= 8)
+           |SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_shared,
+           |  ROUND(COUNT(*) / t.n_shingles::DOUBLE, 4) AS overlap_ratio
+           |FROM test t JOIN train USING (h)
+           |GROUP BY t.doc_id, t.n_shingles
+           |ORDER BY t.doc_id""".stripMargin
     )
   }
 }

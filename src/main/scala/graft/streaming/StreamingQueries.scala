@@ -179,6 +179,24 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
     }),
 
+    // Q62 — stream-static join: the streaming event feed enriched against
+    // a static dimension (customer) before a keyed aggregation. The static
+    // side is a bounded batch relation re-planned per micro-batch; Spark
+    // broadcasts it under the join, so the stream side never shuffles for
+    // the join — only the aggregation state is keyed. This is the standard
+    // "enrich a firehose against a dim table" shape at 100 TB/day: the dim
+    // broadcast is per-executor-constant, stream stays narrow.
+    "q62_stream_static_join" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      drain(s, agg, "q62_mem", "complete")
+        .orderBy(col("event_type"), col("c_mktsegment"))
+    }),
+
     // Q30 — watermark / late data: 2-batch ordered replay, append mode
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
@@ -269,6 +287,13 @@ object StreamingQueries {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY c.user_id, click_eid, purchase_eid""".stripMargin,
+
+    "q62_stream_static_join" ->
+      s"""SELECT event_type, c_mktsegment, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY event_type, c_mktsegment
+         |ORDER BY event_type, c_mktsegment""".stripMargin,
 
     "q30_stream_late" -> QThirty.oracle
   )
