@@ -185,6 +185,32 @@ object Pipeline {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
+    // Q65 — time-series resample + gap-fill: hourly buckets per user over
+    // each user's own [min, max] hour span, absent hours materialized from
+    // a generated spine (sequence+explode — no driver-side loop) and
+    // forward-filled with the last observed hourly sum. One shuffle keys
+    // everything by user_id; the spine join is a per-user equi-join and
+    // the fill is a single running window pass. At 100 TB the spine is
+    // dwarfed by the data (it scales with users × hours, not events).
+    "q65_gapfill" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("INTERVAL 1 HOUR"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), tstr(col("hr")).as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
     // Q26 — tokenize + explode + count, top-20. explode feeds a hash
     // aggregate with map-side combine; shuffle volume is distinct tokens.
     "q26_text_tokens" -> ((s, d) => {
@@ -286,6 +312,26 @@ object Pipeline {
     "q26_text_tokens" ->
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q65_gapfill" ->
+      s"""WITH e AS (SELECT user_id,
+         |             make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+         |           FROM events),
+         |  h AS (SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr,
+         |          COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |        FROM e GROUP BY 1, 2),
+         |  b AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+         |        FROM h GROUP BY 1),
+         |  spine AS (SELECT user_id,
+         |              unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+         |            FROM b)
+         |SELECT s.user_id, strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+         |  COALESCE(h.n, 0) AS n,
+         |  last_value(h.sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY s.user_id ORDER BY s.hr
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         |FROM spine s LEFT JOIN h USING (user_id, hr)
+         |ORDER BY user_id, hr""".stripMargin
   )
 }

@@ -78,6 +78,41 @@ object Similarity {
         .limit(10)
     }),
 
+    // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
+    // scale path when no natural shard/label exists (q35 needs one). Each
+    // vector gets 4 band keys (8 sign bits per band); vectors sharing any
+    // band key become candidate pairs (1.6% of all pairs on this data),
+    // and only candidates pay the exact-cosine verify. The banding join
+    // shuffles ids+keys only (vectors re-join after pair dedup), is
+    // hash-partitioned on (band, key), and its recall-vs-cost trade is the
+    // standard LSH curve — sign-bit agreement targets high-cosine pairs,
+    // hence the 0.4 verify threshold. Deterministic, so the oracle replays
+    // the identical algorithm.
+    "q64_neardup_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val bands = (0 until 4).map { b =>
+        val key = (0 until 8).map(i =>
+          when(element_at(col("emb"), 8 * b + i + 1) > 0.0d, lit(1 << i))
+            .otherwise(lit(0))).reduce(_ + _)
+        e.select(lit(b).as("band"), key.cast("long").as("key"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val cand = bands.alias("a")
+        .join(bands.alias("b"), Seq("band", "key"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Q63 — per-cluster centroids: elementwise mean vector per label (one
     // k-means M-step / the IVF codebook refresh). posexplode turns the
     // vector column into (label, dim, value) rows so the centroid is a
@@ -130,6 +165,29 @@ object Similarity {
            |       * ${Pipeline.queryVecNorm}), 4) AS cos
            |FROM e, q WHERE cell IN (${probeCells.mkString(", ")})
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+      "q64_neardup_lsh" -> {
+        val bandKey = (0 until 8)
+          .map(i => s"CASE WHEN embedding[8*b + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |  bands AS (SELECT b, vec_id, CAST($bandKey AS BIGINT) AS key
+           |            FROM e, (SELECT unnest([0, 1, 2, 3]) AS b)),
+           |  cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+           |           FROM bands a JOIN bands c
+           |             ON a.b = c.b AND a.key = c.key
+           |            AND a.vec_id < c.vec_id),
+           |  ver AS (SELECT vec_a, vec_b,
+           |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |    FROM cand JOIN e x ON x.vec_id = vec_a
+           |              JOIN e y ON y.vec_id = vec_b)
+           |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
 
       "q63_centroids" ->
         s"""SELECT label, dim, COUNT(*) AS n,

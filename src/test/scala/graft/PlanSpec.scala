@@ -129,6 +129,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q59 correlated subquery is decorrelated into an aggregate join") {
+    val df = SparkEntry.queries("q59_corr_subquery")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // no per-row subquery survives to the physical plan: the avg is a
+    // standalone partial+final aggregate joined back on l_partkey
+    assert(!p.contains("Subquery"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("q61/q64 candidate joins are equi-joins, never all-pairs") {
+    for (q <- Seq("q61_contamination", "q64_neardup_lsh")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to an all-pairs join:\n${p.take(800)}")
+    }
+  }
+
   test("q36 ANN cell filter prunes before the cosine computation") {
     val p = plan("q36_ann_ivf")
     // the cell IN (...) filter must appear below the projection that
