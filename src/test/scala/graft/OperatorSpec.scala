@@ -179,6 +179,58 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.resized_sum === (0 until 64 by 2).map(_ % 251).sum.toLong)
   }
 
+  test("q64 LSH pairs are sound: cosine >= 0.4 and share a band key") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def bandKeys(v: Seq[Double]): Seq[Int] = (0 until 4).map { b =>
+      (0 until 8).map(i => if (v(8 * b + i) > 0) 1 << i else 0).sum
+    }
+    val out = SparkEntry.queries("q64_neardup_lsh")(spark, sf)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(p => (p._1, p._2)).distinct.length === out.length)
+    for ((a, b, c) <- out) {
+      val exact = cos(vecs(a), vecs(b))
+      assert(math.abs(exact - c) < 1e-3, s"($a,$b) reported $c, exact $exact")
+      assert(exact >= 0.3999, s"($a,$b) below threshold: $exact")
+      assert(bandKeys(vecs(a)).zip(bandKeys(vecs(b))).exists(p => p._1 == p._2),
+        s"($a,$b) shares no band key — cannot be an LSH candidate")
+    }
+  }
+
+  test("q65 gap-fill: spine is dense per user and fill carries forward") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q65_gapfill")(spark, sf)
+      .as[(Long, String, Long, Option[Double])].collect()
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    rows.groupBy(_._1).values.foreach { g =>
+      // consecutive hours, no holes in the spine
+      val hrs = g.map(r => java.time.Instant.from(fmt.parse(r._2)))
+      hrs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(java.time.Duration.between(a, b).toHours === 1,
+            s"spine hole between $a and $b")
+        case _ =>
+      }
+      // endpoints observed; forward-fill: value only changes on n > 0
+      assert(g.head._3 > 0 && g.last._3 > 0, "span endpoints must be observed")
+      g.sliding(2).foreach {
+        case Array(a, b) if b._3 == 0 =>
+          assert(b._4 === a._4, s"gap row changed the filled value: $a -> $b")
+        case _ =>
+      }
+    }
+    // gap rows exist at all (otherwise the operator is vacuous here)
+    assert(rows.exists(_._3 == 0), "no gaps in testdata — nothing exercised")
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
