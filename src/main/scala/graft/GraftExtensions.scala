@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode, ShingleSet, SortedIntersectCount}
+import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, Fnv1a32, ProtoLogLineEncode, ShingleSet, SortedIntersectCount, VecDot}
 
 /** SparkSessionExtensions entry point: registers the ingest wire-format
   * expressions as SQL functions. Activated either programmatically
@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(children.head, children(1))))
   }
 }

@@ -81,10 +81,10 @@ object Pipeline {
     "q25_similarity_topk" -> ((s, d) => {
       val qv = typedLit(queryVec)
       val e = col("embedding").cast("array<double>")
-      def fold(arr: Column): Column =
-        aggregate(arr, lit(0.0d), (acc, x) => acc + x)
-      val dot = fold(zip_with(e, qv, (x, y) => x * y))
-      val na = sqrt(fold(transform(e, x => x * x)))
+      // native sequential-fold dot kernel — bit-identical to the HOF
+      // aggregate/zip_with form (see graft.functions.VectorKernels)
+      val dot = Shared.dot(e, qv)
+      val na = sqrt(Shared.dot(e, e))
       val cos = round(dot / (na * lit(queryVecNorm)), 4)
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), cos.as("cos"),

@@ -46,9 +46,15 @@ object Shared {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0d), (acc, x) => acc + x)
 
+  /** Sequential-fold dot product as the native [[graft.functions.VecDot]]
+    * kernel (registered by GraftExtensions): bit-identical to
+    * `foldSum(zip_with(a, b, _ * _))` but one compiled loop instead of
+    * interpreted HOF eval — the hot inner op of every similarity join.
+    * `dot(a, a)` is the squared norm.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y)) /
-      (sqrt(foldSum(transform(a, x => x * x))) *
-        sqrt(foldSum(transform(b, x => x * x))))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 }

@@ -70,8 +70,8 @@ object Similarity {
         .withColumn("cell", cellOf(col("emb")))
         .filter(col("cell").isin(probeCells.map(_.toLong): _*))
       e.withColumn("cos",
-          round(foldSum(zip_with(col("emb"), qv, (x, y) => x * y)) /
-            (sqrt(foldSum(transform(col("emb"), x => x * x))) *
+          round(dot(col("emb"), qv) /
+            (sqrt(dot(col("emb"), col("emb"))) *
               lit(Pipeline.queryVecNorm)), 4))
         .select(col("vec_id"), col("cell"), col("cos"))
         .orderBy(col("cos").desc, col("vec_id"))

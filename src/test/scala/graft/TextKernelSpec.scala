@@ -69,4 +69,17 @@ class TextKernelSpec extends AnyFunSuite {
     val q34 = Dedup.queries("q34_neardup_minhash")(spark, TestSpark.sf)
     assert(q34.collect().forall(_.getDouble(2) >= 26.0 / 32 - 1e-9))
   }
+
+  test("vec_dot is bit-identical to the declarative fold on random vectors") {
+    val rnd = new scala.util.Random(4242)
+    val vecs = Seq.fill(200)(
+      (Seq.fill(64)(rnd.nextGaussian()), Seq.fill(64)(rnd.nextGaussian())))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      call_function("vec_dot", $"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x).as("hof")).collect()
+    // same sequential summation order -> exact equality, not tolerance
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
 }
