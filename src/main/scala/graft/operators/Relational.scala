@@ -424,6 +424,25 @@ object Relational {
         .orderBy(col("r_name"))
     }),
 
+    // Q66 — window distribution functions: percent_rank / cume_dist plus
+    // whole-partition first/nth value. Same single-shuffle window shape
+    // as q14; the whole-partition frame is an explicit ROWS UNBOUNDED
+    // BOTH-WAYS frame so Spark and DuckDB agree on what first/nth see.
+    "q66_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val whole = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"),
+          round(first(col("o_totalprice")).over(whole), 4).as("cheapest"),
+          round(nth_value(col("o_totalprice"), 3).over(whole), 4)
+            .as("third_cheapest"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Q59 — correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     // quantity is below half the average for their part. Written as the
     // correlated form on purpose: Catalyst DECORRELATES it into a
@@ -451,6 +470,20 @@ object Relational {
         | COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q66_window_dist" ->
+      """SELECT o_orderkey, o_custkey,
+        | ROUND(percent_rank() OVER w, 4) AS pr,
+        | ROUND(cume_dist() OVER w, 4) AS cd,
+        | ROUND(first_value(o_totalprice) OVER wf, 4) AS cheapest,
+        | ROUND(nth_value(o_totalprice, 3) OVER wf, 4) AS third_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q59_corr_subquery" ->
       s"""SELECT l.l_partkey, COUNT(*) AS n_low,
