@@ -219,6 +219,24 @@ object Relational {
           col("l_linestatus"))
     }),
 
+    // Q68 — explicit GROUPING SETS: exactly the (flag), (status), ()
+    // combinations — neither rollup nor cube — via SQL (the DataFrame API
+    // has no direct grouping-sets method). Lowers to the same single
+    // Expand + one hash-agg pass as q13/q56: rows×|sets| expansion
+    // map-side, partial aggregation before the shuffle.
+    "q68_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("q68_lineitem")
+      s.sql(
+        s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+           |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+           |  CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+           |  CAST(GROUPING(l_linestatus) AS INT) AS g_s,
+           |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+           |FROM q68_lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY g_f, g_s, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // Q57 — ntile: equal-frequency bucketing per key. Over the total
     // order the bucket assignment is deterministic; aggregating per
     // bucket yields quartile summaries (the windowed cousin of q44's
@@ -470,6 +488,16 @@ object Relational {
         | COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q68_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+         |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_s,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY g_f, g_s, l_returnflag, l_linestatus""".stripMargin,
 
     "q66_window_dist" ->
       """SELECT o_orderkey, o_custkey,

@@ -117,6 +117,27 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Q67 — portable table checksum: bit_xor of a 60-bit row hash per
+    // group. XOR is commutative/associative, so the checksum is
+    // independent of row order, partitioning, and partial-aggregation
+    // shape — one narrow scan + tiny hash agg at any scale. The row
+    // rendering uses only exactly-portable column types (ints, strings,
+    // dates; quantity is integral-by-contract) so the same SQL in any
+    // engine reproduces the checksum — the cross-system copy-validation
+    // primitive of a data pipeline.
+    "q67_table_checksum" -> ((s, d) => {
+      val row = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      Tables.lineitem(s, d)
+        .withColumn("h", hash60(row))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("checksum"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Q61 — train/test contamination check: 5-token shingles of every test
     // document (doc_id mod 10 in {8,9}) probed against the distinct
     // shingle set of the train split. Shingles are hashed to portable
@@ -215,6 +236,16 @@ object TextOps {
           | length(regexp_replace(text, '\b(customer|spark)\b', '<ENT>', 'g'))
           |   AS redacted_len
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q67_table_checksum" ->
+        s"""SELECT l_returnflag, COUNT(*) AS n,
+           |  bit_xor(${sqlHash60(
+              "concat_ws('|', l_orderkey, l_linenumber, l_partkey, " +
+              "l_suppkey, CAST(l_quantity AS BIGINT), l_returnflag, " +
+              "l_linestatus, strftime(l_shipdate, '%Y-%m-%d'))")})
+           |    AS checksum
+           |FROM lineitem GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin,
 
       "q61_contamination" ->
         s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
