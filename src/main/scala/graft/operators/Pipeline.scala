@@ -185,6 +185,67 @@ object Pipeline {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
+    // Q69 — funnel analysis: first view → first click after it → first
+    // purchase after that, per user. Three filtered min-aggregations
+    // chained by equi-joins on user_id — every step shuffles on the same
+    // key so AQE/exchange reuse co-locates them; no window over the whole
+    // event history, no per-user event buffering, state is one timestamp
+    // per user per stage. The standard conversion-funnel shape at any
+    // scale.
+    "q69_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("tv"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("tc"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("tv"), col("tc"), col("tp"),
+          (lit(1) + col("tc").isNotNull.cast("int")
+            + col("tp").isNotNull.cast("int")).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Q70 — data profiling: per-column row/null/distinct counts and
+    // min/max, the observability primitive every pipeline runs before
+    // training. ONE pass over the table computes all 5 columns' stats as
+    // a single wide aggregate row (25 agg expressions — partial+final,
+    // map-side combined), then a stack() unpivot reshapes it to one row
+    // per column; no per-column rescan. Values are rendered through
+    // exactly-portable types (longs, strings, dates; price in cents).
+    "q70_profile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("c_o_orderkey"),
+          col("o_custkey").cast("string").as("c_o_custkey"),
+          col("o_orderstatus").as("c_o_orderstatus"),
+          // round() before the long cast: Spark's double->long cast
+          // truncates while DuckDB's rounds — rounding first makes the
+          // cents value identical in both engines
+          round(col("o_totalprice") * 100, 0).cast("long").cast("string")
+            .as("c_o_totalprice_cents"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_o_orderdate"))
+      val cols = o.columns.toSeq
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__n"),
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"))
+      }
+      val stackArgs = cols.map { c =>
+        s"'${c.stripPrefix("c_")}', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max"
+      }.mkString(", ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n, n_nulls, n_distinct, min_s, max_s)")
+        .orderBy(col("col_name"))
+    }),
+
     // Q65 — time-series resample + gap-fill: hourly buckets per user over
     // each user's own [min, max] hour span, absent hours materialized from
     // a generated spine (sequence+explode — no driver-side loop) and
@@ -313,6 +374,38 @@ object Pipeline {
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q69_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             epoch_ns(ts) // 1000 AS us FROM events),
+        |  v AS (SELECT user_id, MIN(us) AS tv FROM e
+        |        WHERE event_type = 'view' GROUP BY 1),
+        |  c AS (SELECT e.user_id, MIN(us) AS tc FROM e JOIN v USING (user_id)
+        |        WHERE event_type = 'click' AND us > tv GROUP BY 1),
+        |  p AS (SELECT e.user_id, MIN(us) AS tp FROM e JOIN c USING (user_id)
+        |        WHERE event_type = 'purchase' AND us > tc GROUP BY 1)
+        |SELECT v.user_id, tv, tc, tp,
+        |  1 + CAST(tc IS NOT NULL AS INT) + CAST(tp IS NOT NULL AS INT)
+        |    AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q70_profile" -> {
+      val rendered = Map(
+        "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+        "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus" -> "o_orderstatus",
+        "o_totalprice_cents" ->
+          "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        "o_orderdate" -> "strftime(o_orderdate, '%Y-%m-%d')")
+      rendered.toSeq.sortBy(_._1).map { case (name, sql) =>
+        s"""SELECT '$name' AS col_name, COUNT(*) AS n,
+           |  COUNT(*) FILTER (($sql) IS NULL) AS n_nulls,
+           |  COUNT(DISTINCT ($sql)) AS n_distinct,
+           |  MIN($sql) AS min_s, MAX($sql) AS max_s
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "q65_gapfill" ->
       s"""WITH e AS (SELECT user_id,
