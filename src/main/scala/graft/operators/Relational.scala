@@ -427,6 +427,40 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Q71 — as-of join between two relations: each click matched to the
+    // latest signup at-or-before it, per user. NOT a range join (whose
+    // candidate set explodes as |left|×|right| per key): both sides union
+    // into one relation, one window pass per user carries the last-seen
+    // right row forward, and left rows read it. One shuffle on user_id,
+    // O(rows) state — the scale-safe as-of, same trick MERGE_ASOF-style
+    // engines lower to. Right-before-left on ts ties (side 0 < 1) gives
+    // the <= semantics of DuckDB's native ASOF JOIN, which is the oracle.
+    "q71_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("us"), lit(0).as("side"),
+          col("event_id").as("signup_eid"),
+          lit(null).cast("long").as("click_eid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), lit(1).as("side"),
+          lit(null).cast("long").as("signup_eid"),
+          col("event_id").as("click_eid"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(clicks)
+        .withColumn("asof_eid",
+          last(col("signup_eid"), ignoreNulls = true).over(w))
+        .withColumn("asof_us",
+          last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("click_eid"), col("us").as("click_us"),
+          col("asof_eid").as("signup_eid"), col("asof_us").as("signup_us"))
+        .orderBy(col("user_id"), col("click_eid"))
+    }),
+
     // Q58 — ordered string aggregation (LISTAGG): nations per region as a
     // sorted comma-joined list. collect_list is per-group bounded (25
     // nations max regardless of fact-table scale); sorting inside the
@@ -483,6 +517,19 @@ object Relational {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q71_asof_join" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |             epoch_ns(ts) // 1000 AS us FROM events),
+        |  s AS (SELECT user_id, us, event_id FROM e
+        |        WHERE event_type = 'signup'),
+        |  c AS (SELECT user_id, us, event_id FROM e
+        |        WHERE event_type = 'click')
+        |SELECT c.user_id, c.event_id AS click_eid, c.us AS click_us,
+        |  s.event_id AS signup_eid, s.us AS signup_us
+        |FROM c ASOF LEFT JOIN s
+        |  ON c.user_id = s.user_id AND c.us >= s.us
+        |ORDER BY c.user_id, click_eid""".stripMargin,
+
     "q58_string_agg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         | COUNT(*) AS n_nations
