@@ -253,6 +253,12 @@ object Pipeline {
     // everything by user_id; the spine join is a per-user equi-join and
     // the fill is a single running window pass. At 100 TB the spine is
     // dwarfed by the data (it scales with users × hours, not events).
+    // Known trade: `hourly` feeds two consumers with different column
+    // sets, so pruning makes their subtrees differ and ReusedExchange
+    // cannot fire — the pre-aggregation scans events twice. A deployment
+    // that cares materializes the hourly rollup once (it is the natural
+    // incremental table here); inline caching would leak executor memory
+    // across the suite.
     "q65_gapfill" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("user_id"),

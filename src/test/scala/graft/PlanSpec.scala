@@ -150,6 +150,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned writes get static + dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val fact = spark.read.parquet(dir)
+
+    // static pruning: a literal filter on the partition column must land
+    // in PartitionFilters, not a post-scan Filter
+    val p1 = fact.filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      p1.take(600))
+
+    // dynamic pruning: joining on the partition column against a filtered
+    // dim must inject a runtime subquery filter into the scan — at 100 TB
+    // this is the difference between scanning one partition and all of
+    // them, decided at run time from the dim side. The dim is read from
+    // parquet so Catalyst cannot constant-fold the filter into a static
+    // partition predicate (a literal dim folds — see the assert above).
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq(("R", 1), ("A", 0), ("N", 0)).toDF("flag", "keep")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("keep") === 1)
+    val joined = fact.join(dim, col("l_returnflag") === col("flag"))
+    val p2 = joined.queryExecution.executedPlan.toString
+    assert(p2.contains("dynamicpruning"), p2.take(1200))
+  }
+
   test("q36 ANN cell filter prunes before the cosine computation") {
     val p = plan("q36_ann_ivf")
     // the cell IN (...) filter must appear below the projection that
