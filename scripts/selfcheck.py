@@ -29,7 +29,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 4)
+        # + 0.0 canonicalizes -0.0: repr('-0.0') sorts differently from
+        # repr('0.0') and would misalign the sorted row lists even though
+        # the values compare equal (bit q63 at sf0.1)
+        return round(v, 4) + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     return v

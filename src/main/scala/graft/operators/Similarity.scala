@@ -128,7 +128,10 @@ object Similarity {
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "x")))
         .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(count(lit(1)).as("n"), davg(col("x")).as("centroid"))
+        // + 0.0 canonicalizes IEEE negative zero: round() of a tiny
+        // negative mean yields -0.0, which sorts/renders differently from
+        // 0.0 in downstream comparators even though it compares equal
+        .agg(count(lit(1)).as("n"), (davg(col("x")) + 0.0d).as("centroid"))
         .orderBy(col("label"), col("dim"))
     })
   )
@@ -191,7 +194,7 @@ object Similarity {
 
       "q63_centroids" ->
         s"""SELECT label, dim, COUNT(*) AS n,
-           |  ${graft.Q.sqlDavg("x")} AS centroid
+           |  ${graft.Q.sqlDavg("x")} + 0.0 AS centroid
            |FROM (SELECT CAST(label AS BIGINT) AS label,
            |        unnest(embedding)::DOUBLE AS x,
            |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim

@@ -54,22 +54,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
-    // Q38 — quality score: rational-arithmetic heuristics
+    // Q38 — quality score. All ratios and the composite score are EXACT
+    // integer arithmetic with explicit half-up rounding at 4dp
+    // (`(2·10⁴·N + D) div (2·D)` for N/D ≥ 0): rounding a computed double
+    // can land on an exact half-way case — at sf0.1, doc 2259 hits score
+    // = 0.31375 and Spark/DuckDB double chains disagree by 1 ulp around
+    // it, flipping the 4th decimal. Integer math cannot disagree.
+    // score = (2·stop + uniq + min(n,100)/100) / 4 over denominator 400n.
     "q38_quality_score" -> ((s, d) => {
       val toks = split(col("text"), " ")
       Tables.documents(s, d)
         .withColumn("toks", toks)
         .withColumn("n_toks", size(col("toks")).cast("long"))
-        .withColumn("uniq_ratio",
-          size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
-        .withColumn("stop_ratio",
-          countIn(col("toks"), markers.head._2).cast("double") / col("n_toks"))
-        .withColumn("score", round(
-          (lit(2.0) * col("stop_ratio") + col("uniq_ratio") +
-            least(col("n_toks") / 100.0d, lit(1.0d))) / 4.0d, 4))
+        .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("st", countIn(col("toks"), markers.head._2))
         .select(col("doc_id"), col("n_toks"),
-          round(col("uniq_ratio"), 4).as("uniq_ratio"),
-          round(col("stop_ratio"), 4).as("stop_ratio"), col("score"))
+          expr("(20000 * u + n_toks) div (2 * n_toks) / 10000.0D")
+            .as("uniq_ratio"),
+          expr("(20000 * st + n_toks) div (2 * n_toks) / 10000.0D")
+            .as("stop_ratio"),
+          expr("""(20000 * (200 * st + 100 * u
+                           + n_toks * least(n_toks, 100L))
+                  + 400 * n_toks) div (800 * n_toks) / 10000.0D""")
+            .as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -194,18 +201,21 @@ object TextOps {
            |  ${markers.map { case (l, _) => s"s_$l" }.mkString(", ")}
            |FROM p ORDER BY doc_id""".stripMargin,
 
+      // exact integer half-up rounding, mirroring the Spark side — see
+      // the q38 comment in `queries` (double rounding flips at half-way
+      // cases like score=0.31375, first seen at sf0.1)
       "q38_quality_score" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            |           FROM documents),
-           |  m AS (SELECT doc_id, len(toks) AS n_toks,
-           |    len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio,
-           |    ${sqlCountIn(markers.head._2)}::DOUBLE / len(toks) AS stop_ratio
+           |  m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+           |    CAST(len(list_distinct(toks)) AS BIGINT) AS u,
+           |    CAST(${sqlCountIn(markers.head._2)} AS BIGINT) AS st
            |  FROM t)
            |SELECT doc_id, n_toks,
-           |  ROUND(uniq_ratio, 4) AS uniq_ratio,
-           |  ROUND(stop_ratio, 4) AS stop_ratio,
-           |  ROUND((2.0 * stop_ratio + uniq_ratio +
-           |         least(n_toks / 100.0, 1.0)) / 4.0, 4) AS score
+           |  (20000 * u + n_toks) // (2 * n_toks) / 10000.0 AS uniq_ratio,
+           |  (20000 * st + n_toks) // (2 * n_toks) / 10000.0 AS stop_ratio,
+           |  (20000 * (200 * st + 100 * u + n_toks * least(n_toks, 100))
+           |   + 400 * n_toks) // (800 * n_toks) / 10000.0 AS score
            |FROM m ORDER BY doc_id""".stripMargin,
 
       "q39_token_count" ->
