@@ -107,6 +107,24 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Q72 — text normalization: the standard pre-tokenization cleanup
+    // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
+    // whitespace, trim). Pure narrow column work, one codegen'd pass; the
+    // md5 of the normalized form doubles as the dedup key a cleaning
+    // pipeline would write. Regex classes restricted to ASCII so Java
+    // regex and RE2 agree.
+    "q72_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(norm).cast("long").as("len_norm"),
+          md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q60 — entity/PII redaction: regexp_replace over the corpus with a
     // match count per document. The term list stands in for the usual
     // email/phone/SSN patterns (this corpus is synthetic word-salad with
@@ -236,6 +254,14 @@ object TextOps {
            |    AS min_shingle_hash
            |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q72_normalize" ->
+        """SELECT doc_id, length(text) AS len_raw,
+          | length(trim(regexp_replace(regexp_replace(lower(text),
+          |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS len_norm,
+          | md5(trim(regexp_replace(regexp_replace(lower(text),
+          |   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q60_redact" ->
         """SELECT doc_id,
