@@ -231,6 +231,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0), "no gaps in testdata — nothing exercised")
   }
 
+  test("q69 funnel stages are consistent and time-ordered") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q69_funnel")(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+    assert(rows.nonEmpty)
+    for ((_, tv, tc, tp, stage) <- rows) {
+      // a later stage requires the earlier one, strictly after it in time
+      assert(tp.isEmpty || tc.nonEmpty, "purchase without click")
+      tc.foreach(t => assert(t > tv, "click not after first view"))
+      (tc, tp) match {
+        case (Some(c), Some(p)) => assert(p > c, "purchase not after click")
+        case _ =>
+      }
+      assert(stage === 1 + tc.size + tp.size, "stage must count stages hit")
+    }
+  }
+
+  test("q38 integer rounding matches BigDecimal HALF_UP on random ratios") {
+    val rnd = new scala.util.Random(77)
+    for (_ <- 1 to 2000) {
+      val den = 1 + rnd.nextInt(2000)
+      val num = rnd.nextInt(4 * den)
+      val fast = (20000L * num + den) / (2L * den) / 10000.0
+      val exact = BigDecimal(num).setScale(20) / BigDecimal(den)
+      val ref = exact.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(fast === ref, s"$num/$den: $fast != $ref")
+    }
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
