@@ -56,17 +56,28 @@ object Q {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-  /** Exact decimal-backed SUM of a double column, rounded to 4. */
+  /** Exact decimal-backed SUM of a double column, rounded to 4 IN THE
+    * DECIMAL DOMAIN, then cast to double. Rounding the exact decimal is
+    * half-away-from-zero in both engines; rounding the double cast
+    * instead would hit the engine-divergent double-round path (Spark
+    * rounds the shortest decimal repr, DuckDB the binary value) whenever
+    * the sum's 10-decimal tail lands exactly on a 4dp half-way point.
+    */
   def dsum(c: Column): Column =
-    round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType), 4)
+    round(sum(c.cast(DecimalType(38, 10))), 4).cast(DoubleType)
 
-  /** Exact decimal-backed AVG (sum/count), rounded to 4. */
+  /** Exact decimal-backed AVG (sum/count), rounded to 4. Residual hazard
+    * (documented): the division is double, so a quotient whose shortest
+    * repr is a 4dp half-way value could round differently per engine —
+    * unlike dsum this cannot move to the decimal domain portably because
+    * the engines' decimal-division scale rules differ.
+    */
   def davg(c: Column): Column =
     round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType) / count(c), 4)
 
   /** DuckDB-side equivalents of dsum/davg (string SQL fragments). */
   def sqlDsum(expr: String): String =
-    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE), 4)"
+    s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))), 4) AS DOUBLE)"
   def sqlDavg(expr: String): String =
     s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE) / COUNT($expr), 4)"
 

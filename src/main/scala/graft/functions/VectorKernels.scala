@@ -21,11 +21,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * determinism contract survives the optimization.
   */
 object VectorKernels {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Boxed-nullable dot product, matching the declarative
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` on ALL inputs: unequal
+    * lengths → zip_with pads with null → the fold result is null, and a
+    * null element anywhere → null. Returning the boxed type lets the
+    * expression surface SQL NULL instead of a silently-wrong partial sum.
+    */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -39,6 +47,10 @@ object VectorKernels {
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // nullable even when both children are non-null: length mismatch or a
+  // null ELEMENT yields SQL NULL (BinaryExpression's default would claim
+  // non-null output for non-null children and mis-plan downstream)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -49,8 +61,15 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorKernels.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotResult")
+      s"""java.lang.Double $tmp = graft.functions.VectorKernels.dot($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}""".stripMargin
+    })
   override def prettyName: String = "vec_dot"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

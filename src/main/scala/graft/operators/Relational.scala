@@ -441,14 +441,20 @@ object Relational {
           unix_micros(col("ts")).as("us"))
       val signups = ev.filter(col("event_type") === "signup")
         .select(col("user_id"), col("us"), lit(0).as("side"),
+          col("event_id").as("eid"),
           col("event_id").as("signup_eid"),
           lit(null).cast("long").as("click_eid"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("us"), lit(1).as("side"),
+          col("event_id").as("eid"),
           lit(null).cast("long").as("signup_eid"),
           col("event_id").as("click_eid"))
+      // eid tiebreak makes the order TOTAL: without it, two signups at
+      // the same microsecond would leave which one wins to shuffle order
+      // (DuckDB's ASOF pick is equally arbitrary on such ties; this data
+      // has none, but the determinism contract must not depend on that)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("side"))
+        .orderBy(col("us"), col("side"), col("eid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       signups.unionByName(clicks)
         .withColumn("asof_eid",
@@ -485,10 +491,21 @@ object Relational {
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       val whole = w.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
+      // pr/cd are computed from rank+count with exact integer half-up
+      // rounding, not round(percent_rank(), 4): ratios of small integers
+      // are exactly the class where engine-native double rounding
+      // diverges at 4dp half-way points (the q38 lesson; OperatorSpec
+      // asserts these formulas equal the built-ins pre-rounding). The
+      // ordering is total (tiebreak o_orderkey) so rank = row_number.
       Tables.orders(s, d)
+        .withColumn("r", rank().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy(col("o_custkey"))))
         .select(col("o_orderkey"), col("o_custkey"),
-          round(percent_rank().over(w), 4).as("pr"),
-          round(cume_dist().over(w), 4).as("cd"),
+          when(col("n") === 1, lit(0.0d)).otherwise(
+            expr("(20000 * (r - 1) + (n - 1)) div (2 * (n - 1)) / 10000.0D"))
+            .as("pr"),
+          expr("(20000 * r + n) div (2 * n) / 10000.0D").as("cd"),
           round(first(col("o_totalprice")).over(whole), 4).as("cheapest"),
           round(nth_value(col("o_totalprice"), 3).over(whole), 4)
             .as("third_cheapest"))
@@ -547,18 +564,25 @@ object Relational {
          |ORDER BY g_f, g_s, l_returnflag, l_linestatus""".stripMargin,
 
     "q66_window_dist" ->
-      """SELECT o_orderkey, o_custkey,
-        | ROUND(percent_rank() OVER w, 4) AS pr,
-        | ROUND(cume_dist() OVER w, 4) AS cd,
-        | ROUND(first_value(o_totalprice) OVER wf, 4) AS cheapest,
-        | ROUND(nth_value(o_totalprice, 3) OVER wf, 4) AS third_cheapest
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_totalprice, o_orderkey),
-        |  wf AS (PARTITION BY o_custkey
-        |         ORDER BY o_totalprice, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    CAST(rank() OVER w AS BIGINT) AS r,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+        |    first_value(o_totalprice) OVER wf AS fv,
+        |    nth_value(o_totalprice, 3) OVER wf AS nv
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice, o_orderkey),
+        |    wf AS (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_orderkey, o_custkey,
+        | CASE WHEN n = 1 THEN 0.0
+        |      ELSE (20000 * (r - 1) + (n - 1)) // (2 * (n - 1)) / 10000.0
+        | END AS pr,
+        | (20000 * r + n) // (2 * n) / 10000.0 AS cd,
+        | ROUND(fv, 4) AS cheapest,
+        | ROUND(nv, 4) AS third_cheapest
+        |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q59_corr_subquery" ->
       s"""SELECT l.l_partkey, COUNT(*) AS n_low,

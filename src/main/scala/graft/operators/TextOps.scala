@@ -153,7 +153,10 @@ object TextOps {
     "q67_table_checksum" -> ((s, d) => {
       val row = concat_ws("|",
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_suppkey"), col("l_quantity").cast("long"),
+        // round() before the long cast: Spark's double->long cast
+        // truncates while DuckDB's rounds; an ever-non-integral quantity
+        // would flip the whole group checksum otherwise
+        col("l_suppkey"), round(col("l_quantity"), 0).cast("long"),
         col("l_returnflag"), col("l_linestatus"),
         date_format(col("l_shipdate"), "yyyy-MM-dd"))
       Tables.lineitem(s, d)
@@ -189,9 +192,11 @@ object TextOps {
       test.join(train, "h")
         .groupBy(col("doc_id"), col("n_shingles"))
         .agg(count(lit(1)).as("n_shared"))
+        // exact integer half-up rounding: small-integer ratios are the
+        // class where engine-native double rounding diverges (q38 lesson)
         .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-          round(col("n_shared") / col("n_shingles").cast("double"), 4)
-            .as("overlap_ratio"))
+          expr("(20000 * n_shared + n_shingles) div (2 * n_shingles)" +
+            " / 10000.0D").as("overlap_ratio"))
         .orderBy(col("doc_id"))
     })
   )
@@ -277,7 +282,7 @@ object TextOps {
         s"""SELECT l_returnflag, COUNT(*) AS n,
            |  bit_xor(${sqlHash60(
               "concat_ws('|', l_orderkey, l_linenumber, l_partkey, " +
-              "l_suppkey, CAST(l_quantity AS BIGINT), l_returnflag, " +
+              "l_suppkey, CAST(ROUND(l_quantity) AS BIGINT), l_returnflag, " +
               "l_linestatus, strftime(l_shipdate, '%Y-%m-%d'))")})
            |    AS checksum
            |FROM lineitem GROUP BY l_returnflag
@@ -295,7 +300,8 @@ object TextOps {
            |  test AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS h
            |           FROM sh WHERE doc_id % 10 >= 8)
            |SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_shared,
-           |  ROUND(COUNT(*) / t.n_shingles::DOUBLE, 4) AS overlap_ratio
+           |  (20000 * COUNT(*) + t.n_shingles) // (2 * t.n_shingles)
+           |    / 10000.0 AS overlap_ratio
            |FROM test t JOIN train USING (h)
            |GROUP BY t.doc_id, t.n_shingles
            |ORDER BY t.doc_id""".stripMargin

@@ -260,6 +260,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q66 rank/count formulas equal percent_rank and cume_dist") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val df = Tables.orders(spark, sf)
+      .withColumn("r", rank().over(w).cast("double"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("o_custkey"))).cast("double"))
+      .withColumn("pr_b", percent_rank().over(w))
+      .withColumn("cd_b", cume_dist().over(w))
+    val bad = df.filter(
+      (col("n") > 1 &&
+        abs((col("r") - 1) / (col("n") - 1) - col("pr_b")) > 1e-12) ||
+      abs(col("r") / col("n") - col("cd_b")) > 1e-12).count()
+    assert(bad === 0, "q66's (r,n) formulas must match the built-ins")
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
