@@ -70,6 +70,18 @@ class TextKernelSpec extends AnyFunSuite {
     assert(q34.collect().forall(_.getDouble(2) >= 26.0 / 32 - 1e-9))
   }
 
+  test("vec_dot yields NULL on length mismatch or null elements, like the HOF form") {
+    val df = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS len_mismatch,
+        |  vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D))
+        |    AS null_elem,
+        |  vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0), "length mismatch must be NULL")
+    assert(r.isNullAt(1), "null element must be NULL")
+    assert(r.getDouble(2) === 11.0)
+  }
+
   test("vec_dot is bit-identical to the declarative fold on random vectors") {
     val rnd = new scala.util.Random(4242)
     val vecs = Seq.fill(200)(
