@@ -102,8 +102,12 @@ object StreamingQueries {
     "q28_stream_sliding" -> ((s, d) => {
       val agg = eventsStream(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        // round() before the long cast: Spark's decimal->long cast
+        // truncates, DuckDB's rounds; integral here only because the
+        // testdata's value is 2-decimal — rounding first removes the
+        // data dependence
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(38, 10)) * 1000000)
+          round(sum(col("value").cast(DecimalType(38, 10)) * 1000000), 0)
             .cast("long").as("su"))
       drain(s, agg, "q28_mem", "complete")
         .withColumn("avg_value",
@@ -247,8 +251,8 @@ object StreamingQueries {
         |                         - INTERVAL 30 MINUTES]) AS w_start, value
         |        FROM e),
         |  a AS (SELECT w_start, COUNT(*) AS n,
-        |          CAST(SUM(CAST(value AS DECIMAL(38,10)) * 1000000) AS BIGINT)
-        |            AS su
+        |          CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10)) * 1000000), 0)
+        |               AS BIGINT) AS su
         |        FROM w GROUP BY 1)
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, n,
         |  ((2 * su + n * 100) // (2 * n * 100)) / 10000.0 AS avg_value
