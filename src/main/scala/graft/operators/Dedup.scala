@@ -73,10 +73,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
-    // the PPJoin positional filter (Xiao et al., WWW'08)
-    "q32_neardup_jaccard" -> ((s, d) => {
+  /** Verified Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t) via
+    * the prefix-filtered PPJoin — the shared candidate engine of q32
+    * (pair listing) and q73 (cluster formation).
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -116,7 +117,56 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
         .filter(col("jaccard") >= JaccardT)
       verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
+    // the PPJoin positional filter (Xiao et al., WWW'08)
+    "q32_neardup_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Q73 — dup-cluster formation: connected components over the near-dup
+    // pair graph by iterative min-label propagation (the large-star
+    // family without the star optimizations — diameter-bounded rounds of
+    // join + min-aggregate, each fully distributed; the driver only runs
+    // the convergence loop). This is the step a dedup pipeline needs
+    // AFTER pair detection: transitive closure picks ONE survivor per
+    // duplicate cluster even when A~B and B~C but A!~C. The min-label
+    // fixpoint is unique, so the result is deterministic regardless of
+    // iteration schedule; per-round persist + unpersist caps lineage.
+    "q73_dup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .persist()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id")).persist()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 25) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
+          .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nbr"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+          .filter(col("rep") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      val out = labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+        .select(col("doc_id"), col("rep").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+      edges.unpersist()
+      out
     }),
 
     // Q33 — SimHash near-dup, banded self-join, hamming <= 3.
@@ -210,6 +260,29 @@ object Dedup {
            |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
            |    >= $JaccardT
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // transitive closure via recursive CTE: reach(src, r) enumerates
+      // every node reachable from src over the undirected dup edges; the
+      // minimum reachable id is the cluster representative — the same
+      // unique fixpoint the Spark side's min-label propagation converges to
+      "q73_dup_clusters" ->
+        s"""WITH RECURSIVE s AS ($sqlShingles3),
+           |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |        FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+           |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+           |          >= $JaccardT),
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS cluster_rep
+           |           FROM reach GROUP BY src)
+           |SELECT doc_id, cluster_rep,
+           |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin,
 
       "q33_neardup_simhash" ->
         s"""WITH s AS ($sqlShingles3),

@@ -277,6 +277,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad === 0, "q66's (r,n) formulas must match the built-ins")
   }
 
+  test("q73 clusters are closed over dup pairs with min-id representatives") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 may have no dup pairs
+    val reps = SparkEntry.queries("q73_dup_clusters")(spark, sf01)
+      .select("doc_id", "cluster_rep").as[(Long, Long)].collect().toMap
+    val pairs = SparkEntry.queries("q32_neardup_jaccard")(spark, sf01)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && reps.nonEmpty)
+    // every dup pair lands in one cluster
+    for ((a, b) <- pairs)
+      assert(reps(a) === reps(b), s"pair ($a,$b) split across clusters")
+    // the representative is the minimum member of its cluster
+    for ((rep, members) <- reps.groupBy(_._2))
+      assert(members.keys.min === rep, s"cluster $rep rep is not the min id")
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
