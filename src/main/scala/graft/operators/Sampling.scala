@@ -60,6 +60,26 @@ object Sampling {
         .select(col("doc_id"), col("source"), col("lang"),
           col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Q74 — stratified cap: at most K documents per source, chosen by
+    // deterministic hash order (class-balancing / per-domain caps in a
+    // data recipe). The rank filter is the idiom the custom LocalTopK
+    // rule rewrites: each mapper pre-prunes to its local top-K per
+    // source BELOW the window exchange, so the shuffle carries
+    // O(sources × K) rows instead of the whole table — the difference
+    // between sampling 100 TB and shuffling 100 TB (plan-asserted in
+    // PlanSpec).
+    "q74_stratified_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = hash60(concat(lit("cap|"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(ord, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("source"), col("rn"))
     })
   )
 
@@ -81,6 +101,16 @@ object Sampling {
          |      FROM documents)
          |WHERE b < (CASE WHEN sn < 5 THEN 900 WHEN sn < 10 THEN 500
          |           ELSE 200 END)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q74_stratified_cap" ->
+      s"""SELECT doc_id, source, rn
+         |FROM (SELECT doc_id, source,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY ${sqlHash60("concat('cap|', CAST(doc_id AS VARCHAR))")},
+         |            doc_id) AS BIGINT) AS rn
+         |      FROM documents)
+         |WHERE rn <= 10
+         |ORDER BY source, rn""".stripMargin
   )
 }

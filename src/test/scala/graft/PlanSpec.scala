@@ -98,6 +98,9 @@ class PlanSpec extends AnyFunSuite {
       "LocalTopKPerKey must sit below the window's exchange")
     // q10's rn=1 as-of idiom must get the same treatment for free
     assert(plan("q10_asof_latest").contains("LocalTopKPerKey"))
+    // ... and q74's stratified per-source cap (rank over a computed hash
+    // order) — mappers pre-prune to local top-K below the exchange
+    assert(plan("q74_stratified_cap").contains("LocalTopKPerKey"))
   }
 
   test("q48 salted join shuffles on (key, salt), not the bare hot key") {
