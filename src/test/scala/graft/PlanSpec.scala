@@ -183,6 +183,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("dynamicpruning"), p2.take(1200))
   }
 
+  test("runtime bloom-filter join reduction engages on selective joins") {
+    import org.apache.spark.sql.functions._
+    // at 100 TB a selective dim filter should semi-join-reduce the fact
+    // scan via an injected bloom filter; thresholds are production-sized,
+    // so shrink them (and disable broadcast, which would subsume it) to
+    // prove the engine path on test data
+    val conf = spark.conf
+    // thresholds: the APPLICATION side must be bigger than its threshold
+    // (default 10GB — shrink so the test fact qualifies) while the
+    // CREATION side must be smaller than its own (default 10MB — already
+    // true for the filtered dim)
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "32")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val p = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(1200)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("q36 ANN cell filter prunes before the cosine computation") {
     val p = plan("q36_ann_ivf")
     // the cell IN (...) filter must appear below the projection that
