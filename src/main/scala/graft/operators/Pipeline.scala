@@ -185,6 +185,29 @@ object Pipeline {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
+    // Q75 — incremental dedup: dedup a NEW batch against the existing
+    // corpus — the daily-increment shape a production pipeline actually
+    // runs (q24 is the full-corpus backfill). Two phases, both
+    // hash-partitioned on the normalized-text hash: (1) intra-batch
+    // dedup keeps the min doc_id per key (map-side combine), (2) an
+    // anti-join drops keys already in the corpus. At 100 TB the corpus
+    // side is a pre-computed key table (here derived inline); the
+    // anti-join shuffles 8-byte hashes, never text.
+    "q75_incremental_dedup" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val docs = Tables.documents(s, d)
+        .withColumn("k", hash60(lower(trim(col("text")))))
+      val corpusKeys = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("k")).distinct()
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      batch
+        .groupBy(col("k"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+        .join(corpusKeys, Seq("k"), "left_anti")
+        .select(col("doc_id"), col("n_batch_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q69 — funnel analysis: first view → first click after it → first
     // purchase after that, per user. Three filtered min-aggregations
     // chained by equi-joins on user_id — every step shuffles on the same
@@ -380,6 +403,18 @@ object Pipeline {
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q75_incremental_dedup" ->
+      s"""WITH dk AS (SELECT doc_id,
+         |    ${graft.operators.Shared.sqlHash60("lower(trim(text))")} AS k
+         |  FROM documents),
+         |  corpus AS (SELECT DISTINCT k FROM dk WHERE doc_id % 5 != 0),
+         |  batch AS (SELECT k, MIN(doc_id) AS doc_id,
+         |              COUNT(*) AS n_batch_dups
+         |            FROM dk WHERE doc_id % 5 = 0 GROUP BY k)
+         |SELECT doc_id, n_batch_dups FROM batch
+         |WHERE k NOT IN (SELECT k FROM corpus)
+         |ORDER BY doc_id""".stripMargin,
 
     "q69_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
