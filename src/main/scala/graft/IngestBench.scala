@@ -1,0 +1,94 @@
+package graft
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.net.Socket
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sustained-ingest throughput bench: ONE continuous streaming query —
+  * syslog TCP listener → enrich → Avro transform + Confluent framing →
+  * parquet sink — driven by concurrent senders at a fixed offered rate,
+  * then drained to zero. This measures the long-running server shape the
+  * reference actually is (accept → scan → transform → produce,
+  * /root/reference/syslog.go:133-143), where q31b only measures the
+  * batch encode kernel over a static table.
+  *
+  * Senders self-pace against wall-clock (target = elapsed × rate), so if
+  * the pipeline can't absorb the offered rate the senders simply run
+  * flat-out and the printed `sent/send_sec` IS the achieved ceiling.
+  * Backpressure path: a full source buffer blocks the connection readers,
+  * which blocks the senders' writes — nothing is dropped on TCP.
+  *
+  * Prints ONE JSON line. Not part of the driver's Bench gate — run
+  * manually; results recorded in BASELINE.md.
+  *
+  * Env knobs: SPARK_GRAFT_INGEST_RATE (total lines/s offered, default
+  * 200000), SPARK_GRAFT_INGEST_SECONDS (send window, default 30),
+  * SPARK_GRAFT_INGEST_SENDERS (concurrent TCP connections, default 8).
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val rate = sys.env.getOrElse("SPARK_GRAFT_INGEST_RATE", "200000").toLong
+    val seconds = sys.env.getOrElse("SPARK_GRAFT_INGEST_SECONDS", "30").toInt
+    val senders = sys.env.getOrElse("SPARK_GRAFT_INGEST_SENDERS", "8").toInt
+
+    val spark = Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+
+    val src = spark.readStream.format("graft-syslog")
+      .option("tcp.port", "-1").option("udp.port", "0")
+      .option("tcp.host", "127.0.0.1")
+      .option("maxBufferedRows", "2000000")
+      .load()
+    val out = ingest.Transformers.fromSyslog(src)
+      .select(ingest.Transformers.avro(
+        Seq("dc" -> "dc1", "env" -> "bench"), Some(7L), 42))
+    val query = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(500))
+      .start()
+
+    while (sources.SyslogState.lastTcpPort <= 0) Thread.sleep(50)
+    val port = sources.SyslogState.lastTcpPort
+
+    val sent = new AtomicLong(0)
+    val t0 = System.nanoTime()
+    val deadline = t0 + seconds.toLong * 1000000000L
+    val perSender = rate / senders
+    val threads = (1 to senders).map { id =>
+      new Thread(() => {
+        val sock = new Socket("127.0.0.1", port)
+        val w = new BufferedWriter(
+          new OutputStreamWriter(sock.getOutputStream, "UTF-8"), 1 << 16)
+        val line = s"<34>1 sustained ingest bench sender $id " +
+          "payload 0123456789 abcdefghijklmnopqrstuvwxyz end"
+        var i = 0L
+        while (System.nanoTime() < deadline) {
+          val target = // self-pacing: catch up to elapsed*rate
+            ((System.nanoTime() - t0) / 1e9 * perSender).toLong
+          while (i < target && System.nanoTime() < deadline) {
+            w.write(line); w.write('\n'); i += 1
+          }
+          w.flush()
+          Thread.sleep(2)
+        }
+        w.flush(); sock.close()
+        sent.addAndGet(i)
+      }, s"ingest-sender-$id")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val sendSec = (System.nanoTime() - t0) / 1e9
+
+    query.processAllAvailable() // drain: source buffer -> sink, to zero
+    val drainSec = (System.nanoTime() - t0) / 1e9
+    query.stop()
+
+    val received = spark.read.parquet(outDir).count()
+    println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":${sent.get},"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
+    spark.stop()
+  }
+}

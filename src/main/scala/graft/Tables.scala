@@ -66,20 +66,43 @@ object Q {
   def dsum(c: Column): Column =
     round(sum(c.cast(DecimalType(38, 10))), 4).cast(DoubleType)
 
-  /** Exact decimal-backed AVG (sum/count), rounded to 4. Residual hazard
-    * (documented): the division is double, so a quotient whose shortest
-    * repr is a 4dp half-way value could round differently per engine —
-    * unlike dsum this cannot move to the decimal domain portably because
-    * the engines' decimal-division scale rules differ.
+  /** Exact decimal-backed AVG (sum/count) rounded HALF-AWAY-FROM-ZERO to
+    * 4dp, computed entirely in integer arithmetic so the result is
+    * bit-portable across engines. A double division (the previous form)
+    * risks the engine-divergent double-round path whenever the true
+    * quotient lands on/near a 4dp half-way point; decimal division can't
+    * fix it because the engines' decimal-division scale rules differ.
+    * Instead, with S the exact decimal sum (scale 10) and n the count:
+    *
+    *   round(S/n, 4) = sign(S) * floor(|S|*10^4/n + 1/2) / 10^4
+    *                 = sign(S) * ((2*|S|*10^10 + n*10^6) div (2n*10^6)) / 10^4
+    *
+    * where every operand of the `div` is an exact integer (|S|*10^10 is
+    * integral because S has scale 10). Integer division is identical in
+    * both engines, and the final /10^4 of a small integer is an exact
+    * binary double — no rounding step on an inexact double remains.
     */
-  def davg(c: Column): Column =
-    round(sum(c.cast(DecimalType(38, 10))).cast(DoubleType) / count(c), 4)
+  def davg(c: Column): Column = {
+    // DECIMAL(27,10) keeps |S|*10^10 inside precision 38 in BOTH engines
+    // (DuckDB converts to DOUBLE past 38 — exactness would be lost);
+    // bounds |S| < 10^17, ample for every davg consumer.
+    val s = sum(c.cast(DecimalType(38, 10))).cast(DecimalType(27, 10))
+    val n = count(c).cast(DecimalType(20, 0))
+    val a = abs(s) * lit(10000000000L) // |S|*10^10 — exact integer value
+    val r = call_function("div", a * 2 + n * lit(1000000L), n * lit(2000000L))
+    (when(s < 0, -r).otherwise(r).cast(DoubleType) / 10000.0d)
+  }
 
   /** DuckDB-side equivalents of dsum/davg (string SQL fragments). */
   def sqlDsum(expr: String): String =
     s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,10))), 4) AS DOUBLE)"
-  def sqlDavg(expr: String): String =
-    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DOUBLE) / COUNT($expr), 4)"
+  def sqlDavg(expr: String): String = {
+    val s = s"CAST(SUM(CAST(($expr) AS DECIMAL(38,10))) AS DECIMAL(27,10))"
+    val a = s"CAST(abs($s) * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT)"
+    val n = s"CAST(COUNT($expr) AS HUGEINT)"
+    s"(CASE WHEN $s < 0 THEN -1 ELSE 1 END * " +
+      s"((2 * $a + $n * 1000000) // ($n * 2000000))) / 10000.0"
+  }
 
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string (session TZ pinned UTC). */
   def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -26,9 +26,13 @@ object Main {
     }
 
     val spark = Sessions.local()
-    val source = spark.readStream.format("graft-syslog")
-      .options(Config.sourceOptions(conf))
-      .load()
+    // fromSyslog converts the source's TIMESTAMP column to the epoch-ms
+    // long the wire codecs encode (feeding TimestampType straight in
+    // would silently serialize Catalyst micros — 1000× the reference)
+    val source = Transformers.fromSyslog(
+      spark.readStream.format("graft-syslog")
+        .options(Config.sourceOptions(conf))
+        .load())
 
     val value = conf.pattern match {
       case "avro" =>

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Transformers {
 
+  /** Canonical transformer input from the graft-syslog source's schema
+    * (message string, hostname string, timestamp TIMESTAMP): the wire
+    * codecs take `timestamp` as epoch MILLIS long
+    * (syslog_producer.go:180 stamps ms). Feeding the TimestampType
+    * column straight in would pass the 5-field struct type check but
+    * encode Catalyst's internal MICROS — 1000× the reference's value —
+    * so every live pipeline must go through this projection.
+    */
+  def fromSyslog(df: DataFrame): DataFrame =
+    df.select(col("message"), col("hostname"),
+      unix_millis(col("timestamp")).as("timestamp"))
+
   /** value = raw line bytes (StringSerializer equivalence). */
   def plain(df: DataFrame): Column =
     encode(col("message"), "UTF-8").as("value")

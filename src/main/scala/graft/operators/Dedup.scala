@@ -119,54 +119,103 @@ object Dedup {
       verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the transitive-
+    * closure step a dedup pipeline needs AFTER pair detection, so one
+    * survivor per duplicate cluster can be picked even when A~B and B~C
+    * but A!~C.
+    *
+    * Algorithm: per round, (1) HOOK — every node takes the min label over
+    * itself and its neighbors (one join + min-aggregate), then
+    * (2) SHORTCUT — pointer doubling, `rep(v) <- rep(rep(v))` (one more
+    * join against the label map). Hook alone advances a label one hop per
+    * round (diameter-bounded — a 10^6-hop dup chain would need 10^6
+    * rounds); the shortcut composes the label map with itself, so the
+    * distance a label has travelled roughly doubles each round and the
+    * fixpoint arrives in O(log diameter) rounds (Shiloach–Vishkin '82
+    * hooking + shortcutting; the same doubling idea as the
+    * large-star/small-star MapReduce formulation, Kiveris et al.
+    * SOCC'14). 30 rounds covers diameters beyond 2^29 — unreachable at
+    * any corpus size — and if the loop ever exits unconverged it THROWS
+    * instead of returning a non-fixpoint labeling.
+    *
+    * Labels decrease monotonically and only ever hold node ids of the
+    * same component, so the fixpoint (no change in a full round) is
+    * exactly "every node labeled with its component minimum", independent
+    * of iteration schedule. Every round is fully distributed (joins +
+    * aggregates shuffled on node id); the driver only runs the
+    * convergence loop. Per-round persist/unpersist caps lineage; the
+    * final labels are eagerly `localCheckpoint`ed so both caches can be
+    * released before returning (no cached frame outlives the call).
+    *
+    * @param edgesIn columns (src, dst); treated as undirected, symmetrized
+    *                internally. Isolated nodes (no edges) are not emitted.
+    * @return (doc_id, rep) — rep is the minimum node id of the component.
+    */
+  def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = edgesIn.select(col("src"), col("dst"))
+      .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    // Every iteration ends in an EAGER localCheckpoint: the shortcut is a
+    // self-join, so without lineage truncation the logical plan of round
+    // k contains round k-1's plan TWICE — 2^k nodes, and the driver
+    // chokes on plan bookkeeping long before the data does. Truncating
+    // per round keeps every plan O(1); checkpoint blocks are reclaimed by
+    // the context cleaner as each round's reference is dropped.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      // HOOK: rep(v) <- min(rep(v), min over neighbors' rep)
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nbr"))
+      val hooked = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep"))
+        .persist()
+      // SHORTCUT: rep(v) <- rep(rep(v)) — rep values are node ids, so the
+      // label map applies to them; composing it with itself is the
+      // pointer-doubling step that makes convergence logarithmic.
+      val map2 = hooked.select(col("doc_id").as("mid"), col("rep").as("rep2"))
+      val next = hooked.join(map2, col("rep") === col("mid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep2"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      hooked.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          s"($changed labels still changing) — result would be a " +
+          "non-fixpoint labeling; raise maxIters")
+    labels // lineage-free; no cached frame outlives the call
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
     // the PPJoin positional filter (Xiao et al., WWW'08)
     "q32_neardup_jaccard" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
-    // Q73 — dup-cluster formation: connected components over the near-dup
-    // pair graph by iterative min-label propagation (the large-star
-    // family without the star optimizations — diameter-bounded rounds of
-    // join + min-aggregate, each fully distributed; the driver only runs
-    // the convergence loop). This is the step a dedup pipeline needs
-    // AFTER pair detection: transitive closure picks ONE survivor per
-    // duplicate cluster even when A~B and B~C but A!~C. The min-label
-    // fixpoint is unique, so the result is deterministic regardless of
-    // iteration schedule; per-round persist + unpersist caps lineage.
+    // Q73 — dup-cluster formation: connected components (hook +
+    // pointer-doubling shortcut, O(log diameter) rounds, throws if
+    // unconverged — see [[connectedComponents]]) over the verified
+    // near-dup pair graph.
     "q73_dup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"),
-          col("doc_a").as("doc_b")))
+      val pairs = jaccardPairs(s, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .persist()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("rep", col("doc_id")).persist()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 25) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
-          .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nbr"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep"))
-          .persist()
-        changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-          .filter(col("rep") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        iters += 1
-      }
-      val out = labels
+      connectedComponents(pairs)
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
         .select(col("doc_id"), col("rep").as("cluster_rep"),
           col("cluster_size"))
         .orderBy(col("doc_id"))
-      edges.unpersist()
-      out
     }),
 
     // Q33 — SimHash near-dup, banded self-join, hamming <= 3.

@@ -30,6 +30,45 @@ object Pipeline {
 
   private val GapUs = 1800000000L // 30 min session gap, microseconds
 
+  /** Q70/q70b shared body — per-column row/null/distinct counts and
+    * min/max over `orders`, the observability primitive every pipeline
+    * runs before training. ONE pass computes all 5 columns' stats as a
+    * single wide aggregate row (25 agg expressions — partial+final,
+    * map-side combined), then a stack() unpivot reshapes it to one row
+    * per column; no per-column rescan. Values are rendered through
+    * exactly-portable types (longs, strings, dates; price in cents).
+    * `nd` is the distinct-count aggregate: exact countDistinct for q70,
+    * approx_count_distinct for q70b.
+    */
+  private def profile(s: SparkSession, d: String,
+      nd: Column => Column): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("string").as("c_o_orderkey"),
+        col("o_custkey").cast("string").as("c_o_custkey"),
+        col("o_orderstatus").as("c_o_orderstatus"),
+        // round() before the long cast: Spark's double->long cast
+        // truncates while DuckDB's rounds — rounding first makes the
+        // cents value identical in both engines
+        round(col("o_totalprice") * 100, 0).cast("long").cast("string")
+          .as("c_o_totalprice_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_o_orderdate"))
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        nd(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    val stackArgs = cols.map { c =>
+      s"'${c.stripPrefix("c_")}', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max"
+    }.mkString(", ")
+    o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n, n_nulls, n_distinct, min_s, max_s)")
+      .orderBy(col("col_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q22 — semi-structured access: JSON path, map element, array element.
     // Repartition first: the single-file local scan would otherwise run
@@ -241,33 +280,20 @@ object Pipeline {
     // map-side combined), then a stack() unpivot reshapes it to one row
     // per column; no per-column rescan. Values are rendered through
     // exactly-portable types (longs, strings, dates; price in cents).
-    "q70_profile" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-        .select(col("o_orderkey").cast("string").as("c_o_orderkey"),
-          col("o_custkey").cast("string").as("c_o_custkey"),
-          col("o_orderstatus").as("c_o_orderstatus"),
-          // round() before the long cast: Spark's double->long cast
-          // truncates while DuckDB's rounds — rounding first makes the
-          // cents value identical in both engines
-          round(col("o_totalprice") * 100, 0).cast("long").cast("string")
-            .as("c_o_totalprice_cents"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("c_o_orderdate"))
-      val cols = o.columns.toSeq
-      val aggs = cols.flatMap { c =>
-        Seq(count(lit(1)).as(s"${c}__n"),
-          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__nd"),
-          min(col(c)).as(s"${c}__min"),
-          max(col(c)).as(s"${c}__max"))
-      }
-      val stackArgs = cols.map { c =>
-        s"'${c.stripPrefix("c_")}', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max"
-      }.mkString(", ")
-      o.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(col_name, n, n_nulls, n_distinct, min_s, max_s)")
-        .orderBy(col("col_name"))
-    }),
+    "q70_profile" -> ((s, d) => profile(s, d, countDistinct(_))),
+
+    // Q70b — the SKETCH profile: identical output shape to q70 but every
+    // distinct count is approx_count_distinct (HLL++). q70's five exact
+    // countDistinct aggregates in one pass force Catalyst's Expand — one
+    // duplicated input stream per distinct aggregate, ~6× rows into the
+    // shuffle — which is the scale-killer at 100 TB. HLL sketches are
+    // plain partial+final aggregates (mergeable, fixed size, NO Expand;
+    // PlanSpec asserts it), so this is the default profile a pipeline
+    // should run, with q70 as the exact opt-in. Rows-checked + 2%
+    // tolerance-tested against the exact counts (mirrors q12/q12b,
+    // q44/q44b).
+    "q70b_profile_sketch" -> ((s, d) =>
+      profile(s, d, approx_count_distinct(_))),
 
     // Q65 — time-series resample + gap-fill: hourly buckets per user over
     // each user's own [min, max] hour span, absent hours materialized from
@@ -413,7 +439,7 @@ object Pipeline {
          |              COUNT(*) AS n_batch_dups
          |            FROM dk WHERE doc_id % 5 = 0 GROUP BY k)
          |SELECT doc_id, n_batch_dups FROM batch
-         |WHERE k NOT IN (SELECT k FROM corpus)
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.k = batch.k)
          |ORDER BY doc_id""".stripMargin,
 
     "q69_funnel" ->

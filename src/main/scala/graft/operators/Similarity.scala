@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * [[Pipeline]]; these are the *scale-path* variants:
   *
   *  - q35: embedding near-dup pairs within a blocking key (`label` — in a
-  *    real corpus: shard / source / cluster id). The block join keeps the
-  *    pair count at sum(block²) instead of n², shuffles on the key, and is
-  *    embarrassingly parallel across blocks. Exact within blocks.
+  *    real corpus: shard / source / cluster id), LSH-banded inside the
+  *    block: candidates must share (label, band, key), so pair generation
+  *    is an equi-join that stays linear in candidates even when blocks
+  *    grow with the corpus. q35b is the exact Σblock² opt-in for bounded
+  *    blocks.
   *  - q36: IVF-style ANN: vectors are assigned to 1 of 256 cells by the
   *    sign pattern of their first 8 dims (axis-aligned hyperplane
   *    quantizer). The query probes its own cell plus the 8 cells at
@@ -40,9 +42,69 @@ object Similarity {
   }
   val probeCells: Seq[Int] = queryCell +: (0 until 8).map(i => queryCell ^ (1 << i))
 
+  /** The 4×8 sign-bit band keys shared by q35 and q64: band b hashes dims
+    * 8b+1..8b+8 to the 8-bit sign pattern. Two vectors are LSH candidates
+    * iff they agree on at least one whole band — the standard sign-LSH
+    * collision curve (Charikar'02): P[bit agrees] = 1 − θ/π, so a band of
+    * 8 bits collides with probability (1 − θ/π)^8 and high-cosine pairs
+    * are found with high probability while distant pairs almost never
+    * collide.
+    */
+  private def bandKeysOf(e: DataFrame, extraCols: Seq[String]): DataFrame =
+    (0 until 4).map { b =>
+      val key = (0 until 8).map(i =>
+        when(element_at(col("emb"), 8 * b + i + 1) > 0.0d, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      e.select((extraCols.map(col) :+ lit(b).as("band") :+
+        key.cast("long").as("key") :+ col("vec_id")): _*)
+    }.reduce(_ unionByName _)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Q35 — blocked exact near-dup: same-label pairs with cosine >= 0.3
+    // Q35 — near-dup within label blocks, LSH-banded candidate
+    // generation: a candidate pair must share BOTH the blocking key
+    // (label — in a real corpus: shard / source / cluster id) AND at
+    // least one of the 4 sign-bit band keys; only candidates pay the
+    // exact-cosine verify. Pair generation is therefore an equi-join on
+    // (label, band, key) — shuffle-partitioned, never Σblock² — so block
+    // sizes can grow with the corpus without the join going quadratic
+    // (the round-3 form compared all same-label pairs; with ~10 labels
+    // that is n²/10 at scale). The price is LSH recall at the candidate
+    // stage (deterministic, replayed bit-for-bit by the oracle).
+    //
+    // Recall honesty (Charikar curve, P[band hit] = (1 − θ/π)^8 × 4
+    // bands): ~89% of cosine-0.9 pairs collide on some band, but only
+    // ~10% of pairs AT the 0.3 threshold do (measured 8/82 = 9.8% vs
+    // the exact q35b on testdata — asserted in OperatorSpec). That is
+    // inherent to sign-bit LSH at low thresholds, not a tuning miss:
+    // banding is the right tool for true near-dups (τ ≥ 0.8); for
+    // low-threshold similarity use IVF cell probing (q36) or the exact
+    // blocked q35b when the blocking key bounds block size.
     "q35_neardup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val bands = bandKeysOf(e, Seq("label"))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"), Seq("label", "band", "key"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("label"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= CosT)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Q35b — the EXACT blocked variant: all same-label pairs, no LSH
+    // filter. Σblock² pair generation — correct and fast when the
+    // blocking key keeps blocks bounded (per-source shards, per-day
+    // partitions), quadratic when it doesn't; q35 is the scale path.
+    "q35b_neardup_block_exact" -> ((s, d) => {
       // Repartition by the blocking key: co-locates each label's vectors
       // (the join needs it anyway) and parallelizes the per-pair cosine
       // folds, which a single-file scan would otherwise run on one core.
@@ -93,12 +155,7 @@ object Similarity {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-      val bands = (0 until 4).map { b =>
-        val key = (0 until 8).map(i =>
-          when(element_at(col("emb"), 8 * b + i + 1) > 0.0d, lit(1 << i))
-            .otherwise(lit(0))).reduce(_ + _)
-        e.select(lit(b).as("band"), key.cast("long").as("key"), col("vec_id"))
-      }.reduce(_ unionByName _)
+      val bands = bandKeysOf(e, Seq.empty)
       val cand = bands.alias("a")
         .join(bands.alias("b"), Seq("band", "key"))
         .filter(col("a.vec_id") < col("b.vec_id"))
@@ -142,8 +199,31 @@ object Similarity {
       .mkString(" + ")
     val qvList = Pipeline.queryVec.mkString("[", ", ", "]")
 
+    val bandKeySql = (0 until 8)
+      .map(i => s"CASE WHEN embedding[8*b + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+
     Map(
       "q35_neardup_embedding" ->
+        s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+           |  bands AS (SELECT label, b, vec_id, CAST($bandKeySql AS BIGINT) AS key
+           |            FROM e, (SELECT unnest([0, 1, 2, 3]) AS b)),
+           |  cand AS (SELECT DISTINCT a.label, a.vec_id AS vec_a, c.vec_id AS vec_b
+           |           FROM bands a JOIN bands c
+           |             ON a.label = c.label AND a.b = c.b AND a.key = c.key
+           |            AND a.vec_id < c.vec_id),
+           |  ver AS (SELECT vec_a, vec_b, cand.label,
+           |    ROUND(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(y.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |    FROM cand JOIN e x ON x.vec_id = vec_a
+           |              JOIN e y ON y.vec_id = vec_b)
+           |SELECT vec_a, vec_b, label, cos FROM ver
+           |WHERE cos >= $CosT ORDER BY vec_a, vec_b""".stripMargin,
+
+      "q35b_neardup_block_exact" ->
         s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
            |  p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            |    ROUND(
@@ -170,11 +250,8 @@ object Similarity {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
       "q64_neardup_lsh" -> {
-        val bandKey = (0 until 8)
-          .map(i => s"CASE WHEN embedding[8*b + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
-          .mkString(" + ")
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |  bands AS (SELECT b, vec_id, CAST($bandKey AS BIGINT) AS key
+           |  bands AS (SELECT b, vec_id, CAST($bandKeySql AS BIGINT) AS key
            |            FROM e, (SELECT unnest([0, 1, 2, 3]) AS b)),
            |  cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
            |           FROM bands a JOIN bands c

@@ -83,10 +83,15 @@ class SyslogTable(options: CaseInsensitiveStringMap)
 /** One enqueued record: (line, receive-time epoch millis). */
 private[sources] final case class SyslogRecord(line: String, tsMillis: Long)
 
-/** Test hook: bound ports of the most recently started stream. */
+/** Test hook: bound ports of the most recently started stream, plus the
+  * UDP-drop counter (datagrams discarded because the buffer was full —
+  * the metric a production deployment alerts on; TCP senders are blocked
+  * instead and never lose lines).
+  */
 object SyslogState {
   @volatile var lastTcpPort: Int = -1
   @volatile var lastUdpPort: Int = -1
+  val udpDropped = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -159,8 +164,10 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
           val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
             StandardCharsets.UTF_8)
           // per-datagram framing; split multi-line datagrams on '\n'
-          text.split("\n", -1).filter(_.nonEmpty)
-            .foreach(enqueue(_, blockWhenFull = false))
+          text.split("\n", -1).filter(_.nonEmpty).foreach { l =>
+            if (!enqueue(l, blockWhenFull = false))
+              SyslogState.udpDropped.incrementAndGet()
+          }
         } catch { case _: Exception => }
       }
     }, "graft-syslog-udp")

@@ -204,6 +204,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 banded blocked near-dup matches the brute-force replay exactly") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def bandKeys(v: Seq[Double]): Seq[Int] = (0 until 4).map { b =>
+      (0 until 8).map(i => if (v(8 * b + i) > 0) 1 << i else 0).sum
+    }
+    def cosR(a: Seq[Double], b: Seq[Double]): Double = {
+      val c = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // full Scala replay of the algorithm: same label, >=1 shared band
+    // key, rounded cosine >= 0.3
+    val expected = (for {
+      (a, la, va) <- vecs; (b, lb, vb) <- vecs
+      if a < b && la == lb
+      if bandKeys(va).zip(bandKeys(vb)).exists(p => p._1 == p._2)
+      if cosR(va, vb) >= 0.3
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("q35_neardup_embedding")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "testdata should produce at least one banded pair")
+  }
+
+  test("q35 is a sound subset of the exact q35b; recall is reported") {
+    import spark.implicits._
+    val banded = SparkEntry.queries("q35_neardup_embedding")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("q35b_neardup_block_exact")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // precision 1.0 by construction: verify stage recomputes exact cosine
+    assert(banded.subsetOf(exact), "banded output must never invent a pair")
+    info(f"q35 LSH recall vs exact blocked: ${banded.size}/${exact.size}" +
+      f" = ${banded.size.toDouble / exact.size}%.3f at cosine >= 0.3")
+  }
+
   test("q65 gap-fill: spine is dense per user and fill carries forward") {
     import spark.implicits._
     val rows = SparkEntry.queries("q65_gapfill")(spark, sf)
@@ -291,6 +331,66 @@ class OperatorSpec extends AnyFunSuite {
     // the representative is the minimum member of its cluster
     for ((rep, members) <- reps.groupBy(_._2))
       assert(members.keys.min === rep, s"cluster $rep rep is not the min id")
+  }
+
+  test("connectedComponents labels a 100-hop dup chain in log rounds") {
+    // Adversarial shape for one-hop label propagation: a pure path graph
+    // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
+    // would have exited silently with wrong labels. Pointer doubling must
+    // reach the fixpoint (everything labeled 0) well inside the cap.
+    import spark.implicits._
+    val edges = (0L until 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect()
+    assert(labels.length === 101)
+    assert(labels.forall(_._2 === 0L),
+      "every node of the chain must be labeled with the component min")
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      operators.Dedup.connectedComponents(edges, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents matches union-find on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random multi-component graph
+    val rnd = new scala.util.Random(42)
+    val n = 400
+    val es = (0 until 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // Scala-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((a, b) <- es) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val touched = es.flatMap { case (a, b) => Seq(a, b) }.toSet
+    val expected = touched.map { v =>
+      // component min == root under min-union
+      v -> find(v.toInt).toLong
+    }.toMap
+    val got = operators.Dedup.connectedComponents(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === touched)
+    for ((v, r) <- expected) assert(got(v) === r, s"node $v")
+  }
+
+  test("davg rounds the exact mean half-away-from-zero via integer div") {
+    import spark.implicits._
+    def m(vals: Double*): Double =
+      vals.toDF("x").agg(Q.davg(col("x")).as("m")).head.getDouble(0)
+    // 0.00005 is an exact 4dp half-way point no double can represent —
+    // the integer formulation must round it up deterministically
+    assert(m(0.0001, 0.0) === 0.0001)
+    assert(m(-0.0001, 0.0) === -0.0001) // HALF_UP = away from zero
+    assert(m(1.0, 2.0, 4.0) === 2.3333) // 7/3 truncates at the 4th dp
+    assert(m(25.5, 25.0) === 25.25)     // exactly representable, no round
   }
 
   test("q25/q36 share the same deterministic query vector") {

@@ -132,6 +132,69 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q70b sketch profile has no Expand; exact q70 is the one that pays it") {
+    val exact = SparkEntry.queries("q70_profile")(spark, sf)
+    exact.collect()
+    val sketch = SparkEntry.queries("q70b_profile_sketch")(spark, sf)
+    sketch.collect()
+    val pExact = exact.queryExecution.executedPlan.toString
+    val pSketch = sketch.queryExecution.executedPlan.toString
+    // 5 exact countDistinct in one pass force Expand (~6x shuffle rows)
+    assert(pExact.contains("Expand"), pExact.take(600))
+    // HLL++ partial+final aggregates need no input duplication
+    assert(!pSketch.contains("Expand"), pSketch.take(600))
+  }
+
+  test("q70b HLL distinct counts land within 5% of q70's exact counts") {
+    val exact = SparkEntry.queries("q70_profile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = SparkEntry.queries("q70b_profile_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.05,
+        s"$k: approx=$a exact=$e")
+    }
+  }
+
+  test("q54 pivot with explicit values runs no distinct-discovery job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction only, no action: a values-less pivot would block
+      // here on a full distinct-collect job over the input
+      SparkEntry.queries("q54_pivot")(spark, sf)
+      Thread.sleep(1000) // listener bus is async; a discovery job would
+                         // have been submitted synchronously above
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      "building q54 must not trigger a pivot-value discovery job")
+  }
+
+  test("q65 gap-fill runs exactly one window pass") {
+    val df = SparkEntry.queries("q65_gapfill")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(p).length === 1,
+      s"expected a single Window node:\n${p.take(800)}")
+  }
+
+  test("q69 funnel stages reuse the user_id exchange") {
+    val df = SparkEntry.queries("q69_funnel")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the three stage aggregates and the final joins all hash-partition
+    // by user_id; at least one exchange must be reused, not recomputed
+    assert(p.contains("ReusedExchange") || p.contains("reuses"),
+      s"no exchange reuse in the funnel plan:\n${p.take(1200)}")
+  }
+
   test("q59 correlated subquery is decorrelated into an aggregate join") {
     val df = SparkEntry.queries("q59_corr_subquery")(spark, sf)
     df.collect()
@@ -142,8 +205,9 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
 
-  test("q61/q64 candidate joins are equi-joins, never all-pairs") {
-    for (q <- Seq("q61_contamination", "q64_neardup_lsh")) {
+  test("q61/q64/q35 candidate joins are equi-joins, never all-pairs") {
+    for (q <- Seq("q61_contamination", "q64_neardup_lsh",
+        "q35_neardup_embedding")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

@@ -62,4 +62,131 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
       }
     } finally query.stop()
   }
+
+  // ---- direct MicroBatchStream drives: deterministic concurrency and
+  // backpressure semantics, no streaming-query timing in the way --------
+
+  private def newStream(maxBuffered: Int): sources.SyslogMicroBatchStream = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("tcp.port", "-1"); opts.put("udp.port", "-1")
+    opts.put("tcp.host", "127.0.0.1"); opts.put("udp.host", "127.0.0.1")
+    opts.put("maxBufferedRows", maxBuffered.toString)
+    new sources.SyslogMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+  }
+
+  private def latest(s: sources.SyslogMicroBatchStream): Long =
+    s.latestOffset().json().toLong
+
+  private def readRange(s: sources.SyslogMicroBatchStream,
+      from: Long, to: Long): Seq[String] = {
+    val parts = s.planInputPartitions(
+      s.deserializeOffset(from.toString), s.deserializeOffset(to.toString))
+    val factory = s.createReaderFactory()
+    parts.toSeq.flatMap { p =>
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (r.next()) out += r.get().getUTF8String(0).toString
+      out.toSeq
+    }
+  }
+
+  test("a long-lived TCP connection never blocks other senders") {
+    // the reference scans one connection inside its accept loop
+    // (syslog_producer.go:138-143), so sender A parks sender B until A
+    // disconnects; our thread-per-connection source must interleave them
+    val s = newStream(100000)
+    try {
+      val a = new Socket("127.0.0.1", sources.SyslogState.lastTcpPort)
+      val aw = new PrintWriter(a.getOutputStream, true)
+      aw.print("from-a-1\n"); aw.flush()
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 1))
+      // A stays connected and idle; B must still get through
+      val b = new Socket("127.0.0.1", sources.SyslogState.lastTcpPort)
+      val bw = new PrintWriter(b.getOutputStream, true)
+      bw.print("from-b-1\n"); bw.flush()
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 2))
+      // ... and A's later lines interleave fine
+      aw.print("from-a-2\n"); aw.flush()
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 3))
+      assert(readRange(s, 0, 3).toSet ===
+        Set("from-a-1", "from-b-1", "from-a-2"))
+      a.close(); b.close()
+    } finally s.stop()
+  }
+
+  test("UDP datagrams are framed per-datagram, never merged") {
+    val s = newStream(100000)
+    try {
+      val udp = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(text: String): Unit = {
+        val bytes = text.getBytes("UTF-8")
+        udp.send(new DatagramPacket(bytes, bytes.length, addr,
+          sources.SyslogState.lastUdpPort))
+      }
+      send("multi-1\nmulti-2\n") // multi-line datagram: two records
+      send("plain-no-newline")   // unterminated datagram: one record
+      send("terminated\n")       // trailing newline: one record, no empty
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 4))
+      assert(readRange(s, 0, 4).toSet ===
+        Set("multi-1", "multi-2", "plain-no-newline", "terminated"))
+      udp.close()
+    } finally s.stop()
+  }
+
+  test("full buffer blocks TCP senders (zero loss) and drains on commit") {
+    val s = newStream(3)
+    try {
+      val sock = new Socket("127.0.0.1", sources.SyslogState.lastTcpPort)
+      val out = new PrintWriter(sock.getOutputStream, true)
+      (1 to 10).foreach(i => out.print(s"line-$i\n"))
+      out.flush()
+      // connection reader parks at maxBufferedRows — offset plateaus at 3
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 3))
+      Thread.sleep(500)
+      assert(latest(s) === 3, "buffer must not grow past maxBufferedRows")
+      // draining via commits releases the reader; nothing is lost
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      var committed = 0L
+      eventually(timeout(Span(20, Seconds))) {
+        val l = latest(s)
+        if (l > committed) {
+          seen ++= readRange(s, committed, l)
+          s.commit(s.deserializeOffset(l.toString))
+          committed = l
+        }
+        assert(seen.size === 10)
+      }
+      assert(seen.toSet === (1 to 10).map(i => s"line-$i").toSet)
+      sock.close()
+    } finally s.stop()
+  }
+
+  test("full buffer drops UDP datagrams, counts them, and drains") {
+    val s = newStream(2)
+    try {
+      val drop0 = sources.SyslogState.udpDropped.get()
+      val udp = new DatagramSocket()
+      val addr = InetAddress.getByName("127.0.0.1")
+      def send(text: String): Unit = {
+        val bytes = text.getBytes("UTF-8")
+        udp.send(new DatagramPacket(bytes, bytes.length, addr,
+          sources.SyslogState.lastUdpPort))
+      }
+      (1 to 20).foreach(i => send(s"d-$i\n"))
+      eventually(timeout(Span(10, Seconds))) {
+        assert(latest(s) === 2) // buffer capped
+        val dropped = sources.SyslogState.udpDropped.get() - drop0
+        assert(dropped >= 15 && dropped + latest(s) <= 20,
+          s"drop accounting off: dropped=$dropped")
+      }
+      // commit frees the buffer: new datagrams are accepted again
+      s.commit(s.deserializeOffset("2"))
+      send("after-drain\n")
+      eventually(timeout(Span(10, Seconds)))(assert(latest(s) === 3))
+      assert(readRange(s, 2, 3) === Seq("after-drain"))
+      udp.close()
+    } finally s.stop()
+  }
 }
