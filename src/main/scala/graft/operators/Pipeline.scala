@@ -247,6 +247,32 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Q78 — sequence packing: concatenate each source's docs (doc_id
+    // order) into fixed-capacity context windows of C=2048 tokens — the
+    // batch-assembly step of LLM training-data prep. pack_id is the
+    // window containing the doc's FIRST token: (cumsum − tokens) div C,
+    // one running-sum window pass per source (single shuffle on source),
+    // then per-pack stats via a hash aggregate. Straddling docs belong
+    // to their starting pack (deterministic greedy-with-straddle; a
+    // non-straddling first-fit would be order-sequential and not
+    // distributable). Integer arithmetic only — div in Spark, // in
+    // DuckDB — so the oracle is exact at any scale.
+    "q78_sequence_pack" -> ((s, d) => {
+      val cap = lit(2048L)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("pack_id",
+          call_function("div", col("cum") - col("tokens"), cap))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("pack_id"))
+    }),
+
     // Q69 — funnel analysis: first view → first click after it → first
     // purchase after that, per user. Three filtered min-aggregations
     // chained by equi-joins on user_id — every step shuffles on the same
@@ -293,7 +319,10 @@ object Pipeline {
     // tolerance-tested against the exact counts (mirrors q12/q12b,
     // q44/q44b).
     "q70b_profile_sketch" -> ((s, d) =>
-      profile(s, d, approx_count_distinct(_))),
+      // rsd 2%: the default 5% HLL landed 10% off on sf0.001's
+      // o_orderdate; 2% keeps every column within the 5% tolerance
+      // PlanSpec asserts while the sketch stays KB-sized and mergeable
+      profile(s, d, approx_count_distinct(_, 0.02))),
 
     // Q65 — time-series resample + gap-fill: hourly buckets per user over
     // each user's own [min, max] hour span, absent hours materialized from
@@ -441,6 +470,19 @@ object Pipeline {
          |SELECT doc_id, n_batch_dups FROM batch
          |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.k = batch.k)
          |ORDER BY doc_id""".stripMargin,
+
+    "q78_sequence_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |           FROM documents),
+        |  c AS (SELECT source, doc_id, tokens,
+        |          SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM t)
+        |SELECT source, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     "q69_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

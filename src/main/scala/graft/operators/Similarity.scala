@@ -42,6 +42,18 @@ object Similarity {
   }
   val probeCells: Seq[Int] = queryCell +: (0 until 8).map(i => queryCell ^ (1 << i))
 
+  /** Deterministic product-quantization codebook for q76: 8 subspaces ×
+    * 4 centroids × 8 dims, cb(s)(c)(d) = sin(32s + 8c + d + 1). Like
+    * [[Pipeline.queryVec]], the doubles are interpolated as exact
+    * shortest-repr decimal literals into BOTH engines, so the binary
+    * values are identical. (A production codebook comes from k-means —
+    * q63 is that M-step; the assignment/compression operator is the
+    * same regardless of how the codebook was trained.)
+    */
+  val pqCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until 8).map(sub => (0 until 4).map(c => (0 until 8).map(dd =>
+      math.sin((32 * sub + 8 * c + dd + 1).toDouble))))
+
   /** The 4×8 sign-bit band keys shared by q35 and q64: band b hashes dims
     * 8b+1..8b+8 to the 8-bit sign pattern. Two vectors are LSH candidates
     * iff they agree on at least one whole band — the standard sign-LSH
@@ -170,6 +182,38 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Q76 — product quantization (PQ) compression: 64 float dims → 8
+    // byte-sized codes, the storage/ANN trick every vector index at 100
+    // TB relies on (Jégou et al., TPAMI'11). Each of 8 subspaces (8 dims
+    // each) is assigned to its nearest of 4 codebook centroids by
+    // squared L2; ties break to the lowest code, so the argmin is
+    // deterministic and the DuckDB oracle replays it bit-for-bit (exact
+    // shortest-repr literals, identical left-assoc summation). Pure
+    // narrow map work — no shuffle except the verification ORDER BY; at
+    // scale this is the encode kernel of an IVF-PQ index build (q36 is
+    // the coarse quantizer, q63 trains the codebook).
+    "q76_pq_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      val codes = (0 until 8).map { sub =>
+        val dists = (0 until 4).map { c =>
+          (0 until 8).map { dd =>
+            val x = element_at(col("emb"), 8 * sub + dd + 1)
+            val l = lit(pqCodebook(sub)(c)(dd))
+            (x - l) * (x - l)
+          }.reduce(_ + _)
+        }
+        when(dists(0) <= dists(1) && dists(0) <= dists(2) &&
+            dists(0) <= dists(3), 0L)
+          .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
+          .when(dists(2) <= dists(3), 2L)
+          .otherwise(3L).as(s"c$sub")
+      }
+      e.select(col("vec_id") +: codes: _*).orderBy(col("vec_id"))
+    }),
+
     // Q63 — per-cluster centroids: elementwise mean vector per label (one
     // k-means M-step / the IVF codebook refresh). posexplode turns the
     // vector column into (label, dim, value) rows so the centroid is a
@@ -267,6 +311,26 @@ object Similarity {
            |              JOIN e y ON y.vec_id = vec_b)
            |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= 0.4
            |ORDER BY vec_a, vec_b""".stripMargin
+      },
+
+      "q76_pq_quantize" -> {
+        def dist(sub: Int, c: Int): String =
+          (0 until 8).map { dd =>
+            val l = pqCodebook(sub)(c)(dd)
+            s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
+              s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l)"
+          }.mkString(" + ") // left-assoc, same order as the Spark fold
+        val codes = (0 until 8).map { sub =>
+          val d = (0 until 4).map(dist(sub, _))
+          s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)}
+             |       AND ${d(0)} <= ${d(3)} THEN 0::BIGINT
+             |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1::BIGINT
+             |     WHEN ${d(2)} <= ${d(3)} THEN 2::BIGINT ELSE 3::BIGINT
+             |END AS c$sub""".stripMargin
+        }.mkString(",\n  ")
+        s"""SELECT vec_id,
+           |  $codes
+           |FROM embeddings ORDER BY vec_id""".stripMargin
       },
 
       "q63_centroids" ->

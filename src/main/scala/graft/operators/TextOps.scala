@@ -113,6 +113,34 @@ object TextOps {
     // md5 of the normalized form doubles as the dedup key a cleaning
     // pipeline would write. Regex classes restricted to ASCII so Java
     // regex and RE2 agree.
+    // Q77 — per-language character-trigram profile (top-10 by count):
+    // the fingerprint a statistical language-ID model is trained from
+    // (Cavnar & Trenkle '94 n-gram text categorization) and the corpus
+    // QA readout for mixed-language shards. explode(transform(sequence))
+    // emits |text| rows per doc into a hash aggregate — map-side combine
+    // collapses to distinct (lang, trigram) before the shuffle — and the
+    // top-10 rank filter is exactly the LocalTopK shape, so mappers
+    // pre-prune below the window exchange. Integers and strings only:
+    // no float rounding anywhere.
+    "q77_trigram_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tg = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("lang"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, char_length(t) - 2), i -> substr(t, i, 3))"))
+          .as("tg"))
+      tg.groupBy(col("lang"), col("tg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("tg"))))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("tg"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     "q72_normalize" -> ((s, d) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -259,6 +287,21 @@ object TextOps {
            |    AS min_shingle_hash
            |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+
+      "q77_trigram_profile" ->
+        """WITH tg AS (
+          |    SELECT lang,
+          |      unnest([t[i:i+2] FOR i IN generate_series(1, len(t) - 2)])
+          |        AS tg
+          |    FROM (SELECT lang, lower(text) AS t FROM documents)
+          |    WHERE len(t) >= 3),
+          |  c AS (SELECT lang, tg, COUNT(*) AS cnt FROM tg GROUP BY 1, 2),
+          |  r AS (SELECT lang, tg, cnt,
+          |          ROW_NUMBER() OVER (PARTITION BY lang
+          |            ORDER BY cnt DESC, tg) AS rk
+          |        FROM c)
+          |SELECT lang, rk, tg, cnt FROM r WHERE rk <= 10
+          |ORDER BY lang, rk""".stripMargin,
 
       "q72_normalize" ->
         """SELECT doc_id, length(text) AS len_raw,

@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -95,7 +95,7 @@ object SyslogState {
 }
 
 class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val hostname: String = // server's own hostname, captured once
     try java.net.InetAddress.getLocalHost.getHostName
@@ -193,6 +193,24 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   override def latestOffset(): Offset =
     lock.synchronized(SyslogOffset(base + buffer.size))
 
+  // Admission control: cap rows per micro-batch (maxRowsPerBatch,
+  // default 1M) so an ingest burst becomes a sequence of bounded
+  // batches instead of one giant one — bounded task memory, steady
+  // commit cadence, and the backpressure window (buffer trim on commit)
+  // opens sooner for blocked TCP senders.
+  private val maxPerBatch = options.getLong("maxRowsPerBatch", 1000000L)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    lock.synchronized {
+      val avail = base + buffer.size
+      val s = start.asInstanceOf[SyslogOffset].v
+      val cap = limit match {
+        case mr: ReadMaxRows => s + mr.maxRows()
+        case _ => avail
+      }
+      SyslogOffset(math.min(avail, cap))
+    }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SyslogOffset].v
     val e = end.asInstanceOf[SyslogOffset].v
@@ -202,7 +220,12 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
       buffer.slice(from, to).toArray
     }
     if (rows.isEmpty) Array.empty
-    else Array(SyslogPartition(rows, hostname))
+    else {
+      // Chunk the slice: one partition per micro-batch serializes the
+      // whole transform/encode/write pipeline onto a single core; 64k
+      // chunks let a large batch use every core of the stage.
+      rows.grouped(65536).map(SyslogPartition(_, hostname)).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -393,6 +393,56 @@ class OperatorSpec extends AnyFunSuite {
     assert(m(25.5, 25.0) === 25.25)     // exactly representable, no round
   }
 
+  test("q76 PQ codes match a Scala argmin replay") {
+    import spark.implicits._
+    val cb = operators.Similarity.pqCodebook
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val got = SparkEntry.queries("q76_pq_quantize")(spark, sf).collect()
+    assert(got.length === vecs.size)
+    got.foreach { r =>
+      val v = vecs(r.getLong(0))
+      for (sub <- 0 until 8) {
+        val dists = (0 until 4).map { c =>
+          (0 until 8).map { dd =>
+            val x = v(8 * sub + dd) - cb(sub)(c)(dd); x * x
+          }.reduce(_ + _) // same left-assoc order as both engines
+        }
+        val expected = dists.zipWithIndex.minBy { case (dist, i) => (dist, i) }._2
+        assert(r.getLong(1 + sub) === expected.toLong,
+          s"vec ${r.getLong(0)} subspace $sub")
+      }
+    }
+  }
+
+  test("q78 packs partition all tokens with contiguous per-source ids") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q78_sequence_pack")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(rows.map(_._4).sum === totalTokens,
+      "every token lands in exactly one pack")
+    rows.groupBy(_._1).values.foreach { packs =>
+      val ids = packs.map(_._2).sorted
+      // pack ids are the starting-offset windows actually hit: 0-based,
+      // non-decreasing coverage with no doc lost between packs
+      assert(ids.head === 0L, "first pack starts at offset 0")
+      assert(packs.forall(_._3 >= 1), "no empty packs are emitted")
+      // pack_id is non-decreasing in doc_id (it is the PREVIOUS doc's
+      // cumsum div C), so consecutive packs hold disjoint, ordered doc
+      // ranges: last_doc of pack k < first_doc of pack k+1
+      val byId = packs.sortBy(_._2)
+      byId.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 > a._6,
+          s"pack doc ranges overlap: $a then $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift

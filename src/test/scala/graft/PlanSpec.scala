@@ -101,6 +101,8 @@ class PlanSpec extends AnyFunSuite {
     // ... and q74's stratified per-source cap (rank over a computed hash
     // order) — mappers pre-prune to local top-K below the exchange
     assert(plan("q74_stratified_cap").contains("LocalTopKPerKey"))
+    // ... and q77's per-language top-10 trigram rank
+    assert(plan("q77_trigram_profile").contains("LocalTopKPerKey"))
   }
 
   test("q48 salted join shuffles on (key, salt), not the bare hot key") {
@@ -160,27 +162,34 @@ class PlanSpec extends AnyFunSuite {
 
   test("q54 pivot with explicit values runs no distinct-discovery job") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+    def jobsDuring(f: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(1000) } // listener bus is async; a discovery
+                                    // job is submitted synchronously in f
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      // construction only, no action: a values-less pivot would block
-      // here on a full distinct-collect job over the input
-      SparkEntry.queries("q54_pivot")(spark, sf)
-      Thread.sleep(1000) // listener bus is async; a discovery job would
-                         // have been submitted synchronously above
-    } finally spark.sparkContext.removeSparkListener(listener)
-    assert(jobs.get() === 0,
-      "building q54 must not trigger a pivot-value discovery job")
+    // differential: spark.read.parquet itself runs a schema-inference job
+    // per construction, so compare against the bare scan — a values-less
+    // pivot would ADD a blocking distinct-collect job over the input
+    val base = jobsDuring(Tables.events(spark, sf))
+    val q54 = jobsDuring(SparkEntry.queries("q54_pivot")(spark, sf))
+    assert(q54 === base,
+      "building q54 must not add a pivot-value discovery job over the scan")
   }
 
   test("q65 gap-fill runs exactly one window pass") {
     val df = SparkEntry.queries("q65_gapfill")(spark, sf)
     df.collect()
+    // AQE's toString appends the pre-execution "Initial Plan" — count
+    // only the final plan section or every node doubles
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert("\\bWindow\\b".r.findAllIn(p).length === 1,
       s"expected a single Window node:\n${p.take(800)}")
   }
