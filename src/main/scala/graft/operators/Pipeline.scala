@@ -250,21 +250,40 @@ object Pipeline {
     // Q78 — sequence packing: concatenate each source's docs (doc_id
     // order) into fixed-capacity context windows of C=2048 tokens — the
     // batch-assembly step of LLM training-data prep. pack_id is the
-    // window containing the doc's FIRST token: (cumsum − tokens) div C,
-    // one running-sum window pass per source (single shuffle on source),
-    // then per-pack stats via a hash aggregate. Straddling docs belong
-    // to their starting pack (deterministic greedy-with-straddle; a
-    // non-straddling first-fit would be order-sequential and not
-    // distributable). Integer arithmetic only — div in Spark, // in
-    // DuckDB — so the oracle is exact at any scale.
+    // window containing the doc's FIRST token: (cumsum − tokens) div C.
+    // Straddling docs belong to their starting pack (deterministic
+    // greedy-with-straddle; a non-straddling first-fit would be
+    // order-sequential and not distributable).
+    //
+    // The cumsum is a DISTRIBUTED PREFIX SUM, not a naive
+    // `Window.partitionBy(source)`: with a handful of sources that
+    // window runs one task per source — parallelism ~5 no matter the
+    // cluster. Instead: (1) bucket each source's docs into 4096-doc
+    // chunks (bucket = doc_id div 4096 — deterministic, order-
+    // preserving), local cumsum per (source, bucket); (2) aggregate
+    // per-bucket totals — rows = sources × buckets, tiny — and prefix-
+    // sum THOSE with a window (cheap at any scale); (3) equi-join the
+    // bucket offsets back. Work per task is bounded by the chunk size;
+    // integer arithmetic only (div / //), so the oracle stays exact.
     "q78_sequence_pack" -> ((s, d) => {
       val cap = lit(2048L)
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
-        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("bucket", call_function("div", col("doc_id"), lit(4096L)))
+      val wLocal = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = docs.withColumn("lcum", sum(col("tokens")).over(wLocal))
+      val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("bucket"))
+        .agg(sum(col("tokens")).as("btotal"))
+        .withColumn("offset",
+          coalesce(sum(col("btotal")).over(wBuckets), lit(0L)))
+        .select(col("source"), col("bucket"), col("offset"))
+      local.join(offsets, Seq("source", "bucket"))
+        .withColumn("cum", col("lcum") + col("offset"))
         .withColumn("pack_id",
           call_function("div", col("cum") - col("tokens"), cap))
         .groupBy(col("source"), col("pack_id"))
