@@ -51,15 +51,24 @@ object IngestBench {
       .trigger(Trigger.ProcessingTime(500))
       .start()
 
-    while (sources.SyslogState.lastTcpPort <= 0) Thread.sleep(50)
+    val portDeadline = System.nanoTime() + 30000000000L // 30 s
+    while (sources.SyslogState.lastTcpPort <= 0) {
+      if (query.exception.isDefined)
+        throw query.exception.get // surface a failed start, don't spin
+      if (System.nanoTime() > portDeadline)
+        throw new IllegalStateException("syslog source never bound a port")
+      Thread.sleep(50)
+    }
     val port = sources.SyslogState.lastTcpPort
 
     val sent = new AtomicLong(0)
+    val senderError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val t0 = System.nanoTime()
     val deadline = t0 + seconds.toLong * 1000000000L
     val perSender = rate / senders
     val threads = (1 to senders).map { id =>
-      new Thread(() => {
+      new Thread(() => try {
         val sock = new Socket("127.0.0.1", port)
         val w = new BufferedWriter(
           new OutputStreamWriter(sock.getOutputStream, "UTF-8"), 1 << 16)
@@ -77,10 +86,13 @@ object IngestBench {
         }
         w.flush(); sock.close()
         sent.addAndGet(i)
+      } catch { // surface, never under-report silently
+        case e: Throwable => senderError.compareAndSet(null, e)
       }, s"ingest-sender-$id")
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    if (senderError.get() != null) throw senderError.get()
     val sendSec = (System.nanoTime() - t0) / 1e9
 
     query.processAllAvailable() // drain: source buffer -> sink, to zero

@@ -79,8 +79,15 @@ object Q {
     *
     * where every operand of the `div` is an exact integer (|S|*10^10 is
     * integral because S has scale 10). Integer division is identical in
-    * both engines, and the final /10^4 of a small integer is an exact
-    * binary double — no rounding step on an inexact double remains.
+    * both engines, and the final /10000.0 is the SAME IEEE long→double
+    * divide on the SAME integer in both engines (not exact — 2.3333 has
+    * no exact binary form — but bit-identical by construction); no
+    * engine-specific decimal-rounding step remains.
+    *
+    * Domain: |mean| < 9.2e14 (the 4dp quotient must fit the BIGINT that
+    * Spark's `div` returns) and |S| < 1e17 (DECIMAL(27,10)). Beyond
+    * that Spark yields NULL where DuckDB's HUGEINT still computes —
+    * far outside any real aggregate here, but it is the contract.
     */
   def davg(c: Column): Column = {
     // DECIMAL(27,10) keeps |S|*10^10 inside precision 38 in BOTH engines

@@ -269,7 +269,13 @@ object Pipeline {
       val cap = lit(2048L)
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("tokens"))
+          // NULL text = 0 tokens, guarded in BOTH engines: Spark's
+          // size(split(NULL)) is -1 (legacy sizeOfNull), which would
+          // silently shift every later cumsum in the source, while
+          // DuckDB's len(string_split(NULL)) is NULL
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"))
         .withColumn("bucket", call_function("div", col("doc_id"), lit(4096L)))
       val wLocal = Window.partitionBy(col("source"), col("bucket"))
         .orderBy(col("doc_id"))
@@ -492,7 +498,8 @@ object Pipeline {
 
     "q78_sequence_pack" ->
       """WITH t AS (SELECT source, doc_id,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |             CAST(COALESCE(len(string_split(text, ' ')), 0)
+        |               AS BIGINT) AS tokens
         |           FROM documents),
         |  c AS (SELECT source, doc_id, tokens,
         |          SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id

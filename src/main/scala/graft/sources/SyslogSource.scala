@@ -83,15 +83,16 @@ class SyslogTable(options: CaseInsensitiveStringMap)
 /** One enqueued record: (line, receive-time epoch millis). */
 private[sources] final case class SyslogRecord(line: String, tsMillis: Long)
 
-/** Test hook: bound ports of the most recently started stream, plus the
-  * UDP-drop counter (datagrams discarded because the buffer was full —
-  * the metric a production deployment alerts on; TCP senders are blocked
-  * instead and never lose lines).
+/** Test hook: bound ports and drop counter of the most recently started
+  * stream (each stream owns its own counter — see
+  * [[SyslogMicroBatchStream.udpDropped]]; this object only surfaces the
+  * latest instance's, mirroring the port fields).
   */
 object SyslogState {
   @volatile var lastTcpPort: Int = -1
   @volatile var lastUdpPort: Int = -1
-  val udpDropped = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile var lastUdpDropped: java.util.concurrent.atomic.AtomicLong =
+    new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -105,6 +106,14 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val buffer = new ArrayBuffer[SyslogRecord]()
   private var base = 0L // offset of buffer(0)
   private val lock = new Object
+
+  /** Datagrams discarded because the buffer was full — the metric a
+    * production deployment alerts on (TCP senders are blocked instead
+    * and never lose lines). Per-stream state: concurrent queries must
+    * not conflate their drop accounting.
+    */
+  val udpDropped = new java.util.concurrent.atomic.AtomicLong(0)
+  SyslogState.lastUdpDropped = udpDropped
 
   private def enqueue(line: String, blockWhenFull: Boolean): Boolean =
     lock.synchronized {
@@ -166,7 +175,7 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
           // per-datagram framing; split multi-line datagrams on '\n'
           text.split("\n", -1).filter(_.nonEmpty).foreach { l =>
             if (!enqueue(l, blockWhenFull = false))
-              SyslogState.udpDropped.incrementAndGet()
+              udpDropped.incrementAndGet()
           }
         } catch { case _: Exception => }
       }

@@ -166,7 +166,7 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
   test("full buffer drops UDP datagrams, counts them, and drains") {
     val s = newStream(2)
     try {
-      val drop0 = sources.SyslogState.udpDropped.get()
+      val drop0 = s.udpDropped.get()
       val udp = new DatagramSocket()
       val addr = InetAddress.getByName("127.0.0.1")
       def send(text: String): Unit = {
@@ -177,7 +177,7 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
       (1 to 20).foreach(i => send(s"d-$i\n"))
       eventually(timeout(Span(10, Seconds))) {
         assert(latest(s) === 2) // buffer capped
-        val dropped = sources.SyslogState.udpDropped.get() - drop0
+        val dropped = s.udpDropped.get() - drop0
         assert(dropped >= 15 && dropped + latest(s) <= 20,
           s"drop accounting off: dropped=$dropped")
       }
