@@ -115,14 +115,35 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   val udpDropped = new java.util.concurrent.atomic.AtomicLong(0)
   SyslogState.lastUdpDropped = udpDropped
 
-  private def enqueue(line: String, blockWhenFull: Boolean): Boolean =
+  /** Insert a batch of lines under ONE lock acquisition; returns how
+    * many were inserted. Per-line locking capped acceptance at ~285k
+    * lines/s with 8 senders (BASELINE.md round-4 measurement) — the
+    * lock, not the codec, was the ingest ceiling. Blocking mode waits
+    * for space and inserts in chunks (receive time stamped per chunk,
+    * after any wait, like the per-line path did); non-blocking mode
+    * (UDP) inserts what fits and reports the rest as dropped.
+    */
+  private def enqueueBatch(lines: scala.collection.IndexedSeq[String],
+      blockWhenFull: Boolean): Int =
     lock.synchronized {
-      while (buffer.size >= maxBuffered) {
-        if (!blockWhenFull) return false // UDP: drop
-        lock.wait(100) // TCP: block the reader -> sender backpressure
+      var inserted = 0
+      while (inserted < lines.length) {
+        if (buffer.size >= maxBuffered) {
+          if (!blockWhenFull) return inserted // UDP: drop the remainder
+          lock.wait(100) // TCP: block the reader -> sender backpressure
+        } else {
+          val take = math.min(maxBuffered - buffer.size,
+            lines.length - inserted)
+          val ts = System.currentTimeMillis()
+          var i = 0
+          while (i < take) {
+            buffer += SyslogRecord(lines(inserted + i), ts)
+            i += 1
+          }
+          inserted += take
+        }
       }
-      buffer += SyslogRecord(line, System.currentTimeMillis())
-      true
+      inserted
     }
 
   // --- listeners -----------------------------------------------------
@@ -151,10 +172,23 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   private def serveTcp(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val batch = new ArrayBuffer[String](256)
     try {
       var line = in.readLine()
       while (line != null && !closed) {
-        enqueue(line, blockWhenFull = true)
+        batch.clear()
+        batch += line
+        // Drain lines the sender has already flushed (up to 256) so a
+        // fast sender pays one lock per batch, not per line. ready()
+        // only guarantees one CHAR: if a sender trickles a partial
+        // line, the inner readLine blocks holding this batch — that
+        // delays only this connection's own lines, and line-oriented
+        // syslog senders flush whole lines.
+        while (batch.size < 256 && in.ready()) {
+          val more = in.readLine()
+          if (more != null) batch += more
+        }
+        enqueueBatch(batch, blockWhenFull = true)
         line = in.readLine()
       }
     } catch { case _: Exception => } finally sock.close()
@@ -173,9 +207,13 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
           val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
             StandardCharsets.UTF_8)
           // per-datagram framing; split multi-line datagrams on '\n'
-          text.split("\n", -1).filter(_.nonEmpty).foreach { l =>
-            if (!enqueue(l, blockWhenFull = false))
-              udpDropped.incrementAndGet()
+          val lines = text.split("\n", -1).filter(_.nonEmpty)
+          if (lines.nonEmpty) {
+            val inserted = enqueueBatch(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(lines),
+              blockWhenFull = false)
+            if (inserted < lines.length)
+              udpDropped.addAndGet(lines.length - inserted)
           }
         } catch { case _: Exception => }
       }
