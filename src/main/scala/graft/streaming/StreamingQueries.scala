@@ -202,6 +202,42 @@ object StreamingQueries {
     }),
 
     // Q30 — watermark / late data: 2-batch ordered replay, append mode
+    // Q79 — stream-stream LEFT OUTER interval join: the semantics inner
+    // joins (q47) don't exercise is the NULL side — an unmatched click
+    // is held in state and its null-joined row is emitted only when the
+    // watermark proves no future purchase can match (eviction), which
+    // happens in a LATER batch than the click itself. Under one
+    // AvailableNow run: the data batch joins with watermark 0 (all
+    // matches emit), then the trailing no-data batch advances the
+    // watermark to min(max click ts, max purchase ts) − 1h (Spark's
+    // default min-of-inputs multi-watermark policy) and flushes the
+    // evicted-unmatched rows. The oracle replays exactly that: matched
+    // pairs ∪ unmatched clicks whose match window closed strictly below
+    // the final watermark; clicks in the final ~2h tail stay in state
+    // and are correctly ABSENT from both engines. Sub-second event
+    // times make boundary ties measure-zero (same argument as q30).
+    "q79_stream_left_outer_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_eid"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_eid"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("user_id"), col("click_eid"), col("purchase_eid"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+      drain(s, joined, "q79_mem", "append")
+        .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
+    }),
+
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
       def writeBatch(df: DataFrame, n: Int): Unit = {
@@ -291,6 +327,29 @@ object StreamingQueries {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY c.user_id, click_eid, purchase_eid""".stripMargin,
+
+    "q79_stream_left_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |  c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |  wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+        |                  - INTERVAL 1 HOUR AS w),
+        |  m AS (SELECT c.user_id, c.event_id AS click_eid,
+        |          p.event_id AS purchase_eid,
+        |          epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |        FROM c JOIN p ON c.user_id = p.user_id
+        |          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |  u AS (SELECT c.user_id, c.event_id AS click_eid,
+        |          NULL::BIGINT AS purchase_eid,
+        |          epoch_us(c.ts) AS click_us, NULL::BIGINT AS purchase_us
+        |        FROM c, wm
+        |        WHERE c.ts + INTERVAL 1 HOUR < wm.w
+        |          AND NOT EXISTS (SELECT 1 FROM p
+        |                WHERE p.user_id = c.user_id
+        |                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY user_id, click_eid, purchase_eid""".stripMargin,
 
     "q62_stream_static_join" ->
       s"""SELECT event_type, c_mktsegment, COUNT(*) AS n,
