@@ -443,6 +443,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 outer join: matched = batch inner join; nulls = expired unmatched") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q79_stream_left_outer_join")(spark, sf)
+      .select("user_id", "click_eid", "purchase_eid")
+      .as[(Long, Long, Option[Long])].collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val buys = ev.filter(_._3 == "purchase")
+    val hour = 3600000000L
+    val matched = (for {
+      (cu, ce, _, cus) <- clicks; (pu, pe, _, pus) <- buys
+      if cu == pu && pus >= cus && pus <= cus + hour
+    } yield (cu, ce, pe)).toSet
+    // min-of-inputs watermark at stream end, 1h delay on both sides
+    val wm = math.min(clicks.map(_._4).max, buys.map(_._4).max) - hour
+    val matchedClicks = matched.map(m => (m._1, m._2))
+    val expected: Set[(Long, Long, Option[Long])] =
+      matched.map { case (u, c, p) => (u, c, Some(p): Option[Long]) } ++
+        clicks.collect { case (cu, ce, _, cus)
+            if cus + hour < wm && !matchedClicks((cu, ce)) =>
+          (cu, ce, None: Option[Long])
+        }
+    assert(rows.toSet === expected)
+    assert(rows.exists(_._3.isEmpty), "testdata must produce outer rows")
+    assert(rows.exists(_._3.isDefined), "testdata must produce matches")
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
