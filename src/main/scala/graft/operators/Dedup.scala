@@ -152,6 +152,7 @@ object Dedup {
     * @return (doc_id, rep) — rep is the minimum node id of the component.
     */
   def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30): DataFrame = {
+    val spark = edgesIn.sparkSession
     val edges = edgesIn.select(col("src"), col("dst"))
       .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -163,15 +164,26 @@ object Dedup {
     // the context cleaner as each round's reference is dropped.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
+    // Convergence is observed by a LongAccumulator bumped INSIDE the
+    // round's own materialization pass (the eager localCheckpoint is the
+    // action), not by a separate join+count job per round. Accumulator
+    // over-count on a resubmitted task is harmless here: a truly
+    // converged round has zero changed rows in every task attempt, so
+    // value==0 is exact; a nonzero value only ever means "go again".
+    val changedAcc = spark.sparkContext.longAccumulator("ccChanged")
+    val bumpIfChanged = udf { (changed: Boolean) =>
+      if (changed) changedAcc.add(1L); changed
+    }
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
+    while (!converged && iters < maxIters) {
+      changedAcc.reset()
       // HOOK: rep(v) <- min(rep(v), min over neighbors' rep)
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nbr"))
       val hooked = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("nbr"), col("rep"))).as("rep"))
         .persist()
       // SHORTCUT: rep(v) <- rep(rep(v)) — rep values are node ids, so the
@@ -180,21 +192,23 @@ object Dedup {
       val map2 = hooked.select(col("doc_id").as("mid"), col("rep").as("rep2"))
       val next = hooked.join(map2, col("rep") === col("mid"), "left")
         .select(col("doc_id"),
-          coalesce(col("rep2"), col("rep")).as("rep"))
+          coalesce(col("rep2"), col("rep")).as("rep"), col("old"))
+        // the chg column is stored by the checkpoint, so the bump runs
+        // exactly once per row during the materialization job
+        .withColumn("chg", bumpIfChanged(col("rep") =!= col("old")))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).count()
+      converged = changedAcc.value == 0L
       hooked.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("rep"))
       iters += 1
     }
     edges.unpersist()
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds " +
-          s"($changed labels still changing) — result would be a " +
-          "non-fixpoint labeling; raise maxIters")
-    labels // lineage-free; no cached frame outlives the call
+          s"(${changedAcc.value} labels still changing) — result would be " +
+          "a non-fixpoint labeling; raise maxIters")
+    labels // narrow view over a lineage-free checkpoint; nothing cached
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,6 +27,20 @@ object Similarity {
 
   private val CosT = 0.3
 
+  /** q35's verify threshold. Sign-LSH banding (4 bands × 8 bits) only has
+    * high candidate recall where the Charikar collision curve is steep —
+    * at cos 0.8 (θ ≈ 36.9°) a band collides with (1 − θ/π)^8 ≈ 0.155 and
+    * 4 bands find ~49% of pairs AT the threshold, rising fast above it
+    * (~89% at cos 0.9, >99.9% at 0.98); at cos 0.3 the same bands find
+    * ~6%. So the banded operator's contract is TRUE near-dups (τ ≥ 0.8) —
+    * the regime dedup actually targets — and the low-τ similarity jobs
+    * belong to the exact blocked q35b or IVF q36. The recall envelope is
+    * measured, not argued: OperatorSpec plants perturbed near-dup pairs
+    * and asserts ≥80% recall vs the exact all-pairs set at this
+    * threshold.
+    */
+  val NearDupT = 0.8
+
   /** IVF cell = sign bits of the first 8 dims. */
   private def cellOf(e: org.apache.spark.sql.Column) =
     (0 until 8).map(i =>

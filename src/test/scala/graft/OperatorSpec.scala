@@ -421,7 +421,10 @@ class OperatorSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q78_sequence_pack")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
     val totalTokens = Tables.documents(spark, sf)
-      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      // mirror the query's NULL guard: legacy sizeOfNull yields -1 for a
+      // NULL text, which would silently skew the expected total
+      .select(when(col("text").isNull, 0L)
+        .otherwise(size(split(col("text"), " ")).cast("long")).as[Long])
       .collect().sum
     assert(rows.map(_._4).sum === totalTokens,
       "every token lands in exactly one pack")

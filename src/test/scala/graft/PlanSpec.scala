@@ -160,27 +160,63 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q54 pivot with explicit values runs no distinct-discovery job") {
+  /** Count Spark jobs started while `f` runs; drains the async listener
+    * bus before reading (LiveListenerBus.waitUntilEmpty is private[spark]
+    * => public in bytecode, so reflection reaches it).
+    */
+  private def jobsDuring(f: => Unit): Int = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    def jobsDuring(f: => Unit): Int = {
-      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-      val listener = new SparkListener {
-        override def onJobStart(js: SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try { f; Thread.sleep(1000) } // listener bus is async; a discovery
-                                    // job is submitted synchronously in f
-      finally spark.sparkContext.removeSparkListener(listener)
-      jobs.get()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get()
+  }
+
+  test("q54 pivot with explicit values runs no distinct-discovery job") {
     // differential: spark.read.parquet itself runs a schema-inference job
     // per construction, so compare against the bare scan — a values-less
     // pivot would ADD a blocking distinct-collect job over the input
     val base = jobsDuring(Tables.events(spark, sf))
     val q54 = jobsDuring(SparkEntry.queries("q54_pivot")(spark, sf))
-    assert(q54 === base,
+    assert(q54 <= base,
       "building q54 must not add a pivot-value discovery job over the scan")
+  }
+
+  test("connectedComponents runs exactly one action per round (no count job)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    // AQE fans each action out into one job per materialized query stage,
+    // so the invariant is counted in SQL EXECUTIONS (actions), not jobs.
+    // A single edge converges in exactly 2 rounds (round 1 hooks node 2
+    // to 1; round 2 observes no change); budget = 1 initial-labels
+    // checkpoint + 1 checkpoint per round + the final collect = 4. The
+    // old per-round convergence join+count made it 6.
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val id = js.properties.getProperty("spark.sql.execution.id")
+        if (id != null) execs.add(id)
+      }
+    }
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.Dedup.connectedComponents(edges).collect()
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(execs.size <= 4,
+      s"expected <=4 actions (init + 2 rounds + collect), got ${execs.size}")
   }
 
   test("q65 gap-fill runs exactly one window pass") {
