@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measures the suite's scale-posture invariants at a given data
+  * directory, so the claims PLANS.md/SCALING.md argue from plan shape are
+  * backed by numbers across sf0.01 → sf0.1 → sf~1 (the StressGen 10×
+  * blow-up):
+  *
+  *  - candidate-pair counts for the three LSH/prefix candidate engines
+  *    (q32 PPJoin, q35 blocked bands, q64 unblocked bands) and their
+  *    verified-pair outputs — a healthy engine grows these ~linearly with
+  *    corpus size; quadratic growth means a blocking key stopped working;
+  *  - q73 connected-components round count — O(log diameter) means it
+  *    should stay FLAT as the corpus scales;
+  *  - q78 pack-size balance (min/max/avg tokens per pack) — the
+  *    distributed prefix-sum must not degrade into skewed packs;
+  *  - shuffle bytes for the LocalTopK-rewritten q74 and its headline
+  *    sibling q14 — the map-side top-k prune is the difference between
+  *    shuffling per-group candidates and shuffling whole tables.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir>
+  * Prints ONE JSON line; scripts/scaling_curves collates runs.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir>")
+    val d = args(0)
+    val spark = Sessions.local()
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      out(s"${name}_sec") = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+      r
+    }
+
+    /** Shuffle bytes written across all stages of one action. */
+    def shuffleBytes(df: DataFrame): Long = {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
+    }
+
+    out("dir") = "\"" + d + "\""
+    out("documents") = Tables.documents(spark, d).count()
+    out("embeddings") = Tables.embeddings(spark, d).count()
+    out("events") = Tables.events(spark, d).count()
+    out("lineitem") = Tables.lineitem(spark, d).count()
+
+    // --- dedup / similarity candidate growth ---
+    out("q32_candidates") = timed("q32_candidates") {
+      operators.Dedup.jaccardCandidates(spark, d).count()
+    }
+    out("q32_pairs") = timed("q32_pairs") {
+      SparkEntry.queries("q32_neardup_jaccard")(spark, d).count()
+    }
+    val emb = Tables.embeddings(spark, d)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    out("q35_candidates") = timed("q35_candidates") {
+      operators.Similarity.bandedCandidates(emb, blocked = true).count()
+    }
+    out("q64_candidates") = timed("q64_candidates") {
+      operators.Similarity.bandedCandidates(emb, blocked = false).count()
+    }
+    out("q64_pairs") = timed("q64_pairs") {
+      SparkEntry.queries("q64_neardup_lsh")(spark, d).count()
+    }
+
+    // --- q73 round count (flat across scale = the O(log d) claim) ---
+    timed("q73") {
+      val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val (labels, rounds) = operators.Dedup.connectedComponentsRounds(edges)
+      out("q73_rounds") = rounds
+      out("q73_nodes") = labels.count()
+      out("q73_clusters") = labels.select("rep").distinct().count()
+    }
+
+    // --- q78 pack balance ---
+    timed("q78") {
+      val packs = SparkEntry.queries("q78_sequence_pack")(spark, d)
+      val s = packs.agg(
+        count(lit(1)), min(col("pack_tokens")), max(col("pack_tokens")),
+        avg(col("pack_tokens"))).head()
+      out("q78_packs") = s.getLong(0)
+      out("q78_min_tokens") = s.getLong(1)
+      out("q78_max_tokens") = s.getLong(2)
+      out("q78_avg_tokens") = math.round(s.getDouble(3) * 100) / 100.0
+    }
+
+    // --- LocalTopK shuffle volume: q74 (rewritten) shuffles only each
+    // partition's local top-k; q14 (full window rank) is the unrewritten
+    // shape over the same events table ---
+    out("q74_shuffle_bytes") = timed("q74") {
+      shuffleBytes(SparkEntry.queries("q74_stratified_cap")(spark, d))
+    }
+    out("q14_shuffle_bytes") = timed("q14") {
+      shuffleBytes(SparkEntry.queries("q14_window_rank")(spark, d))
+    }
+
+    println(out.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

@@ -77,7 +77,12 @@ object Dedup {
     * the prefix-filtered PPJoin — the shared candidate engine of q32
     * (pair listing) and q73 (cluster formation).
     */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** The PPJoin candidate stage of [[jaccardPairs]] alone — (doc_a, doc_b)
+    * pairs surviving prefix + positional + length filters, before the
+    * exact-Jaccard verify. Exposed for [[graft.ScaleProbe]], which
+    * measures candidate growth across scale factors.
+    */
+  private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
       val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -104,6 +109,12 @@ object Dedup {
               >= lit(3) * greatest(col("a.sz"), col("b.sz")))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      cand
+  }
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+      val sh = shingled(s, d)
+      val cand = jaccardCandidates(s, d)
       // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
       // arrays — array_intersect built a hash set per evaluation, and the
       // filter+projections re-evaluate the intersect several times per pair.
@@ -151,7 +162,15 @@ object Dedup {
     *                internally. Isolated nodes (no edges) are not emitted.
     * @return (doc_id, rep) — rep is the minimum node id of the component.
     */
-  def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30): DataFrame = {
+  def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30): DataFrame =
+    connectedComponentsRounds(edgesIn, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * O(log diameter) claim is measured, not asserted ([[graft.ScaleProbe]]
+    * tracks it across scale factors).
+    */
+  private[graft] def connectedComponentsRounds(
+      edgesIn: DataFrame, maxIters: Int = 30): (DataFrame, Int) = {
     val spark = edgesIn.sparkSession
     val edges = edgesIn.select(col("src"), col("dst"))
       .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
@@ -208,7 +227,7 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds " +
           s"(${changedAcc.value} labels still changing) — result would be " +
           "a non-fixpoint labeling; raise maxIters")
-    labels // narrow view over a lineage-free checkpoint; nothing cached
+    (labels, iters) // narrow view over a lineage-free checkpoint
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -311,17 +330,47 @@ object Dedup {
       .mkString(",\n    ")
     val minhashSig = (0 until MinhashK).map(i => s"mh$i").mkString("[", ", ", "]")
 
+    // The q32/q73 pair CTE mirrors the Spark side's PPJoin prefix filter
+    // instead of brute-force all-pairs: the prefix filter is COMPLETE
+    // (every pair with J >= t shares a prefix shingle), so the verified
+    // output is identical — validated against the brute-force form at
+    // sf0.01 — while the oracle stays near-linear in candidates. This is
+    // what lets q32/q73 join the sf0.1 oracle stress tier (the round-4
+    // brute-force forms ran for hours there).
+    val prefixPairs =
+      s"""s AS ($sqlShingles3),
+         |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+         |  ex AS (SELECT doc_id, sz, unnest(sh) AS sg FROM sz),
+         |  dfreq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
+         |  prefix AS (
+         |    SELECT doc_id, sg, sz, rk FROM (
+         |      SELECT ex.doc_id, ex.sg, ex.sz,
+         |        row_number() OVER (PARTITION BY ex.doc_id
+         |                           ORDER BY d.df, ex.sg) AS rk
+         |      FROM ex JOIN dfreq d ON ex.sg = d.sg)
+         |    WHERE rk <= sz - (3 * sz) // 5 + 1),
+         |  cand AS (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM prefix a JOIN prefix b
+         |      ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |     AND least(a.sz - a.rk, b.sz - b.rk) + 1
+         |           >= (3 * (a.sz + b.sz) + 7) // 8
+         |     AND 5 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)),
+         |  p AS (
+         |    SELECT doc_a, doc_b,
+         |      ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+         |        4) AS jaccard
+         |    FROM cand JOIN sz x ON x.doc_id = doc_a
+         |              JOIN sz y ON y.doc_id = doc_b
+         |    WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+         |        4) >= $JaccardT)""".stripMargin
+
     Map(
       "q32_neardup_jaccard" ->
-        s"""WITH s AS ($sqlShingles3)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-           |    AS jaccard
-           |FROM s a JOIN s b ON a.doc_id < b.doc_id
-           |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-           |    >= $JaccardT
+        s"""WITH $prefixPairs
+           |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       // transitive closure via recursive CTE: reach(src, r) enumerates
@@ -329,12 +378,7 @@ object Dedup {
       // minimum reachable id is the cluster representative — the same
       // unique fixpoint the Spark side's min-label propagation converges to
       "q73_dup_clusters" ->
-        s"""WITH RECURSIVE s AS ($sqlShingles3),
-           |  p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |        FROM s a JOIN s b ON a.doc_id < b.doc_id
-           |        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-           |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
-           |          >= $JaccardT),
+        s"""WITH RECURSIVE $prefixPairs,
            |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
            |        UNION ALL SELECT doc_b, doc_a FROM p),
            |  reach(src, r) AS (

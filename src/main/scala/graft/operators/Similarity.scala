@@ -85,6 +85,50 @@ object Similarity {
         key.cast("long").as("key") :+ col("vec_id")): _*)
     }.reduce(_ unionByName _)
 
+  /** q35's core: sign-LSH-banded near-dup pairs within `label` blocks over
+    * an (vec_id, label, emb: array<double>) frame. Candidates must share
+    * (label, band, key) — an equi-join, linear in candidates — and only
+    * candidates pay the exact-cosine verify at `threshold`. Factored out
+    * so OperatorSpec can drive it over PLANTED near-dup vectors (the
+    * synthetic testdata's max same-label cosine is 0.47, so the recall
+    * envelope at the operator's real threshold can only be measured on
+    * planted pairs).
+    */
+  /** The sign-LSH band-join candidate stage alone — (vec_a, vec_b[, label])
+    * pairs sharing a band key (and the label block when `blocked`), before
+    * the exact-cosine verify. Exposed for [[graft.ScaleProbe]]'s candidate
+    * growth measurement; q35 (blocked) and q64 (unblocked) both build on
+    * it.
+    */
+  private[graft] def bandedCandidates(e: DataFrame, blocked: Boolean): DataFrame =
+    if (blocked) {
+      val bands = bandKeysOf(e, Seq("label"))
+      bands.alias("a")
+        .join(bands.alias("b"), Seq("label", "band", "key"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("label"), col("a.vec_id").as("vec_a"),
+          col("b.vec_id").as("vec_b"))
+        .distinct()
+    } else {
+      val bands = bandKeysOf(e, Seq.empty)
+      bands.alias("a")
+        .join(bands.alias("b"), Seq("band", "key"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+    }
+
+  def bandedNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
+    val cand = bandedCandidates(e, blocked = true)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — near-dup within label blocks, LSH-banded candidate
     // generation: a candidate pair must share BOTH the blocking key
@@ -97,33 +141,20 @@ object Similarity {
     // that is n²/10 at scale). The price is LSH recall at the candidate
     // stage (deterministic, replayed bit-for-bit by the oracle).
     //
-    // Recall honesty (Charikar curve, P[band hit] = (1 − θ/π)^8 × 4
-    // bands): ~89% of cosine-0.9 pairs collide on some band, but only
-    // ~10% of pairs AT the 0.3 threshold do (measured 8/82 = 9.8% vs
-    // the exact q35b on testdata — asserted in OperatorSpec). That is
-    // inherent to sign-bit LSH at low thresholds, not a tuning miss:
-    // banding is the right tool for true near-dups (τ ≥ 0.8); for
-    // low-threshold similarity use IVF cell probing (q36) or the exact
-    // blocked q35b when the blocking key bounds block size.
+    // Recall honesty: the verify threshold is [[NearDupT]] = 0.8, the
+    // regime where sign-LSH banding actually finds what it claims to
+    // (~49% of pairs AT 0.8, ~89% at 0.9 — measured ≥80% on planted
+    // near-dup pairs in OperatorSpec). The round-4 form verified at 0.3,
+    // where banding finds ~10% of qualifying pairs — an operator named
+    // "neardup" silently missing 90% of its contract. Low-threshold
+    // similarity belongs to the exact blocked q35b (bounded blocks) or
+    // IVF cell probing (q36), which are kept at CosT = 0.3.
     "q35_neardup_embedding" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      val bands = bandKeysOf(e, Seq("label"))
-      val cand = bands.alias("a")
-        .join(bands.alias("b"), Seq("label", "band", "key"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("label"), col("a.vec_id").as("vec_a"),
-          col("b.vec_id").as("vec_b"))
-        .distinct()
-      cand
-        .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
-        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
-        .filter(col("cos") >= CosT)
-        .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
-        .orderBy(col("vec_a"), col("vec_b"))
+      bandedNearDupPairs(e, NearDupT)
     }),
 
     // Q35b — the EXACT blocked variant: all same-label pairs, no LSH
@@ -181,13 +212,7 @@ object Similarity {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-      val bands = bandKeysOf(e, Seq.empty)
-      val cand = bands.alias("a")
-        .join(bands.alias("b"), Seq("band", "key"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      cand
+      bandedCandidates(e, blocked = false)
         .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
@@ -279,7 +304,7 @@ object Similarity {
            |    FROM cand JOIN e x ON x.vec_id = vec_a
            |              JOIN e y ON y.vec_id = vec_b)
            |SELECT vec_a, vec_b, label, cos FROM ver
-           |WHERE cos >= $CosT ORDER BY vec_a, vec_b""".stripMargin,
+           |WHERE cos >= $NearDupT ORDER BY vec_a, vec_b""".stripMargin,
 
       "q35b_neardup_block_exact" ->
         s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),

@@ -218,30 +218,73 @@ class OperatorSpec extends AnyFunSuite {
         (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
       BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    // full Scala replay of the algorithm: same label, >=1 shared band
-    // key, rounded cosine >= 0.3
-    val expected = (for {
+    // full Scala replay of the algorithm at an exercising threshold (the
+    // testdata's max same-label cosine is 0.47, so the replay drives the
+    // factored core at 0.3 to stay non-vacuous; the published q35 runs
+    // the same core at NearDupT)
+    def replay(t: Double): Set[(Long, Long)] = (for {
       (a, la, va) <- vecs; (b, lb, vb) <- vecs
       if a < b && la == lb
       if bandKeys(va).zip(bandKeys(vb)).exists(p => p._1 == p._2)
-      if cosR(va, vb) >= 0.3
+      if cosR(va, vb) >= t
     } yield (a, b)).toSet
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+    val core = operators.Similarity.bandedNearDupPairs(e, 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(core === replay(0.3))
+    assert(core.nonEmpty, "testdata should produce at least one banded pair")
     val got = SparkEntry.queries("q35_neardup_embedding")(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(got === expected)
-    assert(got.nonEmpty, "testdata should produce at least one banded pair")
+    assert(got === replay(operators.Similarity.NearDupT))
   }
 
-  test("q35 is a sound subset of the exact q35b; recall is reported") {
+  test("q35 is a sound subset of the exact q35b") {
     import spark.implicits._
     val banded = SparkEntry.queries("q35_neardup_embedding")(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
     val exact = SparkEntry.queries("q35b_neardup_block_exact")(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    // precision 1.0 by construction: verify stage recomputes exact cosine
+    // precision 1.0 by construction: verify stage recomputes exact cosine,
+    // and NearDupT >= q35b's 0.3 keeps the subset relation strict
     assert(banded.subsetOf(exact), "banded output must never invent a pair")
-    info(f"q35 LSH recall vs exact blocked: ${banded.size}/${exact.size}" +
-      f" = ${banded.size.toDouble / exact.size}%.3f at cosine >= 0.3")
+  }
+
+  test("q35 recall >= 80% on planted near-dup pairs at its own threshold") {
+    import spark.implicits._
+    // The synthetic testdata has no same-label pair above cosine 0.47, so
+    // the operator's recall envelope at NearDupT = 0.8 is measured on
+    // PLANTED pairs: 150 base vectors, each cloned with a small Gaussian
+    // perturbation scaled so planted cosines land in [0.8, 1.0) — the
+    // contract regime. Ground truth = exact all-pairs at the same
+    // threshold (which also includes any accidental base-base pair).
+    val rnd = new scala.util.Random(42)
+    def gauss64() = Array.fill(64)(rnd.nextGaussian())
+    val planted = (0 until 150).flatMap { i =>
+      val base = gauss64()
+      val eps = 0.1 + 0.2 * rnd.nextDouble() // cos ≈ 1/sqrt(1+eps²) ∈ [0.96, 0.995]
+      val dup = base.zip(gauss64()).map { case (x, g) => x + eps * g }
+      Seq((2L * i, (i % 5).toLong, base.toSeq),
+        (2L * i + 1, (i % 5).toLong, dup.toSeq))
+    }
+    val e = planted.toDF("vec_id", "label", "emb")
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val t = operators.Similarity.NearDupT
+    val truth = (for {
+      (a, la, va) <- planted; (b, lb, vb) <- planted
+      if a < b && la == lb && cosOf(va, vb) >= t
+    } yield (a, b)).toSet
+    assert(truth.size >= 100, s"planting failed: only ${truth.size} true pairs")
+    val got = operators.Similarity.bandedNearDupPairs(e, t)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth), "verify stage must keep precision at 1.0")
+    val recall = got.size.toDouble / truth.size
+    info(f"q35 planted-pair recall at cos >= $t: ${got.size}/${truth.size} = $recall%.3f")
+    assert(recall >= 0.8,
+      f"banded recall $recall%.3f < 0.8 at the operator's own threshold $t")
   }
 
   test("q65 gap-fill: spine is dense per user and fill carries forward") {
