@@ -46,7 +46,12 @@ object IngestBench {
     val out = ingest.Transformers.fromSyslog(src)
       .select(ingest.Transformers.avro(
         Seq("dc" -> "dc1", "env" -> "bench"), Some(7L), 42))
-    val query = out.writeStream.format("parquet")
+    // SPARK_GRAFT_INGEST_SINK=noop isolates source acceptance + encode
+    // from the file sink (whose metadata log compacts every 10 batches —
+    // rewritten in full, so long runs pay a growing per-commit stall;
+    // the degradation is the SINK's, and this knob proves it)
+    val sinkFmt = sys.env.getOrElse("SPARK_GRAFT_INGEST_SINK", "parquet")
+    val query = out.writeStream.format(sinkFmt)
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(500))
       .start()
@@ -99,7 +104,9 @@ object IngestBench {
     val drainSec = (System.nanoTime() - t0) / 1e9
     query.stop()
 
-    val received = spark.read.parquet(outDir).count()
+    val received = // noop sink writes nothing; processed == drained == sent
+      if (sinkFmt == "noop") query.recentProgress.map(_.numInputRows).sum
+      else spark.read.parquet(outDir).count()
     println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":${sent.get},"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
     spark.stop()
   }

@@ -85,9 +85,15 @@ object Q {
     * engine-specific decimal-rounding step remains.
     *
     * Domain: |mean| < 9.2e14 (the 4dp quotient must fit the BIGINT that
-    * Spark's `div` returns) and |S| < 1e17 (DECIMAL(27,10)). Beyond
-    * that Spark yields NULL where DuckDB's HUGEINT still computes —
-    * far outside any real aggregate here, but it is the contract.
+    * Spark's `div` returns) and |S| < 1e17 (DECIMAL(27,10)). Both cliffs
+    * fail LOUDLY (DavgDomainSpec pins them): the |S| bound throws via the
+    * ANSI decimal cast, and the |mean| bound is guarded with raise_error
+    * below — without the guard, `div`'s long conversion WRAPS silently
+    * and a larger-scale run would surface the corruption as an oracle
+    * hash mismatch instead of an error naming the contract. DuckDB's
+    * HUGEINT path computes past both bounds, so "loud" is the only safe
+    * divergence mode. Far outside any real aggregate here (values
+    * ~1e0..1e5, rows ≤ 1e7 at the 10× stress scale).
     */
   def davg(c: Column): Column = {
     // DECIMAL(27,10) keeps |S|*10^10 inside precision 38 in BOTH engines
@@ -97,7 +103,12 @@ object Q {
     val n = count(c).cast(DecimalType(20, 0))
     val a = abs(s) * lit(10000000000L) // |S|*10^10 — exact integer value
     val r = call_function("div", a * 2 + n * lit(1000000L), n * lit(2000000L))
-    (when(s < 0, -r).otherwise(r).cast(DoubleType) / 10000.0d)
+    val rg = when(abs(s) <= n * lit(920000000000000L), r).otherwise(
+      call_function("raise_error",
+        lit("davg domain overflow: |mean| >= 9.2e14 — the 4dp quotient " +
+          "exceeds BIGINT; widen the davg contract before trusting results"))
+        .cast("long"))
+    (when(s < 0, -rg).otherwise(rg).cast(DoubleType) / 10000.0d)
   }
 
   /** DuckDB-side equivalents of dsum/davg (string SQL fragments). */

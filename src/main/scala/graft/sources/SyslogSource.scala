@@ -36,9 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    socket in one bufio.Scanner, which can merge datagrams, SURVEY §3.3).
   *
   * Delivery: the buffer is volatile memory, offsets are buffer indices;
-  * replay is possible within the uncommitted window, at-most-once across
-  * restarts — matching the reference's at-most-once contract (SURVEY
-  * §2.2). Backpressure: a full buffer (maxBufferedRows) blocks TCP
+  * replay is possible within the uncommitted window — and with a NAMED
+  * receiver (`receiver.name`, [[SyslogReceivers]]) that window survives
+  * query restarts in-process, so checkpoint recovery after an ungraceful
+  * stop is exactly-once into the file sink (StreamingSinkSpec proves it).
+  * Across JVM restarts delivery degrades to at-most-once — matching the
+  * reference's contract (SURVEY §2.2), whose buffer is a Go channel.
+  * Backpressure: a full buffer (maxBufferedRows) blocks TCP
   * readers (propagates to senders) and drops UDP datagrams, mirroring the
   * reference's bounded-channel behavior.
   *
@@ -95,14 +99,26 @@ object SyslogState {
     new java.util.concurrent.atomic.AtomicLong(0)
 }
 
-class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+/** The socket listeners + line buffer, extracted from the stream so its
+  * lifetime can OUTLIVE a single streaming query: a named receiver
+  * (option `receiver.name`, see [[SyslogReceivers]]) keeps accepting and
+  * buffering across query restarts, which is what makes checkpoint
+  * recovery real — a batch that was planned but never committed before a
+  * crash is still in the buffer (commit is the only trim), so the
+  * restarted query replays exactly those rows. An unnamed receiver is
+  * owned by its stream and closed with it (the pre-round-5 behavior).
+  * This mirrors production topology: the syslog daemon's buffer belongs
+  * to the receiving endpoint, not to whichever consumer is currently
+  * attached.
+  */
+private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
 
-  private val hostname: String = // server's own hostname, captured once
+  val hostname: String = // server's own hostname, captured once
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
 
   private val maxBuffered = options.getInt("maxBufferedRows", 100000)
+  private val readBufBytes = options.getInt("tcp.readBuffer", 1 << 16)
   private val buffer = new ArrayBuffer[SyslogRecord]()
   private var base = 0L // offset of buffer(0)
   private val lock = new Object
@@ -169,28 +185,57 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     acceptor.start()
   }
 
+  /** Per-connection read loop: raw 64 KiB byte chunks scanned for '\n'
+    * in place — ONE read syscall per chunk (~1.5k lines of typical
+    * syslog), one UTF-8 decode per line, one enqueue lock per chunk.
+    * The round-4 BufferedReader.readLine path ran the whole stream
+    * through a CharsetDecoder and re-entered the lock every ≤256 lines;
+    * reads were the measured ceiling (BASELINE.md round 4). Line
+    * framing matches the reference's bufio.ScanLines: split on '\n',
+    * strip one trailing '\r', emit empty records for empty lines; a
+    * partial line at a chunk boundary is carried into the next chunk.
+    */
   private def serveTcp(sock: Socket): Unit = {
-    val in = new BufferedReader(
-      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val batch = new ArrayBuffer[String](256)
+    val in = sock.getInputStream
+    val buf = new Array[Byte](readBufBytes)
+    val batch = new ArrayBuffer[String](2048)
+    var carry = Array.emptyByteArray
+    def lineOf(bytes: Array[Byte], from: Int, until: Int): String = {
+      val end = // ScanLines semantics: one trailing \r is dropped
+        if (until > from && bytes(until - 1) == '\r') until - 1 else until
+      new String(bytes, from, end - from, StandardCharsets.UTF_8)
+    }
     try {
-      var line = in.readLine()
-      while (line != null && !closed) {
+      var n = in.read(buf)
+      while (n > 0 && !closed) {
         batch.clear()
-        batch += line
-        // Drain lines the sender has already flushed (up to 256) so a
-        // fast sender pays one lock per batch, not per line. ready()
-        // only guarantees one CHAR: if a sender trickles a partial
-        // line, the inner readLine blocks holding this batch — that
-        // delays only this connection's own lines, and line-oriented
-        // syslog senders flush whole lines.
-        while (batch.size < 256 && in.ready()) {
-          val more = in.readLine()
-          if (more != null) batch += more
+        var start = 0
+        var i = 0
+        while (i < n) {
+          if (buf(i) == '\n') {
+            if (carry.length > 0) {
+              val full = new Array[Byte](carry.length + (i - start))
+              System.arraycopy(carry, 0, full, 0, carry.length)
+              System.arraycopy(buf, start, full, carry.length, i - start)
+              batch += lineOf(full, 0, full.length)
+              carry = Array.emptyByteArray
+            } else batch += lineOf(buf, start, i)
+            start = i + 1
+          }
+          i += 1
         }
-        enqueueBatch(batch, blockWhenFull = true)
-        line = in.readLine()
+        if (start < n) { // partial trailing line: carry to next chunk
+          val rem = new Array[Byte](carry.length + (n - start))
+          System.arraycopy(carry, 0, rem, 0, carry.length)
+          System.arraycopy(buf, start, rem, carry.length, n - start)
+          carry = rem
+        }
+        if (batch.nonEmpty) enqueueBatch(batch, blockWhenFull = true)
+        n = in.read(buf)
       }
+      if (carry.length > 0) // unterminated final line at EOF, like ScanLines
+        enqueueBatch(ArrayBuffer(lineOf(carry, 0, carry.length)),
+          blockWhenFull = true)
     } catch { case _: Exception => } finally sock.close()
   }
 
@@ -229,6 +274,68 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     if (udpPort != 0) startUdp(options.getOrDefault("udp.host", "0.0.0.0"), udpPort)
   }
 
+  /** This receiver's bound TCP port (-1 if TCP disabled) — per-instance,
+    * unlike the global [[SyslogState.lastTcpPort]], which parallel test
+    * suites overwrite on every receiver start.
+    */
+  def tcpPort: Int = if (tcpServer != null) tcpServer.getLocalPort else -1
+
+  /** Next offset to be assigned (base + buffered rows). */
+  def available: Long = lock.synchronized(base + buffer.size)
+
+  /** Rows [s, e) — still present for any uncommitted range. */
+  def slice(s: Long, e: Long): Array[SyslogRecord] = lock.synchronized {
+    val from = math.max(0L, s - base).toInt
+    val to = math.max(0L, e - base).toInt
+    buffer.slice(from, to).toArray
+  }
+
+  /** Retention trim on commit: committed rows can never be replanned. */
+  def commitUpTo(e: Long): Unit = lock.synchronized {
+    val drop = math.max(0L, e - base).toInt
+    if (drop > 0) {
+      buffer.remove(0, math.min(drop, buffer.size))
+      base = math.max(base, e)
+      lock.notifyAll()
+    }
+  }
+
+  def close(): Unit = {
+    closed = true
+    if (tcpServer != null) try tcpServer.close() catch { case _: Exception => }
+    if (udpSocket != null) try udpSocket.close() catch { case _: Exception => }
+  }
+}
+
+/** Registry of named receivers (option `receiver.name`): one receiver per
+  * name per JVM, created on first use, surviving query stop/restart so
+  * checkpoint recovery can replay the uncommitted window. Closed only via
+  * [[close]] (tests) or JVM exit — like any daemon listening on a port.
+  */
+object SyslogReceivers {
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, SyslogReceiver]()
+  def getOrCreate(name: String, options: CaseInsensitiveStringMap): SyslogReceiver =
+    registry.computeIfAbsent(name, _ => new SyslogReceiver(options))
+  def get(name: String): Option[SyslogReceiver] = Option(registry.get(name))
+  def close(name: String): Unit = {
+    val r = registry.remove(name)
+    if (r != null) r.close()
+  }
+}
+
+class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val receiverName = Option(options.get("receiver.name"))
+  private val receiver = receiverName match {
+    case Some(n) => SyslogReceivers.getOrCreate(n, options)
+    case None    => new SyslogReceiver(options)
+  }
+
+  /** Test/metric hook (per-receiver; aliased for existing callers). */
+  val udpDropped: java.util.concurrent.atomic.AtomicLong = receiver.udpDropped
+
   // --- MicroBatchStream ----------------------------------------------
   private case class SyslogOffset(v: Long) extends Offset {
     override def json(): String = v.toString
@@ -237,8 +344,7 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   override def initialOffset(): Offset = SyslogOffset(0L)
   override def deserializeOffset(json: String): Offset =
     SyslogOffset(json.trim.toLong)
-  override def latestOffset(): Offset =
-    lock.synchronized(SyslogOffset(base + buffer.size))
+  override def latestOffset(): Offset = SyslogOffset(receiver.available)
 
   // Admission control: cap rows per micro-batch (maxRowsPerBatch,
   // default 1M) so an ingest burst becomes a sequence of bounded
@@ -247,31 +353,26 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   // opens sooner for blocked TCP senders.
   private val maxPerBatch = options.getLong("maxRowsPerBatch", 1000000L)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    lock.synchronized {
-      val avail = base + buffer.size
-      val s = start.asInstanceOf[SyslogOffset].v
-      val cap = limit match {
-        case mr: ReadMaxRows => s + mr.maxRows()
-        case _ => avail
-      }
-      SyslogOffset(math.min(avail, cap))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = receiver.available
+    val s = start.asInstanceOf[SyslogOffset].v
+    val cap = limit match {
+      case mr: ReadMaxRows => s + mr.maxRows()
+      case _ => avail
     }
+    SyslogOffset(math.min(avail, cap))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SyslogOffset].v
     val e = end.asInstanceOf[SyslogOffset].v
-    val rows = lock.synchronized {
-      val from = math.max(0L, s - base).toInt
-      val to = math.max(0L, e - base).toInt
-      buffer.slice(from, to).toArray
-    }
+    val rows = receiver.slice(s, e)
     if (rows.isEmpty) Array.empty
     else {
       // Chunk the slice: one partition per micro-batch serializes the
       // whole transform/encode/write pipeline onto a single core; 64k
       // chunks let a large batch use every core of the stage.
-      rows.grouped(65536).map(SyslogPartition(_, hostname)).toArray
+      rows.grouped(65536).map(SyslogPartition(_, receiver.hostname)).toArray
     }
   }
 
@@ -291,22 +392,13 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
       }
     }
 
-  override def commit(end: Offset): Unit = lock.synchronized {
-    // retention trim: committed rows can never be replanned
-    val e = end.asInstanceOf[SyslogOffset].v
-    val drop = math.max(0L, e - base).toInt
-    if (drop > 0) {
-      buffer.remove(0, math.min(drop, buffer.size))
-      base = math.max(base, e)
-      lock.notifyAll()
-    }
-  }
+  override def commit(end: Offset): Unit =
+    receiver.commitUpTo(end.asInstanceOf[SyslogOffset].v)
 
-  override def stop(): Unit = {
-    closed = true
-    if (tcpServer != null) try tcpServer.close() catch { case _: Exception => }
-    if (udpSocket != null) try udpSocket.close() catch { case _: Exception => }
-  }
+  override def stop(): Unit =
+    // a NAMED receiver outlives the query (checkpoint recovery replays
+    // its uncommitted window on restart); an unnamed one dies with it
+    if (receiverName.isEmpty) receiver.close()
 }
 
 /** Serializable slice of the driver-side buffer shipped to the executor. */
