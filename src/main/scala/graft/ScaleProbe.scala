@@ -96,8 +96,8 @@ object ScaleProbe {
     timed("q78") {
       val packs = SparkEntry.queries("q78_sequence_pack")(spark, d)
       val s = packs.agg(
-        count(lit(1)), min(col("pack_tokens")), max(col("pack_tokens")),
-        avg(col("pack_tokens"))).head()
+        count(lit(1)), min(col("n_tokens")), max(col("n_tokens")),
+        avg(col("n_tokens"))).head()
       out("q78_packs") = s.getLong(0)
       out("q78_min_tokens") = s.getLong(1)
       out("q78_max_tokens") = s.getLong(2)

@@ -94,11 +94,27 @@ object Similarity {
     * envelope at the operator's real threshold can only be measured on
     * planted pairs).
     */
+  /** q64's band geometry: the 64 raw sign bits form eight 8-bit groups;
+    * a band is one of the C(8,2) = 28 group PAIRS, its key the 16-bit
+    * concatenation. Round-4 q64 used 4 bands × 8 bits, whose random-
+    * collision floor (4/256 per pair) made candidates QUADRATIC in the
+    * corpus — measured ×100 at the 10× stress blow-up (SCALING.md
+    * round-5 curves). 16-bit keys push the floor to 28/65536 ≈ 1/2340
+    * (36× fewer random candidates at sf~1: ~85k vs 3.1M measured), and
+    * 28 overlapping bands keep near-dup recall high: P[pair survives] =
+    * 1 − (1 − p^16)^28 with p = 1 − θ/π, i.e. ~88% at cosine 0.95,
+    * >99% at 0.98 — measured ≥80% on planted pairs (OperatorSpec). All
+    * bits are raw per-dim sign comparisons — exact, no float summation
+    * — so the DuckDB oracle replays them bit-for-bit.
+    */
+  private[graft] val bandPairs: Seq[(Int, Int)] =
+    for { g <- 0 until 8; h <- g + 1 until 8 } yield (g, h)
+
   /** The sign-LSH band-join candidate stage alone — (vec_a, vec_b[, label])
     * pairs sharing a band key (and the label block when `blocked`), before
     * the exact-cosine verify. Exposed for [[graft.ScaleProbe]]'s candidate
-    * growth measurement; q35 (blocked) and q64 (unblocked) both build on
-    * it.
+    * growth measurement; q35 (blocked, 4 bands × 8 bits inside bounded
+    * label blocks) and q64 (unblocked, [[bandPairs]] geometry) build on it.
     */
   private[graft] def bandedCandidates(e: DataFrame, blocked: Boolean): DataFrame =
     if (blocked) {
@@ -110,7 +126,20 @@ object Similarity {
           col("b.vec_id").as("vec_b"))
         .distinct()
     } else {
-      val bands = bandKeysOf(e, Seq.empty)
+      // one narrow pass computes the eight group bytes, then explodes to
+      // the 28 (band, key) rows — ids + 16-bit keys only on the shuffle
+      val groupByte = (g: Int) => (0 until 8).map(i =>
+        when(element_at(col("emb"), 8 * g + i + 1) > 0.0d, lit(1 << i))
+          .otherwise(lit(0))).reduce(_ + _)
+      val withBytes = e.select(
+        col("vec_id") +: (0 until 8).map(g => groupByte(g).as(s"g$g")): _*)
+      val bandArr = array(bandPairs.zipWithIndex.map { case ((g, h), b) =>
+        struct(lit(b).as("band"),
+          (col(s"g$g") * 256 + col(s"g$h")).cast("long").as("key"))
+      }: _*)
+      val bands = withBytes
+        .select(col("vec_id"), explode(bandArr).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       bands.alias("a")
         .join(bands.alias("b"), Seq("band", "key"))
         .filter(col("a.vec_id") < col("b.vec_id"))
@@ -198,15 +227,17 @@ object Similarity {
     }),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
-    // scale path when no natural shard/label exists (q35 needs one). Each
-    // vector gets 4 band keys (8 sign bits per band); vectors sharing any
-    // band key become candidate pairs (1.6% of all pairs on this data),
-    // and only candidates pay the exact-cosine verify. The banding join
-    // shuffles ids+keys only (vectors re-join after pair dedup), is
-    // hash-partitioned on (band, key), and its recall-vs-cost trade is the
-    // standard LSH curve — sign-bit agreement targets high-cosine pairs,
-    // hence the 0.4 verify threshold. Deterministic, so the oracle replays
-    // the identical algorithm.
+    // scale path when no natural shard/label exists (q35 needs one).
+    // Round-5 geometry: 28 bands of 16 raw sign bits ([[bandPairs]] —
+    // the 10× stress run measured the old 4×8-bit bands going quadratic,
+    // ×100 candidates at ×10 corpus; 16-bit keys are 36× tighter and 28
+    // overlapping bands keep near-dup recall ≥80%, planted-pair-measured).
+    // The banding join shuffles ids + 16-bit keys only (vectors re-join
+    // after pair dedup), is hash-partitioned on (band, key), and only
+    // candidates pay the exact-cosine verify at [[NearDupT]] — the
+    // near-dup regime this operator is named for (the synthetic testdata
+    // has no pair above cosine 0.52, so the gate output is honestly
+    // empty; the recall envelope lives in the planted-pair spec).
     "q64_neardup_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -216,7 +247,7 @@ object Similarity {
         .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
-        .filter(col("cos") >= 0.4)
+        .filter(col("cos") >= NearDupT)
         .select(col("vec_a"), col("vec_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
@@ -333,9 +364,22 @@ object Similarity {
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
       "q64_neardup_lsh" -> {
+        // the eight 8-bit sign groups, then the 28 (band, 16-bit key)
+        // rows per vector — same [[bandPairs]] order as the Spark side
+        val groupSql = (g: Int) => (0 until 8)
+          .map(i => s"CASE WHEN embedding[${8 * g + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+          .mkString(" + ")
+        val byteCols = (0 until 8)
+          .map(g => s"CAST(${groupSql(g)} AS BIGINT) AS g$g").mkString(",\n    ")
+        val keyCase = bandPairs.zipWithIndex
+          .map { case ((g, h), b) => s"WHEN $b THEN g$g * 256 + g$h" }
+          .mkString("CASE p.b ", " ", " END")
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-           |  bands AS (SELECT b, vec_id, CAST($bandKeySql AS BIGINT) AS key
-           |            FROM e, (SELECT unnest([0, 1, 2, 3]) AS b)),
+           |  bytes AS (SELECT vec_id,
+           |    $byteCols
+           |    FROM e),
+           |  bands AS (SELECT vec_id, p.b, $keyCase AS key
+           |            FROM bytes, (SELECT unnest(range(28)) AS b) p),
            |  cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
            |           FROM bands a JOIN bands c
            |             ON a.b = c.b AND a.key = c.key
@@ -348,7 +392,7 @@ object Similarity {
            |      4) AS cos
            |    FROM cand JOIN e x ON x.vec_id = vec_a
            |              JOIN e y ON y.vec_id = vec_b)
-           |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= 0.4
+           |SELECT vec_a, vec_b, cos FROM ver WHERE cos >= $NearDupT
            |ORDER BY vec_a, vec_b""".stripMargin
       },
 

@@ -14,7 +14,7 @@ class SmokeSpec extends AnyFunSuite {
   // thresholds depend on planted duplicates).
   private val mayBeEmpty = Set(
     "q32_neardup_jaccard", "q33_neardup_simhash", "q34_neardup_minhash",
-    "q35_neardup_embedding", "q73_dup_clusters")
+    "q35_neardup_embedding", "q64_neardup_lsh", "q73_dup_clusters")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
