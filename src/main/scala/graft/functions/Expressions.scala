@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, StructType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the ingest wire formats. All three
   * generate straight-line Java in `doGenCode`, so they stay inside
@@ -62,6 +63,40 @@ case class AvroLogLineDecode(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.AvroCodec.decodeStruct($c);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Kafka v0 message-set decode (incl. gzip/snappy nested sets) —
+  * binary → array<struct<offset, key, value>>; the consumer-side wire
+  * path of [[graft.ingest.MessageSet]]. Per-BATCH work (one fetch
+  * payload → many rows), so eval-per-value with a codegen passthrough
+  * is the right cost profile.
+  */
+case class KafkaMessageSetDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = KafkaMessageSetDecode.schema
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kafka_message_set_decode expects binary, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    KafkaMessageSetDecode.decodeCatalyst(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.KafkaMessageSetDecode.decodeCatalyst($c);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object KafkaMessageSetDecode {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true))), containsNull = false)
+
+  def decodeCatalyst(bytes: Array[Byte]): GenericArrayData =
+    new GenericArrayData(graft.ingest.MessageSet.decode(bytes).map { e =>
+      new GenericInternalRow(Array[Any](e.offset, e.key, e.value))
+    }.toArray[Any])
 }
 
 /** FNV-1a 32-bit over a binary column — byte-parity with the reference's

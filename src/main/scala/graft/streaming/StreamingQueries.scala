@@ -60,7 +60,7 @@ object StreamingQueries {
     * machinery exercised; a production deployment sizes this to its
     * cluster via the same conf before starting the query.
     */
-  private[streaming] val StatePartitions: String =
+  private[graft] val StatePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 
   /** Run a streaming aggregation to completion, return the sink table.

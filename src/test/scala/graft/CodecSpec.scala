@@ -229,4 +229,83 @@ class CodecSpec extends AnyFunSuite {
     assert(ingest.SchemaRegistry.parseId("""{"id": 42}""") === 42)
     assert(ingest.SchemaRegistry.parseId("""{ "id":7 }""") === 7)
   }
+  // --- Kafka v0 message-set decode (siesta messages.go:43-177) ---------
+
+  test("kafka v0 message set: hand-built golden bytes decode (layout pin)") {
+    import graft.ingest.MessageSet
+    // one entry, offset 5, key "k", value "vv" — built byte-by-byte from
+    // the wire spec, NOT via our encoder, so encoder and decoder cannot
+    // share a bug
+    val body = Array[Byte](
+      0,          // magic
+      0,          // attributes = none
+      0, 0, 0, 1, 'k', // key bytes32
+      0, 0, 0, 2, 'v', 'v') // value bytes32
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    val c = crc.getValue.toInt
+    val msg = Array[Byte](
+      (c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte) ++ body
+    val wire = Array[Byte](0, 0, 0, 0, 0, 0, 0, 5) ++ // offset int64
+      Array[Byte](0, 0, 0, msg.length.toByte) ++ msg
+    val got = MessageSet.decode(wire)
+    assert(got.length === 1)
+    assert(got.head.offset === 5L)
+    assert(new String(got.head.key, "UTF-8") === "k")
+    assert(new String(got.head.value, "UTF-8") === "vv")
+  }
+
+  test("kafka v0 message set: plain round-trip incl null key/value") {
+    import graft.ingest.MessageSet
+    import graft.ingest.MessageSet.Entry
+    val entries = Seq(
+      Entry(0L, "alpha".getBytes, "line one".getBytes),
+      Entry(1L, null, "no key".getBytes),
+      Entry(2L, "k2".getBytes, null))
+    val got = MessageSet.decode(MessageSet.encodePlain(entries))
+    assert(got.map(_.offset) === Seq(0L, 1L, 2L))
+    assert(new String(got.head.value, "UTF-8") === "line one")
+    assert(got(1).key === null)
+    assert(got(2).value === null)
+  }
+
+  test("kafka v0 message set: gzip + snappy nested sets decode recursively") {
+    import graft.ingest.MessageSet
+    import graft.ingest.MessageSet.Entry
+    val entries = (0 until 50).map(i => Entry(100L + i, null, s"payload $i".getBytes))
+    for (wire <- Seq(MessageSet.encodeGzip(entries, wrapperOffset = 149),
+                     MessageSet.encodeSnappy(entries, wrapperOffset = 149))) {
+      val got = MessageSet.decode(wire)
+      assert(got.length === 50)
+      assert(got.map(_.offset) === (100L until 150L))
+      assert(got.map(e => new String(e.value, "UTF-8")) ===
+        (0 until 50).map(i => s"payload $i"))
+    }
+  }
+
+  test("kafka v0 message set: truncated tail is dropped silently (fetch boundary)") {
+    import graft.ingest.MessageSet
+    import graft.ingest.MessageSet.Entry
+    val whole = MessageSet.encodePlain(
+      Seq(Entry(0, null, "a".getBytes), Entry(1, null, "b".getBytes)))
+    // cut into the middle of the second entry, like a size-bounded fetch
+    val cut = java.util.Arrays.copyOf(whole, whole.length - 3)
+    val got = MessageSet.decode(cut)
+    assert(got.length === 1)
+    assert(new String(got.head.value, "UTF-8") === "a")
+  }
+
+  test("kafka_message_set_decode expression flattens sets in a DataFrame") {
+    import graft.ingest.MessageSet
+    import graft.ingest.MessageSet.Entry
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val wire = MessageSet.encodeGzip(
+      (0 until 5).map(i => Entry(i, null, s"line $i".getBytes)), 4)
+    val rows = Seq(Tuple1(wire)).toDF("payload")
+      .select(explode(call_function("kafka_message_set_decode",
+        col("payload"))).as("m"))
+      .select(col("m.offset"), decode(col("m.value"), "UTF-8").as("line"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows === (0 until 5).map(i => (i.toLong, s"line $i")))
+  }
 }
