@@ -42,6 +42,11 @@ object IngestBench {
       .option("tcp.port", "-1").option("udp.port", "0")
       .option("tcp.host", "127.0.0.1")
       .option("maxBufferedRows", "2000000")
+      // admission cap interacts with the trigger: throughput can never
+      // exceed maxRowsPerBatch / triggerInterval, so raising the trigger
+      // requires raising the cap in step
+      .option("maxRowsPerBatch",
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_MAX_BATCH", "1000000"))
       .load()
     val out = ingest.Transformers.fromSyslog(src)
       .select(ingest.Transformers.avro(
@@ -51,9 +56,14 @@ object IngestBench {
     // rewritten in full, so long runs pay a growing per-commit stall;
     // the degradation is the SINK's, and this knob proves it)
     val sinkFmt = sys.env.getOrElse("SPARK_GRAFT_INGEST_SINK", "parquet")
+    // trigger interval is the file-count knob: at 500 ms a 30 s run
+    // commits ~60 batches x partitions files and the metadata log's
+    // every-10-batches full rewrite grows accordingly — larger triggers
+    // are the first mitigation for the long-run sink decay
+    val triggerMs = sys.env.getOrElse("SPARK_GRAFT_INGEST_TRIGGER_MS", "500").toLong
     val query = out.writeStream.format(sinkFmt)
       .option("path", outDir).option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(500))
+      .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
     val portDeadline = System.nanoTime() + 30000000000L // 30 s
