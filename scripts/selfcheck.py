@@ -49,8 +49,12 @@ def rows_of(cols, data):
 def main():
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single files; StressGen writes Spark-style
+        # directories — glob the latter
+        p = Path(f"{SF_DIR}/{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):

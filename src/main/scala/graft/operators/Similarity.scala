@@ -41,8 +41,11 @@ object Similarity {
     */
   val NearDupT = 0.8
 
-  /** IVF cell = sign bits of the first 8 dims. */
-  private def cellOf(e: org.apache.spark.sql.Column) =
+  /** IVF cell = sign bits of the first 8 dims. private[graft]: PlanSpec
+    * uses it to demonstrate the at-rest layout (table partitioned by
+    * cell → probe is partition pruning on the scan).
+    */
+  private[graft] def cellOf(e: org.apache.spark.sql.Column) =
     (0 until 8).map(i =>
       when(element_at(e, i + 1) > 0.0d, lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _).cast("long")

@@ -330,4 +330,38 @@ class PlanSpec extends AnyFunSuite {
     assert(fi >= 0)
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q36 at-rest layout: cell-partitioned table makes the probe partition pruning") {
+    // SCALING.md claims "at 100 TB the cell id is a partition key, so the
+    // 9/256-cell probe is partition pruning on the scan" — demonstrate it:
+    // write embeddings partitioned BY cell, probe, and assert the filter
+    // lands in PartitionFilters (directory pruning — excluded cells are
+    // never opened), not in PushedFilters/post-scan Filter.
+    import operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_parts").toString
+    Tables.embeddings(spark, sf)
+      .withColumn("cell",
+        Similarity.cellOf(col("embedding").cast("array<double>")))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probe = Similarity.probeCells.map(_.toLong)
+    val df = spark.read.parquet(dir)
+      .filter(col("cell").isin(probe: _*))
+      .select(col("vec_id"), col("cell"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters: ["))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n${p.take(1200)}"))
+    assert(pf.contains("cell"),
+      s"cell probe not pushed to partition pruning: $pf")
+    // correctness: partitioned probe returns exactly the unpartitioned set
+    val expected = Tables.embeddings(spark, sf)
+      .withColumn("cell",
+        Similarity.cellOf(col("embedding").cast("array<double>")))
+      .filter(col("cell").isin(probe: _*))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
 }
