@@ -53,8 +53,21 @@ def main():
         # directories — glob the latter
         p = Path(f"{SF_DIR}/{t}.parquet")
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
+        sel = "SELECT *"
+        if t == "events":
+            # the source parquet's TIMESTAMP(NANOS) becomes a BIGINT when
+            # Spark rewrites it (nanosAsLong is read-only), e.g. in the
+            # StressGen sf~1 set; reconstruct the micros-TIMESTAMP DuckDB
+            # would have read (its nanos read floor-truncates to micros,
+            # exactly ts // 1000)
+            ty = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{src}') LIMIT 1"
+            ).fetchone()[0]
+            if ty == "BIGINT":
+                sel = ("SELECT * REPLACE (('1970-01-01'::TIMESTAMP"
+                       " + to_microseconds(ts // 1000)) AS ts)")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+            f"CREATE VIEW {t} AS {sel} FROM read_parquet('{src}')")
     oracle = json.loads(Path(f"{OUT_DIR}/oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -63,15 +63,9 @@ object StatefulSession {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_stream_session_state" -> ((s, d) => {
       import s.implicits._
-      // staged dir (same trick as StreamingQueries.eventsStream)
-      val stage = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_events_stream_${math.abs(d.hashCode)}")
-      Files.createDirectories(stage)
-      val link = stage.resolve("events.parquet")
-      if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+      val stage = StreamingQueries.stageEventsDir(d)
       val schema = s.read.parquet(s"$d/events.parquet").schema
-      val ds = s.readStream.schema(schema).parquet(stage.toString)
+      val ds = s.readStream.schema(schema).parquet(stage)
         .select(col("user_id"), col("event_id"),
           expr("ts div 1000").as("us"), col("value"))
         .as[SessEvent]

@@ -36,17 +36,37 @@ object StreamingQueries {
   /** Streaming view of events: nanos column read as long (session conf)
     * then floor-converted to a microsecond timestamp, like Tables.events.
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    // The file streaming source requires a *directory*; stage a symlink to
-    // the single events.parquet in a temp dir keyed by the sf dir.
+  /** Stage the events table for the file streaming source, which requires
+    * a *directory* of data files: symlinks in a temp dir keyed by the sf
+    * dir. Testdata ships events.parquet as a single FILE (one link
+    * suffices); StressGen-style dirs hold part files, which must be
+    * linked individually — the file source does not recurse into a
+    * nested non-partition directory, so a dir link would silently stream
+    * ZERO rows (caught by the sf~1 oracle tier). Shared with
+    * [[graft.streaming.StatefulSession]]'s q42.
+    */
+  private[streaming] def stageEventsDir(d: String): String = {
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_events_stream_${math.abs(d.hashCode)}")
     Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+    val src = Paths.get(d, "events.parquet")
+    if (Files.isDirectory(src)) {
+      Files.list(src).filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val link = stage.resolve(f.getFileName)
+          if (!Files.exists(link)) Files.createSymbolicLink(link, f)
+        }
+    } else {
+      val link = stage.resolve("events.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    }
+    stage.toString
+  }
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val stage = stageEventsDir(d)
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(stage.toString)
+    s.readStream.schema(schema).parquet(stage)
       .withColumn("ts", timestamp_micros(
         when(col("ts") >= 0, expr("ts div 1000"))
           .otherwise(expr("(ts - 999) div 1000"))))
