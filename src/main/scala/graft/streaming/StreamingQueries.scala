@@ -258,6 +258,37 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
     }),
 
+    // q80 — stream-stream FULL OUTER interval join: q79 plus the
+    // right-null path. A purchase's matchable clicks lie in
+    // [p_ts − 1h, p_ts] (both bounds from the join condition), so its
+    // state is evictable once the combined watermark passes p_ts; a
+    // never-matched purchase is emitted null-padded at that eviction —
+    // in the AvailableNow trailing flush batch, exactly like q79's
+    // left-null rows. The oracle replays both eviction rules against
+    // the min-of-inputs watermark.
+    "q80_stream_full_outer_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_eid"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_eid"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+          col("click_eid"), col("purchase_eid"),
+          unix_micros(col("c_ts")).as("click_us"),
+          unix_micros(col("p_ts")).as("purchase_us"))
+      drain(s, joined, "q80_mem", "append")
+        .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
+    }),
+
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
       def writeBatch(df: DataFrame, n: Int): Unit = {
@@ -369,6 +400,37 @@ object StreamingQueries {
         |                WHERE p.user_id = c.user_id
         |                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
         |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY user_id, click_eid, purchase_eid""".stripMargin,
+
+    "q80_stream_full_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        |  c AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'click'),
+        |  p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |  wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+        |                  - INTERVAL 1 HOUR AS w),
+        |  m AS (SELECT c.user_id, c.event_id AS click_eid,
+        |          p.event_id AS purchase_eid,
+        |          epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |        FROM c JOIN p ON c.user_id = p.user_id
+        |          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |  u AS (SELECT c.user_id, c.event_id AS click_eid,
+        |          NULL::BIGINT AS purchase_eid,
+        |          epoch_us(c.ts) AS click_us, NULL::BIGINT AS purchase_us
+        |        FROM c, wm
+        |        WHERE c.ts + INTERVAL 1 HOUR < wm.w
+        |          AND NOT EXISTS (SELECT 1 FROM p
+        |                WHERE p.user_id = c.user_id
+        |                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)),
+        |  u2 AS (SELECT p.user_id, NULL::BIGINT AS click_eid,
+        |          p.event_id AS purchase_eid,
+        |          NULL::BIGINT AS click_us, epoch_us(p.ts) AS purchase_us
+        |        FROM p, wm
+        |        WHERE p.ts < wm.w
+        |          AND NOT EXISTS (SELECT 1 FROM c
+        |                WHERE c.user_id = p.user_id
+        |                  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR))
+        |SELECT * FROM m UNION ALL SELECT * FROM u UNION ALL SELECT * FROM u2
         |ORDER BY user_id, click_eid, purchase_eid""".stripMargin,
 
     "q62_stream_static_join" ->

@@ -571,6 +571,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_._3.isDefined), "testdata must produce matches")
   }
 
+  test("q80 full outer: matched + expired-unmatched on BOTH sides") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q80_stream_full_outer_join")(spark, sf)
+      .select("user_id", "click_eid", "purchase_eid")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._3 == "click")
+    val buys = ev.filter(_._3 == "purchase")
+    val hour = 3600000000L
+    val matched = (for {
+      (cu, ce, _, cus) <- clicks; (pu, pe, _, pus) <- buys
+      if cu == pu && pus >= cus && pus <= cus + hour
+    } yield (cu, ce, pe)).toSet
+    val wm = math.min(clicks.map(_._4).max, buys.map(_._4).max) - hour
+    val matchedClicks = matched.map(m => (m._1, m._2))
+    val matchedBuys = matched.map(m => (m._1, m._3))
+    val expected: Set[(Long, Option[Long], Option[Long])] =
+      matched.map { case (u, c, p) =>
+        (u, Some(c): Option[Long], Some(p): Option[Long]) } ++
+        clicks.collect { case (cu, ce, _, cus) // left eviction: window past wm
+            if cus + hour < wm && !matchedClicks((cu, ce)) =>
+          (cu, Some(ce): Option[Long], None: Option[Long])
+        } ++
+        buys.collect { case (pu, pe, _, pus) // right eviction: p_ts past wm
+            if pus < wm && !matchedBuys((pu, pe)) =>
+          (pu, None: Option[Long], Some(pe): Option[Long])
+        }
+    assert(rows.toSet === expected)
+    assert(rows.exists(r => r._2.isEmpty), "must produce right-null rows")
+    assert(rows.exists(r => r._3.isEmpty), "must produce left-null rows")
+    assert(rows.exists(r => r._2.isDefined && r._3.isDefined))
+  }
+
   test("q25/q36 share the same deterministic query vector") {
     assert(operators.Pipeline.queryVec.length === 64)
     // regression-pin the first values so the oracle SQL can't drift
