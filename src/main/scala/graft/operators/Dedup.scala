@@ -251,6 +251,34 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q81 — canonical-doc selection: the materialization step AFTER q73's
+    // cluster formation. Keep exactly one survivor per duplicate cluster
+    // (the minimum doc_id — q73's cluster representative) plus every
+    // unclustered doc; emit the surviving corpus with its cluster size
+    // (1 for singletons). This is the pass a pretraining pipeline actually
+    // runs: q32 finds pairs, q73 closes them transitively, q81 drops the
+    // non-canonical members. At 100 TB the labels cover only docs in >=1
+    // dup pair (a small fraction of the corpus) and the drop set is
+    // smaller still, so the anti-join broadcasts or shuffles on doc_id;
+    // everything upstream is q73's equi-join machinery.
+    "q81_dedup_canonical" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // checkpointed labels: reused below without recompute
+      val labels = connectedComponents(pairs)
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+      val dropped = labels.filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(labels.select(col("doc_id"), col("cluster_size")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q33 — SimHash near-dup, banded self-join, hamming <= 3.
     // The signature is one typed Aggregator pass (ObjectHashAggregate):
     // 60 separate sum() columns generated a >1 MB codegen stage with
@@ -390,6 +418,26 @@ object Dedup {
            |SELECT doc_id, cluster_rep,
            |  COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q81 = q73's recursive closure + the keep-one-per-cluster filter
+      // over the full corpus (unclustered docs survive with size 1)
+      "q81_dedup_canonical" ->
+        s"""WITH RECURSIVE $prefixPairs,
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS cluster_rep
+           |           FROM reach GROUP BY src),
+           |  sized AS (SELECT doc_id, cluster_rep,
+           |      COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+           |    FROM reps)
+           |SELECT d.doc_id, COALESCE(s.cluster_size, 1) AS cluster_size
+           |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
+           |WHERE s.doc_id IS NULL OR s.doc_id = s.cluster_rep
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q33_neardup_simhash" ->
         s"""WITH s AS ($sqlShingles3),

@@ -107,6 +107,42 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q82 — TF-IDF top-3 terms per document: the corpus-statistics
+    // keyword extractor (salient-term readout / filter features). Terms
+    // are the q39 word-token contract ([a-z0-9]+ on lowercased text).
+    // Ranking is INTEGER-deterministic — tf desc, then rarer term (df
+    // asc), then term — so the cut never depends on float rounding; the
+    // emitted score keeps this file's transcendental-free contract by
+    // using the rational idf core (n_docs+1)/(df+1) instead of its log:
+    // same per-tf ordering, bit-identical in both engines (two correctly-
+    // rounded IEEE ops). At 100 TB: explode is narrow; tf aggregates on
+    // (doc_id, term) with map-side combine; df on term; the scalar doc
+    // count broadcasts; the rank filter is the LocalTopK shape (mappers
+    // pre-prune below the per-doc window exchange).
+    "q82_tfidf_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", round(
+          col("tf") * (col("n_docs") + lit(1.0d)) / (col("df") + lit(1.0d)),
+          4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tf").desc, col("df"), col("term"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
     // whitespace, trim). Pure narrow column work, one codegen'd pass; the
@@ -276,6 +312,24 @@ object TextOps {
           | length(text) AS n_chars,
           | octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // same association order as the Spark side: (tf * (n+1)) / (df+1) —
+      // two correctly-rounded IEEE ops, bit-identical across engines
+      "q82_tfidf_topterms" ->
+        """WITH tok AS (SELECT doc_id,
+          |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          |  FROM documents),
+          | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+          |        GROUP BY doc_id, term),
+          | df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+          | sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |     ROUND(tf.tf * (n.n_docs + 1.0) / (df.df + 1.0), 4) AS score,
+          |     row_number() OVER (PARTITION BY tf.doc_id
+          |                        ORDER BY tf.tf DESC, df.df, tf.term) AS rk
+          |   FROM tf JOIN df USING (term), n)
+          |SELECT doc_id, term, tf, df, score, rk FROM sc WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

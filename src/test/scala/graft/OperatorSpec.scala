@@ -428,6 +428,59 @@ class OperatorSpec extends AnyFunSuite {
       assert(members.keys.min === rep, s"cluster $rep rep is not the min id")
   }
 
+  test("q81 keeps exactly the cluster reps plus all unclustered docs") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 may have no dup pairs
+    val kept = SparkEntry.queries("q81_dedup_canonical")(spark, sf01)
+      .select("doc_id", "cluster_size").as[(Long, Long)].collect().toMap
+    val clusters = SparkEntry.queries("q73_dup_clusters")(spark, sf01)
+      .select("doc_id", "cluster_rep", "cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf01).count()
+    assert(clusters.nonEmpty)
+    // survivors = corpus minus the non-representative cluster members
+    val nonReps = clusters.count { case (id, rep, _) => id != rep }
+    assert(kept.size === nDocs - nonReps)
+    for ((id, rep, sz) <- clusters) {
+      if (id == rep) assert(kept.get(id).contains(sz),
+        s"rep $id must survive with its cluster size $sz")
+      else assert(!kept.contains(id), s"non-rep member $id must be dropped")
+    }
+    // unclustered survivors report size 1
+    val clustered = clusters.map(_._1).toSet
+    assert(kept.forall { case (id, sz) => clustered(id) || sz == 1L })
+  }
+
+  test("q82 ranks by exact integers and its top-1 matches brute force") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q82_tfidf_topterms")(spark, sf)
+      .select("doc_id", "term", "tf", "df", "rk")
+      .as[(Long, String, Long, Long, Long)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // rk is a dense 1..k prefix per doc, k <= 3
+    for ((d, rs) <- byDoc)
+      assert(rs.map(_._5).sorted.toSeq === (1L to rs.length).toSeq &&
+        rs.length <= 3, s"doc $d rank set ${rs.map(_._5).toSeq}")
+    // brute-force the winner for every doc: max tf, then min df, then term
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .as[(Long, String)].collect()
+    val tfAll = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t).toSeq.groupBy(identity)
+        .map { case (w, o) => w -> o.size.toLong }
+    }.toMap
+    val dfAll = tfAll.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    for ((d, rs) <- byDoc) {
+      val expTop = tfAll(d).toSeq
+        .map { case (w, tf) => (w, tf, dfAll(w)) }
+        .sortBy { case (w, tf, df) => (-tf, df, w) }.head
+      val got = rs.find(_._5 == 1L).get
+      assert((got._2, got._3, got._4) === expTop,
+        s"doc $d top-1 mismatch: got $got expected $expTop")
+    }
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop

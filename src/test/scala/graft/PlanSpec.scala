@@ -103,6 +103,8 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q74_stratified_cap").contains("LocalTopKPerKey"))
     // ... and q77's per-language top-10 trigram rank
     assert(plan("q77_trigram_profile").contains("LocalTopKPerKey"))
+    // ... and q82's per-doc top-3 tf-idf rank
+    assert(plan("q82_tfidf_topterms").contains("LocalTopKPerKey"))
   }
 
   test("q48 salted join shuffles on (key, salt), not the bare hot key") {
