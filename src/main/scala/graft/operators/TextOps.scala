@@ -143,6 +143,47 @@ object TextOps {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // q83 — within-document repetition profile: the Gopher-family
+    // repetition quality filter (Rae et al. '21 §A1.1 use character
+    // fractions over lines/n-grams; this corpus is single-line
+    // whitespace-token text, so the stats are token-based): fraction of
+    // tokens that are repeats (1 - distinct/n), fraction of 2-grams
+    // taken by the single most frequent 2-gram, fraction of 3-grams
+    // occurring more than once. All counts are exact integers aggregated
+    // per (doc, gram) with map-side combine — shuffle keys carry the doc
+    // id, so the three stat aggs co-partition — and each emitted fraction
+    // is ONE correctly-rounded IEEE division, keeping this file's
+    // transcendental-free oracle contract. At 100 TB this is the same
+    // shape as q82: narrow gram expansion into keyed hash aggs, no
+    // quadratic anywhere.
+    "q83_repetition" -> ((s, d) => {
+      def grams(toks: Column, k: Int): Column =
+        when(size(toks) >= k, // sequence() descends when end < start
+          transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+            concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+          .otherwise(array())
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      def stat(k: Int): DataFrame = base
+        .select(col("doc_id"), explode(grams(col("toks"), k)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"n$k"),            // total k-grams
+          count(lit(1)).as(s"d$k"),            // distinct k-grams
+          max(col("c")).as(s"top$k"),          // most frequent k-gram count
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as(s"dup$k"))
+      stat(1).join(stat(2), "doc_id").join(stat(3), "doc_id")
+        .select(col("doc_id"), col("n1").as("n_tokens"),
+          round((col("n1") - col("d1")).cast("double") / col("n1"), 4)
+            .as("dup_token_frac"),
+          round(col("top2").cast("double") / col("n2"), 4)
+            .as("top_2gram_frac"),
+          round(col("dup3").cast("double") / col("n3"), 4)
+            .as("dup_3gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
     // whitespace, trim). Pure narrow column work, one codegen'd pass; the
@@ -330,6 +371,36 @@ object TextOps {
           |   FROM tf JOIN df USING (term), n)
           |SELECT doc_id, term, tf, df, score, rk FROM sc WHERE rk <= 3
           |ORDER BY doc_id, rk""".stripMargin,
+
+      // k-gram expansion mirrors the Spark side; each fraction is one
+      // IEEE division rounded to 4dp (no transcendentals)
+      "q83_repetition" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+          |           FROM documents),
+          | g1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+          | g2 AS (SELECT doc_id, unnest(list_transform(
+          |     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+          |   FROM t),
+          | g3 AS (SELECT doc_id, unnest(list_transform(
+          |     range(1, len(toks) - 1),
+          |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+          |   FROM t),
+          | s1 AS (SELECT doc_id, sum(c) AS n1, count(*) AS d1
+          |   FROM (SELECT doc_id, g, count(*) AS c FROM g1
+          |         GROUP BY doc_id, g) GROUP BY doc_id),
+          | s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2
+          |   FROM (SELECT doc_id, g, count(*) AS c FROM g2
+          |         GROUP BY doc_id, g) GROUP BY doc_id),
+          | s3 AS (SELECT doc_id, sum(c) AS n3,
+          |     COALESCE(sum(c) FILTER (c > 1), 0) AS dup3
+          |   FROM (SELECT doc_id, g, count(*) AS c FROM g3
+          |         GROUP BY doc_id, g) GROUP BY doc_id)
+          |SELECT doc_id, n1::BIGINT AS n_tokens,
+          |  ROUND((n1 - d1)::DOUBLE / n1, 4) AS dup_token_frac,
+          |  ROUND(top2::DOUBLE / n2, 4) AS top_2gram_frac,
+          |  ROUND(dup3::DOUBLE / n3, 4) AS dup_3gram_frac
+          |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

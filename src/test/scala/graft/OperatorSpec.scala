@@ -481,6 +481,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q83 repetition fractions match per-doc brute force") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q83_repetition")(spark, sf)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    for ((id, n, dupTok, top2, dup3) <- rows) {
+      val toks = docs(id).split(" ", -1).toSeq
+      def counts(k: Int) = toks.sliding(k).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map(_._2.size)
+      assert(n === toks.length)
+      val eps = 0.00006 // 4dp rounding slack
+      assert(math.abs(dupTok - (toks.length - counts(1).size).toDouble / toks.length) < eps)
+      assert(math.abs(top2 - counts(2).max.toDouble / (toks.length - 1)) < eps)
+      assert(math.abs(dup3 - counts(3).filter(_ > 1).sum.toDouble / (toks.length - 2)) < eps)
+    }
+    // the stats must discriminate on testdata, not collapse to a constant
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
