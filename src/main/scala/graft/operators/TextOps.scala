@@ -184,6 +184,53 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q84 — composed keep/drop quality verdict: the materialization a
+    // cleaning pipeline runs over the per-doc signals (q37 language
+    // evidence, q38 composite score, q83 repetition). Every threshold is
+    // an INTEGER comparison — score is q38's exact 4dp integer form,
+    // repetition uses cross-multiplied fractions (20·top2 > n2 ⟺
+    // top2/n2 > 5%; 5·(n−u) > 3·n ⟺ dup-token frac > 0.6) — so the
+    // verdict can never flip on a float ulp. reasons bitmask: 1 = length
+    // outside [20,95] tokens, 2 = score < 0.27, 4 = repetitive,
+    // 8 = zero language-marker evidence; keep ⟺ reasons = 0. Same scale
+    // shape as q82/q83: one narrow pass + one (doc,gram) hash agg joined
+    // back on doc_id.
+    "q84_quality_filter" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("st", countIn(col("toks"), markers.head._2))
+        .withColumn("mk",
+          markers.map { case (_, ws) => countIn(col("toks"), ws) }
+            .reduce(_ + _))
+      val top2 = base
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)))).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+      base.join(top2, Seq("doc_id"), "left")
+        .withColumn("top2", coalesce(col("top2"), lit(0L)))
+        .withColumn("score", expr(
+          "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
+            " div (800 * n)"))
+        .withColumn("reasons",
+          when(col("n") < 20 || col("n") > 95, 1L).otherwise(0L) +
+            when(col("score") < 2700, 2L).otherwise(0L) +
+            when(col("top2") * 20 > col("n") - 1 ||
+              (col("n") - col("u")) * 5 > col("n") * 3, 4L).otherwise(0L) +
+            when(col("mk") === 0, 8L).otherwise(0L))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("score"),
+          col("reasons"),
+          // 0/1 long, not boolean: the gate's cross-engine hasher is only
+          // exercised on int/double/varchar parquet-output types
+          (col("reasons") === 0).cast("long").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
     // whitespace, trim). Pure narrow column work, one codegen'd pass; the
@@ -401,6 +448,38 @@ object TextOps {
           |  ROUND(dup3::DOUBLE / n3, 4) AS dup_3gram_frac
           |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
+
+      // integer thresholds mirrored from the Spark side bit-for-bit
+      "q84_quality_filter" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           |           FROM documents),
+           | b AS (SELECT doc_id, len(toks) AS n,
+           |    len(list_distinct(toks)) AS u,
+           |    ${sqlCountIn(markers.head._2)} AS st,
+           |    ${markers.map { case (_, ws) => sqlCountIn(ws) }
+                  .mkString(" + ")} AS mk
+           |  FROM t),
+           | g2 AS (SELECT doc_id, unnest(list_transform(
+           |     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+           |   FROM t),
+           | t2 AS (SELECT doc_id, max(c) AS top2
+           |   FROM (SELECT doc_id, g, count(*) AS c FROM g2
+           |         GROUP BY doc_id, g) GROUP BY doc_id),
+           | sc AS (SELECT b.doc_id, n, u, st, mk, COALESCE(top2, 0) AS top2,
+           |    (20000 * (200 * st + 100 * u + n * least(n, 100))
+           |     + 400 * n) // (800 * n) AS score
+           |   FROM b LEFT JOIN t2 ON b.doc_id = t2.doc_id),
+           | r AS (SELECT doc_id, n, score,
+           |    (CASE WHEN n < 20 OR n > 95 THEN 1 ELSE 0 END
+           |     + CASE WHEN score < 2700 THEN 2 ELSE 0 END
+           |     + CASE WHEN top2 * 20 > n - 1 OR (n - u) * 5 > n * 3
+           |            THEN 4 ELSE 0 END
+           |     + CASE WHEN mk = 0 THEN 8 ELSE 0 END) AS reasons
+           |   FROM sc)
+           |SELECT doc_id, n::BIGINT AS n_tokens, score::BIGINT AS score,
+           |  reasons::BIGINT AS reasons,
+           |  (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+           |FROM r ORDER BY doc_id""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

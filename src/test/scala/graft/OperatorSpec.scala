@@ -502,6 +502,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length > 1)
   }
 
+  test("q84 verdict bitmask matches brute force and discriminates") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q84_quality_filter")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val markerSets = Seq(
+      Seq("the", "a", "of", "and", "is"), Seq("der", "die", "und", "ist"),
+      Seq("el", "los", "y", "es"), Seq("le", "les", "et", "est"),
+      Seq("的", "是"))
+    for ((id, n, score, reasons, keep) <- rows) {
+      val toks = docs(id).split(" ", -1).toSeq
+      val u = toks.distinct.length.toLong
+      val st = toks.count(markerSets.head.contains).toLong
+      val mk = markerSets.map(ws => toks.count(ws.contains)).sum.toLong
+      val top2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+      val nn = toks.length.toLong
+      val expScore =
+        (20000L * (200 * st + 100 * u + nn * math.min(nn, 100)) + 400 * nn) /
+          (800 * nn)
+      val expReasons =
+        (if (nn < 20 || nn > 95) 1L else 0L) +
+          (if (expScore < 2700) 2L else 0L) +
+          (if (top2 * 20 > nn - 1 || (nn - u) * 5 > nn * 3) 4L else 0L) +
+          (if (mk == 0) 8L else 0L)
+      assert((n, score, reasons, keep) ===
+        ((nn, expScore, expReasons, if (expReasons == 0) 1L else 0L)),
+        s"doc $id verdict mismatch")
+    }
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L),
+      "filter must keep some docs and drop some docs on testdata")
+    assert(rows.map(_._4).distinct.length >= 3,
+      "multiple distinct reason masks must fire on testdata")
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
