@@ -189,6 +189,41 @@ object Similarity {
       bandedNearDupPairs(e, NearDupT)
     }),
 
+    // q85 — batched brute-force ANN: exact cosine top-5 per query for a
+    // BATCH of query vectors (the eval / retrieval-serving pattern; q25
+    // is the single-query form). The query set is broadcast — corpus ×
+    // batch is a broadcast nested loop with a narrow per-pair fold, no
+    // shuffle of the big side — and per-row norms are computed ONCE in
+    // the scan projection, not per (vector, query) pair. The per-query
+    // rank is the LocalTopK shape (mappers pre-prune to 5 below the
+    // q_id exchange, so the shuffle carries ~5·|batch| rows, not
+    // |corpus|·|batch|). This is the exact baseline ANN recall is
+    // measured against; q36's IVF probing is the sublinear scale path.
+    // Query selector vec_id % 500 == 0 is stride-stable across the
+    // StressGen re-keying, giving a growing batch at every tier.
+    "q85_ann_batch" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(Shared.dot(col("v"), col("v"))))
+      val q = e.filter(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          Shared.dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("label"),
+          col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     // Q35b — the EXACT blocked variant: all same-label pairs, no LSH
     // filter. Σblock² pair generation — correct and fast when the
     // blocking key keeps blocks bounded (per-source shards, per-day
@@ -321,6 +356,27 @@ object Similarity {
       .mkString(" + ")
 
     Map(
+      // same association as Spark: dot / (nrm_v * nrm_q), norms from the
+      // double-cast squares, ROUND 4dp before ranking
+      "q85_ann_batch" ->
+        """WITH e AS (SELECT vec_id, label, embedding,
+          |    sqrt(list_sum(list_transform(embedding,
+          |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+          |  FROM embeddings),
+          | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
+          |       FROM e WHERE vec_id % 500 = 0),
+          | sc AS (SELECT q.q_id, e.vec_id, e.label,
+          |    ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+          |        p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+          |      4) AS cos
+          |   FROM e, q WHERE e.vec_id <> q.q_id),
+          | r AS (SELECT q_id, vec_id, label, cos,
+          |    row_number() OVER (PARTITION BY q_id
+          |                       ORDER BY cos DESC, vec_id) AS rk
+          |   FROM sc)
+          |SELECT q_id, rk::BIGINT AS rk, vec_id, label, cos
+          |FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
       "q35_neardup_embedding" ->
         s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
            |  bands AS (SELECT label, b, vec_id, CAST($bandKeySql AS BIGINT) AS key

@@ -538,6 +538,31 @@ class OperatorSpec extends AnyFunSuite {
       "multiple distinct reason masks must fire on testdata")
   }
 
+  test("q85 batched ANN matches per-query brute force") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q85_ann_batch")(spark, sf)
+      .select("q_id", "rk", "vec_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.lazyZip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    for ((qId, qRows) <- rows.groupBy(_._1)) {
+      val qv = vecs(qId); val qn = math.sqrt(dot(qv, qv))
+      val exp = vecs.toSeq.filter(_._1 != qId)
+        .map { case (id, v) =>
+          val c = BigDecimal(dot(v, qv) / (math.sqrt(dot(v, v)) * qn))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, c)
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(5)
+      val got = qRows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got === exp, s"query $qId top-5 mismatch")
+    }
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop

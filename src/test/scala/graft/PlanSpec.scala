@@ -105,6 +105,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q77_trigram_profile").contains("LocalTopKPerKey"))
     // ... and q82's per-doc top-3 tf-idf rank
     assert(plan("q82_tfidf_topterms").contains("LocalTopKPerKey"))
+    // ... and q85's per-query ANN top-5 (whose corpus×batch stage must be
+    // a broadcast join, not a shuffled one)
+    val p85 = plan("q85_ann_batch")
+    assert(p85.contains("LocalTopKPerKey"), p85.take(800))
+    assert(p85.contains("Broadcast"), "q85 query batch must broadcast")
   }
 
   test("q48 salted join shuffles on (key, salt), not the bare hot key") {
