@@ -114,6 +114,14 @@ object ScaleProbe {
       shuffleBytes(SparkEntry.queries("q14_window_rank")(spark, d))
     }
 
+    // --- q85 batched-ANN shuffle: the corpus×batch nested loop is
+    // broadcast (no shuffle), and LocalTopK prunes the rank input to
+    // ~5·|batch| rows per partition — so shuffle bytes must track the
+    // query batch, not corpus × batch ---
+    out("q85_shuffle_bytes") = timed("q85") {
+      shuffleBytes(SparkEntry.queries("q85_ann_batch")(spark, d))
+    }
+
     println(out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}"))
     spark.stop()

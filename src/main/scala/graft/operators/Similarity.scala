@@ -20,7 +20,13 @@ import org.apache.spark.sql.functions._
   *    hamming distance 1 (9/256 of the data — at 100 TB the cell id is a
   *    partition key, so this becomes partition pruning on the scan), then
   *    ranks candidates by exact cosine. Deterministic, so the DuckDB
-  *    oracle replays the identical arithmetic.
+  *    oracle replays the identical arithmetic. Recall honesty: measured
+  *    2/10 overlap with the exact top-10 (q25) on the synthetic testdata —
+  *    UNIFORM random vectors are the worst case for any cell quantizer
+  *    (every cell border is equally populated, so the true neighbors
+  *    scatter across cells). On real clustered embeddings the probe's
+  *    recall tracks the cluster structure; the exact baselines to measure
+  *    against are q25 (single query) and q85 (batch).
   */
 object Similarity {
   import Shared._
