@@ -231,6 +231,40 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q86 — token-budgeted selection: the mixture-construction step that
+    // fills each source's token budget with its best documents (rank by
+    // the q38 integer quality score, cumulative whitespace-token sum,
+    // cut at 800 tokens/source). Ordering and the cut are all-integer
+    // (score desc, doc_id asc; inclusive running sum ≤ budget) so the
+    // selection is bit-stable across engines. One shuffle on source; the
+    // running-sum window streams each source partition once. At 100 TB
+    // the hazard is a giant source: pre-aggregating per-doc token counts
+    // keeps the shuffled rows narrow (id+3 ints, not text), and a
+    // two-level cut (budget split across salted sub-partitions, exact
+    // trim on the survivors) bounds any single partition if one source
+    // dominates the corpus.
+    "q86_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", toks)
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("st", countIn(col("toks"), markers.head._2))
+        .withColumn("score", expr(
+          "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
+            " div (800 * n)"))
+        .select(col("doc_id"), col("source"), col("n"), col("score"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tokens", sum(col("n")).over(w))
+        .filter(col("cum_tokens") <= 800)
+        .select(col("source"), col("doc_id"), col("score"),
+          col("n").as("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("cum_tokens"))
+    }),
+
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
     // whitespace, trim). Pure narrow column work, one codegen'd pass; the
@@ -480,6 +514,27 @@ object TextOps {
            |  reasons::BIGINT AS reasons,
            |  (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep
            |FROM r ORDER BY doc_id""".stripMargin,
+
+      // identical integer ordering + inclusive running sum + cut
+      "q86_token_budget" ->
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           |           FROM documents),
+           | b AS (SELECT doc_id, source, len(toks) AS n,
+           |    len(list_distinct(toks)) AS u,
+           |    ${sqlCountIn(markers.head._2)} AS st
+           |  FROM t),
+           | sc AS (SELECT doc_id, source, n,
+           |    (20000 * (200 * st + 100 * u + n * least(n, 100))
+           |     + 400 * n) // (800 * n) AS score
+           |  FROM b),
+           | c AS (SELECT doc_id, source, score, n,
+           |    sum(n) OVER (PARTITION BY source
+           |                 ORDER BY score DESC, doc_id
+           |                 ROWS UNBOUNDED PRECEDING) AS cum
+           |   FROM sc)
+           |SELECT source, doc_id, score::BIGINT AS score,
+           |  n::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
+           |FROM c WHERE cum <= 800 ORDER BY source, cum_tokens""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

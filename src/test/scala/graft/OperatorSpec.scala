@@ -563,6 +563,34 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 is the maximal greedy prefix under each source's budget") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q86_token_budget")(spark, sf)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // full ranking recomputed independently: q38 integer score desc, id asc
+    val all = SparkEntry.queries("q38_quality_score")(spark, sf)
+      .select(col("doc_id"), round(col("score") * 10000).cast("long").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    for ((src, grp) <- docs.groupBy(_._2)) {
+      val ranked = grp.sortBy { case (id, _, _) => (-all(id), id) }
+      var cum = 0L
+      val exp = ranked.takeWhile { case (_, _, n) => cum += n; cum <= 800 }
+        .map(_._1).toSet
+      val got = rows.filter(_._1 == src).map(_._2).toSet
+      assert(got === exp, s"source $src greedy prefix mismatch")
+    }
+    // budget respected, and inclusive cum matches the kept token sums
+    assert(rows.forall(_._4 <= 800))
+    for ((src, g) <- rows.groupBy(_._1))
+      assert(g.map(_._3).sum === g.map(_._4).max)
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
