@@ -173,13 +173,20 @@ object TextOps {
           count(lit(1)).as(s"d$k"),            // distinct k-grams
           max(col("c")).as(s"top$k"),          // most frequent k-gram count
           coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as(s"dup$k"))
-      stat(1).join(stat(2), "doc_id").join(stat(3), "doc_id")
+      // LEFT joins: a doc with < k tokens has no k-grams and is absent
+      // from stat(k) — it must still be profiled (frac 0.0, no repetition
+      // evidence), not silently dropped. Inner joins here lost 1-2-token
+      // docs; caught by the degenerate-corpus test.
+      stat(1).join(stat(2), Seq("doc_id"), "left")
+        .join(stat(3), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n1").as("n_tokens"),
           round((col("n1") - col("d1")).cast("double") / col("n1"), 4)
             .as("dup_token_frac"),
-          round(col("top2").cast("double") / col("n2"), 4)
+          when(col("n2").isNull, 0.0d)
+            .otherwise(round(col("top2").cast("double") / col("n2"), 4))
             .as("top_2gram_frac"),
-          round(col("dup3").cast("double") / col("n3"), 4)
+          when(col("n3").isNull, 0.0d)
+            .otherwise(round(col("dup3").cast("double") / col("n3"), 4))
             .as("dup_3gram_frac"))
         .orderBy(col("doc_id"))
     }),
@@ -207,9 +214,14 @@ object TextOps {
             .reduce(_ + _))
       val top2 = base
         .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)))).as("g"))
+          // n >= 2 guard: sequence() DESCENDS when end < start, and the
+          // descending [1, 0] would index element_at out of bounds on a
+          // 1-token doc (caught by the degenerate-corpus test)
+          explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1))))
+            .otherwise(array())).as("g"))
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
       base.join(top2, Seq("doc_id"), "left")
@@ -478,9 +490,11 @@ object TextOps {
           |         GROUP BY doc_id, g) GROUP BY doc_id)
           |SELECT doc_id, n1::BIGINT AS n_tokens,
           |  ROUND((n1 - d1)::DOUBLE / n1, 4) AS dup_token_frac,
-          |  ROUND(top2::DOUBLE / n2, 4) AS top_2gram_frac,
-          |  ROUND(dup3::DOUBLE / n3, 4) AS dup_3gram_frac
-          |FROM s1 JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+          |  CASE WHEN n2 IS NULL THEN 0.0
+          |       ELSE ROUND(top2::DOUBLE / n2, 4) END AS top_2gram_frac,
+          |  CASE WHEN n3 IS NULL THEN 0.0
+          |       ELSE ROUND(dup3::DOUBLE / n3, 4) END AS dup_3gram_frac
+          |FROM s1 LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
           |ORDER BY doc_id""".stripMargin,
 
       // integer thresholds mirrored from the Spark side bit-for-bit

@@ -591,6 +591,50 @@ class OperatorSpec extends AnyFunSuite {
       assert(g.map(_._3).sum === g.map(_._4).max)
   }
 
+  test("q82/q83/q84/q86 survive degenerate documents (1-2 tokens, all-same)") {
+    // The real testdata's shortest doc has 10 tokens, so the n<k gram
+    // guards (descending-sequence hazard) never fire there. Exercise them
+    // on a synthetic corpus: single-token, two-token, all-identical, and
+    // a marker-free doc.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    Seq(
+      (0L, "x", "en", "src0", 1L),
+      (1L, "a b", "en", "src0", 3L),
+      (2L, "the the the the the the the the the the", "en", "src0", 39L),
+      (3L, "qq zz qq zz qq zz", "en", "src1", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val q83 = SparkEntry.queries("q83_repetition")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(q83.length === 4)
+    // docs with < k tokens have no k-grams: they must still be profiled
+    // (frac 0.0), not dropped — the original inner-join form lost them
+    val d0 = q83.find(_._1 == 0L).get
+    assert(d0._3 === 0.0 && d0._4 === 0.0 && d0._5 === 0.0)
+    val d1 = q83.find(_._1 == 1L).get
+    assert(d1._4 === 1.0 && d1._5 === 0.0) // one 2-gram = its own top; no 3-grams
+    val d2 = q83.find(_._1 == 2L).get
+    assert(d2._3 === 0.9 && d2._4 === 1.0 && d2._5 === 1.0,
+      s"all-same doc stats: $d2") // 9/10 dup tokens, one repeated 2/3-gram
+    val q84 = SparkEntry.queries("q84_quality_filter")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(q84.length === 4, "q84 must keep docs with no 2-grams (left join)")
+    val v0 = q84.find(_._1 == 0L).get
+    assert((v0._4 & 1L) === 1L, "1-token doc must flag the length reason")
+    val v3 = q84.find(_._1 == 3L).get
+    assert((v3._4 & 8L) === 8L, "marker-free doc must flag the lang reason")
+    assert(q84.forall(_._5 == 0L), "all degenerate docs are drops")
+    val q86 = SparkEntry.queries("q86_token_budget")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(q86.map(_._2).toSet === Set(0L, 1L, 2L, 3L),
+      "all fit: budgets are per source and totals are tiny")
+    val q82 = SparkEntry.queries("q82_tfidf_topterms")(spark, dir)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    assert(q82.groupBy(_._1).forall { case (_, rs) => rs.length <= 3 })
+    assert(q82.exists(_._1 == 0L), "1-token doc still has a top term")
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
