@@ -214,6 +214,11 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
         .withColumn("nrm", sqrt(Shared.dot(col("v"), col("v"))))
+        // zero vectors (padding/encoder failures in real corpora) have
+        // undefined cosine: 0/0 = NaN, and NaN sort order is exactly the
+        // kind of cross-engine divergence the oracle contract bans —
+        // excluded on both sides, pinned by the degenerate-vector test
+        .filter(col("nrm") > 0)
       val q = e.filter(col("vec_id") % 500 === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qnrm"))
@@ -365,10 +370,11 @@ object Similarity {
       // same association as Spark: dot / (nrm_v * nrm_q), norms from the
       // double-cast squares, ROUND 4dp before ranking
       "q85_ann_batch" ->
-        """WITH e AS (SELECT vec_id, label, embedding,
+        """WITH e0 AS (SELECT vec_id, label, embedding,
           |    sqrt(list_sum(list_transform(embedding,
           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
           |  FROM embeddings),
+          | e AS (SELECT * FROM e0 WHERE nrm > 0),
           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
           |       FROM e WHERE vec_id % 500 = 0),
           | sc AS (SELECT q.q_id, e.vec_id, e.label,

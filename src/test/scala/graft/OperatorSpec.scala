@@ -635,6 +635,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(q82.exists(_._1 == 0L), "1-token doc still has a top term")
   }
 
+  test("q85 excludes zero-norm vectors instead of emitting NaN ranks") {
+    // padding/encoder failures produce zero embeddings in real corpora;
+    // cosine against them is 0/0 = NaN, whose sort position is engine-
+    // specific — the operator must drop them on both the corpus and the
+    // query side (mirrored in the oracle's nrm > 0 filter)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zvec").toString
+    def vec(seed: Int): Array[Float] =
+      (1 to 64).map(i => (((seed * 31 + i) % 7) - 3).toFloat).toArray
+    Seq(
+      (0L, Array.fill(64)(0f), 1),  // zero vector on a % 500 == 0 query id
+      (500L, vec(1), 1),            // the surviving query
+      (1L, vec(2), 1), (2L, vec(3), 1),
+      (3L, Array.fill(64)(0f), 1))  // zero corpus vector
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q85_ann_batch")(spark, dir)
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_._1 == 0L), "zero-norm query must be dropped")
+    assert(!out.exists(r => r._3 == 0L || r._3 == 3L),
+      "zero-norm corpus vectors must be dropped")
+    assert(out.forall(r => !r._5.isNaN), "no NaN cosines may survive")
+  }
+
   test("connectedComponents labels a 100-hop dup chain in log rounds") {
     // Adversarial shape for one-hop label propagation: a pure path graph
     // 0-1-2-...-100, diameter 100 — the old 25-round propagation loop
