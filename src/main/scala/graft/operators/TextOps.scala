@@ -30,6 +30,87 @@ object TextOps {
   private def sqlCountIn(words: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t)))"
 
+  /** q86 per-source token budget and the salt fan-out of its level-1 cut.
+    * More salts = more parallelism on a dominant source AND a larger (but
+    * still constant-in-corpus) survivor set; 32 matches the session's
+    * shuffle parallelism and would be raised with the cluster.
+    */
+  private[graft] val TokenBudget = 800L
+  private[graft] val BudgetSalts = 32
+
+  /** q86 stage 0: per-doc integer quality score + whitespace-token count
+    * (narrow, shuffle-free; the text column is dropped here so everything
+    * downstream shuffles id + 3 ints only).
+    */
+  private[graft] def q86Scored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("st", countIn(col("toks"), markers.head._2))
+      .withColumn("score", expr(
+        "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
+          " div (800 * n)"))
+      .select(col("doc_id"), col("source"), col("n"), col("score"))
+
+  /** q86 level 1 — the skew-safe pre-cut. Each source is salted into
+    * [[BudgetSalts]] sub-partitions (salt = doc_id mod S, any
+    * deterministic hash works — the salt never affects the result, only
+    * the pruning), and each (source, salt) keeps its rows whose EXCLUSIVE
+    * running token sum — under the selection order (score desc, doc_id) —
+    * is `< TokenBudget`. This is the full budget per salt, NOT budget/S:
+    * a budget/S cut could drop rows the exact trim still needs.
+    *
+    * Why the survivor set is sufficient for an exact level-2 replay:
+    * within one source, a row's salt-mates that precede it are a subset
+    * of ALL rows that precede it, so exclusiveSaltCum(x) ≤
+    * exclusiveGlobalCum(x). Hence every row with exclusiveGlobalCum <
+    * budget survives — and that set P is exactly the prefix the global
+    * cut needs: (a) each selected row (inclusiveGlobalCum ≤ budget, so
+    * exclusive < budget since tokens ≥ 1) is in P, as is every row
+    * preceding it, so the level-2 running sum over survivors equals the
+    * true global sum for all of P; (b) any surviving row x beyond P has
+    * the whole of P before it in level 2, and inclusiveGlobalCum(last of
+    * P) ≥ budget whenever P has a successor (else the successor's
+    * exclusive sum would still be < budget, putting it in P) — so x's
+    * level-2 sum exceeds the budget and it is correctly dropped.
+    *
+    * Why the survivor set is bounded: tokens ≥ 1 per row (split() of any
+    * string is non-empty), so at most `TokenBudget` rows per (source,
+    * salt) have exclusive sum < TokenBudget → survivors ≤ S × budget
+    * rows per source, CONSTANT in corpus size. The level-2 bare-source
+    * window therefore sorts a few thousand rows per source no matter how
+    * many billions the source holds; the unbounded corpus only ever
+    * crosses a (source, salt) exchange.
+    */
+  private[graft] def q86Survivors(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSalt = Window
+      .partitionBy(col("source"), col("salt"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("salt", pmod(col("doc_id"), lit(BudgetSalts.toLong)))
+      .withColumn("scum", sum(col("n")).over(wSalt))
+      .filter(col("scum") - col("n") < TokenBudget)
+      .drop("salt", "scum")
+  }
+
+  /** q86 level 2 — the exact per-source trim, run only over the
+    * budget-bounded survivor set from [[q86Survivors]] (see its proof).
+    */
+  private[graft] def q86Exact(survivors: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors.withColumn("cum_tokens", sum(col("n")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("score"),
+        col("n").as("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q37 — language ID: marker-word scores, argmax with fixed tie order
     "q37_lang_id" -> ((s, d) => {
@@ -248,34 +329,17 @@ object TextOps {
     // the q38 integer quality score, cumulative whitespace-token sum,
     // cut at 800 tokens/source). Ordering and the cut are all-integer
     // (score desc, doc_id asc; inclusive running sum ≤ budget) so the
-    // selection is bit-stable across engines. One shuffle on source; the
-    // running-sum window streams each source partition once. At 100 TB
-    // the hazard is a giant source: pre-aggregating per-doc token counts
-    // keeps the shuffled rows narrow (id+3 ints, not text), and a
-    // two-level cut (budget split across salted sub-partitions, exact
-    // trim on the survivors) bounds any single partition if one source
-    // dominates the corpus.
-    "q86_token_budget" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = split(col("text"), " ")
-      val scored = Tables.documents(s, d)
-        .withColumn("toks", toks)
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("st", countIn(col("toks"), markers.head._2))
-        .withColumn("score", expr(
-          "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
-            " div (800 * n)"))
-        .select(col("doc_id"), col("source"), col("n"), col("score"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_tokens", sum(col("n")).over(w))
-        .filter(col("cum_tokens") <= 800)
-        .select(col("source"), col("doc_id"), col("score"),
-          col("n").as("n_tokens"), col("cum_tokens"))
-        .orderBy(col("source"), col("cum_tokens"))
-    }),
+    // selection is bit-stable across engines. Implemented as a TWO-LEVEL
+    // cut ([[q86Survivors]]/[[q86Exact]]) so that no window over the
+    // unbounded corpus ever partitions by bare `source` — one dominant
+    // source at 100 TB would otherwise push billions of rows through a
+    // single sort task. Level 1 salts each source into [[BudgetSalts]]
+    // sub-partitions and cuts each at the FULL budget; level 2 replays
+    // the exact per-source cut over the survivors, whose count is
+    // budget-bounded (≤ salts × budget rows/source) regardless of corpus
+    // size. Shuffled rows stay narrow throughout (id + 3 ints, not text).
+    "q86_token_budget" -> ((s, d) =>
+      q86Exact(q86Survivors(q86Scored(Tables.documents(s, d))))),
 
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of

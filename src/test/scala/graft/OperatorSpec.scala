@@ -635,6 +635,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(q82.exists(_._1 == 0L), "1-token doc still has a top term")
   }
 
+  test("q86 two-level cut: one giant source stays bounded and exact") {
+    // the 100-TB hazard q86 is built for: a single source holding (here)
+    // 20k docs — 500× the ~40 that fit its 800-token budget. The salted
+    // level-1 cut must shrink the bare-source level-2 window's input to
+    // its proven bound (≤ salts × budget/minTokens rows, constant in
+    // corpus size) while the final selection stays bit-identical to the
+    // naive single-window reference.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_giant").toString
+    val docs = (0L until 20000L).map { i =>
+      val n = (10 + i % 10).toInt // 10..19 tokens, deterministic
+      val words = (0 until n).map(j => s"w${(i * 7 + j * 13) % 50}")
+      (i, words.mkString(" "), "en", "giant")
+    }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val scored = operators.TextOps.q86Scored(Tables.documents(spark, dir))
+    val survivors = operators.TextOps.q86Survivors(scored)
+    val nSurv = survivors.count()
+    val bound = operators.TextOps.BudgetSalts *
+      (operators.TextOps.TokenBudget / 10 + 1)
+    assert(nSurv <= bound, s"survivor set not budget-bounded: $nSurv > $bound")
+    assert(nSurv < 20000L / 4, s"pre-cut pruned almost nothing: $nSurv")
+    val got = operators.TextOps.q86Exact(survivors)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val wAll = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = scored.withColumn("cum_tokens", sum(col("n")).over(wAll))
+      .filter(col("cum_tokens") <= operators.TextOps.TokenBudget)
+      .select(col("source"), col("doc_id"), col("score"),
+        col("n").as("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === ref, "two-level cut diverges from single-window reference")
+    assert(got.nonEmpty && got.forall(_._5 <= 800L))
+  }
+
   test("q85 excludes zero-norm vectors instead of emitting NaN ranks") {
     // padding/encoder failures produce zero embeddings in real corpora;
     // cosine against them is 0/0 = NaN, whose sort position is engine-

@@ -371,4 +371,20 @@ class PlanSpec extends AnyFunSuite {
     val got = df.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got === expected)
   }
+
+  test("q86 unbounded corpus never crosses a bare-source exchange") {
+    // the skew contract: the full documents table shuffles only on
+    // (source, salt); a hash exchange on bare `source` may exist solely
+    // ABOVE the level-1 budget cut, where rows are budget-bounded
+    // (TextOps.q86Survivors proof). Plans print root-first, so "above"
+    // = an earlier offset than the salted exchange.
+    val p = plan("q86_token_budget")
+    val salted = """hashpartitioning\(source#\d+, salt#\d+""".r
+    val saltedM = salted.findFirstMatchIn(p)
+      .getOrElse(fail(s"no (source, salt) exchange in plan:\n${p.take(3000)}"))
+    val bare = """hashpartitioning\(source#\d+, \d+\)""".r
+    for (m <- bare.findAllMatchIn(p))
+      assert(m.start < saltedM.start,
+        s"bare-source exchange feeds on unbounded rows:\n${p.take(3000)}")
+  }
 }
