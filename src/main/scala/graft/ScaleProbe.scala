@@ -117,9 +117,13 @@ object ScaleProbe {
     // --- q85 batched-ANN shuffle: the corpus×batch nested loop is
     // broadcast (no shuffle), and LocalTopK prunes the rank input to
     // ~5·|batch| rows per partition — so shuffle bytes must track the
-    // query batch, not corpus × batch ---
+    // query batch, not corpus × batch. Probed with the GROWING-batch
+    // variant (batch = |corpus|/500): the oracle-checked q85 pins its
+    // batch at AnnBatchSize, which would make this invariant trivially
+    // constant ---
     out("q85_shuffle_bytes") = timed("q85") {
-      shuffleBytes(SparkEntry.queries("q85_ann_batch")(spark, d))
+      shuffleBytes(
+        operators.Similarity.annBatch(spark, d, fixedBatch = false))
     }
 
     println(out.map { case (k, v) => "\"" + k + "\":" + v }
