@@ -20,13 +20,15 @@ import org.apache.spark.sql.functions._
   *    hamming distance 1 (9/256 of the data — at 100 TB the cell id is a
   *    partition key, so this becomes partition pruning on the scan), then
   *    ranks candidates by exact cosine. Deterministic, so the DuckDB
-  *    oracle replays the identical arithmetic. Recall honesty: measured
-  *    2/10 overlap with the exact top-10 (q25) on the synthetic testdata —
-  *    UNIFORM random vectors are the worst case for any cell quantizer
-  *    (every cell border is equally populated, so the true neighbors
-  *    scatter across cells). On real clustered embeddings the probe's
-  *    recall tracks the cluster structure; the exact baselines to measure
-  *    against are q25 (single query) and q85 (batch).
+  *    oracle replays the identical arithmetic. Recall envelope (measured,
+  *    OperatorSpec "q36 IVF recall on clustered embeddings"): 2/10 on the
+  *    UNIFORM synthetic testdata — the worst case for any cell quantizer,
+  *    every cell border equally populated so true neighbors scatter —
+  *    but 10/10 on tight Gaussian clusters (σ=0.25, member-centroid cos
+  *    ≈0.94) and 8/10 on loose ones (σ=0.5, cos ≈0.82), the regime real
+  *    embedding corpora live in; spec floors 8/10 and 6/10. The exact
+  *    baselines it is measured against are q25 (single query) and q85
+  *    (batch).
   */
 object Similarity {
   import Shared._

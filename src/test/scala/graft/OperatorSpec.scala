@@ -675,6 +675,51 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._5 <= 800L))
   }
 
+  test("q36 IVF recall on clustered embeddings meets the 60% floor") {
+    // The synthetic testdata is uniform — the worst case for any cell
+    // quantizer (measured 2/10 there, documented in Similarity.scala).
+    // Real embedding corpora are clustered; this is the measured recall
+    // envelope on that regime: 16 Gaussian clusters around random
+    // centroids plus one around the q36 query vector itself, so the true
+    // top-10 live in the query's neighborhood like they would in a real
+    // retrieval corpus. Two noise tiers: tight clusters (σ=0.25, cos ≈
+    // 0.94 to the centroid) and loose ones (σ=0.5, cos ≈ 0.82 — near-dup
+    // regime's lower edge). Floors: ≥8/10 tight, ≥6/10 loose.
+    import spark.implicits._
+    val qv = operators.Pipeline.queryVec
+    val qn = operators.Pipeline.queryVecNorm
+    for ((sigma, floor) <- Seq((0.25, 8), (0.5, 6))) {
+      val rnd = new scala.util.Random(2026)
+      val dim = 64
+      def noisy(c: Seq[Double]): Seq[Float] =
+        c.map(x => (x + sigma * rnd.nextGaussian()).toFloat)
+      val centroids =
+        Seq.fill(16)(Seq.fill(dim)(rnd.nextGaussian())) :+ qv
+      val rows = for {
+        (c, j) <- centroids.zipWithIndex
+        m <- 0 until 120
+      } yield (j * 1000L + m, noisy(c), j)
+      val dir = java.nio.file.Files.createTempDirectory("graft_clus").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      // exact top-10 recomputed from the stored floats (same values Spark
+      // reads back), double arithmetic like the operator's
+      val stored = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      val exact = stored.map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        val dot = vd.zip(qv).map { case (a, b) => a * b }.sum
+        (id, dot / (math.sqrt(vd.map(x => x * x).sum) * qn))
+      }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val got = SparkEntry.queries("q36_ann_ivf")(spark, dir)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = exact.intersect(got).size
+      info(s"q36 clustered recall at sigma=$sigma: $recall/10")
+      assert(recall >= floor,
+        s"q36 recall $recall/10 below the $floor/10 floor at sigma=$sigma")
+    }
+  }
+
   test("q85 excludes zero-norm vectors instead of emitting NaN ranks") {
     // padding/encoder failures produce zero embeddings in real corpora;
     // cosine against them is 0/0 = NaN, whose sort position is engine-
