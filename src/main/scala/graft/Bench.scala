@@ -10,9 +10,13 @@ package graft
   *  - two timed passes for batch queries, min reported: pass 1 doubles as
   *    the codegen/JIT warmup (a fresh JVM spends 5-20s per query shape on
   *    Janino + JIT), pass 2 measures steady-state plan cost. Streaming
-  *    queries run ONCE — their cost is dominated by fixed micro-batch +
-  *    state-store machinery that re-runs every time, so a warmup pass buys
-  *    nothing and triples their wall-clock;
+  *    queries run TWICE, min reported — there is no "warm" run (the
+  *    micro-batch + state-store machinery re-runs every time, by design),
+  *    but that fixed cost has pass-to-pass variance on a shared box well
+  *    beyond the batch rows' (a 2.74× phantom swing on a run-once row made
+  *    it into a round-5 artifact while controlled runs moved the other
+  *    way); min-of-2 keeps round-over-round streaming comparisons
+  *    meaningful for ~20 s of extra wall;
   *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 780)
   *    stops issuing new queries before the driver's external timeout (the
   *    round-3 full run took 916 s of sbt wall at deadline 900 — too close
@@ -81,6 +85,15 @@ object Bench {
     // + JIT; they are the fallback if the deadline cuts pass 2 short.
     for (n <- names if elapsed < deadlineSec - margin)
       results.put(n, run(n, SparkEntry.queries(n)))
+
+    // Pass 2 for streaming rows: once more, min reported (see the
+    // methodology note — variance control, not warmup).
+    for (n <- names
+         if streaming(n) && elapsed < deadlineSec * 0.45 - margin) {
+      val t2 = run(n, SparkEntry.queries(n))
+      val t1 = Option(results.get(n)).getOrElse(-1.0)
+      results.put(n, if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+    }
 
     // Passes 2..4 (timed, warm): batch queries only; report min across
     // passes. The box is shared and its effective CPU swings 3-15x between
