@@ -56,6 +56,22 @@ object IngestBench {
     // rewritten in full, so long runs pay a growing per-commit stall;
     // the degradation is the SINK's, and this knob proves it)
     val sinkFmt = sys.env.getOrElse("SPARK_GRAFT_INGEST_SINK", "parquet")
+    // Row accounting for the noop sink: a listener accumulating every
+    // batch's numInputRows. recentProgress would undercount — it retains
+    // only the last ~100 progress entries, and a 30 s run at a 500 ms
+    // trigger already commits ~60 batches (small triggers/long runs
+    // silently blow past 100).
+    val noopRows = new AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          noopRows.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     // trigger interval is the file-count knob: at 500 ms a 30 s run
     // commits ~60 batches x partitions files and the metadata log's
     // every-10-batches full rewrite grows accordingly — larger triggers
@@ -115,8 +131,14 @@ object IngestBench {
     query.stop()
 
     val received = // noop sink writes nothing; processed == drained == sent
-      if (sinkFmt == "noop") query.recentProgress.map(_.numInputRows).sum
-      else spark.read.parquet(outDir).count()
+      if (sinkFmt == "noop") {
+        // the listener bus is async — let the counter quiesce after stop
+        var prev = -1L; var cur = noopRows.get(); var waited = 0
+        while (cur != prev && waited < 40) {
+          Thread.sleep(50); prev = cur; cur = noopRows.get(); waited += 1
+        }
+        cur
+      } else spark.read.parquet(outDir).count()
     println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":${sent.get},"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
     spark.stop()
   }

@@ -45,8 +45,23 @@ object StressGen {
   val Stride = 100000000L
 
   private def rekey(df: DataFrame, k: Int, cols: Seq[String]): DataFrame =
-    cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, (col(c) + lit(k * Stride)).cast(df.schema(c).dataType)))
+    cols.foldLeft(df) { (d, c) =>
+      val dt = df.schema(c).dataType
+      // the stride invariant ("far above any sf<=1 key") bounds rekeyed
+      // values by (k+1)*Stride — an INT column wraps silently at k >= 21,
+      // folding replicas onto colliding keys; refuse instead
+      dt match {
+        case org.apache.spark.sql.types.LongType => ()
+        case org.apache.spark.sql.types.IntegerType =>
+          require((k + 1L) * Stride <= Int.MaxValue,
+            s"replica $k would wrap INT key column '$c' (stride $Stride): " +
+              "widen the column to BIGINT or lower the replica count")
+        case other =>
+          throw new IllegalArgumentException(
+            s"key column '$c' must be integral, got $other")
+      }
+      d.withColumn(c, (col(c) + lit(k * Stride)).cast(dt))
+    }
 
   /** Replicate `base` N× with `f(df, k)` applied to replica k. */
   private def blowUp(base: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
@@ -103,7 +118,7 @@ object StressGen {
           z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
           z ^ (z >>> 31)
         }
-        val flips = (0 until 64).map(i => ((mixed >>> (i % 63)) & 1L) == 1L)
+        val flips = (0 until 64).map(i => ((mixed >>> ((i + k) % 64)) & 1L) == 1L)
         val flipped = (0 until 64).map { i =>
           val e = element_at(col("embedding"), i + 1)
           if (flips(i)) -e else e

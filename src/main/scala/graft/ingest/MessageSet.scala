@@ -31,6 +31,16 @@ object MessageSet {
   /** One decoded message: (offset, key, value) — key/value may be null. */
   final case class Entry(offset: Long, key: Array[Byte], value: Array[Byte])
 
+  /** Corrupt (non-truncated) entry — a declared length that contradicts
+    * the entry's own bounds. The truncation path stays silent (fetch
+    * boundary semantics) but corruption must be a typed error like the
+    * reference's DecodingError (messages.go:119-170 returns it for every
+    * short read inside a sized entry), not an ArrayIndexOutOfBounds from
+    * whatever copy happens to run off the buffer.
+    */
+  final class MessageSetCorruptException(msg: String)
+    extends RuntimeException(msg)
+
   private val SnappyMagic: Array[Byte] =
     Array(130.toByte, 83, 78, 65, 80, 80, 89, 0)
 
@@ -50,11 +60,20 @@ object MessageSet {
       pos += 4; v
     }
     def i64: Long = { val hi = i32.toLong; val lo = i32 & 0xffffffffL; (hi << 32) | lo }
-    def bytes32: Array[Byte] = {
+    // field reads inside an entry are bounded by the entry's declared
+    // size: a garbage key/value length in a corrupt (non-truncated)
+    // entry must be a typed decode error, not an AIOOBE
+    def bytes32(limit: Int): Array[Byte] = {
       val n = i32
       if (n < 0) null
+      else if (n > limit - pos)
+        throw new MessageSetCorruptException(
+          s"declared field length $n exceeds entry bounds (${limit - pos} bytes left)")
       else { val a = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n; a }
     }
+    // minimum v0 message: crc 4 + magic 1 + attributes 1 + two bytes32
+    // length prefixes 4+4
+    val minMessage = 14
     while (remaining > 0) {
       // a truncated trailing entry ends the set silently (fetch-boundary
       // semantics); probe sizes before committing to reads
@@ -63,13 +82,18 @@ object MessageSet {
         val offset = i64
         val size = i32
         if (size < 0 || size > remaining) { pos = bytes.length }
+        else if (size < minMessage)
+          // NOT truncation: the full entry is present but can't hold a
+          // message — reading on would consume the next entry's bytes
+          throw new MessageSetCorruptException(
+            s"entry size $size below the $minMessage-byte message minimum")
         else {
           val end = pos + size
           i32 // crc: stored unverified by the reference; skipped here
           pos += 1 // magic
           val attributes = bytes(pos); pos += 1
-          val key = bytes32
-          val value = bytes32
+          val key = bytes32(end)
+          val value = bytes32(end)
           pos = end // defensive: never trust inner layout past `size`
           (attributes & 3) match {
             case 0 => out += Entry(offset, key, value)

@@ -315,8 +315,28 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
 object SyslogReceivers {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, SyslogReceiver]()
-  def getOrCreate(name: String, options: CaseInsensitiveStringMap): SyslogReceiver =
-    registry.computeIfAbsent(name, _ => new SyslogReceiver(options))
+  private val createdWith =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  private def snapshot(options: CaseInsensitiveStringMap): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    options.asCaseSensitiveMap().asScala.toMap
+  }
+  def getOrCreate(name: String, options: CaseInsensitiveStringMap): SyslogReceiver = {
+    val r = registry.computeIfAbsent(name, _ => {
+      createdWith.put(name, snapshot(options))
+      new SyslogReceiver(options)
+    })
+    // a reused name keeps its creation-time configuration: a restarted
+    // query passing different ports/buffer options would SILENTLY run on
+    // the old ones — surface the mismatch instead of surprising recovery
+    val orig = createdWith.get(name)
+    val now = snapshot(options)
+    if (orig != null && orig != now)
+      System.err.println(
+        s"[graft-syslog] WARNING: receiver '$name' reused with different " +
+          s"options; keeping creation-time config. created=$orig now=$now")
+    r
+  }
   def get(name: String): Option[SyslogReceiver] = Option(registry.get(name))
   def close(name: String): Unit = {
     val r = registry.remove(name)

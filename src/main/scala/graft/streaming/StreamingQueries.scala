@@ -49,16 +49,22 @@ object StreamingQueries {
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_events_stream_${math.abs(d.hashCode)}")
     Files.createDirectories(stage)
+    // Rebuild from scratch every call: a regenerated source (StressGen
+    // overwrite) emits differently-named part files, so links staged by
+    // an earlier run would dangle (failing the scan) or mix stale data
+    // into the stream. Files.list streams hold a directory handle —
+    // always closed, or long sessions leak one per staged query.
+    val old = Files.list(stage)
+    try old.forEach(Files.delete(_)) finally old.close()
     val src = Paths.get(d, "events.parquet")
     if (Files.isDirectory(src)) {
-      Files.list(src).filter(_.getFileName.toString.endsWith(".parquet"))
-        .forEach { f =>
-          val link = stage.resolve(f.getFileName)
-          if (!Files.exists(link)) Files.createSymbolicLink(link, f)
-        }
+      val ls = Files.list(src)
+      try ls.filter(_.getFileName.toString.endsWith(".parquet"))
+        .forEach(f =>
+          Files.createSymbolicLink(stage.resolve(f.getFileName), f))
+      finally ls.close()
     } else {
-      val link = stage.resolve("events.parquet")
-      if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+      Files.createSymbolicLink(stage.resolve("events.parquet"), src)
     }
     stage.toString
   }

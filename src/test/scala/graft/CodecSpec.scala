@@ -294,6 +294,32 @@ class CodecSpec extends AnyFunSuite {
     assert(new String(got.head.value, "UTF-8") === "a")
   }
 
+  test("kafka v0 message set: corrupt entries raise typed errors, not AIOOBE") {
+    import graft.ingest.MessageSet
+    import graft.ingest.MessageSet.Entry
+    // Corruption is distinct from truncation: the entry's declared size
+    // is fully present but its content contradicts itself. The reference
+    // returns a typed DecodingError here; the old code threw
+    // ArrayIndexOutOfBounds (garbage value length) or silently parsed
+    // the NEXT entry's bytes (size below the 14-byte message minimum).
+    val whole = MessageSet.encodePlain(Seq(Entry(0, null, "abcdef".getBytes)))
+    // value length field sits at offset 8+4+4+1+1+4 = 22; forge it huge
+    val badLen = whole.clone()
+    badLen(22) = 0x7f.toByte
+    val e1 = intercept[MessageSet.MessageSetCorruptException] {
+      MessageSet.decode(badLen)
+    }
+    assert(e1.getMessage.contains("exceeds entry bounds"))
+    // size field at offset 8: declare 13 bytes — present, but below the
+    // minimum message layout (crc+magic+attrs+2 length prefixes)
+    val badSize = whole.clone()
+    badSize(11) = 13.toByte
+    val e2 = intercept[MessageSet.MessageSetCorruptException] {
+      MessageSet.decode(badSize)
+    }
+    assert(e2.getMessage.contains("below the 14-byte"))
+  }
+
   test("kafka_message_set_decode expression flattens sets in a DataFrame") {
     import graft.ingest.MessageSet
     import graft.ingest.MessageSet.Entry
