@@ -199,6 +199,8 @@ case class LocalTopKPerKeyExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
     val (parts, order, kk, m) = (partitionExprs, orderExprs, k, mode)
+    val chunkRows = conf.getConfString("spark.graft.localTopK.chunkRows",
+      LocalTopKPerKeyExec.ChunkRows.toString).toInt
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(parts, out)
       val ord = RowOrdering.create(order, out)
@@ -209,14 +211,27 @@ case class LocalTopKPerKeyExec(
       // final Window + Filter need (the union of chunk-local top-k
       // contains the partition top-k contains the global top-k), and
       // every input row is emitted at most once. Memory is bounded by
-      // ChunkRows regardless of key cardinality; for few-key inputs the
+      // chunkRows regardless of key cardinality; for few-key inputs the
       // chunk cut costs at most k extra rows per key per chunk.
+      //
+      // Retained-set BOUND per (chunk, key) — incl. the tie-heavy rank
+      // boundary, the one case that looks unbounded: row_number ≤ k rows;
+      // dense_rank ≤ k buckets; rank ≤ (k−1) rows + ONE tie bucket (the
+      // invariant evicts any bucket with ≥ k rows before it, so at most
+      // the boundary bucket survives whole). Emitted superset ≤ chunks ×
+      // keys × ((k−1) + T), T = largest same-sort-key tie group. The tie
+      // term is irreducible, not a leak: a boundary bucket that truly
+      // ranks ≤ k IS output (keep-ties semantics), and one that doesn't
+      // is confined to a single bucket per (chunk, key). Instantaneous
+      // memory stays ≤ chunkRows rows in every case — a chunk only ever
+      // admits that many. Adversarial spec: LocalTopKSpec "rank tie
+      // storm".
       new Iterator[InternalRow] {
         private var outIt: Iterator[InternalRow] = Iterator.empty
         private def refill(): Unit = {
           val byKey = new java.util.HashMap[UnsafeRow, Retained]()
           var processed = 0
-          while (iter.hasNext && processed < LocalTopKPerKeyExec.ChunkRows) {
+          while (iter.hasNext && processed < chunkRows) {
             val row = iter.next()
             val key = keyProj(row) // reused buffer; value-equality lookup
             var r = byKey.get(key)
@@ -246,6 +261,10 @@ case class LocalTopKPerKeyExec(
 }
 
 object LocalTopKPerKeyExec {
-  /** Rows per retention chunk — the memory bound of the operator. */
+  /** Default rows per retention chunk — the memory bound of the operator.
+    * Tunable via `spark.graft.localTopK.chunkRows` (tests shrink it to
+    * exercise many-chunk behavior without generating ChunkRows-scale
+    * inputs).
+    */
   val ChunkRows: Int = 1 << 20
 }

@@ -90,6 +90,64 @@ class LocalTopKSpec extends AnyFunSuite {
     assert(fast.size === 997 * 2)
   }
 
+  test("rank tie storm at the k-boundary: bounded retention, exact results") {
+    // The documented adversarial case for ByRank retention: thousands of
+    // rows tied exactly at the rank-k cut, spread across MANY retention
+    // chunks (chunk size shrunk via conf). Bound asserted (Scaladoc):
+    // per (chunk, key) at most (k-1) rows + one tie bucket survive, so
+    // emitted ≈ boundary ties + chunks × ((k-1) + small filler buckets)
+    // — far below the input — while results stay exactly keep-ties.
+    val rnd = new scala.util.Random(31)
+    val chunk = 4096
+    spark.conf.set("spark.graft.localTopK.chunkRows", chunk.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plan traversal
+    try {
+      val k = 5
+      val ties = 3000
+      val rows = rnd.shuffle(
+        (1 to 4).map(v => (0, v, -1)) ++
+          Vector.fill(ties)((0, 5, 0)) ++
+          Vector.fill(50000)((0, 6 + rnd.nextInt(995), 1)))
+      val df = rows.toDF("key", "ord", "payload").coalesce(1)
+      val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+      val q = df.withColumn("r", rank().over(w)).filter(col("r") <= k)
+      val exec = q.queryExecution.executedPlan.collectFirst {
+        case e: graft.plans.LocalTopKPerKeyExec => e
+      }.getOrElse(fail("LocalTopKPerKey must fire"))
+      val emitted = exec.execute().count()
+      val n = rows.size
+      val chunks = (n + chunk - 1) / chunk
+      // ties retained once each + per-chunk (k-1) + per-chunk filler tail
+      // bucket (filler values are near-unique; 40 is generous slack)
+      val bound = ties + 4 + chunks.toLong * (k - 1 + 40)
+      assert(emitted <= bound, s"emitted $emitted of $n rows, bound $bound")
+      assert(emitted < n / 8, s"no meaningful pruning: $emitted of $n")
+      val fast = q.collect().map(_.toString).sorted.toSeq
+      val plain = withRule(enabled = false) {
+        q.collect().map(_.toString).sorted.toSeq
+      }
+      assert(fast === plain)
+      assert(fast.size === 4 + ties, "rank-5 boundary ties must ALL be kept")
+    } finally {
+      spark.conf.unset("spark.graft.localTopK.chunkRows")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("all-tied input: emitted equals output (the tie term is the output)") {
+    // every row shares one sort key: rank 1 for all, so keep-ties output
+    // IS the whole input — retention must not prune (correctness) and
+    // this is the documented irreducible worst case of the bound
+    spark.conf.set("spark.graft.localTopK.chunkRows", "2048")
+    try {
+      val df = spark.range(20000)
+        .selectExpr("0 AS key", "7 AS ord", "id AS payload").coalesce(1)
+      val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+      val q = df.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+      assert(q.count() === 20000L)
+    } finally spark.conf.unset("spark.graft.localTopK.chunkRows")
+  }
+
   test("with duplicate order keys the invariants still hold") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map(_ => (rnd.nextInt(5), rnd.nextInt(4), rnd.nextInt(100)))
