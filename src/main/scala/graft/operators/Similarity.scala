@@ -158,6 +158,62 @@ object Similarity {
         .distinct()
     }
 
+  /** Deterministic pseudo-random hyperplanes for [[hyperplaneCandidates]]:
+    * `bands × bits` unit-cube directions over `dim` dims, components from
+    * a splitmix64 stream seeded by (band, bit, dim) index — replayable
+    * anywhere, no RNG state. Uniform[-1,1) components are direction-
+    * biased toward cube corners vs true Gaussians, which only flattens
+    * the sign-LSH collision curve slightly — the planted-pair spec
+    * measures the recall that survives the bias instead of assuming it.
+    */
+  private[graft] def hyperplanes(
+      bands: Int, bits: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    def mix(seed: Long): Long = {
+      var z = (seed + 1L) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until bands).map(b => (0 until bits).map(j => (0 until dim).map { i =>
+      (mix(((b.toLong * 4096 + j) * 4096 + i)) >>> 11) *
+        (2.0 / (1L << 53)) - 1.0
+    }))
+  }
+
+  /** q64's GROWTH-PATH candidate stage: band keys from signs of random-
+    * hyperplane projections instead of raw per-dim signs. The raw-sign
+    * geometry ([[bandPairs]]) tops out at 64 key bits total — past ~1e8
+    * vectors (or past 64 dims, where raw signs ignore the extra signal)
+    * the random-collision floor needs MORE bits, and hyperplane
+    * projections mint arbitrarily many: bit j of band b = sign of
+    * dot(emb, h_bj). Works at any dim; bits is the log2(n) knob (floor
+    * per band = 2^-bits of all pairs). Costs bands×bits vec_dot kernels
+    * per row in one narrow projection — the shuffle still carries ids +
+    * keys only. Flag-gated for q64 (`spark.graft.q64.hyperplanes=true`,
+    * with `spark.graft.q64.bands`/`.bits`, default 16×20); the oracle
+    * default stays the exact-replay raw-sign variant, so this path's
+    * envelope is pinned by the planted-pair spec (OperatorSpec: ≥80% at
+    * τ=0.8 planting, measured at 64 AND 128 dims), not DuckDB.
+    */
+  private[graft] def hyperplaneCandidates(
+      e: DataFrame, bands: Int, bits: Int, dim: Int): DataFrame = {
+    require(bits <= 62, s"band key must fit a long, got $bits bits")
+    val hp = hyperplanes(bands, bits, dim)
+    val bandArr = array((0 until bands).map { b =>
+      val key = (0 until bits).map { j =>
+        when(Shared.dot(col("emb"), typedLit(hp(b)(j))) > 0.0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    val keyed = e.select(col("vec_id"), explode(bandArr).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    keyed.alias("a").join(keyed.alias("b"), Seq("band", "key"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   def bandedNearDupPairs(e: DataFrame, threshold: Double): DataFrame = {
     val cand = bandedCandidates(e, blocked = true)
     cand
@@ -316,7 +372,13 @@ object Similarity {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-      bandedCandidates(e, blocked = false)
+      val cands =
+        if (s.conf.get("spark.graft.q64.hyperplanes", "false").toBoolean)
+          hyperplaneCandidates(e,
+            s.conf.get("spark.graft.q64.bands", "16").toInt,
+            s.conf.get("spark.graft.q64.bits", "20").toInt, dim = 64)
+        else bandedCandidates(e, blocked = false)
+      cands
         .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b")), "vec_b")
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))

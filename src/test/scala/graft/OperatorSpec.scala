@@ -256,6 +256,48 @@ class OperatorSpec extends AnyFunSuite {
       f"28x16-bit banding recall $recall%.3f < 0.8 at threshold $t")
   }
 
+  test("q64 hyperplane growth path: recall >= 80% at 64 AND 128 dims") {
+    // The raw-sign geometry tops out at 64 key bits (and ignores signal
+    // past dim 64); the flag-gated hyperplane variant mints band keys
+    // from random projections at any dim. Same planting protocol as the
+    // raw-sign recall spec, run at the default 16 bands x 20 bits.
+    import spark.implicits._
+    for (dim <- Seq(64, 128)) {
+      val rnd = new scala.util.Random(4321 + dim)
+      def gauss() = Array.fill(dim)(rnd.nextGaussian())
+      val planted = (0 until 150).flatMap { i =>
+        val base = gauss()
+        val eps = 0.1 + 0.2 * rnd.nextDouble()
+        val dup = base.zip(gauss()).map { case (x, g) => x + eps * g }
+        Seq((2L * i, base.toSeq), (2L * i + 1, dup.toSeq))
+      }
+      def cosOf(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map(p => p._1 * p._2).sum /
+          (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      val t = operators.Similarity.NearDupT
+      val truth = (for {
+        (a, va) <- planted; (b, vb) <- planted
+        if a < b && cosOf(va, vb) >= t
+      } yield (a, b)).toSet
+      assert(truth.size >= 100, s"dim=$dim planting failed: ${truth.size}")
+      val e = planted.toDF("vec_id", "emb")
+      val cand = operators.Similarity
+        .hyperplaneCandidates(e, bands = 16, bits = 20, dim = dim)
+        .as[(Long, Long)].collect().toSet
+      val recall = truth.intersect(cand).size.toDouble / truth.size
+      info(f"hyperplane recall at dim=$dim: $recall%.3f (${truth.size} true pairs)")
+      assert(recall >= 0.8, f"dim=$dim hyperplane recall $recall%.3f < 0.8")
+    }
+    // flag wiring: the gated q64 runs end-to-end on the real testdata
+    // (honestly empty there — no pair above NearDupT) and restores the
+    // raw-sign default afterwards
+    spark.conf.set("spark.graft.q64.hyperplanes", "true")
+    try {
+      val out = SparkEntry.queries("q64_neardup_lsh")(spark, sf).collect()
+      assert(out.isEmpty, "testdata has no true near-dup: gate must agree")
+    } finally spark.conf.unset("spark.graft.q64.hyperplanes")
+  }
+
   test("q35 banded blocked near-dup matches the brute-force replay exactly") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf)
