@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   *    sibling q14 — the map-side top-k prune is the difference between
   *    shuffling per-group candidates and shuffling whole tables.
   *
-  * Usage: runMain graft.ScaleProbe <sfDir>
+  * Usage: runMain graft.ScaleProbe <sfDir> [candidates]
   * Prints ONE JSON line; scripts/scaling_curves collates runs.
+  * "candidates" mode probes ONLY the candidate-growth and q73-round
+  * invariants (documents/embeddings based) — for the ~100x tier, whose
+  * StressGen subset ships no TPC-H/events tables and which runs above
+  * the DuckDB oracle ceiling on purpose (ids and counts, no oracle).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleProbe <sfDir>")
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [candidates]")
     val d = args(0)
+    val candidatesOnly = args.length > 1 && args(1) == "candidates"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -58,8 +63,10 @@ object ScaleProbe {
     out("dir") = "\"" + d + "\""
     out("documents") = Tables.documents(spark, d).count()
     out("embeddings") = Tables.embeddings(spark, d).count()
-    out("events") = Tables.events(spark, d).count()
-    out("lineitem") = Tables.lineitem(spark, d).count()
+    if (!candidatesOnly) {
+      out("events") = Tables.events(spark, d).count()
+      out("lineitem") = Tables.lineitem(spark, d).count()
+    }
 
     // --- dedup / similarity candidate growth ---
     out("q32_candidates") = timed("q32_candidates") {
@@ -93,7 +100,7 @@ object ScaleProbe {
     }
 
     // --- q78 pack balance ---
-    timed("q78") {
+    if (!candidatesOnly) timed("q78") {
       val packs = SparkEntry.queries("q78_sequence_pack")(spark, d)
       val s = packs.agg(
         count(lit(1)), min(col("n_tokens")), max(col("n_tokens")),
@@ -107,11 +114,13 @@ object ScaleProbe {
     // --- LocalTopK shuffle volume: q74 (rewritten) shuffles only each
     // partition's local top-k; q14 (full window rank) is the unrewritten
     // shape over the same events table ---
-    out("q74_shuffle_bytes") = timed("q74") {
-      shuffleBytes(SparkEntry.queries("q74_stratified_cap")(spark, d))
-    }
-    out("q14_shuffle_bytes") = timed("q14") {
-      shuffleBytes(SparkEntry.queries("q14_window_rank")(spark, d))
+    if (!candidatesOnly) {
+      out("q74_shuffle_bytes") = timed("q74") {
+        shuffleBytes(SparkEntry.queries("q74_stratified_cap")(spark, d))
+      }
+      out("q14_shuffle_bytes") = timed("q14") {
+        shuffleBytes(SparkEntry.queries("q14_window_rank")(spark, d))
+      }
     }
 
     // --- q85 batched-ANN shuffle: the corpus×batch nested loop is
@@ -121,10 +130,11 @@ object ScaleProbe {
     // variant (batch = |corpus|/500): the oracle-checked q85 pins its
     // batch at AnnBatchSize, which would make this invariant trivially
     // constant ---
-    out("q85_shuffle_bytes") = timed("q85") {
-      shuffleBytes(
-        operators.Similarity.annBatch(spark, d, fixedBatch = false))
-    }
+    if (!candidatesOnly)
+      out("q85_shuffle_bytes") = timed("q85") {
+        shuffleBytes(
+          operators.Similarity.annBatch(spark, d, fixedBatch = false))
+      }
 
     println(out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}"))

@@ -68,17 +68,27 @@ object StressGen {
     (0 until n).map(k => f(base, k)).reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: StressGen <srcDir> <destDir> [replicas]")
+    require(args.length >= 2,
+      "usage: StressGen <srcDir> <destDir> [replicas] [tables,csv]")
     val (src, dest) = (args(0), args(1))
     val n = if (args.length > 2) args(2).toInt else 10
+    // Optional table subset (e.g. "documents,embeddings" for the ~100x
+    // candidate-growth probe, which needs no TPC-H tables). NOTE: always
+    // generate from the ORIGINAL testdata, never chain StressGen outputs
+    // — a second stride application folds replica keys onto each other
+    // ((k1 + k2)·Stride collides across runs); replicas=100 from sf0.1
+    // is the supported way to reach ~sf10.
+    val tableSubset: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = Sessions.local()
     import spark.implicits._
 
-    def write(name: String, df: DataFrame, parts: Int): Unit = {
-      df.repartition(parts)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dest/$name.parquet")
-      println(s"[stressgen] $name done")
-    }
+    def write(name: String, df: => DataFrame, parts: Int): Unit =
+      if (tableSubset.isEmpty || tableSubset(name)) {
+        df.repartition(parts)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dest/$name.parquet")
+        println(s"[stressgen] $name done")
+      }
 
     def raw(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
