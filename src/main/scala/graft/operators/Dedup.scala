@@ -279,6 +279,37 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q87 — leakage-safe train/val/test split: the q49 hash split keyed
+    // by the DUP CLUSTER instead of the document. Hashing raw doc_ids
+    // (q49's contract) puts the two sides of a near-dup pair in
+    // different splits with probability 2·(0.8·0.1 + 0.8·0.1 + 0.1·0.1)
+    // ≈ 33% — eval contamination built into the split itself, the
+    // classic leakage path a pretraining pipeline must close. Keying
+    // the split on the q73 cluster representative (own doc_id for
+    // unclustered docs) puts every near-dup cluster in exactly ONE
+    // split; singleton docs keep the identical assignment q49 gives
+    // them (same unsalted hash of the same id), so adopting q87 only
+    // ever MOVES clustered duplicates. Cost over q49 is one left join
+    // against the q73 labels, which cover only docs in ≥1 dup pair —
+    // a small broadcast/shuffle at any corpus size; split fractions
+    // stay 80/10/10 in expectation because reps are hash-uniform.
+    "q87_leakage_safe_split" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = connectedComponents(pairs)
+        .select(col("doc_id"), col("rep"))
+      val keyed = Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
+      val bucket = pmod(hash60(col("split_key").cast("string")), lit(100))
+      keyed
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q33 — SimHash near-dup, banded self-join, hamming <= 3.
     // The signature is one typed Aggregator pass (ObjectHashAggregate):
     // 60 separate sum() columns generated a >1 MB codegen stage with
@@ -438,6 +469,29 @@ object Dedup {
            |FROM documents d LEFT JOIN sized s ON d.doc_id = s.doc_id
            |WHERE s.doc_id IS NULL OR s.doc_id = s.cluster_rep
            |ORDER BY d.doc_id""".stripMargin,
+
+      // q87 = q73's recursive closure + q49's hash split over the
+      // cluster-or-self key
+      "q87_leakage_safe_split" ->
+        s"""WITH RECURSIVE $prefixPairs,
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src),
+           |  k AS (SELECT d.doc_id,
+           |          COALESCE(reps.rep, d.doc_id) AS split_key
+           |        FROM documents d LEFT JOIN reps ON d.doc_id = reps.doc_id),
+           |  k2 AS (SELECT doc_id, split_key,
+           |      ${sqlHash60("CAST(split_key AS VARCHAR)")} % 100 AS b
+           |    FROM k)
+           |SELECT doc_id, split_key,
+           |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM k2 ORDER BY doc_id""".stripMargin,
 
       "q33_neardup_simhash" ->
         s"""WITH s AS ($sqlShingles3),

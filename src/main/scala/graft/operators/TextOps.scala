@@ -341,6 +341,29 @@ object TextOps {
     "q86_token_budget" -> ((s, d) =>
       q86Exact(q86Survivors(q86Scored(Tables.documents(s, d))))),
 
+    // q88 — quality-weighted subsampling: keep each document with
+    // probability proportional to its integer quality score (the
+    // CCNet/Gopher-style "sample better documents more often" recipe)
+    // with ZERO randomness: keep iff an independent salted hash stream's
+    // bucket-of-10000 falls below the q38/q86 score, which lives on the
+    // same 0..10000 integer scale — so the keep rate IS score/10000 and
+    // a re-run (or another engine) selects the identical subset. Pure
+    // narrow map over the corpus, no shuffle but the output ORDER BY;
+    // the sampling decision needs no coordination at any scale, same
+    // contract as q49/q50 ([[Sampling]]).
+    "q88_quality_weighted_sample" -> ((s, d) => {
+      val scored = q86Scored(Tables.documents(s, d))
+      val bucket = pmod(
+        hash60(concat(lit("qws|"), col("doc_id").cast("string"))),
+        lit(10000))
+      scored
+        .withColumn("keep_bucket", bucket)
+        .filter(col("keep_bucket") < col("score"))
+        .select(col("doc_id"), col("source"), col("score"),
+          col("keep_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q72 — text normalization: the standard pre-tokenization cleanup
     // pass (lowercase, strip non-alphanumeric to spaces, collapse runs of
     // whitespace, trim). Pure narrow column work, one codegen'd pass; the
@@ -613,6 +636,27 @@ object TextOps {
            |SELECT source, doc_id, score::BIGINT AS score,
            |  n::BIGINT AS n_tokens, cum::BIGINT AS cum_tokens
            |FROM c WHERE cum <= 800 ORDER BY source, cum_tokens""".stripMargin,
+
+      // q88: identical integer score, independent salted hash stream,
+      // keep iff bucket < score — row-set equality, not statistics
+      "q88_quality_weighted_sample" ->
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           |           FROM documents),
+           | b AS (SELECT doc_id, source, len(toks) AS n,
+           |    len(list_distinct(toks)) AS u,
+           |    ${sqlCountIn(markers.head._2)} AS st
+           |  FROM t),
+           | sc AS (SELECT doc_id, source,
+           |    (20000 * (200 * st + 100 * u + n * least(n, 100))
+           |     + 400 * n) // (800 * n) AS score
+           |  FROM b),
+           | k AS (SELECT doc_id, source, score,
+           |    ${sqlHash60("concat('qws|', CAST(doc_id AS VARCHAR))")} % 10000
+           |      AS keep_bucket
+           |  FROM sc)
+           |SELECT doc_id, source, score::BIGINT AS score,
+           |  keep_bucket::BIGINT AS keep_bucket
+           |FROM k WHERE keep_bucket < score ORDER BY doc_id""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

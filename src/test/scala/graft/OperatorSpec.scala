@@ -717,6 +717,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._5 <= 800L))
   }
 
+  test("q87 never splits a dup cluster and agrees with q49 on singletons") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q87_leakage_safe_split")(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    // the leakage check: every verified near-dup pair lands in ONE split
+    val pairs = SparkEntry.queries("q32_neardup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "need dup pairs for a non-vacuous check")
+    for ((a, b) <- pairs)
+      assert(splitOf(a) === splitOf(b), s"pair ($a,$b) split across sets")
+    // ... which q49's raw-id split genuinely violates on this corpus —
+    // the contamination q87 exists to close, shown not assumed
+    val rawBucket = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        pmod(operators.Shared.hash60(col("doc_id").cast("string")),
+          lit(100)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    def rawSplit(id: Long): String = {
+      val b = rawBucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(pairs.exists { case (a, b) => rawSplit(a) != rawSplit(b) },
+      "corpus accidentally leak-free under q49: planting assumption broke")
+    // singletons keep exactly the q49 assignment (same unsalted hash)
+    val singles = rows.filter(r => r._2 == r._1)
+    assert(singles.nonEmpty)
+    for ((id, _, sp) <- singles)
+      assert(sp === rawSplit(id), s"singleton $id moved vs q49")
+    // all three splits populated with roughly 80/10/10 mass
+    val frac = rows.groupBy(_._3).view.mapValues(_.size.toDouble / rows.length)
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.05 &&
+      math.abs(frac("test") - 0.1) < 0.05, frac.toMap.toString)
+  }
+
+  test("q88 keep rate tracks the quality score exactly") {
+    import spark.implicits._
+    val kept = SparkEntry.queries("q88_quality_weighted_sample")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    // filter contract: bucket < score for every kept row
+    assert(kept.forall(r => r._4 < r._3))
+    // the keep rate is E[score]/10000 by construction; with ~500 docs a
+    // 3-sigma binomial band is ~±6pp
+    val scores = operators.TextOps.q86Scored(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("score")).as[(Long, Long)].collect()
+    val expected = scores.map(_._2.min(10000L)).sum.toDouble / (scores.length * 10000.0)
+    val got = kept.length.toDouble / scores.length
+    info(f"q88 keep rate $got%.3f vs score-implied $expected%.3f")
+    assert(math.abs(got - expected) < 0.06,
+      f"keep rate $got%.3f far from score-implied $expected%.3f")
+    // determinism: a second run selects the identical subset
+    val again = SparkEntry.queries("q88_quality_weighted_sample")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.toSeq === kept.toSeq)
+  }
+
   test("q36 IVF recall on clustered embeddings meets the 60% floor") {
     // The synthetic testdata is uniform — the worst case for any cell
     // quantizer (measured 2/10 there, documented in Similarity.scala).
