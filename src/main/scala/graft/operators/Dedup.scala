@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,8 +43,8 @@ object Dedup {
   private val JaccardT = 0.6
   private val SimhashBits = 60
   private val SimhashBands = 4 // 15 bits each; hamming<=3 => >=1 band equal
-  private val MinhashK = 32
-  private val MinhashEq = 26 // >=26/32 equal => <=6 unequal < 8 bands
+  private[graft] val MinhashK = 32
+  private[graft] val MinhashEq = 26 // >=26/32 equal => <=6 unequal < 8 bands
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
 
   /** Deterministic universal-hash coefficients (odd a, arbitrary b),
@@ -54,6 +54,32 @@ object Dedup {
     (0 until MinhashK).map(i => (((i + 1) * 2654435761L) % MinhashP) | 1L)
   val permB: Seq[Long] =
     (0 until MinhashK).map(i => ((i + 1) * 1099511628211L) % MinhashP)
+
+  /** Per-row minhash machinery for the STREAMING near-dup backfill
+    * (q89, [[graft.streaming.StreamingQueries]]): q34's aggregate form
+    * (explode → groupBy → MinhashAgg) would be streaming STATE, but the
+    * minimum over a row's own shingle hashes needs no aggregation at all
+    * — one md5 pass ([[h31Array]]) then 32 cheap universal-hash mins
+    * ([[minhashSigOfH31]]). min() is order-free over the same values, so
+    * the signature is bit-identical to q34's.
+    */
+  private[graft] def h31Array(sh: Column): Column =
+    transform(sh, x => hash60(x).bitwiseAND(lit(0x7FFFFFFFL)))
+
+  private[graft] def minhashSigOfH31(h31s: Column): Column =
+    array((0 until MinhashK).map { i =>
+      array_min(transform(h31s,
+        h => (lit(permA(i)) * h + lit(permB(i))) % lit(MinhashP)))
+    }: _*)
+
+  /** The 8 (band, bv) LSH structs of a 32-min signature — same 4-row
+    * concat_ws band values as q34's self-join.
+    */
+  private[graft] def minhashBandCols(sig: Column): Column =
+    array((0 until MinhashK / 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r =>
+          element_at(sig, b * 4 + r + 1)): _*).as("bv"))): _*)
 
   /** (doc_id, sh, sz) with distinct 3-shingles.
     *
@@ -523,7 +549,31 @@ object Dedup {
            |        FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b, ROUND(n_eq / ${MinhashK.toDouble}, 4) AS est_jaccard
            |FROM p WHERE n_eq >= $MinhashEq
-           |ORDER BY doc_a, doc_b""".stripMargin
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // q89 (query lives in streaming/StreamingQueries.scala): batch
+      // replay of the streaming near-dup backfill — new tenth × corpus
+      // nine-tenths at the q34 threshold. No band simulation needed:
+      // >= 26/32 equal positions guarantees a full-band collision
+      // (pigeonhole), so the banded stream output equals this direct
+      // signature compare.
+      "q89_stream_neardup" ->
+        s"""WITH s AS ($sqlShingles3),
+           |  f AS (SELECT doc_id, ${sqlHash60("x.s")} & 2147483647 AS h31
+           |        FROM (SELECT doc_id, unnest(sh) AS s FROM s) x),
+           |  sg AS (SELECT doc_id,
+           |    $minhashMins
+           |    FROM f GROUP BY doc_id),
+           |  sig AS (SELECT doc_id, $minhashSig AS sig FROM sg),
+           |  p AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+           |          len(list_filter(list_zip(a.sig, b.sig), x -> x[1] = x[2]))
+           |            AS n_eq
+           |        FROM sig a JOIN sig b
+           |          ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+           |SELECT new_doc, corpus_doc,
+           |  ROUND(n_eq / ${MinhashK.toDouble}, 4) AS est_jaccard
+           |FROM p WHERE n_eq >= $MinhashEq
+           |ORDER BY new_doc, corpus_doc""".stripMargin
     )
   }
 }

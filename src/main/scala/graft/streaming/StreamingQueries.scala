@@ -45,9 +45,12 @@ object StreamingQueries {
     * ZERO rows (caught by the sf~1 oracle tier). Shared with
     * [[graft.streaming.StatefulSession]]'s q42.
     */
-  private[streaming] def stageEventsDir(d: String): String = {
+  private[streaming] def stageEventsDir(d: String): String =
+    stageTableDir(d, "events")
+
+  private[streaming] def stageTableDir(d: String, table: String): String = {
     val stage = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_events_stream_${math.abs(d.hashCode)}")
+      s"graft_${table}_stream_${math.abs(d.hashCode)}")
     Files.createDirectories(stage)
     // Rebuild from scratch every call: a regenerated source (StressGen
     // overwrite) emits differently-named part files, so links staged by
@@ -56,7 +59,7 @@ object StreamingQueries {
     // always closed, or long sessions leak one per staged query.
     val old = Files.list(stage)
     try old.forEach(Files.delete(_)) finally old.close()
-    val src = Paths.get(d, "events.parquet")
+    val src = Paths.get(d, s"$table.parquet")
     if (Files.isDirectory(src)) {
       val ls = Files.list(src)
       try ls.filter(_.getFileName.toString.endsWith(".parquet"))
@@ -64,7 +67,7 @@ object StreamingQueries {
           Files.createSymbolicLink(stage.resolve(f.getFileName), f))
       finally ls.close()
     } else {
-      Files.createSymbolicLink(stage.resolve("events.parquet"), src)
+      Files.createSymbolicLink(stage.resolve(s"$table.parquet"), src)
     }
     stage.toString
   }
@@ -155,6 +158,58 @@ object StreamingQueries {
           unix_micros(col("session_window.end")).as("end_us"),
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // q89 — streaming NEAR-dup backfill: the "new crawl batch vs
+    // existing corpus" shape a pretraining pipeline runs on every
+    // ingest. New documents arrive as a stream (the doc_id % 10 == 0
+    // tenth plays the crawl batch); the other nine tenths are the
+    // static corpus. The stream side computes its 32-min MinHash
+    // signature PER ROW ([[graft.operators.Dedup.minhashSigOfH31]] —
+    // one md5 pass + 32 universal-hash mins, bit-identical to q34's
+    // aggregate form but stateless, which is what makes it streamable),
+    // explodes its 8 LSH bands, and equi-joins the corpus's band table:
+    // a stream-static join on (band, bv), so a new doc meets only
+    // corpus docs sharing a band — never new × corpus. Band collisions
+    // pay the exact >= 26/32 signature compare (q34's threshold, whose
+    // pigeonhole bound makes band-collision recall 100% AT the
+    // threshold — so the band join provably loses nothing the verify
+    // would keep, and the batch oracle can skip band simulation).
+    // dropDuplicates collapses multi-band hits (keyed state; bounded
+    // replay here — a production stream bounds it with
+    // dropDuplicatesWithinWatermark like q46). At 100 TB the corpus
+    // band table is written once and bucketed by (band, bv); per batch
+    // the stream shuffles only ids + 4-min band values.
+    "q89_stream_neardup" -> ((s, d) => {
+      import graft.operators.{Dedup, Shared}
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      def sigOf(df: DataFrame, idAs: String, sigAs: String): DataFrame =
+        df.select(col("doc_id").as(idAs),
+            Shared.shingles3(col("text")).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("h31s", Dedup.h31Array(col("sh")))
+          .withColumn(sigAs, Dedup.minhashSigOfH31(col("h31s")))
+          .withColumn("bb", explode(Dedup.minhashBandCols(col(sigAs))))
+          .select(col(idAs), col(sigAs),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val newDocs = sigOf(
+        s.readStream.schema(schema).parquet(stageTableDir(d, "documents"))
+          .filter(col("doc_id") % 10 === 0), "new_doc", "sig_a")
+      val corpus = sigOf(
+        graft.Tables.documents(s, d)
+          .filter(col("doc_id") % 10 =!= 0)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "corpus_doc", "sig_b")
+      val matched = newDocs.join(corpus, Seq("band", "bv"))
+        .withColumn("n_eq", Shared.foldSum(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0d).otherwise(0.0d))).cast("long"))
+        .filter(col("n_eq") >= Dedup.MinhashEq)
+        .select(col("new_doc"), col("corpus_doc"),
+          round(col("n_eq") / lit(Dedup.MinhashK.toDouble), 4)
+            .as("est_jaccard"))
+        .dropDuplicates("new_doc", "corpus_doc")
+      drain(s, matched, "q89_mem", "append")
+        .orderBy(col("new_doc"), col("corpus_doc"))
     }),
 
     // Q46 — streaming deduplication: dropDuplicatesWithinWatermark keyed

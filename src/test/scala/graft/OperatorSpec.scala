@@ -717,6 +717,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._5 <= 800L))
   }
 
+  test("q89 streaming backfill equals q34's batch pairs across the split") {
+    import spark.implicits._
+    // cross-operator invariant: the streaming new-vs-corpus backfill must
+    // surface EXACTLY the q34 batch pairs that straddle the %10 split —
+    // same signatures (per-row form vs aggregate form), same threshold,
+    // same pigeonhole-complete banding; only the harness differs.
+    val stream = SparkEntry.queries("q89_stream_neardup")(spark, sf)
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(stream.nonEmpty)
+    val batch = SparkEntry.queries("q34_neardup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val straddling = batch.flatMap { case (a, b) =>
+      if (a % 10 == 0 && b % 10 != 0) Some((a, b))
+      else if (b % 10 == 0 && a % 10 != 0) Some((b, a))
+      else None
+    }.toSet
+    assert(stream === straddling,
+      s"stream ${stream.size} pairs vs batch straddling ${straddling.size}")
+  }
+
   test("q87 never splits a dup cluster and agrees with q49 on singletons") {
     import spark.implicits._
     val rows = SparkEntry.queries("q87_leakage_safe_split")(spark, sf)
