@@ -225,6 +225,51 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q76's 8 PQ code columns (c0..c7) from a 64-dim double-array column:
+    * deterministic nearest-of-4 squared-L2 argmin per subspace, ties to
+    * the lowest code; the DuckDB oracle replays the identical
+    * left-associated arithmetic. Shared with q90's IVF-PQ search.
+    */
+  private[graft] def pqCodes(emb: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map { sub =>
+      val dists = (0 until 4).map { c =>
+        (0 until 8).map { dd =>
+          val x = element_at(emb, 8 * sub + dd + 1)
+          val l = lit(pqCodebook(sub)(c)(dd))
+          (x - l) * (x - l)
+        }.reduce(_ + _)
+      }
+      when(dists(0) <= dists(1) && dists(0) <= dists(2) &&
+          dists(0) <= dists(3), 0L)
+        .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
+        .when(dists(2) <= dists(3), 2L)
+        .otherwise(3L).as(s"c$sub")
+    }
+
+  /** q90's exact-re-rank depth: the ADC pass keeps this many best
+    * approximate candidates, the exact cosine re-ranks only them. 100
+    * (not 50) because the deliberately tiny 4-entry-per-subspace
+    * codebook ranks coarsely — measured on the clustered spec corpus,
+    * depth 50 finds 7/10 of the exact top-10 at σ=0.25 and depth 100
+    * finds enough to hold q36's own floors; a production IVF-PQ tunes
+    * exactly this knob against its trained codebook.
+    */
+  private[graft] val PqRerank = 100
+
+  /** q90's ADC (asymmetric distance computation) table: adcTable(s)(c) =
+    * ||query_sub_s − codebook(s)(c)||², 8×4 doubles computed ONCE from
+    * the query on the driver and interpolated as exact literals into
+    * both engines — per probed row the approximate distance is just 8
+    * CASE lookups + 7 adds, no vector arithmetic at all.
+    */
+  private[graft] val adcTable: Seq[Seq[Double]] =
+    (0 until 8).map(sub => (0 until 4).map { c =>
+      (0 until 8).map { dd =>
+        val diff = Pipeline.queryVec(8 * sub + dd) - pqCodebook(sub)(c)(dd)
+        diff * diff
+      }.reduce(_ + _) // left-assoc, mirrored by the oracle's + chain
+    })
+
   /** Fixed size of q85's oracle-checked query batch (lowest qualifying
     * vec_ids). Constant across tiers so the broadcast side — and the
     * exact-baseline harness — never grows with the corpus.
@@ -355,6 +400,47 @@ object Similarity {
         .limit(10)
     }),
 
+    // q90 — IVF-PQ search: the composed vector-index kernel this family
+    // builds toward — q63 trains the codebook, q76 encodes, q36's cell
+    // quantizer coarse-probes, and THIS is the search: probe 9/256
+    // cells, rank the probed rows by ADC approximate distance (8 CASE
+    // lookups into [[adcTable]] + 7 adds per row — the reason PQ
+    // exists: no vector arithmetic on the scan path), keep the best
+    // [[PqRerank]], exact-cosine re-rank only those, emit the top-10
+    // (Jégou et al., TPAMI'11 IVF-ADC + refine). At 100 TB the codes
+    // are precomputed table columns (q76 is that encode pass; re-derived
+    // here only because the testdata ships raw vectors), cells are
+    // partition keys (pruned at the scan, PlanSpec-demonstrated for
+    // q36), and the exact pass touches PqRerank rows per query. Every
+    // cut is deterministic: adc is a sum of interpolated literals in a
+    // fixed order (bit-identical across engines), ties break on vec_id.
+    "q90_ann_ivfpq" -> ((s, d) => {
+      val qv = typedLit(Pipeline.queryVec)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("cell", cellOf(col("emb")))
+        .filter(col("cell").isin(probeCells.map(_.toLong): _*))
+      val coded = e.select(
+        col("vec_id") +: col("emb") +: col("cell") +: pqCodes(col("emb")): _*)
+      val adc = (0 until 8).map { sub =>
+        val t = adcTable(sub)
+        when(col(s"c$sub") === 0L, lit(t(0)))
+          .when(col(s"c$sub") === 1L, lit(t(1)))
+          .when(col(s"c$sub") === 2L, lit(t(2)))
+          .otherwise(lit(t(3)))
+      }.reduce(_ + _)
+      coded.withColumn("adc", adc)
+        .orderBy(col("adc"), col("vec_id")).limit(PqRerank)
+        .withColumn("cos",
+          round(dot(col("emb"), qv) /
+            (sqrt(dot(col("emb"), col("emb"))) *
+              lit(Pipeline.queryVecNorm)), 4))
+        .select(col("vec_id"), col("cell"),
+          round(col("adc"), 4).as("adc_dist"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    }),
+
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
     // scale path when no natural shard/label exists (q35 needs one).
     // Round-5 geometry: 28 bands of 16 raw sign bits ([[bandPairs]] —
@@ -402,21 +488,7 @@ object Similarity {
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-      val codes = (0 until 8).map { sub =>
-        val dists = (0 until 4).map { c =>
-          (0 until 8).map { dd =>
-            val x = element_at(col("emb"), 8 * sub + dd + 1)
-            val l = lit(pqCodebook(sub)(c)(dd))
-            (x - l) * (x - l)
-          }.reduce(_ + _)
-        }
-        when(dists(0) <= dists(1) && dists(0) <= dists(2) &&
-            dists(0) <= dists(3), 0L)
-          .when(dists(1) <= dists(2) && dists(1) <= dists(3), 1L)
-          .when(dists(2) <= dists(3), 2L)
-          .otherwise(3L).as(s"c$sub")
-      }
-      e.select(col("vec_id") +: codes: _*).orderBy(col("vec_id"))
+      e.select(col("vec_id") +: pqCodes(col("emb")): _*).orderBy(col("vec_id"))
     }),
 
     // Q63 — per-cluster centroids: elementwise mean vector per label (one
@@ -451,6 +523,25 @@ object Similarity {
     val bandKeySql = (0 until 8)
       .map(i => s"CASE WHEN embedding[8*b + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
       .mkString(" + ")
+
+    // q76/q90 shared: the 8 PQ code columns, left-assoc distance sums in
+    // the same order as the Spark fold
+    val pqCodesSql = {
+      def dist(sub: Int, c: Int): String =
+        (0 until 8).map { dd =>
+          val l = pqCodebook(sub)(c)(dd)
+          s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
+            s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l)"
+        }.mkString(" + ")
+      (0 until 8).map { sub =>
+        val d = (0 until 4).map(dist(sub, _))
+        s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)}
+           |       AND ${d(0)} <= ${d(3)} THEN 0::BIGINT
+           |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1::BIGINT
+           |     WHEN ${d(2)} <= ${d(3)} THEN 2::BIGINT ELSE 3::BIGINT
+           |END AS c$sub""".stripMargin
+      }.mkString(",\n  ")
+    }
 
     Map(
       // same association as Spark: dot / (nrm_v * nrm_q), norms from the
@@ -554,24 +645,42 @@ object Similarity {
            |ORDER BY vec_a, vec_b""".stripMargin
       },
 
-      "q76_pq_quantize" -> {
-        def dist(sub: Int, c: Int): String =
-          (0 until 8).map { dd =>
-            val l = pqCodebook(sub)(c)(dd)
-            s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
-              s"(embedding[${8 * sub + dd + 1}]::DOUBLE - $l)"
-          }.mkString(" + ") // left-assoc, same order as the Spark fold
-        val codes = (0 until 8).map { sub =>
-          val d = (0 until 4).map(dist(sub, _))
-          s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)}
-             |       AND ${d(0)} <= ${d(3)} THEN 0::BIGINT
-             |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1::BIGINT
-             |     WHEN ${d(2)} <= ${d(3)} THEN 2::BIGINT ELSE 3::BIGINT
-             |END AS c$sub""".stripMargin
-        }.mkString(",\n  ")
+      "q76_pq_quantize" ->
         s"""SELECT vec_id,
-           |  $codes
-           |FROM embeddings ORDER BY vec_id""".stripMargin
+           |  $pqCodesSql
+           |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+      // q90: identical cell probe + code argmin + literal ADC chain;
+      // the 50-row cut and final rank are fully deterministic (literal
+      // sums bit-identical across engines, ties on vec_id)
+      "q90_ann_ivfpq" -> {
+        // every term cast to DOUBLE: DuckDB parses the interpolated
+        // literals as DECIMAL and would sum in decimal arithmetic —
+        // ::DOUBLE restores the exact IEEE chain the Spark reduce runs
+        val adcSql = (0 until 8).map { sub =>
+          val t = adcTable(sub)
+          s"(CASE c$sub WHEN 0 THEN ${t(0)} WHEN 1 THEN ${t(1)} " +
+            s"WHEN 2 THEN ${t(2)} ELSE ${t(3)} END)::DOUBLE"
+        }.mkString(" + ") // same left-assoc order as the Spark reduce
+        s"""WITH q AS (SELECT $qvList::DOUBLE[] AS qv),
+           |  e AS (SELECT vec_id, embedding,
+           |          CAST($cellSql AS BIGINT) AS cell FROM embeddings
+           |        WHERE CAST($cellSql AS BIGINT)
+           |          IN (${probeCells.mkString(", ")})),
+           |  coded AS (SELECT vec_id, embedding, cell,
+           |    $pqCodesSql
+           |    FROM e),
+           |  adc AS (SELECT vec_id, embedding, cell,
+           |      $adcSql AS adc
+           |    FROM coded),
+           |  top AS (SELECT * FROM adc ORDER BY adc, vec_id LIMIT $PqRerank)
+           |SELECT vec_id, cell, ROUND(adc, 4) AS adc_dist,
+           |  ROUND(
+           |    list_sum(list_transform(list_zip(embedding, qv),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+           |       * ${Pipeline.queryVecNorm}), 4) AS cos
+           |FROM top, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
       },
 
       "q63_centroids" ->
