@@ -45,8 +45,18 @@ object Bench {
     val total = rs.collect { case (_, v) if v >= 0 => v }.sum
     val nFailed = rs.count(_._2 < 0)
     val nSkipped = nQueries - rs.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+    println(line)
     System.out.flush()
+    // stdout can be tail-truncated by the driver's capture; persist the
+    // same line where a post-hoc reader can always find it
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
   }
 
   def main(args: Array[String]): Unit = {

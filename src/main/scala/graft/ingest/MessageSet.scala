@@ -64,6 +64,9 @@ object MessageSet {
     // size: a garbage key/value length in a corrupt (non-truncated)
     // entry must be a typed decode error, not an AIOOBE
     def bytes32(limit: Int): Array[Byte] = {
+      if (limit - pos < 4)
+        throw new MessageSetCorruptException(
+          s"no room for length prefix (${limit - pos} bytes left in entry)")
       val n = i32
       if (n < 0) null
       else if (n > limit - pos)

@@ -35,23 +35,39 @@ object Bucketed {
   /** Salt fanout for Q48 — how many sub-keys each hot key spreads over. */
   val SaltFanout = 8
 
+  /** Drop-and-recreate a bucketed parquet table in the session warehouse
+    * and return the freshly-written table. The warehouse dir outlives the
+    * in-memory catalog, so both the catalog entry and any stale location
+    * from a previous session are removed first. This is the write-once
+    * half of every "bucket at ingest, join free forever after" layout
+    * (q43's fact tables, q89's corpus band table, the staged dedup
+    * labels artifact).
+    */
+  private[graft] def rewriteBucketed(s: SparkSession, db: String,
+      name: String, df: DataFrame, buckets: Int,
+      keys: Seq[String]): DataFrame = {
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    s.sql(s"DROP TABLE IF EXISTS $db.$name")
+    val loc = java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db", name)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    df.write.format("parquet").bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(s"$db.$name")
+    s.table(s"$db.$name")
+  }
+
+  /** Per-sf-dir database name, so tiers never read each other's tables. */
+  private[graft] def dbFor(d: String): String = s"graft_b${math.abs(d.hashCode)}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_bucketed_join" -> ((s, d) => {
-      val db = s"graft_b${math.abs(d.hashCode)}"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      def rewrite(df: DataFrame, name: String, key: String): Unit = {
-        // the warehouse dir outlives the in-memory catalog: drop both the
-        // table entry and any stale location from a previous session
-        s.sql(s"DROP TABLE IF EXISTS $db.$name")
-        val loc = java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db", name)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-        df.write.format("parquet").bucketBy(8, key).sortBy(key)
-          .saveAsTable(s"$db.$name")
-      }
+      val db = dbFor(d)
+      def rewrite(df: DataFrame, name: String, key: String): Unit =
+        rewriteBucketed(s, db, name, df, 8, Seq(key))
       rewrite(Tables.orders(s, d), "orders_b", "o_custkey")
       rewrite(Tables.customer(s, d), "customer_b", "c_custkey")
       // merge hint: at real scale neither side broadcasts; the hint makes

@@ -547,14 +547,14 @@ object Similarity {
       // same association as Spark: dot / (nrm_v * nrm_q), norms from the
       // double-cast squares, ROUND 4dp before ranking
       "q85_ann_batch" ->
-        """WITH e0 AS (SELECT vec_id, label, embedding,
+        s"""WITH e0 AS (SELECT vec_id, label, embedding,
           |    sqrt(list_sum(list_transform(embedding,
           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
           |  FROM embeddings),
           | e AS (SELECT * FROM e0 WHERE nrm > 0),
           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
           |       FROM e WHERE vec_id % 500 = 0
-          |       ORDER BY vec_id LIMIT 40),
+          |       ORDER BY vec_id LIMIT $AnnBatchSize),
           | sc AS (SELECT q.q_id, e.vec_id, e.label,
           |    ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
           |        p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
@@ -651,8 +651,8 @@ object Similarity {
            |FROM embeddings ORDER BY vec_id""".stripMargin,
 
       // q90: identical cell probe + code argmin + literal ADC chain;
-      // the 50-row cut and final rank are fully deterministic (literal
-      // sums bit-identical across engines, ties on vec_id)
+      // the $PqRerank-row cut and final rank are fully deterministic
+      // (literal sums bit-identical across engines, ties on vec_id)
       "q90_ann_ivfpq" -> {
         // every term cast to DOUBLE: DuckDB parses the interpolated
         // literals as DECIMAL and would sum in decimal arithmetic —

@@ -838,10 +838,11 @@ class OperatorSpec extends AnyFunSuite {
       info(s"q36 clustered recall at sigma=$sigma: $recall/10")
       assert(recall >= floor,
         s"q36 recall $recall/10 below the $floor/10 floor at sigma=$sigma")
-      // q90 funnels the same probe through PQ codes + a 50-row exact
-      // re-rank: the ADC approximation may only cost recall vs q36 where
-      // the true neighbor falls outside the ADC top-50 — measure it on
-      // the same corpus and hold it to the same floor
+      // q90 funnels the same probe through PQ codes + a 100-row
+      // (PqRerank) exact re-rank: the ADC approximation may only cost
+      // recall vs q36 where the true neighbor falls outside the ADC
+      // top-PqRerank — measure it on the same corpus and hold it to the
+      // same floor
       val got90 = SparkEntry.queries("q90_ann_ivfpq")(spark, dir)
         .select("vec_id").as[Long].collect().toSet
       val recall90 = exact.intersect(got90).size

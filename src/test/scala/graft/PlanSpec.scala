@@ -387,4 +387,26 @@ class PlanSpec extends AnyFunSuite {
       assert(m.start < saltedM.start,
         s"bare-source exchange feeds on unbounded rows:\n${p.take(3000)}")
   }
+
+  test("q89 static side is a scan of the materialized band table") {
+    // Structured Streaming re-evaluates a stream-static join's static
+    // side on EVERY micro-batch: the corpus's shingle→md5→minhash
+    // pipeline must therefore live in the write-once band table, not in
+    // the join subtree. Assert on the unstarted stream's analyzed plan:
+    // the join's static (right) subtree is the band-table scan and
+    // carries none of the signature expressions.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.streaming.StreamingQueries.q89Stream(spark, sf)
+    val joins = df.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.size === 1, s"expected exactly one join, got ${joins.size}")
+    val static = joins.head.right.toString
+    assert(static.contains("q89_corpus_bands"),
+      s"static side is not the materialized band table:\n${static.take(2000)}")
+    for (bad <- Seq("md5", "minhash", "shingle", "h31"))
+      assert(!static.toLowerCase.contains(bad),
+        s"static side recomputes signatures ('$bad' found):\n${static.take(2000)}")
+    // and the signature work IS on the streaming side, where it runs
+    // once per arriving row
+    assert(joins.head.left.toString.toLowerCase.contains("md5"))
+  }
 }
