@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   * Settings that matter for correctness and scale:
   *  - UTC session timezone: the DuckDB-oracle contract renders timestamps
   *    as UTC strings.
-  *  - `nanosAsLong`: `events.ts` is parquet TIMESTAMP(NANOS); set once here
-  *    rather than mutated from inside a table loader (a hidden global side
-  *    effect that races under concurrent queries).
+  *  - `nanosAsLong`: some testdata generations ship `events.ts` as parquet
+  *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects; with
+  *    this flag it arrives as epoch-nanos long and the schema-adaptive
+  *    loader ([[Tables.tsTimestamp]]) converts it. Set once here rather
+  *    than mutated from inside a table loader (a hidden global side effect
+  *    that races under concurrent queries). Harmless for micros layouts.
   *  - shuffle partitions = cores in local mode (the 100-TB deployment would
   *    size this to ~2-3x total cluster cores / rely on AQE coalescing; AQE
   *    is left ON so skew-join + partition coalescing engage).

@@ -21,20 +21,73 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Every SparkSession in this project is built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions.configure]])
-    * so the column arrives as epoch-nanos long; convert to a microsecond
-    * TimestampType with *floor* integer division — epoch-nanos exceeds 2^53
-    * (float math would corrupt it) and `div` truncates toward zero, which
-    * mis-rounds pre-1970 values.
+  /** `events.ts` arrives in one of two layouts depending on how the driver
+    * generated the parquet, so the loader is SCHEMA-ADAPTIVE:
+    *
+    *  - parquet TIMESTAMP(MICROS/MILLIS) → Spark reads `TimestampType`
+    *    directly; use the column as-is (current testdata layout).
+    *  - parquet TIMESTAMP(NANOS) → Spark's vectorized reader rejects it
+    *    unless `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    [[Sessions.builder]]), under which the column arrives as epoch-nanos
+    *    `LongType`; convert to microsecond TimestampType with *floor*
+    *    integer division — epoch-nanos exceeds 2^53 (float math would
+    *    corrupt it) and `div` truncates toward zero, which mis-rounds
+    *    pre-1970 values.
+    *
+    * Branching on the arriving type (not a config flag) means a future
+    * regeneration in either layout keeps every events consumer working;
+    * any other type fails loudly here rather than as a confusing
+    * DATATYPE_MISMATCH deep inside a query. TablesSpec covers both
+    * branches via a committed nanos-layout fixture.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", tsTimestamp(df.schema))
+    }
+  }
+
+  /** Expression normalizing the raw `ts` field of an events-shaped schema
+    * (ANY supported layout) to a `TimestampType` column. Shared by the
+    * batch loader above and the streaming readers in
+    * [[graft.streaming.StreamingQueries]] / StatefulSession, whose
+    * `readStream.schema(...)` sources see the same raw layouts.
+    */
+  def tsTimestamp(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val ns = col("ts")
-    val floorDiv = // exact floor division on longs: floor(ns / 1000)
-      when(ns >= 0, expr("ts div 1000")).otherwise(expr("(ts - 999) div 1000"))
-    table(s, d, "events").withColumn("ts", timestamp_micros(floorDiv))
+    import org.apache.spark.sql.types._
+    schema("ts").dataType match {
+      case TimestampType => col("ts")
+      case TimestampNTZType =>
+        // session TZ is pinned UTC, so NTZ micros == UTC instant micros
+        col("ts").cast(TimestampType)
+      case LongType => timestamp_micros(tsMicros(schema))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP " +
+          "(micros/ntz) or legacy nanos-as-long")
+    }
+  }
+
+  /** Same, to epoch-MICROS long (q42's typed session state keys on it). */
+  def tsMicros(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    schema("ts").dataType match {
+      case TimestampType => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case LongType =>
+        // exact floor division on longs: floor(ns / 1000) — epoch-nanos
+        // exceeds 2^53 (float math would corrupt it) and `div` truncates
+        // toward zero, which mis-rounds pre-1970 values
+        when(col("ts") >= 0, expr("ts div 1000"))
+          .otherwise(expr("(ts - 999) div 1000"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP " +
+          "(micros/ntz) or legacy nanos-as-long")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

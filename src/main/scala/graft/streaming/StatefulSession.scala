@@ -67,7 +67,7 @@ object StatefulSession {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val ds = s.readStream.schema(schema).parquet(stage)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("us"), col("value"))
+          graft.Tables.tsMicros(schema).as("us"), col("value"))
         .as[SessEvent]
       val sessions = ds.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append,

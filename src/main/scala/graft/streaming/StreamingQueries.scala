@@ -33,9 +33,6 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object StreamingQueries {
   import Q._
 
-  /** Streaming view of events: nanos column read as long (session conf)
-    * then floor-converted to a microsecond timestamp, like Tables.events.
-    */
   /** Stage the events table for the file streaming source, which requires
     * a *directory* of data files: symlinks in a temp dir keyed by the sf
     * dir. Testdata ships events.parquet as a single FILE (one link
@@ -72,13 +69,14 @@ object StreamingQueries {
     stage.toString
   }
 
+  /** Streaming view of events, `ts` normalized to TimestampType whatever
+    * raw layout the parquet ships ([[graft.Tables.tsTimestamp]]).
+    */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val stage = stageEventsDir(d)
     val schema = s.read.parquet(s"$d/events.parquet").schema
     s.readStream.schema(schema).parquet(stage)
-      .withColumn("ts", timestamp_micros(
-        when(col("ts") >= 0, expr("ts div 1000"))
-          .otherwise(expr("(ts - 999) div 1000"))))
+      .withColumn("ts", graft.Tables.tsTimestamp(schema))
   }
 
   /** State-store partition count for the streaming queries. The count
@@ -382,16 +380,18 @@ object StreamingQueries {
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         dst.toFile.setLastModified(1700000000000L + n * 60000L)
       }
-      val raw = s.read.parquet(s"$d/events.parquet") // ts still nano-long
-      val split = QThirty.splitNanos
-      writeBatch(raw.filter(col("ts") < split), 1)
-      writeBatch(raw.filter(col("ts") >= split), 2)
+      // Normalize ts FIRST (layout-adaptive), split on the micros instant,
+      // and re-write the two batches with Spark — so the staged files are
+      // always in Spark's own timestamp layout regardless of how the
+      // driver generated the source table.
+      val ev = graft.Tables.events(s, d)
+      val split = timestamp_micros(lit(QThirty.splitNanos / 1000L))
+      writeBatch(ev.filter(col("ts") < split), 1)
+      writeBatch(ev.filter(col("ts") >= split), 2)
 
-      val schema = raw.schema
-      val stream = s.readStream.schema(schema)
+      val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -528,8 +528,10 @@ object StreamingQueries {
 
 /** Q30 constants + oracle, shared between the query and its SQL twin. */
 object QThirty {
-  /** Batch split point: 2024-01-20 00:00:00 UTC in epoch NANOS (the raw
-    * parquet column is TIMESTAMP(NANOS) read as long).
+  /** Batch split point: 2024-01-20 00:00:00 UTC in epoch NANOS. The Spark
+    * side compares at micros (`splitNanos / 1000` — exact, the instant is
+    * a whole second); the DuckDB oracle compares `epoch_ns(ts)` directly,
+    * which works for any timestamp layout the driver ships.
     */
   val splitNanos: Long = 1705708800000000000L
 
