@@ -63,6 +63,62 @@ object Bucketed {
   /** Per-sf-dir database name, so tiers never read each other's tables. */
   private[graft] def dbFor(d: String): String = s"graft_b${math.abs(d.hashCode)}"
 
+  // ---- write-once staged-artifact registry -------------------------------
+  //
+  // Guarantees for tables built once and consumed many times (dup_labels,
+  // q89_corpus_bands):
+  //  - memo key is a per-session UUID from a WeakHashMap, NOT
+  //    System.identityHashCode (which can collide across sessions or repeat
+  //    after GC and silently skip a needed rewrite);
+  //  - the memo records the SOURCE parquet's mtime at write time and
+  //    re-validates it (plus catalog existence) on every lookup, so a
+  //    regenerated tier within one session triggers a rewrite instead of
+  //    serving stale labels;
+  //  - a JVM-global per-(db, table) lock serializes rewrites across
+  //    sessions, so one session's DROP + recursive delete cannot tear the
+  //    files out from under another session's in-flight write. (A reader
+  //    executing a previously-returned lazy scan concurrently with a
+  //    rewrite is still possible — callers that share a tier across
+  //    concurrent sessions should scope the tier dir per session.)
+
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) {
+      id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+    }
+    id
+  }
+  /** (sessionUUID:db.table) -> source mtime observed at write. */
+  private val artifactWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Memoized [[rewriteBucketed]]: builds `db.name` from `df` at most once
+    * per (session, source state); `df` is by-name and only evaluated when a
+    * write actually happens.
+    */
+  private[graft] def writeOnceBucketed(s: SparkSession, db: String,
+      name: String, srcPath: String, df: => DataFrame, buckets: Int,
+      keys: Seq[String]): DataFrame = {
+    val memoKey = s"${sessionId(s)}:$db.$name"
+    val lock = artifactLocks.computeIfAbsent(s"$db.$name", _ => new Object)
+    lock.synchronized {
+      val srcM = java.nio.file.Files
+        .getLastModifiedTime(java.nio.file.Paths.get(srcPath)).toMillis
+      val prev = artifactWritten.get(memoKey)
+      val valid = artifactWritten.containsKey(memoKey) && prev == srcM &&
+        s.catalog.tableExists(s"$db.$name")
+      if (!valid) {
+        rewriteBucketed(s, db, name, df, buckets, keys)
+        artifactWritten.put(memoKey, srcM)
+      }
+    }
+    s.table(s"$db.$name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_bucketed_join" -> ((s, d) => {
       val db = dbFor(d)

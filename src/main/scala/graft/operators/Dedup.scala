@@ -304,7 +304,6 @@ object Dedup {
     * split) pays for pair generation + connected components exactly once.
     */
   private[graft] val labelsWrites = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val labelsWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Write-once staged labels artifact (q81b/q87b, judge r6 advice #3).
     *
@@ -318,23 +317,18 @@ object Dedup {
     * artifact with any doc_id-bucketed corpus table, so consumer joins
     * need no shuffle of the labels side at all.
     *
-    * Memoized per (session, tier) so repeated consumer calls in one
-    * session reuse the written table; a fresh session always rewrites
-    * (the testdata may have been regenerated).
+    * Memoized per (session, tier, source mtime) via
+    * [[Bucketed.writeOnceBucketed]]: repeated consumer calls in one
+    * session reuse the written table, a fresh session or a regenerated
+    * tier always rewrites, and concurrent sessions' rewrites are
+    * serialized by a JVM-global per-table lock. PipelineSpec asserts the
+    * write-once invariant via [[labelsWrites]].
     */
-  private[graft] def labelsArtifact(s: SparkSession, d: String): DataFrame = {
-    val db = Bucketed.dbFor(d)
-    val key = s"${System.identityHashCode(s)}:$db.dup_labels"
-    if (!labelsWritten.contains(key)) labelsWritten.synchronized {
-      if (!labelsWritten.contains(key)) {
-        Bucketed.rewriteBucketed(s, db, "dup_labels",
-          computeLabels(s, d), 8, Seq("doc_id"))
-        labelsWrites.incrementAndGet()
-        labelsWritten.add(key)
-      }
-    }
-    s.table(s"$db.dup_labels")
-  }
+  private[graft] def labelsArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "dup_labels",
+      s"$d/documents.parquet",
+      { labelsWrites.incrementAndGet(); computeLabels(s, d) },
+      8, Seq("doc_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with

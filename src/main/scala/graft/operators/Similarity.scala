@@ -313,6 +313,86 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** q90b core — BATCHED IVF-PQ serving over a (vec_id, emb) frame: q90
+    * generalized from one literal query to a q85-style fixed batch, the
+    * ANN *serving* shape (a retrieval endpoint answers batches, not
+    * single queries, and never with driver-side literals).
+    *
+    * Per query the driver-side constants q90 interpolates become two
+    * narrow q-side columns computed ONCE per query row: its coarse cell,
+    * and its 8×4 ADC table flattened to a 32-double array
+    * (adcq[4·sub + c] = ||q_sub − codebook(sub)(c)||², same left-assoc
+    * summation as [[adcTable]] so the DuckDB replay is bit-identical).
+    * The q side then explodes into its 9 probe cells (own + hamming-1) —
+    * ≤ 9·batch tiny rows, broadcast — and equi-joins the coded corpus on
+    * the cell id: at 100 TB the corpus side is the cell-partitioned PQ
+    * codes table (q76's encode pass), the probe is partition pruning on
+    * its scan, and per probed row the ADC distance is 8 element_at
+    * lookups into the broadcast 32-double array + 7 adds — no vector
+    * arithmetic on the scan path (the emb column rides along here only
+    * because the final exact re-rank happens in the same query; a
+    * production index would re-join the [[PqRerank]] survivors to the
+    * vector store by id instead). Both cuts are rank filters partitioned
+    * by q_id, so LocalTopK prunes map-side: the ADC cut shuffles
+    * ~[[PqRerank]]·batch rows, the final cut 10·batch. Every step is
+    * deterministic (exact literals, fixed association, vec_id ties), so
+    * the oracle replays it row-for-row.
+    *
+    * Factored over an arbitrary frame so OperatorSpec can measure the
+    * recall envelope on planted clustered corpora (the uniform testdata
+    * is a cell quantizer's worst case — same argument as q36).
+    */
+  private[graft] def ivfPqBatchOver(e0: DataFrame, qStride: Long,
+      batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = e0
+      .select(col("vec_id"), col("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+    // per-query ADC table: 32 doubles, adcq[4*sub + c], left-assoc sums
+    val adcq = array((0 until 8).flatMap { sub =>
+      (0 until 4).map { c =>
+        (0 until 8).map { dd =>
+          val x = element_at(col("qv"), 8 * sub + dd + 1)
+          val l = lit(pqCodebook(sub)(c)(dd))
+          (x - l) * (x - l)
+        }.reduce(_ + _)
+      }
+    }: _*)
+    val q = e.filter(col("vec_id") % qStride === 0)
+      .orderBy(col("vec_id")).limit(batchSize)
+      .select(col("vec_id").as("q_id"), col("emb").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("adcq", adcq)
+      .withColumn("qcell", cellOf(col("qv")))
+      .withColumn("m", explode(array(
+        (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("adcq"),
+        col("qcell").bitwiseXOR(col("m")).as("pcell"))
+    val coded = e.withColumn("cell", cellOf(col("emb")))
+      .select(col("vec_id") +: col("emb") +: col("nrm") +: col("cell") +:
+        pqCodes(col("emb")): _*)
+    val adc = (0 until 8).map { sub =>
+      element_at(col("adcq"), (lit(4 * sub + 1) + col(s"c$sub")).cast("int"))
+    }.reduce(_ + _)
+    coded.join(broadcast(q),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("ar") <= PqRerank)
+      .withColumn("cos", round(
+        dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
+        round(col("adc"), 4).as("adc_dist"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — near-dup within label blocks, LSH-banded candidate
     // generation: a candidate pair must share BOTH the blocking key
@@ -440,6 +520,16 @@ object Similarity {
           round(col("adc"), 4).as("adc_dist"), col("cos"))
         .orderBy(col("cos").desc, col("vec_id")).limit(10)
     }),
+
+    // q90b — batched IVF-PQ serving: q90 generalized to the q85
+    // fixed-size query batch, per-query ADC tables broadcast, cells
+    // probed per query (see [[ivfPqBatchOver]] for the full design).
+    "q90b_ann_ivfpq_batch" -> ((s, d) =>
+      ivfPqBatchOver(Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb")),
+        qStride = 500, batchSize = AnnBatchSize)),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
     // scale path when no natural shard/label exists (q35 needs one).
@@ -681,6 +771,55 @@ object Similarity {
            |    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
            |       * ${Pipeline.queryVecNorm}), 4) AS cos
            |FROM top, q ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      },
+
+      // q90b: the batched replay — per-query cell + probe list + ADC
+      // CASE chains computed from qv with the same exact literals and
+      // left-assoc association as the Spark-side adcq array
+      "q90b_ann_ivfpq_batch" -> {
+        def qdSql(sub: Int, c: Int): String =
+          (0 until 8).map { dd =>
+            val l = pqCodebook(sub)(c)(dd)
+            s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
+              s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l)"
+          }.mkString(" + ")
+        val adcqSql = (0 until 8).map { sub =>
+          s"(CASE c$sub WHEN 0 THEN ${qdSql(sub, 0)} " +
+            s"WHEN 1 THEN ${qdSql(sub, 1)} WHEN 2 THEN ${qdSql(sub, 2)} " +
+            s"ELSE ${qdSql(sub, 3)} END)::DOUBLE"
+        }.mkString(" + ")
+        s"""WITH e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT * FROM e0 WHERE nrm > 0),
+           | q0 AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+           |        CAST($cellSql AS BIGINT) AS qcell
+           |      FROM e WHERE vec_id % 500 = 0
+           |      ORDER BY vec_id LIMIT $AnnBatchSize),
+           | probe AS (SELECT q_id, qv, qnrm, xor(qcell, m.m) AS pcell
+           |      FROM q0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) m),
+           | coded AS (SELECT vec_id, embedding, nrm,
+           |    CAST($cellSql AS BIGINT) AS cell,
+           |    $pqCodesSql
+           |   FROM e),
+           | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
+           |        c.nrm, c.cell, $adcqSql AS adc
+           |   FROM probe p JOIN coded c
+           |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+           | r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |          ORDER BY adc, vec_id) AS ar FROM j),
+           | sc AS (SELECT q_id, vec_id, cell, ROUND(adc, 4) AS adc_dist,
+           |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
+           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
+           |      AS cos
+           |   FROM r1 WHERE ar <= $PqRerank),
+           | r2 AS (SELECT q_id, vec_id, cell, adc_dist, cos,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, vec_id) AS rk
+           |   FROM sc)
+           |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos
+           |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
       },
 
       "q63_centroids" ->

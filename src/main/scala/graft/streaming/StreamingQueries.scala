@@ -126,9 +126,9 @@ object StreamingQueries {
     * (keyed state; bounded replay here — a production stream bounds it
     * with dropDuplicatesWithinWatermark like q46).
     *
-    * The corpus band table is MATERIALIZED once at query setup — written
-    * bucketed by (band, bv) via [[graft.operators.Bucketed
-    * .rewriteBucketed]] — and the join's static side is a bare scan of
+    * The corpus band table is MATERIALIZED once per (session, tier) —
+    * written bucketed by (band, bv) via [[graft.operators.Bucketed
+    * .writeOnceBucketed]] — and the join's static side is a bare scan of
     * that table. Structured Streaming re-evaluates the static side of a
     * stream-static join on EVERY micro-batch: inlining sigOf(corpus)
     * here would recompute the full-corpus shingle → md5 → 32-min MinHash
@@ -139,28 +139,43 @@ object StreamingQueries {
     * the static subtree is the table scan and carries none of the
     * signature expressions.
     */
-  private[graft] def q89Stream(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.{Bucketed, Dedup, Shared}
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    def sigOf(df: DataFrame, idAs: String, sigAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs),
-          Shared.shingles3(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("h31s", Dedup.h31Array(col("sh")))
-        .withColumn(sigAs, Dedup.minhashSigOfH31(col("h31s")))
-        .withColumn("bb", explode(Dedup.minhashBandCols(col(sigAs))))
-        .select(col(idAs), col(sigAs),
-          col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val newDocs = sigOf(
-      s.readStream.schema(schema).parquet(stageTableDir(d, "documents"))
-        .filter(col("doc_id") % 10 === 0), "new_doc", "sig_a")
-    val corpus = Bucketed.rewriteBucketed(s, Bucketed.dbFor(d),
-      "q89_corpus_bands",
-      sigOf(graft.Tables.documents(s, d)
+  /** Shingle → MinHash signature → exploded LSH bands for q89's two sides. */
+  private def q89SigOf(df: DataFrame, idAs: String,
+      sigAs: String): DataFrame = {
+    import graft.operators.{Dedup, Shared}
+    df.select(col("doc_id").as(idAs),
+        Shared.shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("h31s", Dedup.h31Array(col("sh")))
+      .withColumn(sigAs, Dedup.minhashSigOfH31(col("h31s")))
+      .withColumn("bb", explode(Dedup.minhashBandCols(col(sigAs))))
+      .select(col(idAs), col(sigAs),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** The materialized corpus band table, write-once per (session, tier,
+    * source state) via [[graft.operators.Bucketed.writeOnceBucketed]] —
+    * the ingest-side cost that Bench times as its own `artifact:` row so
+    * the stream-side row measures only per-batch work.
+    */
+  private[graft] def q89CorpusBands(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Bucketed
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q89_corpus_bands",
+      s"$d/documents.parquet",
+      q89SigOf(graft.Tables.documents(s, d)
           .filter(col("doc_id") % 10 =!= 0)
           .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
         "corpus_doc", "sig_b"),
       buckets = 16, keys = Seq("band", "bv"))
+  }
+
+  private[graft] def q89Stream(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Dedup, Shared}
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val newDocs = q89SigOf(
+      s.readStream.schema(schema).parquet(stageTableDir(d, "documents"))
+        .filter(col("doc_id") % 10 === 0), "new_doc", "sig_a")
+    val corpus = q89CorpusBands(s, d)
     newDocs.join(corpus, Seq("band", "bv"))
       .withColumn("n_eq", Shared.foldSum(zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1.0d).otherwise(0.0d))).cast("long"))

@@ -849,6 +849,27 @@ class OperatorSpec extends AnyFunSuite {
       info(s"q90 clustered recall at sigma=$sigma: $recall90/10")
       assert(recall90 >= floor,
         s"q90 recall $recall90/10 below the $floor/10 floor at sigma=$sigma")
+
+      // q90b serves a BATCH of data-resident queries (vec_id % 500 == 0
+      // — here each cluster's first member, 17 queries) through the same
+      // probe + ADC + re-rank funnel. Its exact baseline is q85 on the
+      // identical corpus and batch: recall@5 = fraction of q85's exact
+      // top-5 found in q90b's top-10, averaged over the batch, held to
+      // the q36 envelope (floor/10 as a rate).
+      val exact5 = SparkEntry.queries("q85_ann_batch")(spark, dir)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got90b = SparkEntry.queries("q90b_ann_ivfpq_batch")(spark, dir)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(exact5.nonEmpty, "q85 batch selector found no queries")
+      val recalls = exact5.map { case (qid, ids) =>
+        ids.intersect(got90b.getOrElse(qid, Set.empty)).size.toDouble / ids.size
+      }
+      val mean90b = recalls.sum / recalls.size
+      info(f"q90b batched recall@5 at sigma=$sigma: $mean90b%.3f over ${recalls.size} queries")
+      assert(mean90b >= floor / 10.0,
+        f"q90b recall@5 $mean90b%.3f below the ${floor / 10.0} floor at sigma=$sigma")
     }
   }
 

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the staged dedup pipeline's cost structure: the labels artifact
+  * (pair generation + connected components) is paid for AT MOST ONCE per
+  * (session, tier) however many consumers run — at 100 TB this is the
+  * difference between one CC job and one per consumer — while a NEW
+  * session never trusts another session's memo (its artifact could
+  * predate a testdata regeneration).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("staged labels artifact is written at most once across q81b + q87b") {
+    val d0 = Dedup.labelsWrites.get()
+    Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
+    val d1 = Dedup.labelsWrites.get()
+    // 1 if this suite built it first, 0 if an earlier consumer in this
+    // session already did — never more.
+    assert(d1 - d0 <= 1, s"first consumer wrote ${d1 - d0} times")
+    Dedup.queries("q87b_split_staged")(spark, TestSpark.sf).collect()
+    Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
+    assert(Dedup.labelsWrites.get() === d1,
+      "warm consumers re-ran pair generation + connected components")
+  }
+
+  test("a new session rewrites instead of trusting another session's memo") {
+    // run once in the base session so its memo is warm
+    Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
+    val before = Dedup.labelsWrites.get()
+    val s2 = spark.newSession()
+    Dedup.queries("q81b_canonical_staged")(s2, TestSpark.sf).collect()
+    assert(Dedup.labelsWrites.get() - before === 1,
+      "a fresh session must rebuild the artifact exactly once")
+  }
+}
