@@ -18,7 +18,10 @@ case class GraftConfig(
   pattern: String = "plain",                // --avro / --proto selector
   registryUrl: Option[String] = None,       // --schema.registry.url
   logTypeId: Option[Long] = None,           // --log.type.id
-  tags: Seq[(String, String)] = Nil)        // repeatable --tag k=v
+  tags: Seq[(String, String)] = Nil,        // repeatable --tag k=v
+  sinkFormat: String = "kafka",             // --sink.format kafka|parquet
+  sinkPath: Option[String] = None,          // --sink.path (parquet sink)
+  sinkPartitionBy: String = "none")         // --sink.partition.by none|hour|day
 
 object Config {
 
@@ -54,6 +57,10 @@ object Config {
           go(t, c.copy(logTypeId = Some(v.toLong)))
         case "--tag" :: v :: t =>
           parseTag(v).flatMap(kv => go(t, c.copy(tags = c.tags :+ kv)))
+        case "--sink.format" :: v :: t => go(t, c.copy(sinkFormat = v))
+        case "--sink.path" :: v :: t => go(t, c.copy(sinkPath = Some(v)))
+        case "--sink.partition.by" :: v :: t =>
+          go(t, c.copy(sinkPartitionBy = v))
         case other :: _ => Left(s"unknown flag: $other")
       }
     try go(args.toList, GraftConfig())
@@ -64,8 +71,17 @@ object Config {
     * broker.list and topic required; avro requires a registry URL.
     */
   def validate(c: GraftConfig): Either[String, GraftConfig] =
-    if (c.brokerList.isEmpty) Left("broker.list is required")
-    else if (c.topic.isEmpty) Left("topic is required")
+    if (!Set("kafka", "parquet")(c.sinkFormat))
+      Left(s"sink.format must be kafka or parquet, got '${c.sinkFormat}'")
+    else if (c.sinkFormat == "kafka" && c.brokerList.isEmpty)
+      Left("broker.list is required")
+    else if (c.sinkFormat == "kafka" && c.topic.isEmpty)
+      Left("topic is required")
+    else if (c.sinkFormat == "parquet" && c.sinkPath.isEmpty)
+      Left("sink.path is required with --sink.format parquet")
+    else if (!Set("none", "hour", "day")(c.sinkPartitionBy))
+      Left(s"sink.partition.by must be none, hour or day, got " +
+        s"'${c.sinkPartitionBy}'")
     else if (c.pattern == "avro" && c.registryUrl.isEmpty)
       Left("schema.registry.url is required with --avro")
     else if (c.requiredAcks < -1) Left("required.acks must be >= -1")

@@ -45,23 +45,52 @@ object Main {
       case "proto" => Transformers.proto(conf.tags, conf.logTypeId)
       case _ => Transformers.plain(source)
     }
-    val out = source
-      .repartition(conf.numProducers) // producer-pool scale-out (O18)
-      .select(value)
+    // Time-derived landing partition for the parquet sink
+    // (--sink.partition.by): hive-style hour/day directories from the
+    // syslog timestamp — the standard landing-zone layout, so downstream
+    // batch queries prune to the hours they touch instead of scanning
+    // the whole firehose (at 100 TB/day the difference between reading
+    // one hour and reading a day per incremental job).
+    import org.apache.spark.sql.functions.{col, date_format, timestamp_millis}
+    val partCol = conf.sinkPartitionBy match {
+      case "hour" => Some(date_format(
+        timestamp_millis(col("timestamp")), "yyyy-MM-dd-HH"))
+      case "day" => Some(date_format(
+        timestamp_millis(col("timestamp")), "yyyy-MM-dd"))
+      case _ => None
+    }
+    val base = source.repartition(conf.numProducers) // producer pool (O18)
+    val out = partCol match {
+      case Some(p) => base.select(value, p.as("ingest_part"))
+      case None => base.select(value)
+    }
 
     if (dryRun) {
       out.explain("extended")
-      println(s"sink options: ${Config.kafkaSinkOptions(conf)}")
+      if (conf.sinkFormat == "kafka")
+        println(s"sink options: ${Config.kafkaSinkOptions(conf)}")
+      else
+        println(s"sink: parquet path=${conf.sinkPath.get} " +
+          s"partitionBy=${conf.sinkPartitionBy}")
       spark.stop()
       return
     }
 
-    val query = out.writeStream
-      .format("kafka")
-      .options(Config.kafkaSinkOptions(conf))
-      .option("checkpointLocation",
-        s"/tmp/graft-syslog-ckpt-${conf.topic}")
-      .start()
+    val writer = conf.sinkFormat match {
+      case "parquet" =>
+        val w = out.writeStream.format("parquet")
+          .option("path", conf.sinkPath.get)
+          .option("checkpointLocation",
+            s"${conf.sinkPath.get}/_graft_ckpt")
+        if (partCol.isDefined) w.partitionBy("ingest_part") else w
+      case _ =>
+        out.writeStream
+          .format("kafka")
+          .options(Config.kafkaSinkOptions(conf))
+          .option("checkpointLocation",
+            s"/tmp/graft-syslog-ckpt-${conf.topic}")
+    }
+    val query = writer.start()
     sys.addShutdownHook(query.stop()) // SIGINT → graceful stop (O19)
     query.awaitTermination()
   }

@@ -45,7 +45,7 @@ object StreamingQueries {
   private[streaming] def stageEventsDir(d: String): String =
     stageTableDir(d, "events")
 
-  private[streaming] def stageTableDir(d: String, table: String): String = {
+  private[graft] def stageTableDir(d: String, table: String): String = {
     val stage = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_${table}_stream_${math.abs(d.hashCode)}")
     Files.createDirectories(stage)

@@ -182,6 +182,23 @@ class CodecSpec extends AnyFunSuite {
     assert(parsed.flatMap(Config.validate).isRight)
   }
 
+  test("CLI validate: parquet sink + landing partition knob") {
+    import cli.{Config, GraftConfig}
+    // parquet sink needs a path but no broker/topic
+    assert(Config.validate(GraftConfig(sinkFormat = "parquet")).isLeft)
+    val pq = GraftConfig(sinkFormat = "parquet", sinkPath = Some("/tmp/x"))
+    assert(Config.validate(pq).isRight)
+    assert(Config.validate(pq.copy(sinkPartitionBy = "hour")).isRight)
+    assert(Config.validate(pq.copy(sinkPartitionBy = "day")).isRight)
+    assert(Config.validate(pq.copy(sinkPartitionBy = "minute")).isLeft)
+    assert(Config.validate(pq.copy(sinkFormat = "console")).isLeft)
+    val parsed = Config.parse(Seq("--sink.format", "parquet",
+      "--sink.path", "/tmp/landing", "--sink.partition.by", "hour"))
+    assert(parsed.map(_.sinkPath) === Right(Some("/tmp/landing")))
+    assert(parsed.map(_.sinkPartitionBy) === Right("hour"))
+    assert(parsed.flatMap(Config.validate).isRight)
+  }
+
   test("avro_logline_decode inverts avro_logline (O22 consumer path)") {
     val df = spark.range(1).select(lit("msg").as("message"),
       lit("host").as("hostname"), lit(1065910455003L).as("timestamp"))
