@@ -89,6 +89,29 @@ object ScaleProbe {
       SparkEntry.queries("q64_neardup_lsh")(spark, d).count()
     }
 
+    // --- q89 streaming-backfill candidate growth: the band-collision
+    // join the per-batch work is proportional to (round-8 addition) ---
+    out("q89_candidates") = timed("q89_candidates") {
+      streaming.StreamingQueries.q89BatchCandidates(spark, d).count()
+    }
+
+    // --- q90/q90b probe funnel: rows read after cell pruning vs the
+    // PqRerank-bounded exact re-rank input (round-8 addition) ---
+    out("q90_probed") = timed("q90_probed") {
+      Tables.embeddings(spark, d)
+        .select(operators.Similarity
+          .cellOf(col("embedding").cast("array<double>")).as("cell"))
+        .filter(col("cell").isin(
+          operators.Similarity.probeCells.map(_.toLong): _*))
+        .count()
+    }
+    timed("q90b_probe") {
+      val (probed, reranked) =
+        operators.Similarity.ivfPqBatchProbeCounts(spark, d)
+      out("q90b_probed") = probed
+      out("q90b_reranked") = reranked
+    }
+
     // --- q73 round count (flat across scale = the O(log d) claim) ---
     timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)

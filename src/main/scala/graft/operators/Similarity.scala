@@ -393,6 +393,37 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** ScaleProbe hook: rows the batched IVF-PQ search reads before ADC
+    * ranking (Σ over the batch of per-query probed-cell populations) and
+    * the bounded exact re-rank input (Σ min(PqRerank, probed_q)). The
+    * first grows linearly with the corpus at fixed batch (9/256 of the
+    * rows per query in expectation); the second is capped at
+    * PqRerank·batch — the two numbers are the scan-vs-exact cost split
+    * the IVF-PQ design exists to create.
+    */
+  private[graft] def ivfPqBatchProbeCounts(s: SparkSession,
+      d: String): (Long, Long) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+    val q = e.filter(col("vec_id") % 500 === 0)
+      .orderBy(col("vec_id")).limit(AnnBatchSize)
+      .select(col("vec_id").as("q_id"), cellOf(col("emb")).as("qcell"))
+      .withColumn("m", explode(array(
+        (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
+      .select(col("q_id"), col("qcell").bitwiseXOR(col("m")).as("pcell"))
+    val perQ = e.select(cellOf(col("emb")).as("cell"), col("vec_id"))
+      .join(broadcast(q),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+    val r = perQ.agg(
+      coalesce(sum(col("n")), lit(0L)).as("probed"),
+      coalesce(sum(least(col("n"), lit(PqRerank.toLong))), lit(0L))
+        .as("reranked")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — near-dup within label blocks, LSH-banded candidate
     // generation: a candidate pair must share BOTH the blocking key

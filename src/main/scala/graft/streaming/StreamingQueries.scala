@@ -169,6 +169,24 @@ object StreamingQueries {
       buckets = 16, keys = Seq("band", "bv"))
   }
 
+  /** ScaleProbe hook: q89's band-collision candidate join replayed
+    * batch-side (new-docs tenth × corpus nine-tenths on (band, bv),
+    * multiplicity included — the rows the stream join actually processes
+    * before the signature verify and dropDuplicates). Growth across
+    * tiers pins the "per-batch cost is bands-of-the-new-docs" claim.
+    */
+  private[graft] def q89BatchCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val newDocs = q89SigOf(docs.filter(col("doc_id") % 10 === 0),
+        "new_doc", "sig_a")
+      .select(col("new_doc"), col("band"), col("bv"))
+    val corpus = q89SigOf(docs.filter(col("doc_id") % 10 =!= 0)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "corpus_doc", "sig_b")
+      .select(col("corpus_doc"), col("band"), col("bv"))
+    newDocs.join(corpus, Seq("band", "bv"))
+  }
+
   private[graft] def q89Stream(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Dedup, Shared}
     val schema = s.read.parquet(s"$d/documents.parquet").schema
