@@ -46,6 +46,11 @@ object Dedup {
   private[graft] val MinhashK = 32
   private[graft] val MinhashEq = 26 // >=26/32 equal => <=6 unequal < 8 bands
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  /** q91 window width: a cross-doc repeat of >= this many word tokens is
+    * reported as duplicated text (cf. the 50-BPE-token threshold of the
+    * suffix-array dedup literature, scaled to these short synthetic docs).
+    */
+  private val DupSpanW = 20
 
   /** Deterministic universal-hash coefficients (odd a, arbitrary b),
     * identical literals interpolated into the DuckDB oracle.
@@ -457,6 +462,65 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           round(col("n_eq") / lit(MinhashK.toDouble), 4).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // q91 — cross-document duplicated-SPAN detection: the SUBSTRING-level
+    // dedup signal (doc-level near-dup — q32/q33/q34 — misses a boiler-
+    // plate paragraph shared by otherwise-distinct documents). Every
+    // W=20-token sliding window is hashed (md5 of the space-joined window,
+    // portable), and a window is duplicated when its hash occurs in >= 2
+    // distinct documents. Per doc: window count, duplicated-window count,
+    // and the token positions covered by >= 1 duplicated window (interval
+    // union — the "fraction of corpus that is repeated text" metric of
+    // the suffix-array dedup literature). Fixed-W windows find exactly
+    // the repeats of length >= W (any such repeat contains a full
+    // W-window) at MapReduce cost, where the literature's suffix array
+    // is a sequential build. At 100 TB: window generation is a narrow
+    // explode (1 row/token, like shingling); the cross-doc test is a
+    // hash aggregate + equi-join on the 128-bit window hash (uniform
+    // keys — no skew, map-side combine collapses within-doc repeats);
+    // the interval union is a per-doc window function over only the
+    // duplicated spans (small per doc by construction).
+    "q91_dup_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = DupSpanW
+      val toks =
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= W)
+      // element j (0-based) of the transform = window starting at token j
+      val wins = docs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+        .toDF("doc_id", "pos", "wh")
+      val dup = wins.groupBy(col("wh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("wh"), lit(1).as("is_dup"))
+      val flagged = wins.join(dup, Seq("wh"), "left")
+      val perDoc = flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("is_dup")).as("n_dup_windows"))
+      val spans = flagged.filter(col("is_dup").isNotNull)
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + (W - 1)).cast("long").as("e"))
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      val pm = max(col("e"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+      val grouped = spans.withColumn("pm", pm)
+        .withColumn("grp",
+          sum(when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+            .over(ord))
+      val cov = grouped.groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("e") - col("s") + 1).as("cov"))
+      perDoc.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          coalesce(col("cov"), lit(0L)).as("n_dup_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -671,7 +735,44 @@ object Dedup {
            |SELECT new_doc, corpus_doc,
            |  ROUND(n_eq / ${MinhashK.toDouble}, 4) AS est_jaccard
            |FROM p WHERE n_eq >= $MinhashEq
-           |ORDER BY new_doc, corpus_doc""".stripMargin
+           |ORDER BY new_doc, corpus_doc""".stripMargin,
+
+      // Same window hashing (md5 of the space-joined 20-token window),
+      // same interval-union coverage, replayed in DuckDB list SQL.
+      "q91_dup_spans" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           |  FROM documents),
+           |  w AS (SELECT doc_id, i - 1 AS pos,
+           |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
+           |    FROM t, LATERAL unnest(
+           |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
+           |    WHERE len(toks) >= $DupSpanW),
+           |  dup AS (SELECT wh FROM w GROUP BY wh
+           |          HAVING COUNT(DISTINCT doc_id) >= 2),
+           |  spans AS (SELECT doc_id, pos AS s, pos + ${DupSpanW - 1} AS e
+           |            FROM w WHERE wh IN (SELECT wh FROM dup)),
+           |  m AS (SELECT doc_id, s, e,
+           |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |            AS pm
+           |        FROM spans),
+           |  g AS (SELECT doc_id, s, e,
+           |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+           |        FROM m),
+           |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+           |        FROM g GROUP BY doc_id, grp),
+           |  cov AS (SELECT doc_id, SUM(e - s + 1) AS n_dup_tokens
+           |          FROM u GROUP BY doc_id),
+           |  agg AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+           |            COUNT(*) FILTER (WHERE w.wh IN (SELECT wh FROM dup))
+           |              AS n_dup_windows
+           |          FROM w GROUP BY w.doc_id)
+           |SELECT a.doc_id, a.n_windows, a.n_dup_windows,
+           |  CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
+           |FROM agg a LEFT JOIN cov c ON a.doc_id = c.doc_id
+           |ORDER BY a.doc_id""".stripMargin
     )
   }
 }

@@ -80,6 +80,32 @@ object Sampling {
         .filter(col("rn") <= 10)
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy(col("source"), col("rn"))
+    }),
+
+    // q92 — deterministic training-order sharding: the "global shuffle"
+    // a pipeline runs LAST, so the training loader reads examples in a
+    // reproducible pseudo-random order. Each doc hashes (salted stream,
+    // independent of the q49/q50 decisions) to a shard = hash mod K and
+    // a position = rank of the hash within the shard. No global sort:
+    // shard assignment is a narrow map, and each shard orders
+    // independently — at 100 TB, K is thousands (shards sized to the
+    // loader's file target), so the per-shard sort is the parallel unit
+    // and the whole corpus never passes through one range partitioner.
+    // Hash-ordering within the shard is exactly the order a re-run,
+    // a backfill, or a different engine reproduces bit-for-bit —
+    // `ORDER BY rand()` reproduces nothing and TABLESAMPLE depends on
+    // split layout. K=8 here so the testdata exercises multi-row shards.
+    "q92_train_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hash60(concat(lit("ord|"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard", pmod(col("k"), lit(8)).cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -111,6 +137,15 @@ object Sampling {
          |            doc_id) AS BIGINT) AS rn
          |      FROM documents)
          |WHERE rn <= 10
-         |ORDER BY source, rn""".stripMargin
+         |ORDER BY source, rn""".stripMargin,
+
+    "q92_train_order" ->
+      s"""SELECT doc_id, k % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY k % 8
+         |    ORDER BY k, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |        ${sqlHash60("concat('ord|', CAST(doc_id AS VARCHAR))")} AS k
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
   )
 }
