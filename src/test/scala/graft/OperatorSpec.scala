@@ -1084,4 +1084,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(operators.Similarity.queryCell ===
       (0 until 8).map(i => if (math.sin(i + 1.0) > 0) 1 << i else 0).sum)
   }
+
+  test("q91 finds exactly the planted cross-doc 20-token repeat") {
+    // docs 0 and 1 share ONE 20-token run (a10..a29) inside otherwise
+    // disjoint text; docs 2 and 3 are verbatim copies of each other.
+    // Window width W=20 ⇒ the shared run contributes exactly one
+    // duplicated window per doc (the run has no 21st shared token), the
+    // verbatim pair duplicates every window, and interval-union coverage
+    // is the run length / the whole doc respectively.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val run = (10 until 30).map(i => s"a$i")
+    val doc0 = ((0 until 10).map(i => s"a$i") ++ run ++
+      (30 until 40).map(i => s"a$i")).mkString(" ")
+    val doc1 = ((0 until 10).map(i => s"b$i") ++ run ++
+      (0 until 10).map(i => s"c$i")).mkString(" ")
+    val doc2 = (0 until 25).map(i => s"d$i").mkString(" ")
+    Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q91_dup_spans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(rows === List(
+      (0L, 21L, 1L, 20L), // 40 toks → 21 windows; 1 dup (pos 10); run covered
+      (1L, 21L, 1L, 20L),
+      (2L, 6L, 6L, 25L),  // 25 toks → 6 windows, all dup, full coverage
+      (3L, 6L, 6L, 25L)))
+  }
+
+  test("q92 shards are a dense deterministic partition of the corpus") {
+    val rows = SparkEntry.queries("q92_train_order")(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.count() === n, "every doc gets exactly one (shard, pos)")
+    assert(rows.select("doc_id").distinct().count() === n)
+    // per shard, pos must be dense 1..count (a loader seeks by position)
+    import spark.implicits._
+    val byShard = rows.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(byShard.length === 8)
+    byShard.foreach { case (s, c, lo, hi) =>
+      assert(lo === 1L && hi === c, s"shard $s positions not dense: $lo..$hi/$c")
+    }
+    // deterministic: a second evaluation produces the identical assignment
+    val again = SparkEntry.queries("q92_train_order")(spark, sf)
+    assert(rows.except(again).isEmpty && again.except(rows).isEmpty)
+  }
 }
