@@ -108,7 +108,7 @@ object Bench {
     for ((n, f) <- artifacts
          if only.isEmpty || only.exists(q =>
            q.endsWith("b_canonical_staged") || q.endsWith("b_split_staged") ||
-             q.startsWith("q89"))) {
+             q.startsWith("q89") || q.startsWith("q93"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>

@@ -524,6 +524,61 @@ object Dedup {
     })
   )
 
+  /** Oracle fragment — the q32/q73 pair CTE `p` via the PPJoin prefix
+    * filter instead of brute-force all-pairs: the prefix filter is
+    * COMPLETE (every pair with J >= t shares a prefix shingle), so the
+    * verified output is identical — validated against the brute-force
+    * form at sf0.01 — while the oracle stays near-linear in candidates.
+    * This is what lets q32/q73 join the sf0.1/sf~1 oracle stress tiers
+    * (the round-4 brute-force forms ran for hours there). Reserves CTE
+    * names s/sz/ex/dfreq/prefix/cand/p.
+    */
+  private[graft] lazy val sqlPrefixPairs: String =
+    s"""s AS ($sqlShingles3),
+       |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+       |  ex AS (SELECT doc_id, sz, unnest(sh) AS sg FROM sz),
+       |  dfreq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
+       |  prefix AS (
+       |    SELECT doc_id, sg, sz, rk FROM (
+       |      SELECT ex.doc_id, ex.sg, ex.sz,
+       |        row_number() OVER (PARTITION BY ex.doc_id
+       |                           ORDER BY d.df, ex.sg) AS rk
+       |      FROM ex JOIN dfreq d ON ex.sg = d.sg)
+       |    WHERE rk <= sz - (3 * sz) // 5 + 1),
+       |  cand AS (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM prefix a JOIN prefix b
+       |      ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |     AND least(a.sz - a.rk, b.sz - b.rk) + 1
+       |           >= (3 * (a.sz + b.sz) + 7) // 8
+       |     AND 5 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)),
+       |  p AS (
+       |    SELECT doc_a, doc_b,
+       |      ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+       |        4) AS jaccard
+       |    FROM cand JOIN sz x ON x.doc_id = doc_a
+       |              JOIN sz y ON y.doc_id = doc_b
+       |    WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
+       |        4) >= $JaccardT)""".stripMargin
+
+  /** Oracle fragment — dup-cluster labels `reps(doc_id, rep)` via the
+    * recursive transitive closure over the pair graph; extends
+    * [[sqlPrefixPairs]] (use under `WITH RECURSIVE`). Additionally
+    * reserves CTE names e/reach/reps.
+    */
+  private[graft] lazy val sqlRepsCte: String =
+    s"""$sqlPrefixPairs,
+       |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |        UNION ALL SELECT doc_b, doc_a FROM p),
+       |  reach(src, r) AS (
+       |    SELECT DISTINCT src, src FROM e
+       |    UNION
+       |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+       |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+       |           FROM reach GROUP BY src)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val simhashSums = (0 until SimhashBits)
       .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")
@@ -535,42 +590,7 @@ object Dedup {
       .mkString(",\n    ")
     val minhashSig = (0 until MinhashK).map(i => s"mh$i").mkString("[", ", ", "]")
 
-    // The q32/q73 pair CTE mirrors the Spark side's PPJoin prefix filter
-    // instead of brute-force all-pairs: the prefix filter is COMPLETE
-    // (every pair with J >= t shares a prefix shingle), so the verified
-    // output is identical — validated against the brute-force form at
-    // sf0.01 — while the oracle stays near-linear in candidates. This is
-    // what lets q32/q73 join the sf0.1 oracle stress tier (the round-4
-    // brute-force forms ran for hours there).
-    val prefixPairs =
-      s"""s AS ($sqlShingles3),
-         |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
-         |  ex AS (SELECT doc_id, sz, unnest(sh) AS sg FROM sz),
-         |  dfreq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
-         |  prefix AS (
-         |    SELECT doc_id, sg, sz, rk FROM (
-         |      SELECT ex.doc_id, ex.sg, ex.sz,
-         |        row_number() OVER (PARTITION BY ex.doc_id
-         |                           ORDER BY d.df, ex.sg) AS rk
-         |      FROM ex JOIN dfreq d ON ex.sg = d.sg)
-         |    WHERE rk <= sz - (3 * sz) // 5 + 1),
-         |  cand AS (
-         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM prefix a JOIN prefix b
-         |      ON a.sg = b.sg AND a.doc_id < b.doc_id
-         |     AND least(a.sz - a.rk, b.sz - b.rk) + 1
-         |           >= (3 * (a.sz + b.sz) + 7) // 8
-         |     AND 5 * least(a.sz, b.sz) >= 3 * greatest(a.sz, b.sz)),
-         |  p AS (
-         |    SELECT doc_a, doc_b,
-         |      ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
-         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-         |        4) AS jaccard
-         |    FROM cand JOIN sz x ON x.doc_id = doc_a
-         |              JOIN sz y ON y.doc_id = doc_b
-         |    WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
-         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
-         |        4) >= $JaccardT)""".stripMargin
+    val prefixPairs = sqlPrefixPairs
 
     Map(
       "q32_neardup_jaccard" ->

@@ -69,6 +69,51 @@ object Pipeline {
       .orderBy(col("col_name"))
   }
 
+  /** (source, doc_id, tokens) of every document — the q78/q93 packing
+    * input. NULL text = 0 tokens, guarded in BOTH engines: Spark's
+    * size(split(NULL)) is -1 (legacy sizeOfNull), which would silently
+    * shift every later cumsum in the source, while DuckDB's
+    * len(string_split(NULL)) is NULL.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long"))
+          .as("tokens"))
+
+  /** Greedy sequence packing of (source, doc_id, tokens) rows into
+    * 2048-token context windows by doc_id order — the q78 body, shared
+    * with the composed corpus build (q93). The per-source running sum is
+    * a DISTRIBUTED prefix sum (per-bucket local cumsum + bucket-offset
+    * broadcast join), so no source ever funnels through one sort task:
+    * the bare-`source` window only ever sees the tiny per-bucket totals.
+    * Unordered; callers sort.
+    */
+  private def packBySource(docs0: DataFrame): DataFrame = {
+    val cap = lit(2048L)
+    val docs = docs0
+      .withColumn("bucket", call_function("div", col("doc_id"), lit(4096L)))
+    val wLocal = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs.withColumn("lcum", sum(col("tokens")).over(wLocal))
+    val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("tokens")).as("btotal"))
+      .withColumn("offset",
+        coalesce(sum(col("btotal")).over(wBuckets), lit(0L)))
+      .select(col("source"), col("bucket"), col("offset"))
+    local.join(offsets, Seq("source", "bucket"))
+      .withColumn("cum", col("lcum") + col("offset"))
+      .withColumn("pack_id",
+        call_function("div", col("cum") - col("tokens"), cap))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q22 — semi-structured access: JSON path, map element, array element.
     // Repartition first: the single-file local scan would otherwise run
@@ -265,37 +310,43 @@ object Pipeline {
     // sum THOSE with a window (cheap at any scale); (3) equi-join the
     // bucket offsets back. Work per task is bounded by the chunk size;
     // integer arithmetic only (div / //), so the oracle stays exact.
-    "q78_sequence_pack" -> ((s, d) => {
-      val cap = lit(2048L)
-      val docs = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          // NULL text = 0 tokens, guarded in BOTH engines: Spark's
-          // size(split(NULL)) is -1 (legacy sizeOfNull), which would
-          // silently shift every later cumsum in the source, while
-          // DuckDB's len(string_split(NULL)) is NULL
-          when(col("text").isNull, lit(0L))
-            .otherwise(size(split(col("text"), " ")).cast("long"))
-            .as("tokens"))
-        .withColumn("bucket", call_function("div", col("doc_id"), lit(4096L)))
-      val wLocal = Window.partitionBy(col("source"), col("bucket"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = docs.withColumn("lcum", sum(col("tokens")).over(wLocal))
-      val wBuckets = Window.partitionBy(col("source")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("source"), col("bucket"))
-        .agg(sum(col("tokens")).as("btotal"))
-        .withColumn("offset",
-          coalesce(sum(col("btotal")).over(wBuckets), lit(0L)))
-        .select(col("source"), col("bucket"), col("offset"))
-      local.join(offsets, Seq("source", "bucket"))
-        .withColumn("cum", col("lcum") + col("offset"))
-        .withColumn("pack_id",
-          call_function("div", col("cum") - col("tokens"), cap))
-        .groupBy(col("source"), col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("source"), col("pack_id"))
+    "q78_sequence_pack" -> ((s, d) =>
+      packBySource(docTokens(s, d)).orderBy(col("source"), col("pack_id"))),
+
+    // q93 — the COMPOSED corpus build: the end-to-end pass a pretraining
+    // pipeline actually ships, as ONE Spark job over the staged
+    // artifacts. quality filter (q84 verdict, keep only) → canonical
+    // dedup (drop non-representative cluster members, labels from the
+    // write-once dup_labels artifact — q93 is its third consumer, still
+    // one CC job per pipeline) → leakage-safe train split (q87 key:
+    // cluster rep or self; survivors are reps, so the cluster never
+    // spans splits) → greedy 2048-token sequence packing of the
+    // surviving train docs (q78 machinery). Every stage joins narrow
+    // id/token frames on doc_id — the text column is read exactly once
+    // (token counting); at 100 TB the composition adds three doc_id
+    // equi-joins to the stages' own costs, nothing quadratic and no new
+    // wide shuffles. Stage order is immaterial by construction: the
+    // three gates are set intersections computed from corpus-level
+    // artifacts (canonicality is a property of the FULL corpus — a
+    // cluster whose rep fails quality contributes nothing, rather than
+    // re-electing a lower-quality survivor).
+    "q93_corpus_build" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val verdicts = TextOps.q84Verdicts(s, d)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val labels = Dedup.labelsArtifact(s, d)
+        .select(col("doc_id"), col("rep"))
+      val dropped = labels.filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id"))
+      val keyed = docTokens(s, d)
+        .join(verdicts, Seq("doc_id"), "left_semi")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
+      val train = keyed
+        .filter(pmod(hash60(col("split_key").cast("string")), lit(100)) < 80)
+        .select(col("source"), col("doc_id"), col("tokens"))
+      packBySource(train).orderBy(col("source"), col("pack_id"))
     }),
 
     // Q69 — funnel analysis: first view → first click after it → first
@@ -509,6 +560,35 @@ object Pipeline {
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // q93 = q84's verdict chain + q73's recursive closure + q87's split
+    // key + q78's cumsum pack, composed from the same shared fragments
+    // the individual oracles use — the Spark side reads the staged
+    // labels artifact; the oracle recomputes the identical labels from
+    // first principles (same equivalence q81b/q87b pin).
+    "q93_corpus_build" ->
+      s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
+         |  ${TextOps.sqlQ84Cte},
+         |  dtok AS (SELECT source, doc_id,
+         |             CAST(COALESCE(len(string_split(text, ' ')), 0)
+         |               AS BIGINT) AS tokens
+         |           FROM documents),
+         |  surv AS (SELECT dt.source, dt.doc_id, dt.tokens
+         |    FROM dtok dt
+         |    JOIN r ON dt.doc_id = r.doc_id AND r.reasons = 0
+         |    LEFT JOIN reps ON dt.doc_id = reps.doc_id
+         |    WHERE (reps.doc_id IS NULL OR reps.doc_id = reps.rep)
+         |      AND ${Shared.sqlHash60(
+                  "CAST(COALESCE(reps.rep, dt.doc_id) AS VARCHAR)")}
+         |            % 100 < 80),
+         |  cc AS (SELECT source, doc_id, tokens,
+         |          SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM surv)
+         |SELECT source, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM cc GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     "q69_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

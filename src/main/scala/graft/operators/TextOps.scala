@@ -38,6 +38,82 @@ object TextOps {
   private[graft] val TokenBudget = 800L
   private[graft] val BudgetSalts = 32
 
+  /** The q84 cleaning verdict as a reusable frame — (doc_id, n_tokens,
+    * score, reasons, keep) — consumed by the q84 query itself and by the
+    * composed corpus-build pipeline (q93). Unordered; callers sort.
+    */
+  private[graft] def q84Verdicts(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("st", countIn(col("toks"), markers.head._2))
+      .withColumn("mk",
+        markers.map { case (_, ws) => countIn(col("toks"), ws) }
+          .reduce(_ + _))
+    val top2 = base
+      .select(col("doc_id"),
+        // n >= 2 guard: sequence() DESCENDS when end < start, and the
+        // descending [1, 0] would index element_at out of bounds on a
+        // 1-token doc (caught by the degenerate-corpus test)
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))
+          .otherwise(array())).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    base.join(top2, Seq("doc_id"), "left")
+      .withColumn("top2", coalesce(col("top2"), lit(0L)))
+      .withColumn("score", expr(
+        "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
+          " div (800 * n)"))
+      .withColumn("reasons",
+        when(col("n") < 20 || col("n") > 95, 1L).otherwise(0L) +
+          when(col("score") < 2700, 2L).otherwise(0L) +
+          when(col("top2") * 20 > col("n") - 1 ||
+            (col("n") - col("u")) * 5 > col("n") * 3, 4L).otherwise(0L) +
+          when(col("mk") === 0, 8L).otherwise(0L))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("score"),
+        col("reasons"),
+        // 0/1 long, not boolean: the gate's cross-engine hasher is only
+        // exercised on int/double/varchar parquet-output types
+        (col("reasons") === 0).cast("long").as("keep"))
+  }
+
+  /** DuckDB twin of [[q84Verdicts]] as a CTE chain ending in
+    * `r(doc_id, n, score, reasons)` — shared by the q84 oracle and the
+    * q93 composed-pipeline oracle. CTE names t/b/g2/t2/sc/r are reserved
+    * by this fragment.
+    */
+  private[graft] lazy val sqlQ84Cte: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       | b AS (SELECT doc_id, len(toks) AS n,
+       |    len(list_distinct(toks)) AS u,
+       |    ${sqlCountIn(markers.head._2)} AS st,
+       |    ${markers.map { case (_, ws) => sqlCountIn(ws) }
+              .mkString(" + ")} AS mk
+       |  FROM t),
+       | g2 AS (SELECT doc_id, unnest(list_transform(
+       |     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+       |   FROM t),
+       | t2 AS (SELECT doc_id, max(c) AS top2
+       |   FROM (SELECT doc_id, g, count(*) AS c FROM g2
+       |         GROUP BY doc_id, g) GROUP BY doc_id),
+       | sc AS (SELECT b.doc_id, n, u, st, mk, COALESCE(top2, 0) AS top2,
+       |    (20000 * (200 * st + 100 * u + n * least(n, 100))
+       |     + 400 * n) // (800 * n) AS score
+       |   FROM b LEFT JOIN t2 ON b.doc_id = t2.doc_id),
+       | r AS (SELECT doc_id, n, score,
+       |    (CASE WHEN n < 20 OR n > 95 THEN 1 ELSE 0 END
+       |     + CASE WHEN score < 2700 THEN 2 ELSE 0 END
+       |     + CASE WHEN top2 * 20 > n - 1 OR (n - u) * 5 > n * 3
+       |            THEN 4 ELSE 0 END
+       |     + CASE WHEN mk = 0 THEN 8 ELSE 0 END) AS reasons
+       |   FROM sc)""".stripMargin
+
   /** q86 stage 0: per-doc integer quality score + whitespace-token count
     * (narrow, shuffle-free; the text column is dropped here so everything
     * downstream shuffles id + 3 ints only).
@@ -283,46 +359,8 @@ object TextOps {
     // 8 = zero language-marker evidence; keep ⟺ reasons = 0. Same scale
     // shape as q82/q83: one narrow pass + one (doc,gram) hash agg joined
     // back on doc_id.
-    "q84_quality_filter" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("u", size(array_distinct(col("toks"))).cast("long"))
-        .withColumn("st", countIn(col("toks"), markers.head._2))
-        .withColumn("mk",
-          markers.map { case (_, ws) => countIn(col("toks"), ws) }
-            .reduce(_ + _))
-      val top2 = base
-        .select(col("doc_id"),
-          // n >= 2 guard: sequence() DESCENDS when end < start, and the
-          // descending [1, 0] would index element_at out of bounds on a
-          // 1-token doc (caught by the degenerate-corpus test)
-          explode(when(size(col("toks")) >= 2,
-            transform(sequence(lit(1), size(col("toks")) - 1), i =>
-              concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1))))
-            .otherwise(array())).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
-      base.join(top2, Seq("doc_id"), "left")
-        .withColumn("top2", coalesce(col("top2"), lit(0L)))
-        .withColumn("score", expr(
-          "(20000 * (200 * st + 100 * u + n * least(n, 100L)) + 400 * n)" +
-            " div (800 * n)"))
-        .withColumn("reasons",
-          when(col("n") < 20 || col("n") > 95, 1L).otherwise(0L) +
-            when(col("score") < 2700, 2L).otherwise(0L) +
-            when(col("top2") * 20 > col("n") - 1 ||
-              (col("n") - col("u")) * 5 > col("n") * 3, 4L).otherwise(0L) +
-            when(col("mk") === 0, 8L).otherwise(0L))
-        .select(col("doc_id"), col("n").as("n_tokens"), col("score"),
-          col("reasons"),
-          // 0/1 long, not boolean: the gate's cross-engine hasher is only
-          // exercised on int/double/varchar parquet-output types
-          (col("reasons") === 0).cast("long").as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "q84_quality_filter" -> ((s, d) =>
+      q84Verdicts(s, d).orderBy(col("doc_id"))),
 
     // q86 — token-budgeted selection: the mixture-construction step that
     // fills each source's token budget with its best documents (rank by
@@ -586,31 +624,7 @@ object TextOps {
 
       // integer thresholds mirrored from the Spark side bit-for-bit
       "q84_quality_filter" ->
-        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-           |           FROM documents),
-           | b AS (SELECT doc_id, len(toks) AS n,
-           |    len(list_distinct(toks)) AS u,
-           |    ${sqlCountIn(markers.head._2)} AS st,
-           |    ${markers.map { case (_, ws) => sqlCountIn(ws) }
-                  .mkString(" + ")} AS mk
-           |  FROM t),
-           | g2 AS (SELECT doc_id, unnest(list_transform(
-           |     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
-           |   FROM t),
-           | t2 AS (SELECT doc_id, max(c) AS top2
-           |   FROM (SELECT doc_id, g, count(*) AS c FROM g2
-           |         GROUP BY doc_id, g) GROUP BY doc_id),
-           | sc AS (SELECT b.doc_id, n, u, st, mk, COALESCE(top2, 0) AS top2,
-           |    (20000 * (200 * st + 100 * u + n * least(n, 100))
-           |     + 400 * n) // (800 * n) AS score
-           |   FROM b LEFT JOIN t2 ON b.doc_id = t2.doc_id),
-           | r AS (SELECT doc_id, n, score,
-           |    (CASE WHEN n < 20 OR n > 95 THEN 1 ELSE 0 END
-           |     + CASE WHEN score < 2700 THEN 2 ELSE 0 END
-           |     + CASE WHEN top2 * 20 > n - 1 OR (n - u) * 5 > n * 3
-           |            THEN 4 ELSE 0 END
-           |     + CASE WHEN mk = 0 THEN 8 ELSE 0 END) AS reasons
-           |   FROM sc)
+        s"""WITH $sqlQ84Cte
            |SELECT doc_id, n::BIGINT AS n_tokens, score::BIGINT AS score,
            |  reasons::BIGINT AS reasons,
            |  (CASE WHEN reasons = 0 THEN 1 ELSE 0 END)::BIGINT AS keep

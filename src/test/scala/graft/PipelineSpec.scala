@@ -22,6 +22,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(d1 - d0 <= 1, s"first consumer wrote ${d1 - d0} times")
     Dedup.queries("q87b_split_staged")(spark, TestSpark.sf).collect()
     Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
+    // the composed corpus build (q93) is the third artifact consumer
+    operators.Pipeline.queries("q93_corpus_build")(spark, TestSpark.sf)
+      .collect()
     assert(Dedup.labelsWrites.get() === d1,
       "warm consumers re-ran pair generation + connected components")
   }
