@@ -475,12 +475,22 @@ object Dedup {
     // the suffix-array dedup literature). Fixed-W windows find exactly
     // the repeats of length >= W (any such repeat contains a full
     // W-window) at MapReduce cost, where the literature's suffix array
-    // is a sequential build. At 100 TB: window generation is a narrow
-    // explode (1 row/token, like shingling); the cross-doc test is a
-    // hash aggregate + equi-join on the 128-bit window hash (uniform
-    // keys — no skew, map-side combine collapses within-doc repeats);
-    // the interval union is a per-doc window function over only the
-    // duplicated spans (small per doc by construction).
+    // is a sequential build.
+    //
+    // SINGLE-PASS shape (the naive agg+join formulation evaluated the
+    // scan→explode→hash subtree three times and broadcast the dup-hash
+    // set — a 3× tax on the dominant cost at 100 TB, and a broadcast
+    // that grows with corpus dup mass):
+    //  1. window generation: narrow explode, 1 row/token (like shingling);
+    //  2. cross-doc test as a WINDOW over wh — duplicated iff
+    //     min(doc_id) ≠ max(doc_id) within the hash's partition (128-bit
+    //     uniform keys — no skew; one exchange, no join back);
+    //  3. coverage needs no island-grouping: for fixed width W at dup
+    //     positions p1<…<pk, the interval union is exactly
+    //     Σ min(W, p_{i+1} − p_i) + W — one lead() per dup row, then
+    //  4. ONE per-doc hash aggregate for all three outputs.
+    // Oracle computes the same numbers via the classic gaps-and-islands
+    // SQL — deliberately different formulation, same integers.
     "q91_dup_spans" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = DupSpanW
@@ -495,31 +505,24 @@ object Dedup {
           posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
             i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
         .toDF("doc_id", "pos", "wh")
-      val dup = wins.groupBy(col("wh"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2)
-        .select(col("wh"), lit(1).as("is_dup"))
-      val flagged = wins.join(dup, Seq("wh"), "left")
-      val perDoc = flagged.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          count(col("is_dup")).as("n_dup_windows"))
-      val spans = flagged.filter(col("is_dup").isNotNull)
-        .select(col("doc_id"), col("pos").cast("long").as("s"),
-          (col("pos") + (W - 1)).cast("long").as("e"))
-      val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
-      val pm = max(col("e"))
-        .over(ord.rowsBetween(Window.unboundedPreceding, -1))
-      val grouped = spans.withColumn("pm", pm)
-        .withColumn("grp",
-          sum(when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
-            .over(ord))
-      val cov = grouped.groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      val byHash = Window.partitionBy(col("wh"))
+      val flagged = wins
+        .withColumn("is_dup",
+          (min(col("doc_id")).over(byHash) =!=
+            max(col("doc_id")).over(byHash)).cast("long"))
+      val byDocDup = Window.partitionBy(col("doc_id"), col("is_dup"))
+        .orderBy(col("pos"))
+      flagged
+        .withColumn("cov_i",
+          when(col("is_dup") === 1,
+            least(lit(W.toLong),
+              coalesce(lead(col("pos"), 1).over(byDocDup) - col("pos"),
+                lit(W.toLong)).cast("long")))
+            .otherwise(lit(0L)))
         .groupBy(col("doc_id"))
-        .agg(sum(col("e") - col("s") + 1).as("cov"))
-      perDoc.join(cov, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
-          coalesce(col("cov"), lit(0L)).as("n_dup_tokens"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("is_dup")).as("n_dup_windows"),
+          sum(col("cov_i")).as("n_dup_tokens"))
         .orderBy(col("doc_id"))
     })
   )
