@@ -409,4 +409,34 @@ class PlanSpec extends AnyFunSuite {
     // once per arriving row
     assert(joins.head.left.toString.toLowerCase.contains("md5"))
   }
+
+  test("q91 is a single pass: one documents scan, no join") {
+    // the agg+join formulation evaluated the scan→explode→md5 subtree
+    // three times; the shipped plan must hit it once (PLANS.md §q91)
+    val p = plan("q91_dup_spans")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected exactly one parquet scan, got $scans:\n" +
+      p.linesIterator.filter(_.contains("Scan parquet")).mkString("\n"))
+    assert(!p.contains("Join"), "single-pass q91 must not contain a join")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 2, "expected the wh-window and the lead-window")
+  }
+
+  test("q93 reads the staged labels table and never recomputes CC") {
+    // the composed pipeline's dedup gates must come from the write-once
+    // dup_labels artifact (its third consumer), not from a re-run of
+    // pair generation + connected components: the plan contains the
+    // bucketed table's scans and none of the signature machinery
+    operators.Dedup.labelsArtifact(spark, sf) // ensure artifact exists
+    val p = plan("q93_corpus_build")
+    assert(p.contains("dup_labels"),
+      "q93 must scan the staged graft_b*.dup_labels table")
+    for (bad <- Seq("shingle", "sorted_intersect"))
+      assert(!p.toLowerCase.contains(bad),
+        s"q93 recomputes dedup signatures ('$bad' found)")
+    // exactly one text-bearing documents subtree feeds the packer: the
+    // q84 verdict set crosses as a semi-join of narrow doc_ids
+    assert(p.contains("LeftSemi"), "quality gate must be a semi-join")
+    assert(p.contains("LeftAnti"), "canonical drop must be an anti-join")
+  }
 }
