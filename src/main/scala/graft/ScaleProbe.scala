@@ -112,6 +112,24 @@ object ScaleProbe {
       out("q90b_reranked") = reranked
     }
 
+    // --- q91 dup-window mass: the FRACTION is the scale invariant
+    // (flat across isomorphic blow-ups — a rising fraction means window
+    // hashes started colliding quadratically); q92 shard balance must
+    // tighten as 1+O(1/sqrt(n/K)) (round-8 additions) ---
+    timed("q91") {
+      val r = SparkEntry.queries("q91_dup_spans")(spark, d)
+        .agg(sum(col("n_windows")), sum(col("n_dup_windows"))).head()
+      out("q91_windows") = r.getLong(0)
+      out("q91_dup_windows") = r.getLong(1)
+    }
+    timed("q92") {
+      val r = SparkEntry.queries("q92_train_order")(spark, d)
+        .groupBy(col("shard")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")), min(col("c"))).head()
+      out("q92_balance") =
+        math.round(r.getLong(0).toDouble / r.getLong(1) * 1000) / 1000.0
+    }
+
     // --- q73 round count (flat across scale = the O(log d) claim) ---
     timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)

@@ -1114,6 +1114,55 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 6L, 6L, 25L)))
   }
 
+  test("q91 matches an in-memory brute force on randomized corpora") {
+    // 40 docs over a tiny alphabet with planted shared runs: exercises
+    // overlapping dup windows, repeated windows WITHIN one doc (not
+    // cross-doc dup on their own), sub-W docs, and island merges the
+    // fixed fixture can't. Expected values computed by definition:
+    // window = 20 consecutive [a-z0-9]+ tokens, dup iff the window's
+    // token sequence occurs in >= 2 distinct docs, coverage = union of
+    // [p, p+19] over dup windows.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val alphabet = (0 until 12).map(i => s"t$i")
+    val sharedRun = (0 until 26).map(i => s"s$i") // > W: multi-window run
+    val docs = (0L until 40L).map { id =>
+      val n = 5 + rnd.nextInt(60)
+      val base = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val withRun =
+        if (id % 5 == 0) { // every 5th doc embeds the shared run
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ sharedRun ++ base.drop(at)
+        } else base
+      (id, withRun.mkString(" "))
+    }
+    val W = 20
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length < W) Seq.empty
+      else (0 to tk.length - W).map(p => (id, p, tk.slice(p, p + W)))
+    }
+    val dupSet = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .keySet
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      val dups = ws.filter(w => dupSet(w._3)).map(_._2).sorted
+      val covered = dups.flatMap(p => p until p + W).distinct.size
+      (id, ws.size.toLong, dups.size.toLong, covered.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(expected.exists(_._3 > 0), "generator must plant dup windows")
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2),
+      "generator must produce partially-duplicated docs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rnd91").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q91_dup_spans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("q92 shards are a dense deterministic partition of the corpus") {
     val rows = SparkEntry.queries("q92_train_order")(spark, sf)
     val n = Tables.documents(spark, sf).count()
