@@ -38,9 +38,14 @@ class KafkaSinkParitySpec extends AnyFunSuite with Eventually {
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, Array[Byte], Array[Byte], Int)]()
 
+    // named receiver: the SyslogState.lastTcpPort global is clobbered by
+    // other suites' receivers when sbt runs suites in parallel — read the
+    // port from OUR receiver (same pattern as StreamingSinkSpec)
+    val rcvName = "kafka-parity-spec"
     val source = spark.readStream.format("graft-syslog")
       .option("tcp.port", "-1").option("udp.port", "0")
       .option("tcp.host", "127.0.0.1")
+      .option("receiver.name", rcvName)
       .load()
     // the exact projection cli.Main builds for the real kafka sink,
     // plus explicit key + fnv partition routing (O11/O13)
@@ -70,12 +75,17 @@ class KafkaSinkParitySpec extends AnyFunSuite with Eventually {
       .start()
 
     try {
-      eventually(timeout(Span(20, Seconds))) {
-        assert(sources.SyslogState.lastTcpPort > 0)
-      }
       val t0 = System.currentTimeMillis()
       val lines = (1 to 25).map(i => s"<34>1 syslog e2e line $i")
-      val sock = new Socket("127.0.0.1", sources.SyslogState.lastTcpPort)
+      // connect INSIDE the retry loop: the receiver may not be accepting
+      // the instant it binds — a one-shot connect can die with
+      // Connection refused under full-suite load
+      val sock = eventually(timeout(Span(20, Seconds))) {
+        val port = sources.SyslogReceivers.get(rcvName)
+          .map(_.tcpPort).getOrElse(-1)
+        assert(port > 0)
+        new Socket("127.0.0.1", port)
+      }
       val w = new PrintWriter(sock.getOutputStream, true)
       lines.foreach(l => w.print(l + "\n"))
       w.flush(); sock.close()
@@ -127,6 +137,9 @@ class KafkaSinkParitySpec extends AnyFunSuite with Eventually {
           s"timings.value $ts outside receive window [$t0,$t1] — " +
             "micros/millis regression?")
       }
-    } finally query.stop()
+    } finally {
+      query.stop()
+      sources.SyslogReceivers.close(rcvName)
+    }
   }
 }
