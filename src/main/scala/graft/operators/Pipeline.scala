@@ -349,6 +349,56 @@ object Pipeline {
       packBySource(train).orderBy(col("source"), col("pack_id"))
     }),
 
+    // q94 — q93 WITH DECONTAMINATION: before packing, drop every train
+    // doc that shares a 13-token run with ANY eval-side (val/test) doc —
+    // the long-n-gram eval-decontamination practice of the GPT-3/PaLM
+    // reports. This closes the leak q87's cluster-keyed split cannot:
+    // two documents sharing a paragraph but with Jaccard < 0.6 land in
+    // different clusters and may straddle the split, yet 13 consecutive
+    // shared tokens still leak the eval text. Mechanics: the surviving
+    // corpus (quality-pass, canonical) explodes to distinct hashed
+    // 13-shingles (narrow, 1 row/token like q61); eval-side hashes make
+    // one distinct set; train docs semi-join against it and matches are
+    // anti-joined out before the q78 pack. All equi-joins on 60-bit
+    // uniform hashes; at 100 TB the eval side is the small fraction by
+    // construction (~20%), and ids/hashes — never text — cross shuffles.
+    "q94_decontaminated_build" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val verdicts = TextOps.q84Verdicts(s, d)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val labels = Dedup.labelsArtifact(s, d)
+        .select(col("doc_id"), col("rep"))
+      val dropped = labels.filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id"))
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text"))
+        .join(verdicts, Seq("doc_id"), "left_semi")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("is_train",
+          pmod(hash60(coalesce(col("rep"), col("doc_id")).cast("string")),
+            lit(100)) < 80)
+      val sh = base
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 13)
+        .select(col("doc_id"), col("is_train"),
+          explode(array_distinct(
+            transform(sequence(lit(1), size(col("toks")) - 12),
+              i => hash60(concat_ws(" ", slice(col("toks"), i, lit(13)))))))
+            .as("h"))
+      val evalH = sh.filter(!col("is_train")).select(col("h")).distinct()
+      val contaminated = sh.filter(col("is_train"))
+        .join(evalH, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val train = base.filter(col("is_train"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("source"), col("doc_id"),
+          when(col("text").isNull, lit(0L))
+            .otherwise(size(split(col("text"), " ")).cast("long"))
+            .as("tokens"))
+      packBySource(train).orderBy(col("source"), col("pack_id"))
+    }),
+
     // Q69 — funnel analysis: first view → first click after it → first
     // purchase after that, per user. Three filtered min-aggregations
     // chained by equi-joins on user_id — every step shuffles on the same
@@ -589,6 +639,44 @@ object Pipeline {
          |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM cc GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // q94 = q93's gates + the 13-shingle decontamination anti-join,
+    // recomposed from the same shared fragments
+    "q94_decontaminated_build" ->
+      s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
+         |  ${TextOps.sqlQ84Cte},
+         |  base AS (
+         |    SELECT d.source, d.doc_id, d.text,
+         |      (${Shared.sqlHash60(
+                  "CAST(COALESCE(reps.rep, d.doc_id) AS VARCHAR)")}
+         |         % 100 < 80) AS is_train
+         |    FROM documents d
+         |    JOIN r ON d.doc_id = r.doc_id AND r.reasons = 0
+         |    LEFT JOIN reps ON d.doc_id = reps.doc_id
+         |    WHERE reps.doc_id IS NULL OR reps.doc_id = reps.rep),
+         |  shg AS (
+         |    SELECT doc_id, is_train, unnest(list_distinct(
+         |      [${Shared.sqlHash60("array_to_string(toks[i:i+12], ' ')")}
+         |       FOR i IN generate_series(1, len(toks) - 12)])) AS h
+         |    FROM (SELECT doc_id, is_train, string_split(text, ' ') AS toks
+         |          FROM base)
+         |    WHERE len(toks) >= 13),
+         |  evalh AS (SELECT DISTINCT h FROM shg WHERE NOT is_train),
+         |  cont AS (SELECT DISTINCT doc_id FROM shg
+         |           WHERE is_train AND h IN (SELECT h FROM evalh)),
+         |  dtok2 AS (SELECT source, doc_id,
+         |      CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT)
+         |        AS tokens
+         |    FROM base WHERE is_train
+         |      AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |  cc2 AS (SELECT source, doc_id, tokens,
+         |          SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM dtok2)
+         |SELECT source, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM cc2 GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     "q69_funnel" ->
       """WITH e AS (SELECT user_id, event_type,

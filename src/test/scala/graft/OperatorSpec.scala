@@ -1163,6 +1163,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q94 drops exactly the train doc sharing a 13-token run with eval") {
+    // The synthetic corpus never trips the decontamination gate (near-
+    // dups are cluster-split together, and no sub-document cross-split
+    // overlaps exist), so the oracle alone only proves the no-op path.
+    // Plant the positive case: two low-Jaccard docs sharing ONE 13-token
+    // run, hash-split to opposite sides — q93 packs both train docs,
+    // q94 must drop exactly the contaminated one.
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def bucket(id: Long): Long = h60(id.toString) % 100
+    val trainIds = (0L until 200L).filter(bucket(_) < 80)
+    val evalIds = (0L until 200L).filter(bucket(_) >= 80)
+    val run = (0 until 13).map(i => s"run$i")
+    // q84-keepable: 20<=n<=95, unique tokens (score/repetition pass),
+    // contains en markers (mk > 0)
+    def doc(tag: String, extra: Seq[String]): String =
+      (Seq("the", "a", "of", "and", "is") ++
+        (0 until 30).map(i => s"$tag$i") ++ extra).mkString(" ")
+    val docA = trainIds(0) -> doc("aa", run) // contaminated train doc
+    val docC = trainIds(1) -> doc("cc", Nil) // clean train doc
+    val docE = evalIds(0) -> doc("ee", run)  // eval doc carrying the run
+    val dir = java.nio.file.Files.createTempDirectory("graft_q94").toString
+    Seq(docA, docC, docE).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val q93 = SparkEntry.queries("q93_corpus_build")(spark, dir)
+      .agg(sum("n_docs"), min("first_doc"), max("last_doc")).head()
+    assert(q93.getLong(0) === 2, "q93 must pack both train docs")
+    val q94 = SparkEntry.queries("q94_decontaminated_build")(spark, dir)
+      .agg(sum("n_docs"), min("first_doc"), max("last_doc")).head()
+    assert(q94.getLong(0) === 1, "q94 must drop the contaminated doc")
+    assert(q94.getLong(1) === docC._1 && q94.getLong(2) === docC._1,
+      s"survivor must be the clean train doc ${docC._1}")
+  }
+
   test("q92 shards are a dense deterministic partition of the corpus") {
     val rows = SparkEntry.queries("q92_train_order")(spark, sf)
     val n = Tables.documents(spark, sf).count()
