@@ -439,4 +439,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), "quality gate must be a semi-join")
     assert(p.contains("LeftAnti"), "canonical drop must be an anti-join")
   }
+
+  test("q94 decontamination joins on hashes, labels stay staged") {
+    operators.Dedup.labelsArtifact(spark, sf)
+    val p = plan("q94_decontaminated_build")
+    assert(p.contains("dup_labels"),
+      "q94 must scan the staged graft_b*.dup_labels table")
+    for (bad <- Seq("shingle_set", "sorted_intersect"))
+      assert(!p.toLowerCase.contains(bad),
+        s"q94 recomputes dedup signatures ('$bad' found)")
+    // the contamination gate must be semi/anti joins over narrow ids and
+    // 60-bit shingle hashes — document text must never cross a join
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
