@@ -341,6 +341,57 @@ object Dedup {
     "q32_neardup_jaccard" -> ((s, d) =>
       jaccardPairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
+    // q96 — asymmetric CONTAINMENT join: report (doc_a, doc_b) where at
+    // least 90% of doc_a's shingles also appear in doc_b — the
+    // doc-inside-doc signal (quote farms, boilerplate wrappers, test
+    // documents embedded in train documents) that a symmetric Jaccard
+    // threshold structurally misses: a 50-shingle doc fully contained in
+    // a 500-shingle doc has J ≈ 0.1 but containment 1.0.
+    //
+    // Prefix filtering adapts to the asymmetric threshold: C(A→B) >= t
+    // means B misses at most |A| - ceil(t|A|) of A's shingles, so by
+    // pigeonhole A and B share one of A's (|A| - ceil(t|A|) + 1) RAREST
+    // shingles (df-ordered, same as q32). The probe side therefore emits
+    // ~10% of its shingles; the index side must emit ALL of its shingles
+    // (any of B's shingles can be the witness — there is no symmetric
+    // prefix to exploit), which is the classic inverted-index containment
+    // join: shuffle = full posting lists, linear in corpus shingle count,
+    // never all-pairs. The size filter 10|B| >= 9|A| cuts candidates
+    // where containment is arithmetically impossible (|A∩B| <= |B|).
+    // Skew note: each shingle's join fan-out is df(s) × (probe prefixes
+    // containing s), and the df-ordering keeps high-df shingles OUT of
+    // prefixes — the same mechanism that bounds q32. At 100 TB the
+    // standard extra lever is dropping stop-shingles (df above a cap)
+    // from the postings at a measured recall cost; kept exact here.
+    "q96_containment" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+      val dfreq = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      // ceil(9*sz/10) in exact integer arithmetic
+      val prefix = ex.join(dfreq, "sg")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
+        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+        .select(col("doc_id"), col("sg"), col("sz"))
+      val cand = prefix.as("a").join(ex.as("b"),
+          col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id") &&
+            lit(10) * col("b.sz") >= lit(9) * col("a.sz"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("sz").as("sz_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+          "doc_b")
+        .withColumn("inter",
+          call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+        .filter(lit(10) * col("inter") >= lit(9) * col("sz_a"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / col("sz_a"), 4)
+            .as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Q73 — dup-cluster formation: connected components (hook +
     // pointer-doubling shortcut, O(log diameter) rounds, throws if
     // unconverged — see [[connectedComponents]]) over the verified
@@ -599,6 +650,36 @@ object Dedup {
       "q32_neardup_jaccard" ->
         s"""WITH $prefixPairs
            |SELECT doc_a, doc_b, jaccard FROM p
+           |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // q96: same df-ordered prefix machinery, asymmetric threshold —
+      // probe prefix is |A| - ceil(0.9|A|) + 1 rarest shingles, index
+      // side is the full posting list (complete, hence identical output)
+      "q96_containment" ->
+        s"""WITH s AS ($sqlShingles3),
+           |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
+           |  ex AS (SELECT doc_id, sz, unnest(sh) AS sg FROM sz),
+           |  dfreq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
+           |  cprefix AS (
+           |    SELECT doc_id, sg, sz FROM (
+           |      SELECT ex.doc_id, ex.sg, ex.sz,
+           |        row_number() OVER (PARTITION BY ex.doc_id
+           |                           ORDER BY d.df, ex.sg) AS rk
+           |      FROM ex JOIN dfreq d ON ex.sg = d.sg)
+           |    WHERE rk <= sz - (9 * sz + 9) // 10 + 1),
+           |  ccand AS (
+           |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |    FROM cprefix a JOIN ex b
+           |      ON a.sg = b.sg AND a.doc_id <> b.doc_id
+           |     AND 10 * b.sz >= 9 * a.sz),
+           |  cver AS (
+           |    SELECT doc_a, doc_b,
+           |      len(list_intersect(x.sh, y.sh)) AS inter, x.sz AS sz_a
+           |    FROM ccand JOIN sz x ON x.doc_id = doc_a
+           |               JOIN sz y ON y.doc_id = doc_b)
+           |SELECT doc_a, doc_b,
+           |  ROUND(inter::DOUBLE / sz_a, 4) AS containment
+           |FROM cver WHERE 10 * inter >= 9 * sz_a
            |ORDER BY doc_a, doc_b""".stripMargin,
 
       // transitive closure via recursive CTE: reach(src, r) enumerates

@@ -632,6 +632,73 @@ object Similarity {
         // 0.0 in downstream comparators even though it compares equal
         .agg(count(lit(1)).as("n"), (davg(col("x")) + 0.0d).as("centroid"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // q97 — Lloyd's k-means, the full iterative loop (q63 is one M-step;
+    // this is the codebook TRAINING a real IVF/PQ index build runs):
+    // K=8 clusters, 3 assign+update rounds from deterministic seeds (the
+    // 8 smallest vec_ids), final assignment reported with its squared
+    // distance.
+    //
+    // Exactness contract: embeddings are quantized up front to
+    // non-negative integers (floor(x*1000) + 1000 — the +1000 shift
+    // cancels in every distance and keeps all sums non-negative, so
+    // Spark `div` and DuckDB `//` agree), and every subsequent operation
+    // — squared-L2, argmin with ties to the lowest cluster id, centroid
+    // update floor(sum/count) — is integer arithmetic. Both engines
+    // therefore walk bit-identical centroid trajectories; there is no
+    // float accumulation anywhere, which is what makes an ITERATIVE
+    // algorithm hash-checkable across engines (a single ulp would
+    // diverge geometrically with rounds). Empty clusters die (no rows in
+    // the update — later rounds assign over the survivors), identically
+    // on both sides.
+    //
+    // 100-TB posture: the centroid table is (K × dims) rows — broadcast
+    // to the assignment join; assignment is one hash agg over (vec, cid)
+    // partial distances and the update one hash agg over (cid, dim) —
+    // both map-side-combinable, shuffle O(n×K) and O(K×dims) ints. The
+    // driver runs only the round loop; per-round localCheckpoint
+    // truncates lineage exactly as q73's CC loop does (the plan would
+    // otherwise nest one join+agg deeper per round).
+    "q97_kmeans" -> ((s, d) => {
+      val KmK = 8
+      val KmIters = 3
+      import org.apache.spark.sql.expressions.Window
+      val qd = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          (floor(col("x") * 1000) + 1000).cast("long").as("v"))
+      val seeds = Tables.embeddings(s, d)
+        .select(col("vec_id")).orderBy(col("vec_id")).limit(KmK)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+            .cast("long").as("cid"))
+      var cent = qd.join(seeds, "vec_id")
+        .select(col("cid"), col("dim"), col("v").as("c"))
+        .localCheckpoint(true)
+      def assign(c: DataFrame): DataFrame = {
+        val d2 = qd.join(broadcast(c), "dim")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+        d2.withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("d2"))
+      }
+      for (_ <- 1 to KmIters) {
+        val a = assign(cent).select(col("vec_id"), col("cid"))
+        cent = a.join(qd, "vec_id")
+          .groupBy(col("cid"), col("dim"))
+          .agg(expr("sum(v) div count(1)").as("c"))
+          .localCheckpoint(true)
+      }
+      assign(cent)
+        .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -860,7 +927,46 @@ object Similarity {
            |        unnest(embedding)::DOUBLE AS x,
            |        CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
            |      FROM embeddings)
-           |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+           |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+      // q97: the same integer-exact Lloyd trajectory as a CTE chain —
+      // assignment k reads centroids c{k-1}, update k rebuilds c{k};
+      // DuckDB `//` and Spark `div` agree because every sum is
+      // non-negative (the +1000 quantization shift)
+      "q97_kmeans" -> {
+        def kmAssign(n: Int): String =
+          s"""a$n AS (SELECT vec_id, cid, d2 FROM (
+             |    SELECT qd.vec_id, c.cid,
+             |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
+             |      row_number() OVER (PARTITION BY qd.vec_id
+             |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.cid)
+             |        AS rn
+             |    FROM qd JOIN c${n - 1} c USING (dim)
+             |    GROUP BY qd.vec_id, c.cid)
+             |  WHERE rn = 1)""".stripMargin
+        def kmUpdate(n: Int): String =
+          s"""c$n AS (SELECT a.cid, qd.dim, SUM(qd.v) // COUNT(*) AS c
+             |  FROM a$n a JOIN qd USING (vec_id)
+             |  GROUP BY a.cid, qd.dim)""".stripMargin
+        val rounds = (1 to 3)
+          .map(n => s"${kmAssign(n)},\n${kmUpdate(n)}").mkString(",\n")
+        s"""WITH qd AS (
+           |  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+           |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+           |      + 1000 AS v
+           |  FROM embeddings, generate_series(1, 64) AS g(i)),
+           |seeds AS (
+           |  SELECT vec_id,
+           |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           |      AS cid
+           |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+           |c0 AS (SELECT s.cid, qd.dim, qd.v AS c
+           |       FROM qd JOIN seeds s USING (vec_id)),
+           |$rounds,
+           |${kmAssign(4)}
+           |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM a4
+           |ORDER BY vec_id""".stripMargin
+      }
     )
   }
 }

@@ -521,6 +521,65 @@ object TextOps {
           expr("(20000 * n_shared + n_shingles) div (2 * n_shingles)" +
             " / 10000.0D").as("overlap_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q95 — corpus-wide heavy hitters: the top-25 word bigrams by exact
+    // count, the "what is this corpus full of" QA readout (boilerplate
+    // detection, stop-phrase lists, template discovery). The aggregate is
+    // partial+final on the gram key — shuffle volume is DISTINCT grams per
+    // mapper, not token count — and the global top-k lowers to
+    // TakeOrderedAndProject: 25 rows leave each partition, no global sort
+    // ever materializes the full gram table. That pair of properties is
+    // the whole 100-TB story: cost is one scan + one bounded shuffle.
+    // Ties broken by the gram string so the 25-row cut is deterministic.
+    "q95_heavy_hitters" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("g"))
+      grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g"))
+        .limit(25)
+    }),
+
+    // q98 — per-source quality calibration: keep each source's top half
+    // by quality score WITHOUT sorting the corpus per source. Quality
+    // scores are integers on a fixed 0..10000 scale (q38/q86 contract),
+    // so the per-source score distribution is an exact HISTOGRAM of at
+    // most 10001 rows per source: aggregate (source, score) counts
+    // (partial+final, map-side combine), run the descending cumulative
+    // sum over that tiny table, pick the k-th-largest score as the
+    // cutoff (k = ceil(n/2); "score >= cutoff" keeps the ties at the
+    // boundary, so kept >= k — the standard calibration semantics), and
+    // broadcast the per-source cutoffs back over the corpus as a filter.
+    // A percent_rank() formulation would sort every source's full row
+    // set inside one window partition — one task per source at 100 TB;
+    // here the only corpus-wide ops are a narrow scan, a hash agg whose
+    // output is bounded by sources x 10001, and a broadcast-join filter.
+    "q98_source_calibration" -> ((s, d) => {
+      val scored = q86Scored(Tables.documents(s, d))
+      val hist = scored.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("cnt"))
+      val wcum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("cnt")).over(wcum))
+        .withColumn("n_docs",
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))))
+        .filter(col("cum") >= expr("(n_docs + 1) div 2"))
+        .groupBy(col("source"))
+        .agg(max(col("score")).as("cutoff"), max(col("n_docs")).as("n_docs"))
+      scored.join(broadcast(cuts), "source")
+        .filter(col("score") >= col("cutoff"))
+        .select(col("doc_id"), col("source"), col("score"), col("cutoff"),
+          col("n_docs"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -671,6 +730,45 @@ object TextOps {
            |SELECT doc_id, source, score::BIGINT AS score,
            |  keep_bucket::BIGINT AS keep_bucket
            |FROM k WHERE keep_bucket < score ORDER BY doc_id""".stripMargin,
+
+      "q95_heavy_hitters" ->
+        """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+          |  g AS (SELECT unnest(list_transform(range(1, len(toks)),
+          |          i -> toks[i] || ' ' || toks[i+1])) AS g
+          |        FROM t WHERE len(toks) >= 2)
+          |SELECT g, COUNT(*) AS cnt FROM g GROUP BY g
+          |ORDER BY cnt DESC, g LIMIT 25""".stripMargin,
+
+      // q98: identical integer score; cutoff = k-th largest score per
+      // source (k = ceil(n/2)) from the exact score histogram; keep
+      // score >= cutoff (boundary ties kept)
+      "q98_source_calibration" ->
+        s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+           |           FROM documents),
+           | b AS (SELECT doc_id, source, len(toks) AS n,
+           |    len(list_distinct(toks)) AS u,
+           |    ${sqlCountIn(markers.head._2)} AS st
+           |  FROM t),
+           | sc AS (SELECT doc_id, source,
+           |    (20000 * (200 * st + 100 * u + n * least(n, 100))
+           |     + 400 * n) // (800 * n) AS score
+           |  FROM b),
+           | h AS (SELECT source, score, COUNT(*) AS cnt
+           |       FROM sc GROUP BY source, score),
+           | c AS (SELECT source, score,
+           |    SUM(cnt) OVER (PARTITION BY source ORDER BY score DESC
+           |                   ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(cnt) OVER (PARTITION BY source) AS n_docs
+           |   FROM h),
+           | cut AS (SELECT source, MAX(score) AS cutoff,
+           |           MAX(n_docs) AS n_docs
+           |         FROM c WHERE cum >= (n_docs + 1) // 2
+           |         GROUP BY source)
+           |SELECT sc.doc_id, sc.source, sc.score::BIGINT AS score,
+           |  cut.cutoff::BIGINT AS cutoff, cut.n_docs::BIGINT AS n_docs
+           |FROM sc JOIN cut ON sc.source = cut.source
+           |WHERE sc.score >= cut.cutoff
+           |ORDER BY sc.doc_id""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

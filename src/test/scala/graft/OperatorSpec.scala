@@ -1221,4 +1221,127 @@ class OperatorSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q92_train_order")(spark, sf)
     assert(rows.except(again).isEmpty && again.except(rows).isEmpty)
   }
+
+  test("q95 equals an in-memory bigram recount") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("text").as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      val tk = t.split(" ", -1)
+      var i = 0
+      while (i < tk.length - 1) {
+        val g = tk(i) + " " + tk(i + 1)
+        counts(g) = counts.getOrElse(g, 0L) + 1L
+        i += 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(25)
+    val got = SparkEntry.queries("q95_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("q96 matches an all-pairs brute-force containment") {
+    import spark.implicits._
+    val sh = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val tk = t.split(" ", -1)
+        id -> (if (tk.length < 3) Set.empty[String]
+               else tk.sliding(3).map(_.mkString(" ")).toSet)
+      }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sh
+      (b, sb) <- sh
+      if a != b
+      inter = (sa & sb).size
+      if 10L * inter >= 9L * sa.size
+    } yield (a, b,
+      BigDecimal(inter.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q96_containment")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "tier must contain containment pairs")
+  }
+
+  test("q96 finds a planted sub-document, and only in the small->big direction") {
+    import spark.implicits._
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")
+    val small = (5 until 25).map(i => s"w$i").mkString(" ") // 20 of 40 tokens
+    val other = (100 until 130).map(i => s"x$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q96").toString
+    Seq((0L, big), (1L, small), (2L, other)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q96_containment")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // small (18 shingles, all inside big's 38) is contained in big at 1.0;
+    // big is only 18/38 ≈ 0.47 contained in small — below the 0.9 gate —
+    // and the unrelated doc matches nothing: asymmetry is the contract
+    assert(got === Seq((1L, 0L, 1.0)))
+  }
+
+  test("q97 matches a Scala replay of the integer Lloyd loop") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, e) =>
+        id -> e.map(x => math.floor(x.toDouble * 1000).toLong + 1000).toArray
+      }
+    val dims = vecs.head._2.length
+    var cent: Map[Long, Array[Long]] = vecs.take(8).zipWithIndex
+      .map { case ((_, q), i) => i.toLong -> q.clone }.toMap
+    def assign(c: Map[Long, Array[Long]]): Seq[(Long, Long, Long)] =
+      vecs.toSeq.map { case (id, q) =>
+        val (d2, cid) = c.toSeq.map { case (cid, cv) =>
+          var s = 0L
+          var j = 0
+          while (j < dims) { val d = q(j) - cv(j); s += d * d; j += 1 }
+          (s, cid)
+        }.min
+        (id, cid, d2)
+      }
+    for (_ <- 1 to 3) {
+      val byCid = assign(cent).zip(vecs).groupBy(_._1._2)
+      cent = byCid.map { case (cid, rows) =>
+        val qs = rows.map(_._2._2)
+        cid -> Array.tabulate(dims)(j => qs.map(_(j)).sum / qs.length)
+      }
+    }
+    val expected = assign(cent).map { case (id, cid, d2) => (id, cid, d2) }
+    val got = SparkEntry.queries("q97_kmeans")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.map(_._2).distinct.size > 1, "degenerate single-cluster run")
+  }
+
+  test("q98 cutoffs are tight per-source top-half cuts") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q98_source_calibration")(spark, sf)
+      .as[(Long, String, Long, Long, Long)].collect()
+    val scored = operators.TextOps.q86Scored(Tables.documents(spark, sf))
+      .select("doc_id", "source", "score")
+      .as[(Long, String, Long)].collect()
+    val bySrc = scored.groupBy(_._2)
+    assert(got.map(_._2).toSet === bySrc.keySet, "every source calibrated")
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val all = bySrc(src).map(_._3)
+      val n = all.length.toLong
+      val k = (n + 1) / 2
+      val cutoff = rows.head._4
+      assert(rows.forall(_._4 === cutoff), s"$src: inconsistent cutoff")
+      assert(rows.forall(_._5 === n), s"$src: wrong n_docs")
+      // kept set is exactly {score >= cutoff}
+      assert(rows.map(_._1).toSet ===
+        bySrc(src).filter(_._3 >= cutoff).map(_._1).toSet)
+      // tightness: cutoff IS the k-th largest score — at least k docs at
+      // or above it, fewer than k strictly above it
+      assert(all.count(_ >= cutoff) >= k, s"$src: cutoff too high")
+      assert(all.count(_ > cutoff) < k, s"$src: cutoff too low")
+    }
+  }
 }

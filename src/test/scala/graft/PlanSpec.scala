@@ -257,9 +257,38 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
 
-  test("q61/q64/q35 candidate joins are equi-joins, never all-pairs") {
+  test("q95 global top-k lowers to TakeOrderedAndProject (no gram-table sort)") {
+    val df = SparkEntry.queries("q95_heavy_hitters")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // the full gram table must never be globally sorted; the only
+    // ordering is the bounded 25-row top-k
+    assert(!p.contains("SortExec"), p.take(800))
+  }
+
+  test("q97 assignment joins broadcast the centroid table") {
+    val df = SparkEntry.queries("q97_kmeans")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q98 applies per-source cutoffs via broadcast join") {
+    val df = SparkEntry.queries("q98_source_calibration")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side meets the (tiny) cutoff table in a broadcast hash
+    // join — the full row set is never shuffled by source, and the only
+    // Window in the plan runs over the aggregated histogram
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q61/q64/q35/q96 candidate joins are equi-joins, never all-pairs") {
     for (q <- Seq("q61_contamination", "q64_neardup_lsh",
-        "q35_neardup_embedding")) {
+        "q35_neardup_embedding", "q96_containment")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
