@@ -114,6 +114,21 @@ object Pipeline {
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 
+  /** Filter `big` (key column `k`) to the rows that MIGHT be in `small`'s
+    * key set: one counting pass + one `stat.bloomFilter` pass over the
+    * small side (public sketch API, `putLong` insertion), then a compiled
+    * `bloom_might_contain` probe in `big`'s scan stage. Shared by q75b
+    * and its pruning-effectiveness spec.
+    */
+  private[graft] def bloomPruned(big: DataFrame, small: DataFrame): DataFrame = {
+    val bf = small.stat.bloomFilter("k",
+      math.max(small.count(), 64L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    big.filter(
+      call_function("bloom_might_contain", lit(bos.toByteArray), col("k")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q22 — semi-structured access: JSON path, map element, array element.
     // Repartition first: the single-file local scan would otherwise run
@@ -288,6 +303,38 @@ object Pipeline {
         .groupBy(col("k"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
         .join(corpusKeys, Seq("k"), "left_anti")
+        .select(col("doc_id"), col("n_batch_dups"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q75b — q75 with a BLOOM prefilter on the corpus side: the
+    // incremental-dedup shape tuned for real scale. q75's anti-join
+    // shuffles every distinct corpus key each increment; but a daily
+    // batch is orders of magnitude smaller than the corpus, so the right
+    // move is the one Spark's own runtime-filter injection makes for
+    // selective joins — build a bloom filter over the SMALL side (the
+    // batch keys, one pass, a fixed-fpp bitset shipped as a literal) and
+    // probe it INSIDE the corpus-side scan, so only corpus keys that
+    // might match the batch survive to the exchange. Bloom false
+    // positives cost one extra anti-join row each (fpp-bounded); false
+    // negatives don't exist, so the result is EXACTLY q75's — the oracle
+    // is byte-identical. At 100 TB the corpus-side shuffle drops from
+    // |corpus keys| to ~|batch ∩ corpus| + fpp·|corpus| rows, and the
+    // probe is a compiled one-bit test ([[graft.functions.
+    // BloomMightContain]] pins the deserialized sketch in the codegen
+    // references array) running at scan speed before any exchange.
+    "q75b_incremental_dedup_bloom" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val docs = Tables.documents(s, d)
+        .withColumn("k", hash60(lower(trim(col("text")))))
+      val corpusKeys = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("k")).distinct()
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .groupBy(col("k"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_batch_dups"))
+      batch
+        .join(bloomPruned(corpusKeys, batch.select(col("k"))),
+          Seq("k"), "left_anti")
         .select(col("doc_id"), col("n_batch_dups"))
         .orderBy(col("doc_id"))
     }),
@@ -586,6 +633,20 @@ object Pipeline {
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "q75_incremental_dedup" ->
+      s"""WITH dk AS (SELECT doc_id,
+         |    ${graft.operators.Shared.sqlHash60("lower(trim(text))")} AS k
+         |  FROM documents),
+         |  corpus AS (SELECT DISTINCT k FROM dk WHERE doc_id % 5 != 0),
+         |  batch AS (SELECT k, MIN(doc_id) AS doc_id,
+         |              COUNT(*) AS n_batch_dups
+         |            FROM dk WHERE doc_id % 5 = 0 GROUP BY k)
+         |SELECT doc_id, n_batch_dups FROM batch
+         |WHERE NOT EXISTS (SELECT 1 FROM corpus WHERE corpus.k = batch.k)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q75b: the bloom prefilter admits no false negatives, so the staged
+    // variant's contract is BYTE-IDENTITY with q75 — same oracle text
+    "q75b_incremental_dedup_bloom" ->
       s"""WITH dk AS (SELECT doc_id,
          |    ${graft.operators.Shared.sqlHash60("lower(trim(text))")} AS k
          |  FROM documents),

@@ -699,6 +699,54 @@ object Similarity {
       assign(cent)
         .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
         .orderBy(col("vec_id"))
+    }),
+
+    // q99 — semantic dedup (the SemDeDup recipe, Abbas et al. '23,
+    // arXiv:2303.09540): prune the corpus in EMBEDDING space — cluster
+    // with a coarse quantizer, compare pairs only within a cluster, drop
+    // a document when a lower-id cluster-mate is semantically close.
+    // Complements the text-signature family: q24/q32/q34 catch lexical
+    // dups, this catches paraphrases/translations/re-renders that share
+    // no n-grams.
+    //
+    // Policy is DOMINANCE PRUNING: drop v iff some u < v in v's cell has
+    // cos(u,v) >= τ, and record that witness (the lowest such u) as the
+    // provenance. One parallel round, no iteration; it upper-bounds the
+    // drops of SemDeDup's sequential greedy scan (which only compares
+    // against KEPT predecessors — a lexicographic-MIS chain that cannot
+    // run in one distributed pass; chains where it differs need the q73
+    // iterative machinery, and a survivor-vs-survivor residual check is
+    // the standard second pass).
+    //
+    // 100-TB posture: the cell here is the q36 sign quantizer; a real run
+    // uses q97's trained K-means codebook with K ~ n / target_cell_size,
+    // so the within-cell Σcell² pair join is bounded by construction
+    // (same contract as q35b's blocks — and q64's banding is the escape
+    // hatch when no bounded quantizer exists). Shuffle carries ids +
+    // cell keys; vectors join back per candidate pair only. The witness
+    // aggregate is a map-side-combinable min-struct per doc.
+    "q99_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("cell", cellOf(col("emb")))
+      val a = e.select(col("vec_id").as("vec_a"), col("cell"),
+        col("emb").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+        col("emb").as("emb_b"))
+      val drops = a.join(b,
+          col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+        .filter(col("cos") >= CosT)
+        .groupBy(col("vec_b").as("vec_id"))
+        // min over (vec_a, cos) structs = lowest witness id; vec_a is
+        // unique per group so the tiebreak never reaches cos
+        .agg(min(struct(col("vec_a"), col("cos"))).as("w"))
+        .select(col("vec_id"), col("w.vec_a").as("dropped_for"),
+          col("w.cos").as("wcos"))
+      e.select(col("vec_id"), col("cell"))
+        .join(drops, Seq("vec_id"), "left")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -966,7 +1014,27 @@ object Similarity {
            |${kmAssign(4)}
            |SELECT vec_id, cid AS cluster, CAST(d2 AS BIGINT) AS d2 FROM a4
            |ORDER BY vec_id""".stripMargin
-      }
+      },
+
+      // q99: same cell assignment, same pair predicate, witness = lowest
+      // qualifying lower id (min on va, then its cos joined back)
+      "q99_semantic_dedup" ->
+        s"""WITH e AS (SELECT vec_id, embedding,
+           |    CAST($cellSql AS BIGINT) AS cell FROM embeddings),
+           | pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |   FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           | q AS (SELECT * FROM pr WHERE cos >= $CosT),
+           | dr AS (SELECT vb, min(va) AS dropped_for FROM q GROUP BY vb),
+           | drc AS (SELECT dr.vb, dr.dropped_for, q.cos AS wcos
+           |   FROM dr JOIN q ON q.vb = dr.vb AND q.va = dr.dropped_for)
+           |SELECT e.vec_id, e.cell, drc.dropped_for, drc.wcos
+           |FROM e LEFT JOIN drc ON drc.vb = e.vec_id
+           |ORDER BY e.vec_id""".stripMargin
     )
   }
 }

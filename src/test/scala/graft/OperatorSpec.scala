@@ -1344,4 +1344,60 @@ class OperatorSpec extends AnyFunSuite {
       assert(all.count(_ > cutoff) < k, s"$src: cutoff too low")
     }
   }
+
+  test("q99 semantic dedup matches the brute-force within-cell scan") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q99_semantic_dedup")(spark, sf)
+      .select(col("vec_id"), col("cell"), col("dropped_for"), col("wcos"))
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cellOf(e: Array[Double]): Long =
+      (0 until 8).map(i => if (e(i) > 0.0) 1L << i else 0L).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = embs.groupBy { case (_, e) => cellOf(e) }
+    val expected = embs.map { case (v, e) =>
+      val mates = byCell(cellOf(e)).filter(_._1 < v)
+        .map { case (u, eu) => (u, cos(eu, e)) }
+        .filter(_._2 >= 0.3)
+      val w = if (mates.isEmpty) None else Some(mates.minBy(_._1))
+      (v, cellOf(e), w.map(_._1), w.map(_._2))
+    }.toSeq
+    assert(got.toSeq.sortBy(_._1) === expected.sortBy(_._1))
+    val nDropped = expected.count(_._3.isDefined)
+    assert(nDropped > 0, "degenerate corpus: no semantic dups at τ")
+    assert(nDropped < expected.size, "degenerate: everything dropped")
+  }
+
+  test("q75b bloom-staged incremental dedup is byte-identical to q75") {
+    import spark.implicits._
+    val base = SparkEntry.queries("q75_incremental_dedup")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val bloomed =
+      SparkEntry.queries("q75b_incremental_dedup_bloom")(spark, sf)
+        .as[(Long, Long)].collect().toSeq
+    assert(bloomed === base)
+    // pruning effectiveness: the bloom must cut the corpus side to near
+    // the true-match count — the whole point of probing before the
+    // exchange. With fpp 0.01 a >50% pass-through means a broken filter.
+    import graft.operators.Shared.hash60
+    val docs = Tables.documents(spark, sf)
+      .withColumn("k", hash60(lower(trim(col("text")))))
+    val corpusKeys = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("k")).distinct()
+    val batchKeys = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("k")).distinct()
+    val full = corpusKeys.count()
+    val pruned = operators.Pipeline.bloomPruned(corpusKeys, batchKeys).count()
+    val trueMatches = corpusKeys.join(batchKeys, "k").count()
+    assert(pruned >= trueMatches, "bloom dropped a true match")
+    assert(pruned < full / 2,
+      s"bloom prefilter barely prunes: $pruned of $full corpus keys")
+  }
 }

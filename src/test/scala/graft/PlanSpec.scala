@@ -482,4 +482,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q99 pair generation is a cell equi-join, never all-pairs") {
+    val p = plan("q99_semantic_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the candidate join must key on the quantizer cell: an equi-join
+    // whose condition mentions the cell column on both sides
+    assert(p.contains("cell"), "cell key missing from the plan")
+  }
+
+  test("q75b probes the bloom inside the corpus scan stage") {
+    val p = plan("q75b_incremental_dedup_bloom")
+    assert(p.contains("bloom_might_contain"),
+      "corpus side must be prefiltered by the compiled bloom probe")
+    assert(p.contains("LeftAnti"), "exactness comes from the anti-join")
+    // the probe must sit BELOW the anti-join's corpus-side exchange —
+    // i.e. in a Filter, not applied after the shuffle: in the rendered
+    // tree the bloom filter line appears after (deeper than) the last
+    // exchange only if it ran post-shuffle; assert it precedes the
+    // aggregate that feeds the anti-join by checking it guards a Filter
+    // directly over the scan projection
+    val lines = p.linesIterator.toVector
+    val bloomLine = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(bloomLine >= 0)
+    val scanBelow = lines.drop(bloomLine)
+      .exists(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scanBelow, "bloom probe must guard the documents scan subtree")
+  }
 }
