@@ -130,6 +130,45 @@ object ScaleProbe {
         math.round(r.getLong(0).toDouble / r.getLong(1) * 1000) / 1000.0
     }
 
+    // --- round-8 tail: q95/q96/q98/q99/q75b scale drivers ---
+    // q95: the agg shuffle is keyed on distinct grams — must grow
+    // sub-linearly vs token mass (shared vocabulary), never super-linear
+    out("q95_distinct_grams") = timed("q95_distinct_grams") {
+      operators.TextOps.bigramsOf(spark, d).distinct().count()
+    }
+    // q96: containment candidates — posting-list-bounded, ~linear per
+    // decade like q32 (quadratic = prefixes stopped excluding)
+    out("q96_candidates") = timed("q96_candidates") {
+      operators.Dedup.containmentCandidates(spark, d).count()
+    }
+    // q98: the cumsum runs over sources × distinct scores, NOT the corpus
+    // — this row count is the whole reason the histogram formulation
+    // scales (bounded by sources × 10001 whatever the corpus size)
+    out("q98_hist_rows") = timed("q98_hist_rows") {
+      operators.TextOps.q86Scored(Tables.documents(spark, d))
+        .groupBy(col("source"), col("score")).agg(count(lit(1))).count()
+    }
+    // q99: within-cell pair mass (Σcell²) — ×100/decade for the fixed
+    // 256-cell quantizer; the measurement that tells you when K must
+    // scale with n
+    out("q99_candidates") = timed("q99_candidates") {
+      operators.Similarity.semanticCandidates(spark, d).count()
+    }
+    // q75b: corpus keys before/after the bloom prefilter — the
+    // anti-join's shuffle reduction
+    timed("q75b_prune") {
+      import operators.Shared.hash60
+      val docs = Tables.documents(spark, d)
+        .withColumn("k", hash60(lower(trim(col("text")))))
+      val corpusKeys = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("k")).distinct()
+      val batchKeys = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("k")).distinct()
+      out("q75b_corpus_keys") = corpusKeys.count()
+      out("q75b_bloom_survivors") =
+        operators.Pipeline.bloomPruned(corpusKeys, batchKeys).count()
+    }
+
     // --- q73 round count (flat across scale = the O(log d) claim) ---
     timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)

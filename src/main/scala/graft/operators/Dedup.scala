@@ -143,6 +143,30 @@ object Dedup {
       cand
   }
 
+  /** The q96 containment-join candidate stage alone — probe-prefix ×
+    * full-postings equi-join survivors before the exact intersect verify.
+    * Exposed for [[graft.ScaleProbe]]: healthy growth is ~linear in
+    * corpus shingle mass (the posting-list bound); quadratic growth
+    * means the df-ordered prefixes stopped excluding common shingles.
+    */
+  private[graft] def containmentCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+    val dfreq = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    // ceil(9*sz/10) in exact integer arithmetic
+    val prefix = ex.join(dfreq, "sg")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
+      .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("sg"), col("sz"))
+    prefix.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id") &&
+          lit(10) * col("b.sz") >= lit(9) * col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
       val sh = shingled(s, d)
       val cand = jaccardCandidates(s, d)
@@ -365,20 +389,7 @@ object Dedup {
     // from the postings at a measured recall cost; kept exact here.
     "q96_containment" -> ((s, d) => {
       val sh = shingled(s, d)
-      val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
-      val dfreq = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-      // ceil(9*sz/10) in exact integer arithmetic
-      val prefix = ex.join(dfreq, "sg")
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
-        .filter(col("rk") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-        .select(col("doc_id"), col("sg"), col("sz"))
-      val cand = prefix.as("a").join(ex.as("b"),
-          col("a.sg") === col("b.sg") && col("a.doc_id") =!= col("b.doc_id") &&
-            lit(10) * col("b.sz") >= lit(9) * col("a.sz"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      containmentCandidates(s, d)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
           col("sz").as("sz_a")), "doc_a")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),

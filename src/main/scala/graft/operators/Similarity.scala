@@ -725,30 +725,45 @@ object Similarity {
     // hatch when no bounded quantizer exists). Shuffle carries ids +
     // cell keys; vectors join back per candidate pair only. The witness
     // aggregate is a map-side-combinable min-struct per doc.
-    "q99_semantic_dedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("cell", cellOf(col("emb")))
-      val a = e.select(col("vec_id").as("vec_a"), col("cell"),
-        col("emb").as("emb_a"))
-      val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
-        col("emb").as("emb_b"))
-      val drops = a.join(b,
-          col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
-        .filter(col("cos") >= CosT)
-        .groupBy(col("vec_b").as("vec_id"))
-        // min over (vec_a, cos) structs = lowest witness id; vec_a is
-        // unique per group so the tiebreak never reaches cos
-        .agg(min(struct(col("vec_a"), col("cos"))).as("w"))
-        .select(col("vec_id"), col("w.vec_a").as("dropped_for"),
-          col("w.cos").as("wcos"))
-      e.select(col("vec_id"), col("cell"))
-        .join(drops, Seq("vec_id"), "left")
-        .orderBy(col("vec_id"))
-    })
+    "q99_semantic_dedup" -> ((s, d) => semanticDedupOf(s, d))
   )
+
+  /** q99 body + its ScaleProbe hook: [[semanticCandidates]] is the
+    * within-cell pair frame BEFORE the cosine verify — the Σcell² number
+    * whose growth law (×100 per decade for a fixed 256-cell quantizer,
+    * ×10 when K scales with n) decides when the codebook must grow.
+    */
+  private[graft] def semanticCandidates(s: SparkSession,
+      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("cell", cellOf(col("emb")))
+    val a = e.select(col("vec_id").as("vec_a"), col("cell"),
+      col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+      col("emb").as("emb_b"))
+    a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+  }
+
+  private def semanticDedupOf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("cell", cellOf(col("emb")))
+    val drops = semanticCandidates(s, d)
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= CosT)
+      .groupBy(col("vec_b").as("vec_id"))
+      // min over (vec_a, cos) structs = lowest witness id; vec_a is
+      // unique per group so the tiebreak never reaches cos
+      .agg(min(struct(col("vec_a"), col("cos"))).as("w"))
+      .select(col("vec_id"), col("w.vec_a").as("dropped_for"),
+        col("w.cos").as("wcos"))
+    e.select(col("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
+  }
 
   def oracleSql: Map[String, String] = {
     val cellSql = (0 until 8)

@@ -114,6 +114,20 @@ object TextOps {
        |     + CASE WHEN mk = 0 THEN 8 ELSE 0 END) AS reasons
        |   FROM sc)""".stripMargin
 
+  /** q95's exploded bigram stream (one row per adjacent token pair).
+    * Factored for [[graft.ScaleProbe]], which tracks the DISTINCT gram
+    * count — the q95 shuffle-volume driver (the agg shuffles per-mapper
+    * distinct grams, never token occurrences).
+    */
+  private[graft] def bigramsOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1)))).as("g"))
+
   /** q86 stage 0: per-doc integer quality score + whitespace-token count
     * (narrow, shuffle-free; the text column is dropped here so everything
     * downstream shuffles id + 3 ints only).
@@ -532,18 +546,10 @@ object TextOps {
     // ever materializes the full gram table. That pair of properties is
     // the whole 100-TB story: cost is one scan + one bounded shuffle.
     // Ties broken by the gram string so the 25-row cut is deterministic.
-    "q95_heavy_hitters" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1)))).as("g"))
-      grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    "q95_heavy_hitters" -> ((s, d) =>
+      bigramsOf(s, d).groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("g"))
-        .limit(25)
-    }),
+        .limit(25)),
 
     // q98 — per-source quality calibration: keep each source's top half
     // by quality score WITHOUT sorting the corpus per source. Quality
