@@ -106,6 +106,42 @@ object Sampling {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q100 — temperature-scaled source mixture (α-sampling, the
+    // multilingual/multi-source rebalancing recipe of XLM-R / mBERT
+    // lineage, α = 0.5): sample source s at a rate ∝ n_s^α / n_s, so
+    // high-resource sources are down-weighted and the tail up-weighted
+    // relative to natural proportions. q50's fixed per-tier rates are
+    // the hand-tuned knob; this derives the rates from the corpus itself.
+    //
+    // Exactness: w_s = floor(sqrt(n_s)) — IEEE-754 sqrt is correctly
+    // rounded in both engines, so the floor is bit-deterministic (the
+    // reason α is 1/2 and not an ln/exp-powered float). Expected sample
+    // size T = 200: keep rate r_s = min(1, T·w_s / (W·n_s)) with
+    // W = Σw_s, applied per doc as the integer test
+    // u·W·n_s < T·w_s·10⁶ over an independent salted hash stream
+    // u ∈ [0, 10⁶). All longs: max u·W·n_s ~ 10⁶·3×10⁴·5×10⁶ ≈ 1.7e17,
+    // well inside 2⁶³.
+    //
+    // 100-TB posture: one tiny per-source count agg (map-side combined),
+    // a sources-row rate table broadcast back, and a narrow filter — the
+    // corpus is scanned once and never shuffled.
+    "q100_alpha_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rates = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .withColumn("w_s", floor(sqrt(col("n_s").cast("double"))).cast("long"))
+        .withColumn("w_tot", sum(col("w_s")).over(Window.partitionBy()))
+      val u = pmod(
+        hash60(concat(lit("alpha|"), col("doc_id").cast("string"))),
+        lit(1000000L))
+      Tables.documents(s, d)
+        .join(broadcast(rates), "source")
+        .filter(u * col("w_tot") * col("n_s") <
+          lit(200L) * col("w_s") * lit(1000000L))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -146,6 +182,17 @@ object Sampling {
          |FROM (SELECT doc_id,
          |        ${sqlHash60("concat('ord|', CAST(doc_id AS VARCHAR))")} AS k
          |      FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q100_alpha_sample" ->
+      s"""WITH ws AS (SELECT source, COUNT(*) AS n_s,
+         |    CAST(floor(sqrt(COUNT(*)::DOUBLE)) AS BIGINT) AS w_s
+         |  FROM documents GROUP BY source),
+         | wt AS (SELECT *, SUM(w_s) OVER () AS w_tot FROM ws)
+         |SELECT d.doc_id, d.source, d.lang
+         |FROM documents d JOIN wt USING (source)
+         |WHERE (${sqlHash60("concat('alpha|', CAST(doc_id AS VARCHAR))")}
+         |    % 1000000) * wt.w_tot * wt.n_s < 200 * wt.w_s * 1000000
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

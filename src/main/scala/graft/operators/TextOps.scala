@@ -586,6 +586,52 @@ object TextOps {
         .select(col("doc_id"), col("source"), col("score"), col("cutoff"),
           col("n_docs"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q101 — statistical-LM quality proxy: score each document by the
+    // corpus-trained bigram model's mean transition likelihood — the
+    // cheap stand-in for the perplexity filter (CCNet/KenLM style) every
+    // pretraining recipe runs, trained here ON the corpus itself (no
+    // external model ships in this container, and self-scoring is the
+    // standard boilerplate/outlier detector: template docs score high,
+    // token soup scores low).
+    //
+    // Exactness: no log/exp anywhere (libm is not cross-engine
+    // bit-stable) — per bigram g = (w1 w2) the score is the integer MLE
+    // ratio (10⁶·c₂(g)) div c₁(w1), and the doc score the integer mean
+    // over its bigrams. c₁ counts ALL occurrences of w1 (not just
+    // bigram-history positions) — a documented denominator choice that
+    // keeps both engines' arithmetic identical and the ranking
+    // equivalent. Docs under 2 tokens have no bigrams and are absent,
+    // as in any LM scorer.
+    //
+    // 100-TB posture: the c₁/c₂ count tables are the "trained model" —
+    // corpus-level artifacts (vocab- and bigram-vocab-sized) built by
+    // one map-side-combined agg each, joined back by key. The per-
+    // occurrence join fans out 1:1 (count tables are unique per key), so
+    // shuffle is linear in token mass; common-token skew is AQE's
+    // skew-join case, and when the vocab fits (it usually does — c₂ is
+    // the q95 heavy-hitter table's domain) both sides broadcast.
+    "q101_lm_score" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+      val grams = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1)).as("g")))).as("p"))
+        .select(col("doc_id"), col("p.w1"), col("p.g"))
+      val c2 = grams.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val c1 = toks.select(explode(col("toks")).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      grams.join(c2, "g").join(c1, "w1")
+        .withColumn("sg", expr("(1000000 * c2) div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(sg) div count(1)").as("lm_score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -775,6 +821,26 @@ object TextOps {
            |FROM sc JOIN cut ON sc.source = cut.source
            |WHERE sc.score >= cut.cutoff
            |ORDER BY sc.doc_id""".stripMargin,
+
+      // q101: identical integer MLE ratios; the only casts are the
+      // HUGEINT→BIGINT narrowings DuckDB's SUM forces
+      "q101_lm_score" ->
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+          |            FROM documents),
+          | grams AS (SELECT doc_id,
+          |     unnest(list_transform(range(1, len(toks)),
+          |       i -> struct_pack(w1 := toks[i],
+          |                        g := toks[i] || ' ' || toks[i+1]))) AS p
+          |   FROM tk WHERE len(toks) >= 2),
+          | ge AS (SELECT doc_id, p.w1 AS w1, p.g AS g FROM grams),
+          | c2 AS (SELECT g, COUNT(*) AS c2 FROM ge GROUP BY g),
+          | c1 AS (SELECT w1, COUNT(*) AS c1
+          |        FROM (SELECT unnest(toks) AS w1 FROM tk) GROUP BY w1)
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  CAST(SUM((1000000 * c2.c2) // c1.c1) AS BIGINT) // COUNT(*)
+          |    AS lm_score
+          |FROM ge JOIN c2 USING (g) JOIN c1 USING (w1)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

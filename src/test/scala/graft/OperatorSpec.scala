@@ -1345,6 +1345,59 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 alpha-sampling replays exactly and up-weights the tail") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q100_alpha_sample")(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect()
+    // exact Scala replay: md5-based hash stream, floor-sqrt weights
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val nS = docs.groupBy(_._2).map { case (s, ds) => s -> ds.length.toLong }
+    val wS = nS.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val wTot = wS.values.sum
+    val expected = docs.filter { case (id, src) =>
+      val u = h60(s"alpha|$id") % 1000000L
+      u * wTot * nS(src) < 200L * wS(src) * 1000000L
+    }.toSet
+    assert(got === expected)
+    // the α=0.5 contract: sampled fraction of the SMALLEST source must
+    // exceed that of the largest (tail up-weighted vs natural rates)
+    val kept = got.toSeq.groupBy(_._2).map { case (s, r) => s -> r.size.toDouble }
+    val (smallest, largest) = (nS.minBy(_._2), nS.maxBy(_._2))
+    if (smallest._2 < largest._2)
+      assert(kept.getOrElse(smallest._1, 0.0) / smallest._2 >
+        kept.getOrElse(largest._1, 0.0) / largest._2,
+        s"tail source ${smallest._1} not up-weighted")
+  }
+
+  test("q101 LM score matches a Scala replay of the bigram MLE") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q101_lm_score")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }
+    val c1 = toks.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val bigrams = toks.filter(_._2.length >= 2).map { case (id, ts) =>
+      id -> ts.sliding(2).map(p => (p(0), p.mkString(" "))).toSeq
+    }
+    val c2 = bigrams.flatMap(_._2.map(_._2)).groupBy(identity)
+      .map { case (g, o) => g -> o.length.toLong }
+    val expected = bigrams.map { case (id, gs) =>
+      val sgs = gs.map { case (w1, g) => (1000000L * c2(g)) / c1(w1) }
+      (id, gs.length.toLong, sgs.sum / gs.length)
+    }.toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(got.map(_._3).distinct.size > 1, "degenerate constant scores")
+  }
+
   test("q99 semantic dedup matches the brute-force within-cell scan") {
     import spark.implicits._
     val got = SparkEntry.queries("q99_semantic_dedup")(spark, sf)

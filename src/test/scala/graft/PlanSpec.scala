@@ -483,6 +483,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q100 rate table broadcasts; the corpus is never exchange-shuffled") {
+    val p = plan("q100_alpha_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "sources-row rate table must broadcast to the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must not shuffle for a sources-sized dimension")
+  }
+
+  test("q101 count tables join by key with partial aggregation") {
+    val p = plan("q101_lm_score")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // both LM count tables must be map-side-combined hash aggregates
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      "c1/c2 aggregates must have partial (map-side) phases")
+  }
+
   test("q99 pair generation is a cell equi-join, never all-pairs") {
     val p = plan("q99_semantic_dedup")
     assert(!p.contains("CartesianProduct") &&
