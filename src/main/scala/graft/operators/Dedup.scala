@@ -403,6 +403,33 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // q102 — cross-source duplication matrix: the corpus-QA readout over
+    // the verified near-dup pairs — how much each source pair mirrors
+    // each other. Off-diagonal mass is syndication/mirror detection
+    // (the "which crawls overlap" question a data team asks before
+    // paying to process both); diagonal mass is within-source
+    // boilerplate. Pair→source attribution is two narrow doc_id joins;
+    // the matrix itself is a sources² aggregate — tiny at any corpus
+    // size. At 100 TB the pair list is the staged q32 output (built
+    // once per pipeline, like dup_labels), so this readout costs two
+    // id-joins + one bounded agg on top of work already paid for.
+    // avg_j4 is the integer mean of jaccard×10⁴ (4dp-rounded upstream,
+    // so ×10⁴ sits within 1e-9 of an integer — both engines round it
+    // identically), keeping the aggregate order-insensitive.
+    "q102_source_overlap" -> ((s, d) => {
+      val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d)
+        .join(srcs.toDF("doc_a", "src_a"), "doc_a")
+        .join(srcs.toDF("doc_b", "src_b"), "doc_b")
+        .withColumn("source_a", least(col("src_a"), col("src_b")))
+        .withColumn("source_b", greatest(col("src_a"), col("src_b")))
+        .withColumn("j4", round(col("jaccard") * 10000).cast("long"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(j4) div count(1)").as("avg_j4"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Q73 — dup-cluster formation: connected components (hook +
     // pointer-doubling shortcut, O(log diameter) rounds, throws if
     // unconverged — see [[connectedComponents]]) over the verified
@@ -662,6 +689,20 @@ object Dedup {
         s"""WITH $prefixPairs
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // q102: same verified pair set, attributed to normalized source
+      // pairs; integer mean of jaccard×10⁴
+      "q102_source_overlap" ->
+        s"""WITH $prefixPairs,
+           | sa AS (SELECT doc_id, source FROM documents)
+           |SELECT LEAST(x.source, y.source) AS source_a,
+           |  GREATEST(x.source, y.source) AS source_b,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(CAST(ROUND(jaccard * 10000) AS BIGINT)) AS BIGINT)
+           |    // COUNT(*) AS avg_j4
+           |FROM p JOIN sa x ON x.doc_id = p.doc_a
+           |       JOIN sa y ON y.doc_id = p.doc_b
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // q96: same df-ordered prefix machinery, asymmetric threshold —
       // probe prefix is |A| - ceil(0.9|A|) + 1 rarest shingles, index

@@ -1345,6 +1345,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 overlap matrix partitions the q32 pair set by source pair") {
+    import spark.implicits._
+    val m = SparkEntry.queries("q102_source_overlap")(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    val nPairs = SparkEntry.queries("q32_neardup_jaccard")(spark, sf).count()
+    assert(m.map(_._3).sum === nPairs,
+      "matrix cells must partition the verified pair set")
+    m.foreach { case (a, b, n, j4) =>
+      assert(a <= b, s"unnormalized cell ($a, $b)")
+      assert(n > 0)
+      assert(j4 >= 6000 && j4 <= 10000,
+        s"mean jaccard x10^4 out of the threshold-bounded range: $j4")
+    }
+  }
+
   test("q100 alpha-sampling replays exactly and up-weights the tail") {
     import spark.implicits._
     val got = SparkEntry.queries("q100_alpha_sample")(spark, sf)
