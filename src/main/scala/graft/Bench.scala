@@ -7,9 +7,10 @@ package graft
   *  - materializes through the `noop` sink, not `count()` — `count()` lets
   *    Catalyst prune every projected column, so projection-heavy queries
   *    would be benchmarked as near-empty scans;
-  *  - two timed passes for batch queries, min reported: pass 1 doubles as
-  *    the codegen/JIT warmup (a fresh JVM spends 5-20s per query shape on
-  *    Janino + JIT), pass 2 measures steady-state plan cost. Streaming
+  *  - an UNTIMED concurrent warmup (pass 0) pays Janino codegen + JIT for
+  *    every batch query shape up front (a fresh JVM spends 5-20s per shape
+  *    — sequential, that alone can eat a slow box's whole deadline), then
+  *    timed passes measure steady-state plan cost, min reported. Streaming
   *    queries run TWICE, min reported — there is no "warm" run (the
   *    micro-batch + state-store machinery re-runs every time, by design),
   *    but that fixed cost has pass-to-pass variance on a shared box well
@@ -117,8 +118,41 @@ object Bench {
       results.put(n, t)
     }
 
-    // Pass 1 (timed, cold): every query once. These numbers include codegen
-    // + JIT; they are the fallback if the deadline cuts pass 2 short.
+    // Pass 0 (UNTIMED, concurrent, batch only): pay Janino codegen + JIT
+    // for every query shape in parallel before anything is timed. The
+    // cold cost is ~5-20 s per shape and CPU-bound on compilation, not
+    // the data (~650 s sequential for ~110 shapes on a contended box —
+    // the round-8 run spent the entire deadline on it); 8 concurrent
+    // shapes overlap compilation with execution and cut that wall ~4-6×,
+    // so the timed passes below start warm with most of the deadline
+    // left. Bounded: the pool is abandoned (job group cancelled) once
+    // 45% of the deadline is spent — on a pathological box the timed
+    // pass 1 then covers the rest cold, which is the old behavior.
+    locally {
+      val sc = spark.sparkContext
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      for (n <- names if !streaming(n)) pool.submit(new Runnable {
+        override def run(): Unit = {
+          sc.setJobGroup("bench-warmup", n, interruptOnCancel = true)
+          try SparkEntry.queries(n)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () } // surfaced by the timed pass
+          finally sc.clearJobGroup()
+        }
+      })
+      pool.shutdown()
+      val budgetMs =
+        math.max(0L, ((deadlineSec * 0.45 - elapsed) * 1000).toLong)
+      if (!pool.awaitTermination(budgetMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        sc.cancelJobGroup("bench-warmup")
+        pool.shutdownNow()
+        pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    }
+
+    // Pass 1 (timed): every query once — warm for every shape pass 0
+    // reached, cold fallback for any it didn't.
     for (n <- names if elapsed < deadlineSec - margin)
       results.put(n, run(n, SparkEntry.queries(n)))
 
