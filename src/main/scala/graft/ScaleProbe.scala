@@ -154,6 +154,15 @@ object ScaleProbe {
     out("q99_candidates") = timed("q99_candidates") {
       operators.Similarity.semanticCandidates(spark, d).count()
     }
+    // q103: the SAME pair mass under the trained K ∝ n codebook — the
+    // shipped lever for q99's fixed-K quadratic; healthy growth is
+    // ~linear per decade (cell population pinned ~250 by construction)
+    out("q103_candidates") = timed("q103_candidates") {
+      val f = operators.Similarity.trainedCellFrame(spark, d)
+      val a = f.select(col("vec_id").as("va"), col("cell"))
+      val b = f.select(col("vec_id").as("vb"), col("cell").as("cb"))
+      a.join(b, col("cell") === col("cb") && col("va") < col("vb")).count()
+    }
     // q75b: corpus keys before/after the bloom prefilter — the
     // anti-join's shuffle reduction
     timed("q75b_prune") {

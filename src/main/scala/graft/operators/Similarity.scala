@@ -660,46 +660,10 @@ object Similarity {
     // driver runs only the round loop; per-round localCheckpoint
     // truncates lineage exactly as q73's CC loop does (the plan would
     // otherwise nest one join+agg deeper per round).
-    "q97_kmeans" -> ((s, d) => {
-      val KmK = 8
-      val KmIters = 3
-      import org.apache.spark.sql.expressions.Window
-      val qd = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("pos", "x")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
-          (floor(col("x") * 1000) + 1000).cast("long").as("v"))
-      val seeds = Tables.embeddings(s, d)
-        .select(col("vec_id")).orderBy(col("vec_id")).limit(KmK)
-        .select(col("vec_id"),
-          (row_number().over(Window.orderBy(col("vec_id"))) - 1)
-            .cast("long").as("cid"))
-      var cent = qd.join(seeds, "vec_id")
-        .select(col("cid"), col("dim"), col("v").as("c"))
-        .localCheckpoint(true)
-      def assign(c: DataFrame): DataFrame = {
-        val d2 = qd.join(broadcast(c), "dim")
-          .groupBy(col("vec_id"), col("cid"))
-          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-        d2.withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("d2"), col("cid"))))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("d2"))
-      }
-      for (_ <- 1 to KmIters) {
-        val a = assign(cent).select(col("vec_id"), col("cid"))
-        cent = a.join(qd, "vec_id")
-          .groupBy(col("cid"), col("dim"))
-          .agg(expr("sum(v) div count(1)").as("c"))
-          .localCheckpoint(true)
-      }
-      assign(cent)
+    "q97_kmeans" -> ((s, d) =>
+      kmeansAssignFull(s, d, k = 8, iters = 3)
         .select(col("vec_id"), col("cid").as("cluster"), col("d2"))
-        .orderBy(col("vec_id"))
-    }),
+        .orderBy(col("vec_id"))),
 
     // q99 — semantic dedup (the SemDeDup recipe, Abbas et al. '23,
     // arXiv:2303.09540): prune the corpus in EMBEDDING space — cluster
@@ -725,8 +689,73 @@ object Similarity {
     // hatch when no bounded quantizer exists). Shuffle carries ids +
     // cell keys; vectors join back per candidate pair only. The witness
     // aggregate is a map-side-combinable min-struct per doc.
-    "q99_semantic_dedup" -> ((s, d) => semanticDedupOf(s, d))
+    "q99_semantic_dedup" -> ((s, d) => semanticDedupOf(s, d)),
+
+    // q103 — semantic dedup over a TRAINED, SIZE-SCALED codebook: the
+    // measured answer to q99's measured problem. q99's fixed 256-cell
+    // sign quantizer grows its within-cell pair mass ×99 per data decade
+    // (SCALING.md round-8 tail) — the designed quadratic of any fixed K.
+    // This operator trains the coarse quantizer with the corpus:
+    // K = max(8, n/250) via the q97 integer-exact Lloyd loop (2 rounds,
+    // K lowest ids as seeds), so expected cell population stays ~250 at
+    // ANY corpus size and the Σcell² candidate mass returns to ~linear
+    // per decade — the SemDeDup deployment recipe (cluster count scales
+    // with the corpus, FAISS-style). Assignment costs n×K integer
+    // distance rows per round — the standard k-means trade; at 100 TB
+    // the assignment itself goes hierarchical (coarse 256-cell probe,
+    // then refine within), while THIS plan's joins/aggregates are
+    // unchanged. Dedup semantics, witness provenance, and the oracle
+    // contract are exactly q99's ([[dominanceDedup]]); both engines
+    // walk the identical integer centroid trajectory (q97's contract),
+    // so the trained cells — and with them every drop decision — are
+    // bit-reproducible cross-engine.
+    "q103_semantic_dedup_trained" -> ((s, d) =>
+      dominanceDedup(trainedCellFrame(s, d)))
   )
+
+  /** The q97 Lloyd loop, parameterized: K seeds = the K lowest vec_ids,
+    * `iters` assign+update rounds over the integer-quantized vectors
+    * (floor(x·1000)+1000 — see the q97 query doc for the exactness
+    * contract), then a final assignment. Returns (vec_id, cid, d2).
+    * q97 reports it at K=8/3 rounds; q103 trains K ∝ n.
+    */
+  private[graft] def kmeansAssignFull(s: SparkSession, d: String,
+      k: Long, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qd = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        (floor(col("x") * 1000) + 1000).cast("long").as("v"))
+    val seeds = Tables.embeddings(s, d)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(k.toInt)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("long").as("cid"))
+    var cent = qd.join(seeds, "vec_id")
+      .select(col("cid"), col("dim"), col("v").as("c"))
+      .localCheckpoint(true)
+    def assign(c: DataFrame): DataFrame = {
+      val d2 = qd.join(broadcast(c), "dim")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+      d2.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("d2"))
+    }
+    for (_ <- 1 to iters) {
+      val a = assign(cent).select(col("vec_id"), col("cid"))
+      cent = a.join(qd, "vec_id")
+        .groupBy(col("cid"), col("dim"))
+        .agg(expr("sum(v) div count(1)").as("c"))
+        .localCheckpoint(true)
+    }
+    assign(cent)
+  }
 
   /** q99 body + its ScaleProbe hook: [[semanticCandidates]] is the
     * within-cell pair frame BEFORE the cosine verify — the Σcell² number
@@ -746,12 +775,24 @@ object Similarity {
     a.join(b, col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
   }
 
-  private def semanticDedupOf(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  private def semanticDedupOf(s: SparkSession, d: String): DataFrame =
+    dominanceDedup(Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("cell", cellOf(col("emb")))
-    val drops = semanticCandidates(s, d)
+      .withColumn("cell", cellOf(col("emb"))))
+
+  /** Dominance-pruning semantic dedup over ANY cell-keyed vector frame
+    * `(vec_id, cell, emb)` — the shared body of q99 (fixed sign-cell
+    * quantizer) and q103 (trained K ∝ n codebook): drop v iff some
+    * u < v in v's cell has cos(u,v) ≥ τ, witness = the lowest such u.
+    */
+  private[graft] def dominanceDedup(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("vec_a"), col("cell"),
+      col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
+      col("emb").as("emb_b"))
+    val drops = a.join(b,
+        col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos") >= CosT)
       .groupBy(col("vec_b").as("vec_id"))
@@ -763,6 +804,23 @@ object Similarity {
     e.select(col("vec_id"), col("cell"))
       .join(drops, Seq("vec_id"), "left")
       .orderBy(col("vec_id"))
+  }
+
+  /** q103's trained-codebook cell frame: embeddings keyed by the final
+    * K-means assignment at K = max(8, n/250) after 2 rounds — cells
+    * sized ~250 by construction at ANY corpus size, which is the lever
+    * the q99 ×99-per-decade measurement demands. Factored for the
+    * query, the ScaleProbe candidate counter, and the spec.
+    */
+  private[graft] def trainedCellFrame(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val k = math.max(8L, n / 250L)
+    val assign = kmeansAssignFull(s, d, k, iters = 2)
+      .select(col("vec_id"), col("cid").as("cell"))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(assign, "vec_id")
   }
 
   def oracleSql: Map[String, String] = {
@@ -1049,7 +1107,60 @@ object Similarity {
            |   FROM dr JOIN q ON q.vb = dr.vb AND q.va = dr.dropped_for)
            |SELECT e.vec_id, e.cell, drc.dropped_for, drc.wcos
            |FROM e LEFT JOIN drc ON drc.vb = e.vec_id
+           |ORDER BY e.vec_id""".stripMargin,
+
+      // q103: the q97 CTE chain with K = max(8, n//250) seeds and 2
+      // rounds, then exactly q99's pair/dominance SQL keyed on the
+      // trained assignment
+      "q103_semantic_dedup_trained" -> {
+        def kmAssign(n: Int): String =
+          s"""a$n AS (SELECT vec_id, cid, d2 FROM (
+             |    SELECT qd.vec_id, c.cid,
+             |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
+             |      row_number() OVER (PARTITION BY qd.vec_id
+             |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.cid)
+             |        AS rn
+             |    FROM qd JOIN c${n - 1} c USING (dim)
+             |    GROUP BY qd.vec_id, c.cid)
+             |  WHERE rn = 1)""".stripMargin
+        def kmUpdate(n: Int): String =
+          s"""c$n AS (SELECT a.cid, qd.dim, SUM(qd.v) // COUNT(*) AS c
+             |  FROM a$n a JOIN qd USING (vec_id)
+             |  GROUP BY a.cid, qd.dim)""".stripMargin
+        val rounds = (1 to 2)
+          .map(n => s"${kmAssign(n)},\n${kmUpdate(n)}").mkString(",\n")
+        s"""WITH qd AS (
+           |  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+           |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+           |      + 1000 AS v
+           |  FROM embeddings, generate_series(1, 64) AS g(i)),
+           |seeds AS (
+           |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+           |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+           |    FROM embeddings)
+           |  WHERE rn <= GREATEST(8,
+           |    (SELECT COUNT(*) FROM embeddings) // 250)),
+           |c0 AS (SELECT s.cid, qd.dim, qd.v AS c
+           |       FROM qd JOIN seeds s USING (vec_id)),
+           |$rounds,
+           |${kmAssign(3)},
+           | e AS (SELECT em.vec_id, em.embedding, a3.cid AS cell
+           |       FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id),
+           | pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |   FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           | q AS (SELECT * FROM pr WHERE cos >= $CosT),
+           | dr AS (SELECT vb, min(va) AS dropped_for FROM q GROUP BY vb),
+           | drc AS (SELECT dr.vb, dr.dropped_for, q.cos AS wcos
+           |   FROM dr JOIN q ON q.vb = dr.vb AND q.va = dr.dropped_for)
+           |SELECT e.vec_id, e.cell, drc.dropped_for, drc.wcos
+           |FROM e LEFT JOIN drc ON drc.vb = e.vec_id
            |ORDER BY e.vec_id""".stripMargin
+      }
     )
   }
 }

@@ -1345,6 +1345,57 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 trained-codebook dedup matches the full Scala replay") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q103_semantic_dedup_trained")(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+      .toSeq.sortBy(_._1)
+    // replay: integer Lloyd at K = max(8, n/250), 2 rounds + final assign
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val vecs = raw.map { case (id, e) =>
+      id -> e.map(x => math.floor(x * 1000).toLong + 1000)
+    }
+    val k = math.max(8L, vecs.length / 250L).toInt
+    val dims = vecs.head._2.length
+    var cent: Map[Long, Array[Long]] = vecs.take(k).zipWithIndex
+      .map { case ((_, q), i) => i.toLong -> q.clone }.toMap
+    def assign(c: Map[Long, Array[Long]]): Seq[(Long, Long)] =
+      vecs.toSeq.map { case (id, q) =>
+        val (_, cid) = c.toSeq.map { case (cid, cv) =>
+          var s = 0L; var j = 0
+          while (j < dims) { val dd = q(j) - cv(j); s += dd * dd; j += 1 }
+          (s, cid)
+        }.min
+        (id, cid)
+      }
+    for (_ <- 1 to 2) {
+      val byCid = assign(cent).zip(vecs).groupBy(_._1._2)
+      cent = byCid.map { case (cid, rows) =>
+        val qs = rows.map(_._2._2)
+        cid -> Array.tabulate(dims)(j => qs.map(_(j)).sum / qs.length)
+      }
+    }
+    val cellOfId = assign(cent).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = raw.groupBy { case (id, _) => cellOfId(id) }
+    val expected = raw.map { case (v, e) =>
+      val mates = byCell(cellOfId(v)).filter(_._1 < v)
+        .map { case (u, eu) => (u, cos(eu, e)) }.filter(_._2 >= 0.3)
+      val w = if (mates.isEmpty) None else Some(mates.minBy(_._1))
+      (v, cellOfId(v), w.map(_._1), w.map(_._2))
+    }.toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(expected.count(_._3.isDefined) > 0,
+      "degenerate: no drops under the trained codebook")
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

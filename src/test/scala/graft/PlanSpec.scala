@@ -509,6 +509,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cell"), "cell key missing from the plan")
   }
 
+  test("q103 trained-cell pair generation is equi-keyed, never all-pairs") {
+    val p = plan("q103_semantic_dedup_trained")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
