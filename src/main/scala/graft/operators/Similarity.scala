@@ -722,6 +722,13 @@ object Similarity {
   private[graft] def kmeansAssignFull(s: SparkSession, d: String,
       k: Long, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The quantized (vec_id, dim, v) stream is read by every round's
+    // assignment AND update: materialize it ONCE, already hash-clustered
+    // on vec_id. The checkpoint keeps that partitioning, so each round's
+    // per-vector aggregates below need ZERO new exchanges on the n-sized
+    // side — only the K×dims centroid table moves (broadcast out,
+    // partial-agg back). Per-round cost is the n×K distance rows, never
+    // a repeated parquet scan.
     val qd = Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"),
@@ -729,6 +736,7 @@ object Similarity {
           .as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         (floor(col("x") * 1000) + 1000).cast("long").as("v"))
+      .localCheckpoint(true)
     val seeds = Tables.embeddings(s, d)
       .select(col("vec_id")).orderBy(col("vec_id")).limit(k.toInt)
       .select(col("vec_id"),
@@ -737,16 +745,18 @@ object Similarity {
     var cent = qd.join(seeds, "vec_id")
       .select(col("cid"), col("dim"), col("v").as("c"))
       .localCheckpoint(true)
-    def assign(c: DataFrame): DataFrame = {
-      val d2 = qd.join(broadcast(c), "dim")
+    // argmin over cells as a lexicographic min(struct(d2, cid)) aggregate
+    // (map-side combinable, ties to the lowest cid — the same total order
+    // the oracle's `ORDER BY d2, cid` window replays) instead of a
+    // sort-based row_number window: both grouping keys start with vec_id,
+    // so qd's clustering satisfies them and neither aggregate exchanges.
+    def assign(c: DataFrame): DataFrame =
+      qd.join(broadcast(c), "dim")
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
-      d2.withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"), col("d2"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
     for (_ <- 1 to iters) {
       val a = assign(cent).select(col("vec_id"), col("cid"))
       cent = a.join(qd, "vec_id")
@@ -817,10 +827,15 @@ object Similarity {
     val k = math.max(8L, n / 250L)
     val assign = kmeansAssignFull(s, d, k, iters = 2)
       .select(col("vec_id"), col("cid").as("cell"))
+    // Checkpointed: the consumer ([[dominanceDedup]]) reads this frame
+    // THREE times (pair-join a-side, b-side, final witness outer join) —
+    // without the cut each read would replay the final k-means assignment
+    // (the n×K distance pass) from scratch.
     Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .join(assign, "vec_id")
+      .localCheckpoint(true)
   }
 
   def oracleSql: Map[String, String] = {
