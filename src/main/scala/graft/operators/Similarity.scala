@@ -710,8 +710,71 @@ object Similarity {
     // so the trained cells — and with them every drop decision — are
     // bit-reproducible cross-engine.
     "q103_semantic_dedup_trained" -> ((s, d) =>
-      dominanceDedup(trainedCellFrame(s, d)))
+      dominanceDedup(trainedCellFrame(s, d))),
+
+    // q104 — prototype pruning over the trained codebook (the D4 recipe's
+    // second leg, Tirumala et al. '23 arXiv:2308.12284, after SemDeDup =
+    // q99/q103; the prototypicality criterion is Sorscher et al. '22's
+    // SSL-prototypes, arXiv:2206.14486): within each trained cluster,
+    // rank examples by distance-to-centroid and DROP the most prototypical
+    // 20% — near-centroid examples are the redundant "easy" mass a
+    // pretraining corpus sheds first. d2 is the integer distance the
+    // Lloyd loop already computes, so the score costs nothing beyond
+    // training, and both engines rank identical integers (ties broken by
+    // vec_id; the 20% cut is the integer cross-product rank·5 ≤ cell_n —
+    // no float fraction anywhere). 100-TB posture: the rank window is
+    // per-cell, and trained cells are ~250-row balanced BY CONSTRUCTION
+    // (K ∝ n) — the window never sees skew and the whole pass is one
+    // exchange on the cell key.
+    "q104_prototype_prune" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = trainedAssign(s, d)
+        .select(col("vec_id"), col("cid").as("cell"), col("d2"))
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("d2"), col("vec_id"))
+      a.withColumn("proto_rank", row_number().over(w).cast("long"))
+        .withColumn("cell_n",
+          count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
+        .withColumn("dropped",
+          (col("proto_rank") * 5 <= col("cell_n")).cast("long"))
+        .select(col("vec_id"), col("cell"), col("d2"), col("proto_rank"),
+          col("dropped"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // q105 — cluster-balanced (diversity) sampling: keep at most M=40
+    // examples per trained cell, chosen by deterministic salted-hash
+    // order — the coverage-preserving sampler (every semantic region
+    // keeps representation, high-density regions are capped) that
+    // complements q104's within-cell pruning. Mechanically q74's
+    // stratified cap, but keyed on LEARNED clusters instead of a
+    // metadata column — the strata a curation pipeline actually wants
+    // when no source/lang label captures content. The hash-rank filter
+    // is the LocalTopK idiom: each mapper pre-prunes to its local
+    // top-M per cell below the exchange, so the shuffle carries
+    // O(K·M) rows — and K·M ≈ n·(M/250) scales linearly with the
+    // corpus while per-cell work stays constant.
+    "q105_cluster_balanced_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = trainedAssign(s, d)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val ord = Shared.hash60(concat(lit("cb|"), col("vec_id").cast("string")))
+      val w = Window.partitionBy(col("cell")).orderBy(ord, col("vec_id"))
+      a.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 40)
+        .select(col("vec_id"), col("cell"), col("rn"))
+        .orderBy(col("cell"), col("rn"))
+    })
   )
+
+  /** The trained coarse assignment shared by q103/q104/q105: the q97
+    * integer Lloyd loop at K = max(8, n/250), 2 rounds + final assign.
+    * Returns (vec_id, cid, d2).
+    */
+  private def trainedAssign(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    kmeansAssignFull(s, d, k = math.max(8L, n / 250L), iters = 2)
+  }
 
   /** The q97 Lloyd loop, parameterized: K seeds = the K lowest vec_ids,
     * `iters` assign+update rounds over the integer-quantized vectors
@@ -823,9 +886,7 @@ object Similarity {
     * query, the ScaleProbe candidate counter, and the spec.
     */
   private[graft] def trainedCellFrame(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    val k = math.max(8L, n / 250L)
-    val assign = kmeansAssignFull(s, d, k, iters = 2)
+    val assign = trainedAssign(s, d)
       .select(col("vec_id"), col("cid").as("cell"))
     // Checkpointed: the consumer ([[dominanceDedup]]) reads this frame
     // THREE times (pair-join a-side, b-side, final witness outer join) —
@@ -1127,38 +1188,8 @@ object Similarity {
       // q103: the q97 CTE chain with K = max(8, n//250) seeds and 2
       // rounds, then exactly q99's pair/dominance SQL keyed on the
       // trained assignment
-      "q103_semantic_dedup_trained" -> {
-        def kmAssign(n: Int): String =
-          s"""a$n AS (SELECT vec_id, cid, d2 FROM (
-             |    SELECT qd.vec_id, c.cid,
-             |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
-             |      row_number() OVER (PARTITION BY qd.vec_id
-             |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.cid)
-             |        AS rn
-             |    FROM qd JOIN c${n - 1} c USING (dim)
-             |    GROUP BY qd.vec_id, c.cid)
-             |  WHERE rn = 1)""".stripMargin
-        def kmUpdate(n: Int): String =
-          s"""c$n AS (SELECT a.cid, qd.dim, SUM(qd.v) // COUNT(*) AS c
-             |  FROM a$n a JOIN qd USING (vec_id)
-             |  GROUP BY a.cid, qd.dim)""".stripMargin
-        val rounds = (1 to 2)
-          .map(n => s"${kmAssign(n)},\n${kmUpdate(n)}").mkString(",\n")
-        s"""WITH qd AS (
-           |  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
-           |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
-           |      + 1000 AS v
-           |  FROM embeddings, generate_series(1, 64) AS g(i)),
-           |seeds AS (
-           |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
-           |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-           |    FROM embeddings)
-           |  WHERE rn <= GREATEST(8,
-           |    (SELECT COUNT(*) FROM embeddings) // 250)),
-           |c0 AS (SELECT s.cid, qd.dim, qd.v AS c
-           |       FROM qd JOIN seeds s USING (vec_id)),
-           |$rounds,
-           |${kmAssign(3)},
+      "q103_semantic_dedup_trained" ->
+        s"""WITH $trainedAssignCtes,
            | e AS (SELECT em.vec_id, em.embedding, a3.cid AS cell
            |       FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id),
            | pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
@@ -1174,8 +1205,73 @@ object Similarity {
            |   FROM dr JOIN q ON q.vb = dr.vb AND q.va = dr.dropped_for)
            |SELECT e.vec_id, e.cell, drc.dropped_for, drc.wcos
            |FROM e LEFT JOIN drc ON drc.vb = e.vec_id
-           |ORDER BY e.vec_id""".stripMargin
-      }
+           |ORDER BY e.vec_id""".stripMargin,
+
+      // q104: rank a3's integer distances within each trained cell —
+      // same window order (d2, vec_id) and the integer 20% cut
+      "q104_prototype_prune" ->
+        s"""WITH $trainedAssignCtes,
+           | r AS (SELECT vec_id, cid AS cell, d2,
+           |    row_number() OVER (PARTITION BY cid
+           |                       ORDER BY d2, vec_id) AS proto_rank,
+           |    COUNT(*) OVER (PARTITION BY cid) AS cell_n
+           |   FROM a3)
+           |SELECT vec_id, cell, CAST(d2 AS BIGINT) AS d2,
+           |  CAST(proto_rank AS BIGINT) AS proto_rank,
+           |  (CASE WHEN proto_rank * 5 <= cell_n THEN 1 ELSE 0 END)::BIGINT
+           |    AS dropped
+           |FROM r ORDER BY vec_id""".stripMargin,
+
+      // q105: per-cell cap by the salted portable hash, same tie order
+      "q105_cluster_balanced_sample" ->
+        s"""WITH $trainedAssignCtes,
+           | r AS (SELECT vec_id, cid AS cell,
+           |    row_number() OVER (PARTITION BY cid ORDER BY
+           |      ${Shared.sqlHash60("concat('cb|', CAST(vec_id AS VARCHAR))")},
+           |      vec_id) AS rn
+           |   FROM a3)
+           |SELECT vec_id, cell, CAST(rn AS BIGINT) AS rn
+           |FROM r WHERE rn <= 40 ORDER BY cell, rn""".stripMargin
     )
+  }
+
+  /** DuckDB CTE chain for the q103/q104/q105 trained assignment: the q97
+    * integer Lloyd recurrence at K = max(8, n//250), 2 update rounds,
+    * ending in `a3` = the final (vec_id, cid, d2) assignment. Every
+    * consumer replays the identical centroid trajectory the Spark
+    * [[kmeansAssignFull]] walks (q97's exactness contract).
+    */
+  private def trainedAssignCtes: String = {
+    def kmAssign(n: Int): String =
+      s"""a$n AS (SELECT vec_id, cid, d2 FROM (
+         |    SELECT qd.vec_id, c.cid,
+         |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
+         |      row_number() OVER (PARTITION BY qd.vec_id
+         |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.cid)
+         |        AS rn
+         |    FROM qd JOIN c${n - 1} c USING (dim)
+         |    GROUP BY qd.vec_id, c.cid)
+         |  WHERE rn = 1)""".stripMargin
+    def kmUpdate(n: Int): String =
+      s"""c$n AS (SELECT a.cid, qd.dim, SUM(qd.v) // COUNT(*) AS c
+         |  FROM a$n a JOIN qd USING (vec_id)
+         |  GROUP BY a.cid, qd.dim)""".stripMargin
+    val rounds = (1 to 2)
+      .map(n => s"${kmAssign(n)},\n${kmUpdate(n)}").mkString(",\n")
+    s"""qd AS (
+       |  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
+       |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      + 1000 AS v
+       |  FROM embeddings, generate_series(1, 64) AS g(i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= GREATEST(8,
+       |    (SELECT COUNT(*) FROM embeddings) // 250)),
+       |c0 AS (SELECT s.cid, qd.dim, qd.v AS c
+       |       FROM qd JOIN seeds s USING (vec_id)),
+       |$rounds,
+       |${kmAssign(3)}""".stripMargin
   }
 }

@@ -1396,6 +1396,49 @@ class OperatorSpec extends AnyFunSuite {
       "degenerate: no drops under the trained codebook")
   }
 
+  test("q104 drops exactly the floor-20% most prototypical of each cell") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q104_prototype_prune")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // cells must be the SAME trained assignment q103 uses
+    val q103Cells = SparkEntry.queries("q103_semantic_dedup_trained")(spark, sf)
+      .select(col("vec_id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === q103Cells,
+      "q104 cell assignment must equal q103's trained codebook")
+    rows.groupBy(_._2).foreach { case (cell, rs) =>
+      val n = rs.size
+      assert(rs.count(_._5 == 1L) === n / 5,
+        s"cell $cell: dropped count must be floor(n/5) of $n")
+      // every dropped row is at least as close to the centroid as every
+      // kept row (prototypicality order), up to d2 ties at the boundary
+      val maxDroppedD2 = rs.filter(_._5 == 1L).map(_._3).maxOption
+      val minKeptD2 = rs.filter(_._5 == 0L).map(_._3).minOption
+      for (a <- maxDroppedD2; b <- minKeptD2)
+        assert(a <= b || rs.exists(r => r._5 == 0L && r._3 == a),
+          s"cell $cell: kept a closer example than a dropped one")
+    }
+  }
+
+  test("q105 keeps min(40, cell size) per cell, a subset of q104's cells") {
+    import spark.implicits._
+    val sample = SparkEntry.queries("q105_cluster_balanced_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cells = SparkEntry.queries("q104_prototype_prune")(spark, sf)
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect().toMap
+    val cellSizes = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    assert(sample.forall { case (v, c, _) => cells.get(v).contains(c) },
+      "sampled rows must carry the trained cell of their vector")
+    sample.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.size === math.min(40, cellSizes(cell)),
+        s"cell $cell: cap must keep min(40, n)")
+      assert(rs.map(_._3).sorted === (1L to rs.size.toLong),
+        s"cell $cell: ranks must be dense 1..k")
+    }
+    // every cell with members is represented — the coverage guarantee
+    assert(sample.map(_._2).toSet === cellSizes.keySet)
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

@@ -515,6 +515,18 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q104 prototype ranking stays equi-keyed with no all-pairs join") {
+    val p = plan("q104_prototype_prune")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q105 per-cell cap pre-prunes map-side (LocalTopK fires)") {
+    val p = plan("q105_cluster_balanced_sample")
+    assert(p.contains("LocalTopKPerKey"),
+      "rn <= 40 rank filter must rewrite to map-side per-cell pruning")
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
