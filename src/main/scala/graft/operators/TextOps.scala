@@ -632,6 +632,46 @@ object TextOps {
         .agg(count(lit(1)).as("n_bigrams"),
           expr("sum(sg) div count(1)").as("lm_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q106 — DSIR-style importance selection (Xie et al. '23,
+    // arXiv:2302.03169): pick raw-corpus documents that look like a
+    // TARGET domain by the ratio of hashed-feature language models —
+    // the data-selection recipe behind domain-tuned pretraining mixes.
+    // Target here = src0 (the curated tier of the q50 mixture); features
+    // = unigrams hashed into 4096 buckets (DSIR's hashing trick — the
+    // model is two fixed-width count vectors however large the vocab).
+    //
+    // Exactness: DSIR's log-importance weight Σ log(p_t(f)/p_r(f)) is
+    // replaced by the integer surrogate Σ (10⁶·(ct+1)) div (cr+1) —
+    // a per-occurrence scaled likelihood ratio in Laplace-smoothed
+    // counts, mean-per-token via integer div (the q101 contract: no
+    // libm on either engine). The global normalizer Nt/Nr multiplies
+    // every doc identically, so dropping it preserves the ranking the
+    // selection consumes.
+    //
+    // 100-TB posture: the "trained model" is a 4096-row count table per
+    // side — two map-side-combined aggs, broadcast back; per-occurrence
+    // joins fan out 1:1 and shuffle is linear in token mass. Selection
+    // is a global top-N by (score, doc_id) = TakeOrderedAndProject (per-
+    // partition top-200, never a corpus sort).
+    "q106_dsir_importance" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", pmod(Shared.hash60(col("w")), lit(4096)))
+      val cr = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val ct = toks.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      toks.join(cr, "b").join(ct, Seq("b"), "left")
+        .withColumn("sg",
+          expr("(1000000 * (coalesce(ct, 0) + 1)) div (cr + 1)"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"),
+          expr("sum(sg) div count(1)").as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(200)
     })
   )
 
@@ -841,6 +881,26 @@ object TextOps {
           |    AS lm_score
           |FROM ge JOIN c2 USING (g) JOIN c1 USING (w1)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q106: same hashed-bucket count tables and integer ratio; the
+      // LIMIT's (score desc, doc_id) order is total, so the top-200 SET
+      // is deterministic on both engines
+      "q106_dsir_importance" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |      unnest(string_split(text, ' ')) AS w
+           |    FROM documents),
+           | tb AS (SELECT doc_id, source,
+           |      ${sqlHash60("w")} % 4096 AS b FROM t),
+           | cr AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+           | ct AS (SELECT b, COUNT(*) AS ct FROM tb
+           |        WHERE source = 'src0' GROUP BY b),
+           | sg AS (SELECT tb.doc_id, tb.source,
+           |      (1000000 * (COALESCE(ct.ct, 0) + 1)) // (cr.cr + 1) AS sg
+           |    FROM tb JOIN cr USING (b) LEFT JOIN ct USING (b))
+           |SELECT doc_id, source, COUNT(*) AS n_tok,
+           |  CAST(SUM(sg) AS BIGINT) // COUNT(*) AS dsir_score
+           |FROM sg GROUP BY doc_id, source
+           |ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin,
 
       "q40_fingerprint" ->
         s"""WITH s AS ($sqlShingles3),

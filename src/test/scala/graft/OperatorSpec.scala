@@ -1396,6 +1396,38 @@ class OperatorSpec extends AnyFunSuite {
       "degenerate: no drops under the trained codebook")
   }
 
+  test("q106 selects the target-likeness top-200, replayed exactly") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val occ = docs.flatMap { case (id, src, text) =>
+      text.split(" ", -1).map(w => (id, src, h60(w) % 4096)) }
+    val cr = occ.groupBy(_._3).map { case (b, o) => b -> o.length }
+    val ct = occ.filter(_._2 == "src0").groupBy(_._3)
+      .map { case (b, o) => b -> o.length }
+    val scored = occ.groupBy(o => (o._1, o._2)).map { case ((id, src), os) =>
+      val sgSum = os.map(o =>
+        (1000000L * (ct.getOrElse(o._3, 0) + 1)) / (cr(o._3) + 1)).sum
+      (id, src, os.length.toLong, sgSum / os.length)
+    }.toSeq
+    val expected = scored.sortBy(r => (-r._4, r._1)).take(200)
+    val got = SparkEntry.queries("q106_dsir_importance")(spark, sf)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.sortBy(r => (-r._4, r._1)) === expected)
+    // the selector must actually find the target domain: src0 is
+    // over-represented in the selection vs its corpus share
+    val srcShare = docs.count(_._2 == "src0").toDouble / docs.length
+    val selShare = got.count(_._2 == "src0").toDouble / got.length
+    assert(selShare > srcShare,
+      s"target share $selShare must exceed corpus share $srcShare")
+  }
+
   test("q104 drops exactly the floor-20% most prototypical of each cell") {
     import spark.implicits._
     val rows = SparkEntry.queries("q104_prototype_prune")(spark, sf)

@@ -527,6 +527,14 @@ class PlanSpec extends AnyFunSuite {
       "rn <= 40 rank filter must rewrite to map-side per-cell pruning")
   }
 
+  test("q106 selection is a top-k, never a corpus sort") {
+    val p = plan("q106_dsir_importance")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-200 by (score, doc_id) must be per-partition top-k + merge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
