@@ -105,11 +105,15 @@ object Bench {
         (() => operators.Dedup.labelsArtifact(spark, sfDir)),
       "artifact:q89_bands" ->
         (() => _root_.graft.streaming.StreamingQueries
-          .q89CorpusBands(spark, sfDir)))
+          .q89CorpusBands(spark, sfDir)),
+      "artifact:sem_cells" ->
+        (() => operators.Similarity.cellsArtifact(spark, sfDir)))
     for ((n, f) <- artifacts
          if only.isEmpty || only.exists(q =>
            q.endsWith("b_canonical_staged") || q.endsWith("b_split_staged") ||
-             q.startsWith("q89") || q.startsWith("q93"))) {
+             q.startsWith("q89") || q.startsWith("q93") ||
+             q.startsWith("q103b") || q.startsWith("q104b") ||
+             q.startsWith("q105b") || q.startsWith("q107"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>

@@ -726,21 +726,10 @@ object Similarity {
     // per-cell, and trained cells are ~250-row balanced BY CONSTRUCTION
     // (K ∝ n) — the window never sees skew and the whole pass is one
     // exchange on the cell key.
-    "q104_prototype_prune" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val a = trainedAssign(s, d)
-        .select(col("vec_id"), col("cid").as("cell"), col("d2"))
-      val w = Window.partitionBy(col("cell"))
-        .orderBy(col("d2"), col("vec_id"))
-      a.withColumn("proto_rank", row_number().over(w).cast("long"))
-        .withColumn("cell_n",
-          count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
-        .withColumn("dropped",
-          (col("proto_rank") * 5 <= col("cell_n")).cast("long"))
-        .select(col("vec_id"), col("cell"), col("d2"), col("proto_rank"),
-          col("dropped"))
-        .orderBy(col("vec_id"))
-    }),
+    "q104_prototype_prune" -> ((s, d) =>
+      protoPruneOf(trainedAssign(s, d)
+        .select(col("vec_id"), col("cid").as("cell"), col("d2")))
+        .orderBy(col("vec_id"))),
 
     // q105 — cluster-balanced (diversity) sampling: keep at most M=40
     // examples per trained cell, chosen by deterministic salted-hash
@@ -754,26 +743,119 @@ object Similarity {
     // top-M per cell below the exchange, so the shuffle carries
     // O(K·M) rows — and K·M ≈ n·(M/250) scales linearly with the
     // corpus while per-cell work stays constant.
-    "q105_cluster_balanced_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val a = trainedAssign(s, d)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val ord = Shared.hash60(concat(lit("cb|"), col("vec_id").cast("string")))
-      val w = Window.partitionBy(col("cell")).orderBy(ord, col("vec_id"))
-      a.withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 40)
-        .select(col("vec_id"), col("cell"), col("rn"))
+    "q105_cluster_balanced_sample" -> ((s, d) =>
+      balancedCapOf(trainedAssign(s, d)
+        .select(col("vec_id"), col("cid").as("cell")))
+        .orderBy(col("cell"), col("rn"))),
+
+    // q103b/q104b/q105b — the staged twins: identical semantics and
+    // output, but the trained assignment comes from the write-once
+    // `sem_cells` artifact (one Lloyd training per pipeline, however
+    // many curation stages consume it — the q81b/q87b cost structure
+    // applied to the semantic suite; PipelineSpec asserts the
+    // write-once invariant via [[cellsWrites]]).
+    "q103b_semantic_dedup_staged" -> ((s, d) =>
+      dominanceDedup(stagedCellFrame(s, d))),
+    "q104b_prototype_staged" -> ((s, d) =>
+      protoPruneOf(cellsArtifact(s, d)
+        .select(col("vec_id"), col("cid").as("cell"), col("d2")))
+        .orderBy(col("vec_id"))),
+    "q105b_sample_staged" -> ((s, d) =>
+      balancedCapOf(cellsArtifact(s, d)
+        .select(col("vec_id"), col("cid").as("cell")))
+        .orderBy(col("cell"), col("rn"))),
+
+    // q107 — the COMPOSED semantic curation pipeline (the D4 recipe
+    // end-to-end, over the shared artifact): semantic dedup survivors →
+    // prototype prune RE-RANKED AMONG SURVIVORS (composition order
+    // matters: pruning 20% of post-dedup cells, not of raw cells) →
+    // cluster-balanced cap. One Spark job, one trained codebook, three
+    // window/join stages all keyed on (cell) or (vec_id) — no stage
+    // rescans the corpus and nothing is all-pairs beyond the dedup's
+    // within-cell verify. The oracle recomposes the identical CTEs.
+    "q107_semantic_pipeline" -> ((s, d) => {
+      val deduped = dominanceDedup(stagedCellFrame(s, d))
+      val survivors = deduped.filter(col("dropped_for").isNull)
+        .select(col("vec_id"), col("cell"))
+        .join(cellsArtifact(s, d).select(col("vec_id"), col("d2")),
+          "vec_id")
+      protoPruneOf(survivors)
+        .filter(col("dropped") === 0L)
+        .select(col("vec_id"), col("cell"))
+        .transform(balancedCapOf)
         .orderBy(col("cell"), col("rn"))
     })
   )
 
-  /** The trained coarse assignment shared by q103/q104/q105: the q97
-    * integer Lloyd loop at K = max(8, n/250), 2 rounds + final assign.
-    * Returns (vec_id, cid, d2).
+  /** The trained coarse assignment shared by the semantic curation suite:
+    * the q97 integer Lloyd loop at K = max(8, n/250), 2 rounds + final
+    * assign. Returns (vec_id, cid, d2).
     */
   private def trainedAssign(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d).count()
     kmeansAssignFull(s, d, k = math.max(8L, n / 250L), iters = 2)
+  }
+
+  /** How many times the staged `sem_cells` artifact has been WRITTEN this
+    * JVM — PipelineSpec asserts the staged suite (q103b/q104b/q105b/q107)
+    * pays for Lloyd training exactly once.
+    */
+  private[graft] val cellsWrites = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once trained-codebook artifact: (vec_id, cid, d2) bucketed +
+    * sorted by vec_id — the "semantic index" a curation pipeline builds
+    * once at ingest and every downstream stage (dedup, prune, sample,
+    * composed builds) joins for free. Same memo/locking contract as the
+    * dup_labels artifact ([[Bucketed.writeOnceBucketed]]).
+    */
+  private[graft] def cellsArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "sem_cells",
+      s"$d/embeddings.parquet",
+      { cellsWrites.incrementAndGet(); trainedAssign(s, d) },
+      8, Seq("vec_id"))
+
+  /** The staged twin of [[trainedCellFrame]]: embeddings keyed by the
+    * artifact's cells. Checkpointed for the same three-read reason.
+    */
+  private def stagedCellFrame(s: SparkSession, d: String): DataFrame = {
+    val cells = cellsArtifact(s, d)
+      .select(col("vec_id"), col("cid").as("cell"))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(cells, "vec_id")
+      .localCheckpoint(true)
+  }
+
+  /** The q104 body over ANY (vec_id, cell, d2) assignment frame: rank by
+    * integer distance-to-centroid within the cell (ties by vec_id) and
+    * drop the most prototypical floor-20% via the integer cross-product
+    * cut. Shared by q104, its staged twin, and q107's survivor re-rank.
+    */
+  private def protoPruneOf(a: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("d2"), col("vec_id"))
+    a.withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("cell_n",
+        count(lit(1)).over(Window.partitionBy(col("cell"))).cast("long"))
+      .withColumn("dropped",
+        (col("proto_rank") * 5 <= col("cell_n")).cast("long"))
+      .select(col("vec_id"), col("cell"), col("d2"), col("proto_rank"),
+        col("dropped"))
+  }
+
+  /** The q105 body over ANY (vec_id, cell) frame: keep at most 40 rows
+    * per cell by deterministic salted-hash order. The rank filter is the
+    * LocalTopK idiom (map-side per-cell pre-pruning).
+    */
+  private def balancedCapOf(a: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Shared.hash60(concat(lit("cb|"), col("vec_id").cast("string")))
+    val w = Window.partitionBy(col("cell")).orderBy(ord, col("vec_id"))
+    a.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 40)
+      .select(col("vec_id"), col("cell"), col("rn"))
   }
 
   /** The q97 Lloyd loop, parameterized: K seeds = the K lowest vec_ids,
@@ -900,6 +982,47 @@ object Similarity {
   }
 
   def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    m ++ Map(
+      // staged twins: identical output contract, so identical oracles
+      "q103b_semantic_dedup_staged" -> m("q103_semantic_dedup_trained"),
+      "q104b_prototype_staged" -> m("q104_prototype_prune"),
+      "q105b_sample_staged" -> m("q105_cluster_balanced_sample"),
+      // q107: the q103 dominance CTEs → survivors → re-ranked prototype
+      // prune → balanced cap, recomposed from the same fragments
+      "q107_semantic_pipeline" ->
+        s"""WITH $trainedAssignCtes,
+           | e AS (SELECT em.vec_id, em.embedding, a3.cid AS cell
+           |       FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id),
+           | pr AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |   FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           | dr AS (SELECT DISTINCT vb FROM pr WHERE cos >= $CosT),
+           | sv AS (SELECT e.vec_id, e.cell, a3.d2
+           |   FROM e JOIN a3 ON a3.vec_id = e.vec_id
+           |   LEFT JOIN dr ON dr.vb = e.vec_id WHERE dr.vb IS NULL),
+           | r AS (SELECT vec_id, cell, d2,
+           |    row_number() OVER (PARTITION BY cell
+           |                       ORDER BY d2, vec_id) AS proto_rank,
+           |    COUNT(*) OVER (PARTITION BY cell) AS cell_n
+           |   FROM sv),
+           | kept AS (SELECT vec_id, cell FROM r
+           |          WHERE proto_rank * 5 > cell_n),
+           | c AS (SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY cell ORDER BY
+           |      ${Shared.sqlHash60("concat('cb|', CAST(vec_id AS VARCHAR))")},
+           |      vec_id) AS rn
+           |   FROM kept)
+           |SELECT vec_id, cell, CAST(rn AS BIGINT) AS rn
+           |FROM c WHERE rn <= 40 ORDER BY cell, rn""".stripMargin
+    )
+  }
+
+  private def oracleSqlBase: Map[String, String] = {
     val cellSql = (0 until 8)
       .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
       .mkString(" + ")

@@ -1471,6 +1471,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(sample.map(_._2).toSet === cellSizes.keySet)
   }
 
+  test("q107 equals q103 survivors -> re-ranked prune -> balanced cap") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ded = SparkEntry.queries("q103_semantic_dedup_trained")(spark, sf)
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    val d2s = SparkEntry.queries("q104_prototype_prune")(spark, sf)
+      .select(col("vec_id"), col("d2")).as[(Long, Long)].collect().toMap
+    val survivors = ded.filter(_._3.isEmpty).map(r => (r._1, r._2, d2s(r._1)))
+    val kept = survivors.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val ranked = rs.sortBy(r => (r._3, r._1)).zipWithIndex
+      ranked.collect {
+        case ((v, c, _), i) if (i + 1) * 5 > rs.length => (v, c)
+      }
+    }
+    val expected = kept.groupBy(_._2).toSeq.flatMap { case (cell, rs) =>
+      rs.sortBy { case (v, _) => (h60(s"cb|$v"), v) }.take(40).zipWithIndex
+        .map { case ((v, c), i) => (v, c, (i + 1).toLong) }
+    }.sortBy(r => (r._2, r._3))
+    val got = SparkEntry.queries("q107_semantic_pipeline")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < survivors.length,
+      "composition must actually prune")
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

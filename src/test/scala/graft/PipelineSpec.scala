@@ -29,6 +29,20 @@ class PipelineSpec extends AnyFunSuite {
       "warm consumers re-ran pair generation + connected components")
   }
 
+  test("sem_cells artifact trains Lloyd at most once across the staged semantic suite") {
+    import operators.Similarity
+    val d0 = Similarity.cellsWrites.get()
+    Similarity.queries("q103b_semantic_dedup_staged")(spark, TestSpark.sf)
+      .collect()
+    val d1 = Similarity.cellsWrites.get()
+    assert(d1 - d0 <= 1, s"first consumer trained ${d1 - d0} times")
+    Similarity.queries("q104b_prototype_staged")(spark, TestSpark.sf).collect()
+    Similarity.queries("q105b_sample_staged")(spark, TestSpark.sf).collect()
+    Similarity.queries("q107_semantic_pipeline")(spark, TestSpark.sf).collect()
+    assert(Similarity.cellsWrites.get() === d1,
+      "warm consumers re-ran Lloyd training")
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // run once in the base session so its memo is warm
     Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()

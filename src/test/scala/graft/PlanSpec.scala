@@ -535,6 +535,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("staged semantic twins scan the sem_cells artifact, not a Lloyd re-run") {
+    for (q <- Seq("q104b_prototype_staged", "q105b_sample_staged")) {
+      val p = plan(q)
+      assert(p.contains("sem_cells"),
+        s"$q must scan the staged graft_b*.sem_cells table")
+    }
+  }
+
+  test("q107 composed pipeline stays equi-keyed, no all-pairs stage") {
+    val p = plan("q107_semantic_pipeline")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
