@@ -107,13 +107,17 @@ object Bench {
         (() => _root_.graft.streaming.StreamingQueries
           .q89CorpusBands(spark, sfDir)),
       "artifact:sem_cells" ->
-        (() => operators.Similarity.cellsArtifact(spark, sfDir)))
+        (() => operators.Similarity.cellsArtifact(spark, sfDir)),
+      "artifact:q108_corpus_cells" ->
+        (() => _root_.graft.streaming.StreamingQueries
+          .q108CorpusCells(spark, sfDir)))
     for ((n, f) <- artifacts
          if only.isEmpty || only.exists(q =>
            q.endsWith("b_canonical_staged") || q.endsWith("b_split_staged") ||
              q.startsWith("q89") || q.startsWith("q93") ||
              q.startsWith("q103b") || q.startsWith("q104b") ||
-             q.startsWith("q105b") || q.startsWith("q107"))) {
+             q.startsWith("q105b") || q.startsWith("q107") ||
+             q.startsWith("q108"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>

@@ -163,6 +163,18 @@ object ScaleProbe {
       val b = f.select(col("vec_id").as("vb"), col("cell").as("cb"))
       a.join(b, col("cell") === col("cb") && col("va") < col("vb")).count()
     }
+    // q108: the streaming semantic join's per-batch candidate mass —
+    // new-tenth × corpus-nine-tenths meeting in trained cells. With
+    // K ∝ n this tracks the q103 law (~linear per decade): per-batch
+    // work stays proportional to the batch, never to corpus²
+    out("q108_candidates") = timed("q108_candidates") {
+      val cells = operators.Similarity.cellsArtifact(spark, d)
+      cells.filter(col("vec_id") % 10 === 0)
+        .select(col("cid").as("cell"))
+        .join(cells.filter(col("vec_id") % 10 =!= 0)
+          .select(col("cid").as("cell")), "cell")
+        .count()
+    }
     // q75b: corpus keys before/after the bloom prefilter — the
     // anti-join's shuffle reduction
     timed("q75b_prune") {

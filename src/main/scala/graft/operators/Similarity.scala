@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Shared._
 
-  private val CosT = 0.3
+  private[graft] val CosT = 0.3
 
   /** q35's verify threshold. Sign-LSH banding (4 bands × 8 bits) only has
     * high candidate recall where the Charikar collision curve is steep —
@@ -811,8 +811,28 @@ object Similarity {
   private[graft] def cellsArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "sem_cells",
       s"$d/embeddings.parquet",
-      { cellsWrites.incrementAndGet(); trainedAssign(s, d) },
+      {
+        cellsWrites.incrementAndGet()
+        val n = Tables.embeddings(s, d).count()
+        val (assign, cents) =
+          kmeansTrain(s, d, k = math.max(8L, n / 250L), iters = 2)
+        // the codebook itself rides along under the same memo + lock —
+        // one training writes BOTH tables, so the online consumer
+        // (q108's streaming assignment) can never see centroids from a
+        // different training than the stored cells
+        Bucketed.rewriteBucketed(s, Bucketed.dbFor(d), "sem_centroids",
+          cents, 1, Seq("cid"))
+        assign
+      },
       8, Seq("vec_id"))
+
+  /** The trained codebook (cid, dim, c) written alongside [[cellsArtifact]]
+    * — triggers the (memoized) training if needed.
+    */
+  private[graft] def centroidsArtifact(s: SparkSession, d: String): DataFrame = {
+    cellsArtifact(s, d)
+    s.table(s"${Bucketed.dbFor(d)}.sem_centroids")
+  }
 
   /** The staged twin of [[trainedCellFrame]]: embeddings keyed by the
     * artifact's cells. Checkpointed for the same three-read reason.
@@ -865,7 +885,17 @@ object Similarity {
     * q97 reports it at K=8/3 rounds; q103 trains K ∝ n.
     */
   private[graft] def kmeansAssignFull(s: SparkSession, d: String,
-      k: Long, iters: Int): DataFrame = {
+      k: Long, iters: Int): DataFrame =
+    kmeansTrain(s, d, k, iters)._1
+
+  /** [[kmeansAssignFull]] plus the trained codebook itself: returns
+    * (final assignment (vec_id, cid, d2), centroids (cid, dim, c)) — the
+    * centroid table is what an ONLINE consumer (q108's streaming
+    * assignment) needs to place vectors it has never seen into the
+    * trained cells.
+    */
+  private[graft] def kmeansTrain(s: SparkSession, d: String,
+      k: Long, iters: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // The quantized (vec_id, dim, v) stream is read by every round's
     // assignment AND update: materialize it ONCE, already hash-clustered
@@ -909,7 +939,7 @@ object Similarity {
         .agg(expr("sum(v) div count(1)").as("c"))
         .localCheckpoint(true)
     }
-    assign(cent)
+    (assign(cent), cent)
   }
 
   /** q99 body + its ScaleProbe hook: [[semanticCandidates]] is the
@@ -1364,7 +1394,7 @@ object Similarity {
     * consumer replays the identical centroid trajectory the Spark
     * [[kmeansAssignFull]] walks (q97's exactness contract).
     */
-  private def trainedAssignCtes: String = {
+  private[graft] def trainedAssignCtes: String = {
     def kmAssign(n: Int): String =
       s"""a$n AS (SELECT vec_id, cid, d2 FROM (
          |    SELECT qd.vec_id, c.cid,

@@ -204,6 +204,86 @@ object StreamingQueries {
       .dropDuplicates("new_doc", "corpus_doc")
   }
 
+  /** q108's static side, materialized once per (session, tier): corpus
+    * vectors (vec_id % 10 != 0) with their TRAINED cell and embedding,
+    * bucketed by cell — the semantic index an ingest pipeline builds
+    * once and every arriving batch joins. Builds on the sem_cells
+    * artifact (triggering the one memoized Lloyd training if needed), so
+    * corpus cells and the online assignment below share one codebook.
+    */
+  private[graft] def q108CorpusCells(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Bucketed, Similarity}
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q108_corpus_cells",
+      s"$d/embeddings.parquet",
+      Similarity.cellsArtifact(s, d)
+        .filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("corpus_vec"), col("cid").as("cell"))
+        .join(graft.Tables.embeddings(s, d)
+          .select(col("vec_id").as("corpus_vec"),
+            col("embedding").cast("array<double>").as("emb_b")),
+          "corpus_vec"),
+      buckets = 16, keys = Seq("cell"))
+  }
+
+  /** Streaming semantic dedup (q108).
+    *
+    * Online assignment: the trained codebook (sem_centroids, K×dims
+    * integer rows) is collected and inlined as literals — per new vector
+    * the K quantized distances are codegen'd array folds and the cell is
+    * the first-minimum position, which reproduces the artifact's
+    * min(struct(d2, cid)) tie rule exactly (lowest d2, then lowest cid —
+    * the centroid rows are inlined in ascending cid order). That makes
+    * the stream side a NARROW map: no aggregation state, no shuffle —
+    * each arriving vector independently computes its cell. The driver-
+    * side collect is the coarse-codebook broadcast (K ∝ n/250 rows of 64
+    * ints); at the scale where K itself is too large to inline, online
+    * assignment goes hierarchical (probe a fixed coarse layer first,
+    * then refine within — q90's IVF pattern), leaving this plan's join
+    * shape unchanged.
+    *
+    * The stream-static join is an equi-join on the trained cell against
+    * the bucketed [[q108CorpusCells]] scan (never new × corpus), then
+    * the exact cosine ≥ τ verify. Because training covered the full
+    * table, the batch oracle replays the identical pair set from the a3
+    * assignment — an equality that ALSO proves the online argmin matches
+    * the stored assignment on every streamed vector.
+    */
+  private[graft] def q108Stream(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Shared, Similarity}
+    val centRows = Similarity.centroidsArtifact(s, d)
+      .select(col("cid"), col("dim"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dims = centRows.map(_._2).max.toInt
+    val cents = centRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, rs) =>
+        val arr = new Array[Long](dims)
+        rs.foreach(r => arr(r._2.toInt - 1) = r._3)
+        (cid, arr)
+      }
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val newVecs = s.readStream.schema(schema)
+      .parquet(stageTableDir(d, "embeddings"))
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("new_vec"),
+        col("embedding").cast("array<double>").as("emb_a"))
+      .withColumn("qv", transform(col("emb_a"),
+        x => (floor(x * 1000) + 1000).cast("long")))
+    val dists = cents.map { case (_, cv) =>
+      aggregate(
+        zip_with(col("qv"), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val distArr = array(dists: _*)
+    val assigned = newVecs
+      .withColumn("cell", element_at(typedLit(cents.map(_._1)),
+        array_position(distArr, array_min(distArr)).cast("int")))
+      .select(col("new_vec"), col("cell"), col("emb_a"))
+    assigned.join(q108CorpusCells(s, d), "cell")
+      .withColumn("cos", round(Shared.cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= Similarity.CosT)
+      .select(col("new_vec"), col("cell"), col("corpus_vec"), col("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q27 — tumbling 1h window, count per event_type
     "q27_stream_tumbling" -> ((s, d) => {
@@ -263,6 +343,19 @@ object StreamingQueries {
     "q89_stream_neardup" -> ((s, d) =>
       drain(s, q89Stream(s, d), "q89_mem", "append")
         .orderBy(col("new_doc"), col("corpus_doc"))),
+
+    // q108 — streaming SEMANTIC dedup against the trained index: the
+    // embedding-space twin of q89's MinHash backfill. New vectors
+    // (vec_id % 10 == 0, replayed as a stream) are assigned ONLINE to
+    // the trained codebook's cells — a narrow, stateless argmin over
+    // the broadcast centroid table, no shuffle on the stream side —
+    // then stream-static-joined to the once-materialized corpus cell
+    // table (bucketed by cell) and cosine-verified. Emits every
+    // (new_vec, corpus_vec) semantic hit, like q89 emits band hits.
+    // See [[q108Stream]] for the construction and scale notes.
+    "q108_stream_semantic_dedup" -> ((s, d) =>
+      drain(s, q108Stream(s, d), "q108_mem", "append")
+        .orderBy(col("new_vec"), col("corpus_vec"))),
 
     // Q46 — streaming deduplication: dropDuplicatesWithinWatermark keyed
     // on (user_id, event_type). The dedup state lives in the state store
@@ -437,6 +530,28 @@ object StreamingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q108: the q103 trained-assignment CTEs, then the new-tenth ×
+    // corpus-nine-tenths cell join + cosine verify. The oracle keys BOTH
+    // sides on the a3 assignment; a hash match therefore also proves the
+    // stream's ONLINE centroid argmin equals the stored assignment for
+    // every streamed vector.
+    "q108_stream_semantic_dedup" ->
+      s"""WITH ${graft.operators.Similarity.trainedAssignCtes},
+         | e AS (SELECT em.vec_id, em.embedding, a3.cid AS cell
+         |       FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id),
+         | n AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         | c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         | p AS (SELECT n.vec_id AS new_vec, n.cell, c.vec_id AS corpus_vec,
+         |    ROUND(list_sum(list_transform(list_zip(n.embedding, c.embedding),
+         |            q -> q[1]::DOUBLE * q[2]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(n.embedding, v -> v::DOUBLE * v::DOUBLE)))
+         |         * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+         |      4) AS cos
+         |   FROM n JOIN c ON n.cell = c.cell)
+         |SELECT new_vec, cell, corpus_vec, cos FROM p
+         |WHERE cos >= ${graft.operators.Similarity.CosT}
+         |ORDER BY new_vec, corpus_vec""".stripMargin,
+
     "q27_stream_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
          |    AS w_start, event_type, COUNT(*) AS n,

@@ -1500,6 +1500,33 @@ class OperatorSpec extends AnyFunSuite {
       "composition must actually prune")
   }
 
+  test("q108 emits exactly the new-x-corpus same-cell cosine hits") {
+    import spark.implicits._
+    val cellMap = operators.Similarity.cellsArtifact(spark, sf)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (newSide, corpus) = embs.partition(_._1 % 10 == 0)
+    val byCell = corpus.groupBy(e => cellMap(e._1))
+    val expected = (for {
+      (nv, ne) <- newSide.toSeq
+      cell = cellMap(nv)
+      (cv, ce) <- byCell.getOrElse(cell, Array.empty[(Long, Array[Double])])
+      c = cos(ne, ce) if c >= 0.3
+    } yield (nv, cell, cv, c)).sortBy(r => (r._1, r._3))
+    val got = SparkEntry.queries("q108_stream_semantic_dedup")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty, "degenerate: no semantic hits in the stream")
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

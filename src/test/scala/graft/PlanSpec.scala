@@ -439,6 +439,27 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.head.left.toString.toLowerCase.contains("md5"))
   }
 
+  test("q108 static side is a scan of the corpus cell table; stream side is narrow") {
+    // same contract as q89: the static side of the stream-static join is
+    // re-evaluated per micro-batch, so it must be the materialized
+    // q108_corpus_cells scan — no Lloyd training, no assignment math.
+    // The online assignment (centroid argmin) lives on the STREAM side
+    // as inlined literals.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.streaming.StreamingQueries.q108Stream(spark, sf)
+    val joins = df.queryExecution.analyzed.collect { case j: Join => j }
+    assert(joins.size === 1, s"expected exactly one join, got ${joins.size}")
+    val static = joins.head.right.toString
+    assert(static.contains("q108_corpus_cells"),
+      s"static side is not the corpus cell table:\n${static.take(2000)}")
+    for (bad <- Seq("aggregate(", "array_min", "array_position"))
+      assert(!static.toLowerCase.contains(bad),
+        s"static side recomputes assignment ('$bad' found):\n${static.take(2000)}")
+    val stream = joins.head.left.toString.toLowerCase
+    assert(stream.contains("array_min") && stream.contains("array_position"),
+      "online argmin must be on the streaming side")
+  }
+
   test("q91 is a single pass: one documents scan, no join") {
     // the agg+join formulation evaluated the scan→explode→md5 subtree
     // three times; the shipped plan must hit it once (PLANS.md §q91)
