@@ -16,6 +16,9 @@ case class MediaSample(doc_id: Long, n_frames: Long, n_sampled: Long,
                        sampled_sum: Long, resized_bytes: Long,
                        resized_sum: Long)
 
+/** Stubbed media "embedding": 64 integer features in [-1000, 1000]. */
+case class MediaVec(doc_id: Long, feat: Array[Long])
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by a partition-batched typed map — the Scala analog
   * of a `mapInPandas` decode UDF.
@@ -72,6 +75,21 @@ object Multimodal {
     MediaSample(r.doc_id, nf, nS, sSum, rBytes, rSum)
   }
 
+  /** STUB for a media embedding model (CLIP-style encoder): 64 integer
+    * features from byte sums by offset mod 64 — `(Σ bytes at i ≡ j) mod
+    * 2001 − 1000`. Deterministic byte arithmetic, so the DuckDB oracle
+    * reproduces the "model" exactly; a real encoder slots into the same
+    * mapPartitions seam (per-partition model load, iterator-batched).
+    */
+  def extractEmbedding(r: MediaRow): MediaVec = {
+    val sums = new Array[Long](64)
+    var i = 0
+    while (i < r.payload.length) {
+      sums(i % 64) += (r.payload(i) & 0xFF); i += 1
+    }
+    MediaVec(r.doc_id, sums.map(s => (s % 2001L) - 1000L))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41 — binary payload column → partition-batched feature extraction
     "q41_multimodal" -> ((s, d) => {
@@ -100,6 +118,46 @@ object Multimodal {
         .mapPartitions(it => it.map(sampleFrames))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // q41c — multimodal RETRIEVAL composition: media payload →
+    // partition-batched embedding stub → ONLINE assignment to the
+    // trained semantic codebook (the q108 inlined-centroid argmin —
+    // narrow, stateless) → cell equi-join against the materialized
+    // corpus index (q108_corpus_cells) → exact cosine top-3 per media
+    // item. This is the cross-modal search shape (embed the query
+    // modality, probe the text/vector index): the decode stub is the
+    // only fake part — everything downstream (cell probe, bounded
+    // candidate set ~250/cell by construction, LocalTopK-pruned rank)
+    // is the production plan. Candidates per item are cell-bounded, so
+    // the join scales with items × cell population, never items ×
+    // corpus.
+    "q41c_media_embed_ann" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("image/fake").as("kind"))
+        .as[MediaRow]
+      val feats = media.mapPartitions(it => it.map(extractEmbedding)).toDF()
+      val cents = Similarity.collectCentroids(s, d)
+      val withCell = feats
+        .withColumn("qv", transform(col("feat"), x => x + lit(1000L)))
+        .withColumn("cell", Similarity.onlineCellExpr(cents, col("qv")))
+        .withColumn("emb_m",
+          transform(col("feat"), x => x.cast("double") / lit(1000.0d)))
+        .select(col("doc_id"), col("cell"), col("emb_m"))
+      val corpus = graft.streaming.StreamingQueries.q108CorpusCells(s, d)
+      withCell.join(corpus, "cell")
+        .withColumn("cos", round(Shared.cosine(col("emb_m"), col("emb_b")), 4))
+        .withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("cos").desc, col("corpus_vec"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("cell"), col("rk"), col("corpus_vec"),
+          col("cos"))
+        .orderBy(col("doc_id"), col("rk"))
     })
   )
 
@@ -133,6 +191,48 @@ object Multimodal {
         |    FOR i IN generate_series(0, nb-1)
         |    IF (i//64)%4 = 0 AND (i%64)%2 = 0]), 0)
         |   AS BIGINT) AS resized_sum
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q41c: the byte-sum "encoder" replayed arithmetically, the online
+    // assignment replayed against the SAME trained codebook (c2 — the
+    // centroids after the 2-round Lloyd chain the Spark side stores as
+    // sem_centroids), then the cell join + cosine top-3
+    "q41c_media_embed_ann" ->
+      s"""WITH ${Similarity.trainedAssignCtes},
+         | b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb FROM documents),
+         | mq AS (SELECT b.doc_id, CAST(g.j + 1 AS BIGINT) AS dim,
+         |    COALESCE(list_sum(
+         |      [CAST(concat('0x', substr(hx, i*2+1, 2)) AS BIGINT)
+         |       FOR i IN generate_series(0, nb-1) IF i % 64 = g.j]), 0)
+         |      % 2001 AS v
+         |   FROM b, generate_series(0, 63) AS g(j)),
+         | me AS (SELECT doc_id,
+         |         list((v - 1000) / 1000.0 ORDER BY dim) AS emb
+         |        FROM mq GROUP BY doc_id),
+         | ma AS (SELECT doc_id, cid AS cell FROM (
+         |    SELECT mq.doc_id, c.cid,
+         |      row_number() OVER (PARTITION BY mq.doc_id
+         |        ORDER BY SUM((mq.v - c.c) * (mq.v - c.c)), c.cid) AS rn
+         |    FROM mq JOIN c2 c USING (dim)
+         |    GROUP BY mq.doc_id, c.cid)
+         |  WHERE rn = 1),
+         | co AS (SELECT em.vec_id AS corpus_vec, a3.cid AS cell,
+         |          em.embedding
+         |        FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id
+         |        WHERE em.vec_id % 10 <> 0),
+         | sc AS (SELECT ma.doc_id, ma.cell, co.corpus_vec,
+         |    ROUND(list_sum(list_transform(list_zip(me.emb, co.embedding),
+         |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(me.emb,
+         |            v -> v::DOUBLE * v::DOUBLE)))
+         |         * sqrt(list_sum(list_transform(co.embedding,
+         |            v -> v::DOUBLE * v::DOUBLE)))),
+         |      4) AS cos
+         |   FROM ma JOIN me USING (doc_id) JOIN co ON co.cell = ma.cell),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY cos DESC, corpus_vec) AS rk FROM sc)
+         |SELECT doc_id, cell, CAST(rk AS BIGINT) AS rk, corpus_vec, cos
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity operators over `embeddings` (64-dim float
@@ -832,6 +832,43 @@ object Similarity {
   private[graft] def centroidsArtifact(s: SparkSession, d: String): DataFrame = {
     cellsArtifact(s, d)
     s.table(s"${Bucketed.dbFor(d)}.sem_centroids")
+  }
+
+  /** The trained codebook collected for ONLINE (driver-inlined)
+    * assignment: ascending-cid (cid, centroid-by-dim) rows. K ∝ n/250 ×
+    * 64 ints — the coarse-codebook broadcast; at the scale where K no
+    * longer inlines, assignment goes hierarchical (q90's IVF pattern).
+    */
+  private[graft] def collectCentroids(s: SparkSession,
+      d: String): Seq[(Long, Array[Long])] = {
+    val centRows = centroidsArtifact(s, d)
+      .select(col("cid"), col("dim"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dims = centRows.map(_._2).max.toInt
+    centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rs) =>
+      val arr = new Array[Long](dims)
+      rs.foreach(r => arr(r._2.toInt - 1) = r._3)
+      (cid, arr)
+    }
+  }
+
+  /** Online cell assignment as a pure (narrow, stateless, codegen'd)
+    * column over a quantized vector `qv`: K inlined-literal distance
+    * folds, cell = FIRST-minimum position in ascending-cid order — which
+    * reproduces the stored min(struct(d2, cid)) tie rule exactly (lowest
+    * d2, then lowest cid). Shared by q108's stream side and q41c's media
+    * retrieval.
+    */
+  private[graft] def onlineCellExpr(cents: Seq[(Long, Array[Long])],
+      qv: Column): Column = {
+    val dists = cents.map { case (_, cv) =>
+      aggregate(
+        zip_with(qv, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val distArr = array(dists: _*)
+    element_at(typedLit(cents.map(_._1)),
+      array_position(distArr, array_min(distArr)).cast("int"))
   }
 
   /** The staged twin of [[trainedCellFrame]]: embeddings keyed by the

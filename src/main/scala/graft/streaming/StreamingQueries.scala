@@ -250,33 +250,16 @@ object StreamingQueries {
     */
   private[graft] def q108Stream(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Shared, Similarity}
-    val centRows = Similarity.centroidsArtifact(s, d)
-      .select(col("cid"), col("dim"), col("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val dims = centRows.map(_._2).max.toInt
-    val cents = centRows.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (cid, rs) =>
-        val arr = new Array[Long](dims)
-        rs.foreach(r => arr(r._2.toInt - 1) = r._3)
-        (cid, arr)
-      }
+    val cents = Similarity.collectCentroids(s, d)
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-    val newVecs = s.readStream.schema(schema)
+    val assigned = s.readStream.schema(schema)
       .parquet(stageTableDir(d, "embeddings"))
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("new_vec"),
         col("embedding").cast("array<double>").as("emb_a"))
       .withColumn("qv", transform(col("emb_a"),
         x => (floor(x * 1000) + 1000).cast("long")))
-    val dists = cents.map { case (_, cv) =>
-      aggregate(
-        zip_with(col("qv"), typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    }
-    val distArr = array(dists: _*)
-    val assigned = newVecs
-      .withColumn("cell", element_at(typedLit(cents.map(_._1)),
-        array_position(distArr, array_min(distArr)).cast("int")))
+      .withColumn("cell", Similarity.onlineCellExpr(cents, col("qv")))
       .select(col("new_vec"), col("cell"), col("emb_a"))
     assigned.join(q108CorpusCells(s, d), "cell")
       .withColumn("cos", round(Shared.cosine(col("emb_a"), col("emb_b")), 4))

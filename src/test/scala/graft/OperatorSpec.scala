@@ -1527,6 +1527,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate: no semantic hits in the stream")
   }
 
+  test("q41c retrieval equals the byte-sum encoder + argmin + top-3 replay") {
+    import spark.implicits._
+    val cents = operators.Similarity.collectCentroids(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().filter(_._1 % 10 != 0)
+    val cellOf = operators.Similarity.cellsArtifact(spark, sf)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val byCell = corpus.groupBy(e => cellOf(e._1))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val sums = new Array[Long](64)
+      bytes.indices.foreach(i => sums(i % 64) += (bytes(i) & 0xFF))
+      val feat = sums.map(s => (s % 2001L) - 1000L)
+      val qv = feat.map(_ + 1000L)
+      val cell = cents.map { case (cid, cv) =>
+        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      val embM = feat.map(_.toDouble / 1000.0)
+      byCell.getOrElse(cell, Array.empty[(Long, Array[Double])])
+        .map { case (cv, ce) => (cv, cos(embM, ce)) }
+        .sortBy { case (cv, c) => (-c, cv) }.take(3).zipWithIndex
+        .map { case ((cv, c), i) => (id, cell, (i + 1).toLong, cv, c) }
+    }.sortBy(r => (r._1, r._3))
+    val got = SparkEntry.queries("q41c_media_embed_ann")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

@@ -570,6 +570,16 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q41c probes the corpus index with a pruned top-3 rank") {
+    val p = plan("q41c_media_embed_ann")
+    assert(p.contains("q108_corpus_cells"),
+      "retrieval must scan the materialized corpus cell table")
+    assert(p.contains("LocalTopKPerKey"),
+      "rk <= 3 rank filter must rewrite to map-side per-item pruning")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
