@@ -784,6 +784,34 @@ object Similarity {
         .select(col("vec_id"), col("cell"))
         .transform(balancedCapOf)
         .orderBy(col("cell"), col("rn"))
+    }),
+
+    // q109 — semantic split-LEAKAGE audit: the eval-integrity check a
+    // pipeline runs AFTER splitting. q87's cluster-keyed split provably
+    // never separates a LEXICAL dup cluster, but semantic near-dups
+    // (paraphrases — cos ≥ τ pairs that share no shingles) can still
+    // straddle train/test; this operator MEASURES that residual leakage
+    // by listing every verified semantic pair (the q103 candidate
+    // machinery over the staged codebook — fifth artifact consumer)
+    // whose endpoints land in different hash splits. Nonempty output is
+    // the quantified argument for running semantic dedup (q103/q107)
+    // BEFORE the split, exactly as q61's shingle audit is for lexical
+    // contamination. Cost: the pair join is the measured cell-bounded
+    // mass; the split labels are narrow hash maps on each side — no new
+    // shuffle beyond the pairs themselves.
+    "q109_semantic_leakage_audit" -> ((s, d) => {
+      def splitOf(c: Column): Column = {
+        val bucket = pmod(Shared.hash60(c.cast("string")), lit(100))
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise(lit("test"))
+      }
+      semanticPairsOf(stagedCellFrame(s, d))
+        .withColumn("split_a", splitOf(col("vec_a")))
+        .withColumn("split_b", splitOf(col("vec_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("vec_a"), col("vec_b"), col("cell"), col("cos"),
+          col("split_a"), col("split_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
     })
   )
 
@@ -1008,15 +1036,25 @@ object Similarity {
     * quantizer) and q103 (trained K ∝ n codebook): drop v iff some
     * u < v in v's cell has cos(u,v) ≥ τ, witness = the lowest such u.
     */
-  private[graft] def dominanceDedup(e: DataFrame): DataFrame = {
+  /** The verified semantic pair set of a cell-keyed vector frame
+    * `(vec_id, cell, emb)`: within-cell ordered pairs with cos ≥ τ —
+    * the shared candidate machinery of [[dominanceDedup]] and the q109
+    * leakage audit.
+    */
+  private[graft] def semanticPairsOf(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("vec_a"), col("cell"),
       col("emb").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("cell").as("cell_b"),
       col("emb").as("emb_b"))
-    val drops = a.join(b,
+    a.join(b,
         col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
       .filter(col("cos") >= CosT)
+      .select(col("vec_a"), col("vec_b"), col("cell"), col("cos"))
+  }
+
+  private[graft] def dominanceDedup(e: DataFrame): DataFrame = {
+    val drops = semanticPairsOf(e)
       .groupBy(col("vec_b").as("vec_id"))
       // min over (vec_a, cos) structs = lowest witness id; vec_a is
       // unique per group so the tiebreak never reaches cos
@@ -1055,6 +1093,34 @@ object Similarity {
       "q103b_semantic_dedup_staged" -> m("q103_semantic_dedup_trained"),
       "q104b_prototype_staged" -> m("q104_prototype_prune"),
       "q105b_sample_staged" -> m("q105_cluster_balanced_sample"),
+      // q109: the q103 pair CTEs + the q49-style hash-split formula on
+      // each endpoint, keeping only straddling pairs
+      "q109_semantic_leakage_audit" -> {
+        def sp(x: String): String =
+          s"""CASE WHEN ${Shared.sqlHash60(s"CAST($x AS VARCHAR)")} % 100 < 80
+             |  THEN 'train'
+             |  WHEN ${Shared.sqlHash60(s"CAST($x AS VARCHAR)")} % 100 < 90
+             |  THEN 'val' ELSE 'test' END""".stripMargin
+        s"""WITH $trainedAssignCtes,
+           | e AS (SELECT em.vec_id, em.embedding, a3.cid AS cell
+           |       FROM embeddings em JOIN a3 ON a3.vec_id = em.vec_id),
+           | pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
+           |    ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |            p -> p[1]::DOUBLE * p[2]::DOUBLE))
+           |      / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+           |         * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+           |      4) AS cos
+           |   FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+           | q AS (SELECT * FROM pr WHERE cos >= $CosT),
+           | l AS (SELECT vec_a, vec_b, cell, cos,
+           |    ${sp("vec_a")} AS split_a,
+           |    ${sp("vec_b")} AS split_b
+           |   FROM q)
+           |SELECT vec_a, vec_b, cell, cos, split_a, split_b
+           |FROM l WHERE split_a <> split_b
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
+
       // q107: the q103 dominance CTEs → survivors → re-ranked prototype
       // prune → balanced cap, recomposed from the same fragments
       "q107_semantic_pipeline" ->

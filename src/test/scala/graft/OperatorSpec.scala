@@ -1565,6 +1565,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q109 lists exactly the straddling within-cell semantic pairs") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def split(v: Long): String = {
+      val b = h60(v.toString) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val cellMap = operators.Similarity.cellsArtifact(spark, sf)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCell = embs.groupBy(e => cellMap(e._1))
+    val expected = (for {
+      (_, rs) <- byCell.toSeq
+      i <- rs.indices; j <- (i + 1) until rs.length
+      (va, ea) = rs(i); (vb, eb) = rs(j)
+      c = cos(ea, eb) if c >= 0.3
+      (sa, sb) = (split(va), split(vb)) if sa != sb
+    } yield (va, vb, cellMap(va), c, sa, sb)).sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q109_semantic_leakage_audit")(spark, sf)
+      .as[(Long, Long, Long, Double, String, String)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty,
+      "the audit must measure real leakage on this corpus (its point)")
+  }
+
   test("q102 overlap matrix partitions the q32 pair set by source pair") {
     import spark.implicits._
     val m = SparkEntry.queries("q102_source_overlap")(spark, sf)

@@ -39,6 +39,8 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.queries("q104b_prototype_staged")(spark, TestSpark.sf).collect()
     Similarity.queries("q105b_sample_staged")(spark, TestSpark.sf).collect()
     Similarity.queries("q107_semantic_pipeline")(spark, TestSpark.sf).collect()
+    Similarity.queries("q109_semantic_leakage_audit")(spark, TestSpark.sf)
+      .collect()
     assert(Similarity.cellsWrites.get() === d1,
       "warm consumers re-ran Lloyd training")
   }

@@ -580,6 +580,17 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("q109 audit stays equi-keyed over the checkpointed cell frame") {
+    // the staged read itself is pinned by PipelineSpec (cellsWrites);
+    // the physical plan shows the checkpoint cut (Scan ExistingRDD),
+    // which is exactly the no-retrain evidence available post-truncation
+    val p = plan("q109_semantic_leakage_audit")
+    assert(p.contains("Scan ExistingRDD"),
+      "audit must read the checkpointed staged cell frame")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("q75b probes the bloom inside the corpus scan stage") {
     val p = plan("q75b_incremental_dedup_bloom")
     assert(p.contains("bloom_might_contain"),
