@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, BloomMightContain, Fnv1a32, KafkaMessageSetDecode, ProtoLogLineEncode, ShingleSet, SortedIntersectCount, VecDot}
+import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, BloomMightContain, Fnv1a32, KafkaMessageSetDecode, ProtoLogLineEncode, ShingleSet, SortedIntersectCount, SubArgmin, VecDot}
 
 /** SparkSessionExtensions entry point: registers the ingest wire-format
   * expressions as SQL functions. Activated either programmatically
@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sub_argmin"),
+      new ExpressionInfo(classOf[SubArgmin].getName, "sub_argmin"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SubArgmin(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,

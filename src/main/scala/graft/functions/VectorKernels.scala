@@ -1,10 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Compiled vector kernel for the similarity family.
   *
@@ -39,6 +40,49 @@ object VectorKernels {
     }
     acc
   }
+
+  /** Sub-codebook argmin over a packed per-coarse-cell codebook: for each
+    * entry (sid, cv) compute the integer squared L2 distance Σ(qvᵢ−cvᵢ)²
+    * and return the minimum as (d2, sid), ties to the LOWEST sid — the
+    * same total order as `min(struct(d2, sid))` and the DuckDB oracle's
+    * `ORDER BY d2, sid` window. One compiled loop per row — the hot inner
+    * op of the two-level semantic-codebook assignment (q103 family), where
+    * the declarative form (transform + nested aggregate folds) would run
+    * interpreted per element.
+    *
+    * Null contract: empty/absent codebook, a null entry, a null element,
+    * or a length mismatch → SQL NULL (never a silently-partial argmin).
+    */
+  def subArgmin(qv: ArrayData, packed: ArrayData): InternalRow = {
+    val k = packed.numElements()
+    if (k == 0) return null
+    val n = qv.numElements()
+    var bestD2 = 0L
+    var bestSid = 0L
+    var found = false
+    var j = 0
+    while (j < k) {
+      if (packed.isNullAt(j)) return null
+      val e = packed.getStruct(j, 2)
+      if (e.isNullAt(0) || e.isNullAt(1)) return null
+      val sid = e.getLong(0)
+      val cv = e.getArray(1)
+      if (cv.numElements() != n) return null
+      var d2 = 0L
+      var i = 0
+      while (i < n) {
+        if (qv.isNullAt(i) || cv.isNullAt(i)) return null
+        val diff = qv.getLong(i) - cv.getLong(i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (!found || d2 < bestD2 || (d2 == bestD2 && sid < bestSid)) {
+        found = true; bestD2 = d2; bestSid = sid
+      }
+      j += 1
+    }
+    InternalRow(bestD2, bestSid)
+  }
 }
 
 /** (array<double>, array<double>) → double sequential-fold dot product
@@ -71,6 +115,50 @@ case class VecDot(left: Expression, right: Expression)
          |}""".stripMargin
     })
   override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (array<long> qv, array<struct<sid: long, cv: array<long>>>) →
+  * struct<d2: long, sid: long>: compiled argmin over a packed sub-codebook
+  * ([[VectorKernels.subArgmin]]). The codebook side comes from a per-
+  * coarse-cell equi-join, so the expression itself is K-independent —
+  * exactly the property the round-8 K-inlined-literal assignment lacked.
+  */
+case class SubArgmin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", LongType, nullable = false),
+    StructField("sid", LongType, nullable = false)))
+  // nullable on non-null children: empty codebook, null element, or a
+  // dims mismatch yields SQL NULL (see the kernel's null contract)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+          ArrayType(StructType(Array(
+            StructField(_, LongType, _, _),
+            StructField(_, ArrayType(LongType, _), _, _))), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "sub_argmin expects (array<bigint>, " +
+          s"array<struct<bigint, array<bigint>>>), got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.subArgmin(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("argminResult")
+      s"""org.apache.spark.sql.catalyst.InternalRow $tmp =
+         |  graft.functions.VectorKernels.subArgmin($a, $b);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}""".stripMargin
+    })
+  override def prettyName: String = "sub_argmin"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

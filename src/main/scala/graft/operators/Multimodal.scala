@@ -122,8 +122,9 @@ object Multimodal {
 
     // q41c — multimodal RETRIEVAL composition: media payload →
     // partition-batched embedding stub → ONLINE assignment to the
-    // trained semantic codebook (the q108 inlined-centroid argmin —
-    // narrow, stateless) → cell equi-join against the materialized
+    // trained two-level codebook (coarse sign expression + packed-
+    // codebook equi-join + compiled sub_argmin, [[Similarity.onlineAssign]]
+    // — no driver collect, no K literals) → cell equi-join against the materialized
     // corpus index (q108_corpus_cells) → exact cosine top-3 per media
     // item. This is the cross-modal search shape (embed the query
     // modality, probe the text/vector index): the decode stub is the
@@ -141,12 +142,12 @@ object Multimodal {
           lit("image/fake").as("kind"))
         .as[MediaRow]
       val feats = media.mapPartitions(it => it.map(extractEmbedding)).toDF()
-      val cents = Similarity.collectCentroids(s, d)
-      val withCell = feats
-        .withColumn("qv", transform(col("feat"), x => x + lit(1000L)))
-        .withColumn("cell", Similarity.onlineCellExpr(cents, col("qv")))
-        .withColumn("emb_m",
-          transform(col("feat"), x => x.cast("double") / lit(1000.0d)))
+      val withCell = Similarity.onlineAssign(s, d,
+          feats
+            .withColumn("qv", transform(col("feat"), x => x + lit(1000L)))
+            .withColumn("emb_m",
+              transform(col("feat"), x => x.cast("double") / lit(1000.0d))),
+          "emb_m", qvCol = Some("qv"))
         .select(col("doc_id"), col("cell"), col("emb_m"))
       val corpus = graft.streaming.StreamingQueries.q108CorpusCells(s, d)
       withCell.join(corpus, "cell")
@@ -210,12 +211,22 @@ object Multimodal {
          | me AS (SELECT doc_id,
          |         list((v - 1000) / 1000.0 ORDER BY dim) AS emb
          |        FROM mq GROUP BY doc_id),
-         | ma AS (SELECT doc_id, cid AS cell FROM (
-         |    SELECT mq.doc_id, c.cid,
+         | mc AS (SELECT doc_id,
+         |    CAST(COALESCE(list_sum(
+         |      [CASE WHEN emb[i + 1] > 0 THEN (1::BIGINT << i)
+         |            ELSE 0::BIGINT END
+         |       FOR i IN generate_series(0, bb.b - 1)]), 0) AS BIGINT)
+         |      AS ccell
+         |   FROM me, bb),
+         | ma AS (SELECT doc_id,
+         |    CAST(ccell * ${Similarity.SubKCap} + sid AS BIGINT) AS cell
+         |  FROM (
+         |    SELECT mq.doc_id, mc.ccell, c.sid,
          |      row_number() OVER (PARTITION BY mq.doc_id
-         |        ORDER BY SUM((mq.v - c.c) * (mq.v - c.c)), c.cid) AS rn
-         |    FROM mq JOIN c2 c USING (dim)
-         |    GROUP BY mq.doc_id, c.cid)
+         |        ORDER BY SUM((mq.v - c.c) * (mq.v - c.c)), c.sid) AS rn
+         |    FROM mq JOIN mc USING (doc_id)
+         |         JOIN c2 c ON c.cell = mc.ccell AND c.dim = mq.dim
+         |    GROUP BY mq.doc_id, mc.ccell, c.sid)
          |  WHERE rn = 1),
          | co AS (SELECT em.vec_id AS corpus_vec, a3.cid AS cell,
          |          em.embedding

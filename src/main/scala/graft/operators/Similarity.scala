@@ -695,20 +695,20 @@ object Similarity {
     // measured answer to q99's measured problem. q99's fixed 256-cell
     // sign quantizer grows its within-cell pair mass ×99 per data decade
     // (SCALING.md round-8 tail) — the designed quadratic of any fixed K.
-    // This operator trains the coarse quantizer with the corpus:
-    // K = max(8, n/250) via the q97 integer-exact Lloyd loop (2 rounds,
-    // K lowest ids as seeds), so expected cell population stays ~250 at
-    // ANY corpus size and the Σcell² candidate mass returns to ~linear
-    // per decade — the SemDeDup deployment recipe (cluster count scales
-    // with the corpus, FAISS-style). Assignment costs n×K integer
-    // distance rows per round — the standard k-means trade; at 100 TB
-    // the assignment itself goes hierarchical (coarse 256-cell probe,
-    // then refine within), while THIS plan's joins/aggregates are
-    // unchanged. Dedup semantics, witness provenance, and the oracle
-    // contract are exactly q99's ([[dominanceDedup]]); both engines
-    // walk the identical integer centroid trajectory (q97's contract),
-    // so the trained cells — and with them every drop decision — are
-    // bit-reproducible cross-engine.
+    // This operator keys the dedup on the TWO-LEVEL trained codebook
+    // ([[hierTrain]]): an untrained sign-bit coarse grid that grows a bit
+    // per corpus doubling, and per-coarse-cell sub-codebooks trained by
+    // the q97 integer-exact Lloyd loop on bounded per-cell samples. Leaf
+    // population stays ~[[LeafTarget]] at ANY corpus size, so the Σcell²
+    // candidate mass is ~linear per decade — the SemDeDup deployment
+    // recipe (cluster count scales with the corpus, FAISS-style) — while
+    // training and assignment are ALSO ~linear (Σ32·K_g² ≈ 2n and
+    // Σn_g·K_g ≤ 16n-ish distance rows; the round-8 flat-Lloyd design
+    // paid n²/250 per round). Dedup semantics, witness provenance, and
+    // the oracle contract are exactly q99's ([[dominanceDedup]]); both
+    // engines walk the identical integer centroid trajectory (q97's
+    // contract), so the trained cells — and with them every drop
+    // decision — are bit-reproducible cross-engine.
     "q103_semantic_dedup_trained" -> ((s, d) =>
       dominanceDedup(trainedCellFrame(s, d))),
 
@@ -815,14 +815,187 @@ object Similarity {
     })
   )
 
-  /** The trained coarse assignment shared by the semantic curation suite:
-    * the q97 integer Lloyd loop at K = max(8, n/250), 2 rounds + final
-    * assign. Returns (vec_id, cid, d2).
+  // ---- two-level trained semantic codebook ------------------------------
+  //
+  // Round 8 trained ONE flat codebook at K = max(8, n/250) by full-corpus
+  // Lloyd — n×K = n²/250 distance rows per round, measured ×100/decade
+  // (SCALING.md round 8) — and shipped it to online consumers as a driver
+  // collect + K inlined expression literals (capped by Janino/codegen
+  // limits in the low thousands of centroids). Round 9 replaces that with
+  // the hierarchical layout the round-8 comments promised (q90's IVF
+  // pattern, the FAISS coarse+fine deployment shape):
+  //
+  //  - COARSE layer: an UNTRAINED sign-bit grid over the first B dims,
+  //    B = min{b : n ≤ [[CoarseCellTarget]]·2^b} — [[cellOf]] generalized
+  //    to a bit count that GROWS with the corpus (one bit per doubling).
+  //    Pure codegen'd expression: coarse assignment costs zero distance
+  //    rows, holds no state, and needs no training.
+  //  - FINE layer: per coarse cell g, a sub-codebook of
+  //    K_g = clamp(ceil(n_g/[[LeafTarget]]), 1, [[SubKCap]]) centroids,
+  //    trained by the q97 integer Lloyd recurrence on a BOUNDED per-cell
+  //    sample — the [[SamplePerCentroid]]·K_g lowest-hash60 vec_ids of the
+  //    cell (deterministic, oracle-replayable). Leaf cells stay ~250-row
+  //    by construction (the same K ∝ n law as round 8), but the cost
+  //    model changes class:
+  //      training  = Σ_g 32·K_g² ≈ 2n distance rows per round  (was n²/250)
+  //      assignment = Σ_g n_g·K_g ≈ 8–16·n, K_g bounded by the grid
+  //                   growing a bit per corpus doubling          (was n×K)
+  //    Both are ~flat per corpus row across decades — training now grows
+  //    ×10/decade with the corpus, not ×100 (ScaleProbe measures both).
+  //  - cid = coarse_cell·[[SubKCap]] + sid, a flat long, so every consumer
+  //    (dominance dedup, prototype prune, balanced cap, corpus index,
+  //    split-leakage audit, streaming dedup, media retrieval) is an
+  //    UNCHANGED reader of (vec_id, cid, d2).
+  //  - ONLINE assignment ([[onlineAssign]]: q108's stream side, q41c's
+  //    media retrieval) is the coarse expression + an equi-join against
+  //    the write-once PACKED codebook table (one row per coarse cell,
+  //    ≤[[SubKCap]] sub-centroids) + one compiled [[graft.functions.SubArgmin]]
+  //    kernel — no driver collect, no K-proportional literals; the
+  //    stream side stays a narrow map + stream-static join.
+
+  /** Target leaf-cell population — the ~250-row cells the SemDeDup-style
+    * within-cell verify is priced for (q99's measured lever).
     */
-  private def trainedAssign(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    kmeansAssignFull(s, d, k = math.max(8L, n / 250L), iters = 2)
+  private[graft] val LeafTarget = 250L
+
+  /** Max sub-centroids per coarse cell; also the cid packing stride.
+    * Bounds the per-row argmin (and with it the assignment distance mass)
+    * regardless of corpus size — the coarse grid, not the sub-codebook,
+    * absorbs growth. 64 = 4× headroom over the balanced-cell K_g ≈ 16
+    * before a skewed coarse cell's leaves start exceeding [[LeafTarget]].
+    */
+  private[graft] val SubKCap = 64L
+
+  /** Coarse grid sizing: bits B = min{b : n ≤ CoarseCellTarget·2^b}, i.e.
+    * expected coarse population ≤ 4000 = 16 leaves of [[LeafTarget]] —
+    * keeps the balanced K_g in (8, 16].
+    */
+  private[graft] val CoarseCellTarget = LeafTarget * 16
+
+  /** Lloyd sample size per sub-centroid (FAISS trains on 32–256 points
+    * per centroid; 32 keeps the per-cell sample ≤ 2048 rows at the cap).
+    */
+  private[graft] val SamplePerCentroid = 32L
+
+  /** Sign-bit coarse grid width for an n-vector corpus (see above).
+    * Minimum 1 bit: a 0-bit grid would make the coarse cell a FOLDABLE
+    * constant, and Catalyst then degenerates the codebook equi-join into
+    * a nested-loop join (constant key folds out of the join condition).
+    */
+  private[graft] def coarseBits(n: Long): Int = {
+    var b = 1
+    while (b < 32 && n > CoarseCellTarget * (1L << b)) b += 1
+    b
   }
+
+  private[graft] def coarseBitsFor(s: SparkSession, d: String): Int =
+    coarseBits(Tables.embeddings(s, d).count())
+
+  /** [[cellOf]] generalized to `bits` sign dims — the untrained coarse
+    * quantizer ([[coarseBits]] keeps bits ≥ 1).
+    */
+  private[graft] def coarseCellExpr(emb: Column, bits: Int): Column =
+    if (bits == 0) lit(0L)
+    else (0 until bits).map(i =>
+      when(element_at(emb, i + 1) > 0.0d, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _).cast("long")
+
+  /** The q97 integer quantization as an array column: floor(x·1000)+1000
+    * per dim — the exactness contract both engines share.
+    */
+  private[graft] def quantized(emb: Column): Column =
+    transform(emb, x => (floor(x * 1000) + 1000).cast("long"))
+
+  /** (cell, sid, dim, c) centroid rows → (cell, packed) with packed =
+    * sid-ascending array<struct<sid, cv: array<long>>> — one row per
+    * coarse cell, the shape [[graft.functions.SubArgmin]] consumes.
+    */
+  private[graft] def packCodebook(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cell"), col("sid"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        e => e.getField("c")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("sid"), col("cv"))))
+        .as("packed"))
+
+  /** Fine assignment of (vec_id, cell, qv) rows against a (cell, sid,
+    * dim, c) centroid frame: per-coarse-cell equi-join + compiled
+    * [[graft.functions.SubArgmin]] → (vec_id, cell, sid, d2). Distance
+    * mass = Σ_g rows_g·K_g; the codebook side is one packed row per
+    * coarse cell (AQE broadcasts it while it fits; at extreme scale the
+    * equi-join on cell shuffles only the narrow (vec_id, cell, qv)
+    * projection — never the codebook times the corpus).
+    */
+  private def subAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.join(packCodebook(cents), "cell")
+      .withColumn("m", call_function("sub_argmin", col("qv"), col("packed")))
+      .select(col("vec_id"), col("cell"), col("m.sid").as("sid"),
+        col("m.d2").as("d2"))
+
+  /** The two-level trainer: returns (final assignment (vec_id, cid, d2),
+    * sub-centroid table (cell, sid, dim, c)). See the section comment for
+    * the design; every arithmetic step is the q97 integer contract so the
+    * DuckDB oracle ([[trainedAssignCtes]]) replays the identical centroid
+    * trajectory bit-for-bit.
+    */
+  private[graft] def hierTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = coarseBitsFor(s, d)
+    val base = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("cell", coarseCellExpr(col("emb"), bits))
+      .withColumn("qv", quantized(col("emb")))
+      .select(col("vec_id"), col("cell"), col("qv"))
+      .localCheckpoint(true)
+    // per-cell sample ranks: ONE window exchange over the narrow
+    // (vec_id, cell) projection — the only corpus-wide shuffle training
+    // pays besides the final assignment's cell join. The window key is
+    // the coarse cell (≥ ~4000 rows/key in expectation), never global.
+    val wCell = Window.partitionBy(col("cell"))
+    val ranked = base.select(col("vec_id"), col("cell"))
+      .withColumn("rk", row_number().over(wCell.orderBy(
+        Shared.hash60(concat(lit("ks|"), col("vec_id").cast("string"))),
+        col("vec_id"))))
+      .withColumn("ng", count(lit(1)).over(wCell))
+      .withColumn("kg", least(lit(SubKCap), greatest(lit(1L),
+        expr(s"(ng + ${LeafTarget - 1}) div $LeafTarget"))))
+    // deterministic bounded sample: the 32·K_g lowest-hash rows per cell;
+    // seeds = the K_g lowest, sid = rank-1 (both engines replay the rank)
+    val seeds = ranked.filter(col("rk") <= col("kg"))
+      .select(col("vec_id"), (col("rk") - 1).cast("long").as("sid"))
+    val svecs = base
+      .join(ranked.filter(col("rk") <= lit(SamplePerCentroid) * col("kg"))
+        .select(col("vec_id")), "vec_id")
+      .localCheckpoint(true)
+    // per-dim exploded SAMPLE rows — the Lloyd update's input
+    val sqd = svecs.select(col("vec_id"), col("cell"),
+        posexplode(col("qv")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("cell"),
+        (col("pos") + 1).cast("long").as("dim"), col("v"))
+      .localCheckpoint(true)
+    var cent = sqd.join(seeds, "vec_id")
+      .select(col("cell"), col("sid"), col("dim"), col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val a = subAssign(svecs, cent).select(col("vec_id"), col("sid"))
+      cent = a.join(sqd, "vec_id")
+        .groupBy(col("cell"), col("sid"), col("dim"))
+        .agg(expr("sum(v) div count(1)").as("c"))
+        .localCheckpoint(true)
+    }
+    val assign = subAssign(base, cent)
+      .select(col("vec_id"),
+        (col("cell") * lit(SubKCap) + col("sid")).as("cid"), col("d2"))
+    (assign, cent)
+  }
+
+  /** The trained assignment shared by the semantic curation suite.
+    * Returns (vec_id, cid, d2) — cid is the flat two-level cell id.
+    */
+  private def trainedAssign(s: SparkSession, d: String): DataFrame =
+    hierTrain(s, d)._1
 
   /** How many times the staged `sem_cells` artifact has been WRITTEN this
     * JVM — PipelineSpec asserts the staged suite (q103b/q104b/q105b/q107)
@@ -841,62 +1014,66 @@ object Similarity {
       s"$d/embeddings.parquet",
       {
         cellsWrites.incrementAndGet()
-        val n = Tables.embeddings(s, d).count()
-        val (assign, cents) =
-          kmeansTrain(s, d, k = math.max(8L, n / 250L), iters = 2)
-        // the codebook itself rides along under the same memo + lock —
-        // one training writes BOTH tables, so the online consumer
-        // (q108's streaming assignment) can never see centroids from a
-        // different training than the stored cells
+        val (assign, cents) = hierTrain(s, d)
+        // the codebook rides along under the same memo + lock — one
+        // training writes ALL THREE tables (cells, raw centroid rows,
+        // packed per-coarse-cell codebook), so the online consumers
+        // (q108's stream-static join, q41c's retrieval) can never see
+        // centroids from a different training than the stored cells
         Bucketed.rewriteBucketed(s, Bucketed.dbFor(d), "sem_centroids",
-          cents, 1, Seq("cid"))
+          cents, 1, Seq("cell"))
+        Bucketed.rewriteBucketed(s, Bucketed.dbFor(d), "sem_codebook",
+          packCodebook(s.table(s"${Bucketed.dbFor(d)}.sem_centroids")),
+          1, Seq("cell"))
         assign
       },
       8, Seq("vec_id"))
 
-  /** The trained codebook (cid, dim, c) written alongside [[cellsArtifact]]
-    * — triggers the (memoized) training if needed.
+  /** The trained sub-centroid rows (cell, sid, dim, c) written alongside
+    * [[cellsArtifact]] — triggers the (memoized) training if needed.
     */
   private[graft] def centroidsArtifact(s: SparkSession, d: String): DataFrame = {
     cellsArtifact(s, d)
     s.table(s"${Bucketed.dbFor(d)}.sem_centroids")
   }
 
-  /** The trained codebook collected for ONLINE (driver-inlined)
-    * assignment: ascending-cid (cid, centroid-by-dim) rows. K ∝ n/250 ×
-    * 64 ints — the coarse-codebook broadcast; at the scale where K no
-    * longer inlines, assignment goes hierarchical (q90's IVF pattern).
+  /** The packed (cell, packed) codebook table for online assignment —
+    * one row per coarse cell, ≤[[SubKCap]] sub-centroids each.
     */
-  private[graft] def collectCentroids(s: SparkSession,
-      d: String): Seq[(Long, Array[Long])] = {
-    val centRows = centroidsArtifact(s, d)
-      .select(col("cid"), col("dim"), col("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val dims = centRows.map(_._2).max.toInt
-    centRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rs) =>
-      val arr = new Array[Long](dims)
-      rs.foreach(r => arr(r._2.toInt - 1) = r._3)
-      (cid, arr)
-    }
+  private[graft] def codebookArtifact(s: SparkSession, d: String): DataFrame = {
+    cellsArtifact(s, d)
+    s.table(s"${Bucketed.dbFor(d)}.sem_codebook")
   }
 
-  /** Online cell assignment as a pure (narrow, stateless, codegen'd)
-    * column over a quantized vector `qv`: K inlined-literal distance
-    * folds, cell = FIRST-minimum position in ascending-cid order — which
-    * reproduces the stored min(struct(d2, cid)) tie rule exactly (lowest
-    * d2, then lowest cid). Shared by q108's stream side and q41c's media
-    * retrieval.
+  /** ONLINE assignment to the trained two-level codebook: adds column
+    * `cell` (the flat cid) to `df`, which must carry a double-array
+    * embedding column `embCol`. Coarse cell = pure sign-bit expression;
+    * fine = equi-join against the write-once packed codebook + one
+    * compiled [[graft.functions.SubArgmin]] per row. No driver collect,
+    * no K-proportional literals — works identically on a static frame
+    * (q41c) and a streaming micro-batch (q108: a stream-static join).
+    *
+    * `qvCol`: optional pre-quantized integer vector. Callers whose
+    * integers are EXACT (q41c's byte-sum features) pass it to avoid the
+    * float round-trip; embedding callers omit it and get the standard
+    * floor(x·1000)+1000 quantization.
+    *
+    * A row whose coarse cell holds no corpus vectors has no codebook row
+    * and is dropped by the join — the standard empty-probe IVF outcome,
+    * replayed identically by the oracle's inner join.
     */
-  private[graft] def onlineCellExpr(cents: Seq[(Long, Array[Long])],
-      qv: Column): Column = {
-    val dists = cents.map { case (_, cv) =>
-      aggregate(
-        zip_with(qv, typedLit(cv.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    }
-    val distArr = array(dists: _*)
-    element_at(typedLit(cents.map(_._1)),
-      array_position(distArr, array_min(distArr)).cast("int"))
+  private[graft] def onlineAssign(s: SparkSession, d: String, df: DataFrame,
+      embCol: String, qvCol: Option[String] = None): DataFrame = {
+    val bits = coarseBitsFor(s, d)
+    val cb = codebookArtifact(s, d)
+      .select(col("cell").as("_ccell"), col("packed").as("_packed"))
+    val qv = qvCol.map(col).getOrElse(quantized(col(embCol)))
+    df.withColumn("_ccell", coarseCellExpr(col(embCol), bits))
+      .join(cb, "_ccell")
+      .withColumn("_m", call_function("sub_argmin", qv, col("_packed")))
+      .withColumn("cell",
+        col("_ccell") * lit(SubKCap) + col("_m").getField("sid"))
+      .drop("_ccell", "_packed", "_m")
   }
 
   /** The staged twin of [[trainedCellFrame]]: embeddings keyed by the
@@ -947,7 +1124,8 @@ object Similarity {
     * `iters` assign+update rounds over the integer-quantized vectors
     * (floor(x·1000)+1000 — see the q97 query doc for the exactness
     * contract), then a final assignment. Returns (vec_id, cid, d2).
-    * q97 reports it at K=8/3 rounds; q103 trains K ∝ n.
+    * q97 reports it at K=8/3 rounds; the semantic suite's size-scaled
+    * codebook uses the per-coarse-cell variant in [[hierTrain]] instead.
     */
   private[graft] def kmeansAssignFull(s: SparkSession, d: String,
       k: Long, iters: Int): DataFrame =
@@ -1067,10 +1245,10 @@ object Similarity {
   }
 
   /** q103's trained-codebook cell frame: embeddings keyed by the final
-    * K-means assignment at K = max(8, n/250) after 2 rounds — cells
-    * sized ~250 by construction at ANY corpus size, which is the lever
-    * the q99 ×99-per-decade measurement demands. Factored for the
-    * query, the ScaleProbe candidate counter, and the spec.
+    * two-level assignment ([[hierTrain]]) — leaf cells sized ~250 by
+    * construction at ANY corpus size, which is the lever the q99
+    * ×99-per-decade measurement demands. Factored for the query, the
+    * ScaleProbe candidate counter, and the spec.
     */
   private[graft] def trainedCellFrame(s: SparkSession, d: String): DataFrame = {
     val assign = trainedAssign(s, d)
@@ -1491,43 +1669,75 @@ object Similarity {
     )
   }
 
-  /** DuckDB CTE chain for the q103/q104/q105 trained assignment: the q97
-    * integer Lloyd recurrence at K = max(8, n//250), 2 update rounds,
-    * ending in `a3` = the final (vec_id, cid, d2) assignment. Every
-    * consumer replays the identical centroid trajectory the Spark
-    * [[kmeansAssignFull]] walks (q97's exactness contract).
+  /** DuckDB CTE chain for the trained two-level assignment ([[hierTrain]]):
+    * sign-bit coarse grid `cg` (B = min{b : n ≤ 4000·2^b}), per-cell
+    * sample ranks + K_g, the q97 integer Lloyd recurrence per coarse cell
+    * over the bounded sample (2 update rounds), ending in `a3` = the
+    * final full-corpus (vec_id, cid, d2) assignment with cid =
+    * cell·[[SubKCap]] + sid. Every consumer replays the identical centroid
+    * trajectory the Spark side walks (q97's exactness contract); `bb` and
+    * `c2` are also referenced by the q41c oracle's media-side assignment.
     */
   private[graft] def trainedAssignCtes: String = {
+    val h = Shared.sqlHash60("concat('ks|', CAST(vec_id AS VARCHAR))")
+    // sample-side Lloyd round: assignment of sample rows to c{n-1}, then
+    // the integer-mean update — all joins keyed on (cell, dim)
     def kmAssign(n: Int): String =
-      s"""a$n AS (SELECT vec_id, cid, d2 FROM (
-         |    SELECT qd.vec_id, c.cid,
-         |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
-         |      row_number() OVER (PARTITION BY qd.vec_id
-         |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.cid)
+      s"""a$n AS (SELECT vec_id, cell, sid FROM (
+         |    SELECT sq.vec_id, sq.cell, c.sid,
+         |      row_number() OVER (PARTITION BY sq.vec_id
+         |        ORDER BY SUM((sq.v - c.c) * (sq.v - c.c)), c.sid)
          |        AS rn
-         |    FROM qd JOIN c${n - 1} c USING (dim)
-         |    GROUP BY qd.vec_id, c.cid)
+         |    FROM sq JOIN c${n - 1} c
+         |      ON c.cell = sq.cell AND c.dim = sq.dim
+         |    GROUP BY sq.vec_id, sq.cell, c.sid)
          |  WHERE rn = 1)""".stripMargin
     def kmUpdate(n: Int): String =
-      s"""c$n AS (SELECT a.cid, qd.dim, SUM(qd.v) // COUNT(*) AS c
-         |  FROM a$n a JOIN qd USING (vec_id)
-         |  GROUP BY a.cid, qd.dim)""".stripMargin
+      s"""c$n AS (SELECT a.cell, a.sid, q.dim, SUM(q.v) // COUNT(*) AS c
+         |  FROM a$n a JOIN sq q ON q.vec_id = a.vec_id
+         |  GROUP BY a.cell, a.sid, q.dim)""".stripMargin
     val rounds = (1 to 2)
       .map(n => s"${kmAssign(n)},\n${kmUpdate(n)}").mkString(",\n")
-    s"""qd AS (
-       |  SELECT vec_id, CAST(g.i AS BIGINT) AS dim,
-       |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+    s"""bb AS (SELECT MIN(t.b) AS b FROM generate_series(1, 32) t(b)
+       |  WHERE (SELECT COUNT(*) FROM embeddings)
+       |        <= 4000 * (1::BIGINT << t.b)),
+       |cg AS (SELECT vec_id,
+       |    CAST(COALESCE(list_sum(
+       |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |            ELSE 0::BIGINT END
+       |       FOR i IN generate_series(0, bb.b - 1)]), 0) AS BIGINT) AS cell
+       |  FROM embeddings, bb),
+       |qd AS (
+       |  SELECT em.vec_id, cg.cell, CAST(g.i AS BIGINT) AS dim,
+       |    CAST(floor(CAST(em.embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
        |      + 1000 AS v
-       |  FROM embeddings, generate_series(1, 64) AS g(i)),
-       |seeds AS (
-       |  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cid FROM (
-       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-       |    FROM embeddings)
-       |  WHERE rn <= GREATEST(8,
-       |    (SELECT COUNT(*) FROM embeddings) // 250)),
-       |c0 AS (SELECT s.cid, qd.dim, qd.v AS c
-       |       FROM qd JOIN seeds s USING (vec_id)),
+       |  FROM embeddings em JOIN cg ON cg.vec_id = em.vec_id,
+       |       generate_series(1, 64) AS g(i)),
+       |kk AS (SELECT vec_id, cell, rk,
+       |    LEAST($SubKCap, GREATEST(1, (ng + ${LeafTarget - 1})
+       |      // $LeafTarget)) AS kg
+       |  FROM (SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY cell ORDER BY $h, vec_id)
+       |        AS rk,
+       |      COUNT(*) OVER (PARTITION BY cell) AS ng
+       |    FROM cg)),
+       |sq AS (SELECT qd.vec_id, qd.cell, qd.dim, qd.v
+       |  FROM qd JOIN kk ON kk.vec_id = qd.vec_id
+       |  WHERE kk.rk <= $SamplePerCentroid * kk.kg),
+       |c0 AS (SELECT k.cell, CAST(k.rk - 1 AS BIGINT) AS sid,
+       |    qd.dim, qd.v AS c
+       |  FROM kk k JOIN qd ON qd.vec_id = k.vec_id
+       |  WHERE k.rk <= k.kg),
        |$rounds,
-       |${kmAssign(3)}""".stripMargin
+       |a3 AS (SELECT vec_id,
+       |    CAST(ccell * $SubKCap + sid AS BIGINT) AS cid, d2 FROM (
+       |    SELECT qd.vec_id, qd.cell AS ccell, c.sid,
+       |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
+       |      row_number() OVER (PARTITION BY qd.vec_id
+       |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.sid)
+       |        AS rn
+       |    FROM qd JOIN c2 c ON c.cell = qd.cell AND c.dim = qd.dim
+       |    GROUP BY qd.vec_id, qd.cell, c.sid)
+       |  WHERE rn = 1)""".stripMargin
   }
 }

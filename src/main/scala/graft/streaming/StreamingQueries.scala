@@ -227,39 +227,36 @@ object StreamingQueries {
 
   /** Streaming semantic dedup (q108).
     *
-    * Online assignment: the trained codebook (sem_centroids, K×dims
-    * integer rows) is collected and inlined as literals — per new vector
-    * the K quantized distances are codegen'd array folds and the cell is
-    * the first-minimum position, which reproduces the artifact's
-    * min(struct(d2, cid)) tie rule exactly (lowest d2, then lowest cid —
-    * the centroid rows are inlined in ascending cid order). That makes
-    * the stream side a NARROW map: no aggregation state, no shuffle —
-    * each arriving vector independently computes its cell. The driver-
-    * side collect is the coarse-codebook broadcast (K ∝ n/250 rows of 64
-    * ints); at the scale where K itself is too large to inline, online
-    * assignment goes hierarchical (probe a fixed coarse layer first,
-    * then refine within — q90's IVF pattern), leaving this plan's join
-    * shape unchanged.
+    * Online assignment is the two-level codebook's online path
+    * ([[graft.operators.Similarity.onlineAssign]]): the coarse cell is a
+    * pure codegen'd sign-bit expression, the fine argmin a STREAM-STATIC
+    * equi-join against the write-once packed codebook table (one row per
+    * coarse cell, ≤64 sub-centroids) plus one compiled `sub_argmin`
+    * kernel per arriving vector. The stream side stays narrow — no
+    * aggregation state, no driver-collected codebook, no K-proportional
+    * expression literals (the round-8 design inlined K ∝ n/250 distance
+    * folds and capped at codegen limits); the codebook table scales as
+    * one row per coarse cell and is joined, never materialized on the
+    * driver. The argmin reproduces the artifact's min(struct(d2, sid))
+    * tie rule exactly, so a streamed corpus vector lands in exactly its
+    * stored cell.
     *
-    * The stream-static join is an equi-join on the trained cell against
-    * the bucketed [[q108CorpusCells]] scan (never new × corpus), then
-    * the exact cosine ≥ τ verify. Because training covered the full
+    * The second stream-static join is an equi-join on the trained cell
+    * against the bucketed [[q108CorpusCells]] scan (never new × corpus),
+    * then the exact cosine ≥ τ verify. Because training covered the full
     * table, the batch oracle replays the identical pair set from the a3
     * assignment — an equality that ALSO proves the online argmin matches
     * the stored assignment on every streamed vector.
     */
   private[graft] def q108Stream(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Shared, Similarity}
-    val cents = Similarity.collectCentroids(s, d)
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-    val assigned = s.readStream.schema(schema)
+    val stream = s.readStream.schema(schema)
       .parquet(stageTableDir(d, "embeddings"))
       .filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("new_vec"),
         col("embedding").cast("array<double>").as("emb_a"))
-      .withColumn("qv", transform(col("emb_a"),
-        x => (floor(x * 1000) + 1000).cast("long")))
-      .withColumn("cell", Similarity.onlineCellExpr(cents, col("qv")))
+    val assigned = Similarity.onlineAssign(s, d, stream, "emb_a")
       .select(col("new_vec"), col("cell"), col("emb_a"))
     assigned.join(q108CorpusCells(s, d), "cell")
       .withColumn("cos", round(Shared.cosine(col("emb_a"), col("emb_b")), 4))

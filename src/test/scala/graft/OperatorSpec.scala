@@ -1350,34 +1350,55 @@ class OperatorSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q103_semantic_dedup_trained")(spark, sf)
       .as[(Long, Long, Option[Long], Option[Double])].collect()
       .toSeq.sortBy(_._1)
-    // replay: integer Lloyd at K = max(8, n/250), 2 rounds + final assign
+    // replay: two-level trainer — sign-bit coarse grid, per-coarse-cell
+    // bounded-sample integer Lloyd (2 rounds), final full assign,
+    // cid = cell*64 + sid
+    def h60md5(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
     val raw = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val vecs = raw.map { case (id, e) =>
+    val qvOf = raw.map { case (id, e) =>
       id -> e.map(x => math.floor(x * 1000).toLong + 1000)
+    }.toMap
+    val dims = raw.head._2.length
+    val n = raw.length
+    var bits = 1
+    while (bits < 32 && n > 4000L * (1L << bits)) bits += 1
+    val coarseOf = raw.map { case (id, e) =>
+      id -> (0 until bits).map(i => if (e(i) > 0) 1L << i else 0L).sum
+    }.toMap
+    def d2Of(q: Array[Long], cv: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < dims) { val dd = q(j) - cv(j); s += dd * dd; j += 1 }
+      s
     }
-    val k = math.max(8L, vecs.length / 250L).toInt
-    val dims = vecs.head._2.length
-    var cent: Map[Long, Array[Long]] = vecs.take(k).zipWithIndex
-      .map { case ((_, q), i) => i.toLong -> q.clone }.toMap
-    def assign(c: Map[Long, Array[Long]]): Seq[(Long, Long)] =
-      vecs.toSeq.map { case (id, q) =>
-        val (_, cid) = c.toSeq.map { case (cid, cv) =>
-          var s = 0L; var j = 0
-          while (j < dims) { val dd = q(j) - cv(j); s += dd * dd; j += 1 }
-          (s, cid)
-        }.min
-        (id, cid)
+    val cellOfId: Map[Long, Long] =
+      raw.map(_._1).groupBy(coarseOf).flatMap { case (c, ids) =>
+        val kg = math.min(64L, math.max(1L, (ids.length + 249L) / 250L))
+        val ranked = ids.sortBy(id => (h60md5(s"ks|$id"), id))
+        val sample = ranked.take((32L * kg).toInt)
+        var cent: Map[Long, Array[Long]] = ranked.take(kg.toInt).zipWithIndex
+          .map { case (id, i) => i.toLong -> qvOf(id).clone }.toMap
+        def assign(cen: Map[Long, Array[Long]],
+            over: Seq[Long]): Seq[(Long, Long)] =
+          over.map { id =>
+            (id, cen.toSeq.map { case (sid, cv) =>
+              (d2Of(qvOf(id), cv), sid)
+            }.min._2)
+          }
+        for (_ <- 1 to 2) {
+          val bySid = assign(cent, sample.toSeq).groupBy(_._2)
+          cent = bySid.map { case (sid, rows) =>
+            val qs = rows.map(r => qvOf(r._1))
+            sid -> Array.tabulate(dims)(j => qs.map(_(j)).sum / qs.length)
+          }
+        }
+        assign(cent, ids.toSeq).map { case (id, sid) => id -> (c * 64 + sid) }
       }
-    for (_ <- 1 to 2) {
-      val byCid = assign(cent).zip(vecs).groupBy(_._1._2)
-      cent = byCid.map { case (cid, rows) =>
-        val qs = rows.map(_._2._2)
-        cid -> Array.tabulate(dims)(j => qs.map(_(j)).sum / qs.length)
-      }
-    }
-    val cellOfId = assign(cent).toMap
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val d = a.zip(b).map { case (x, y) => x * y }.sum
       val r = d / (math.sqrt(a.map(x => x * x).sum) *
@@ -1529,7 +1550,20 @@ class OperatorSpec extends AnyFunSuite {
 
   test("q41c retrieval equals the byte-sum encoder + argmin + top-3 replay") {
     import spark.implicits._
-    val cents = operators.Similarity.collectCentroids(spark, sf)
+    // stored sub-centroids, grouped per coarse cell, sid-ascending
+    val centsByCell: Map[Long, Seq[(Long, Array[Long])]] =
+      operators.Similarity.centroidsArtifact(spark, sf)
+        .select(col("cell"), col("sid"), col("dim"), col("c"))
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (cell, rs) =>
+          cell -> rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (sid, ds) =>
+            val arr = new Array[Long](64)
+            ds.foreach(r => arr(r._3.toInt - 1) = r._4)
+            (sid, arr)
+          }
+        }
+    val nEmb = Tables.embeddings(spark, sf).count()
+    val bits = operators.Similarity.coarseBits(nEmb)
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
     val corpus = Tables.embeddings(spark, sf)
@@ -1550,14 +1584,20 @@ class OperatorSpec extends AnyFunSuite {
       bytes.indices.foreach(i => sums(i % 64) += (bytes(i) & 0xFF))
       val feat = sums.map(s => (s % 2001L) - 1000L)
       val qv = feat.map(_ + 1000L)
-      val cell = cents.map { case (cid, cv) =>
-        (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
-      }.min._2
-      val embM = feat.map(_.toDouble / 1000.0)
-      byCell.getOrElse(cell, Array.empty[(Long, Array[Double])])
-        .map { case (cv, ce) => (cv, cos(embM, ce)) }
-        .sortBy { case (cv, c) => (-c, cv) }.take(3).zipWithIndex
-        .map { case ((cv, c), i) => (id, cell, (i + 1).toLong, cv, c) }
+      val coarse = (0 until bits).map(i => if (feat(i) > 0) 1L << i else 0L).sum
+      // empty coarse cell → no codebook row → the doc yields no rows
+      // (the standard empty-probe IVF outcome, mirrored by the oracle)
+      centsByCell.get(coarse).toSeq.flatMap { subs =>
+        val sid = subs.map { case (sid, cv) =>
+          (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, sid)
+        }.min._2
+        val cell = coarse * 64 + sid
+        val embM = feat.map(_.toDouble / 1000.0)
+        byCell.getOrElse(cell, Array.empty[(Long, Array[Double])])
+          .map { case (cv, ce) => (cv, cos(embM, ce)) }
+          .sortBy { case (cv, c) => (-c, cv) }.take(3).zipWithIndex
+          .map { case ((cv, c), i) => (id, cell, (i + 1).toLong, cv, c) }
+      }
     }.sortBy(r => (r._1, r._3))
     val got = SparkEntry.queries("q41c_media_embed_ann")(spark, sf)
       .as[(Long, Long, Long, Long, Double)].collect().toSeq

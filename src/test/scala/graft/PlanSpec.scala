@@ -439,25 +439,28 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.head.left.toString.toLowerCase.contains("md5"))
   }
 
-  test("q108 static side is a scan of the corpus cell table; stream side is narrow") {
-    // same contract as q89: the static side of the stream-static join is
-    // re-evaluated per micro-batch, so it must be the materialized
-    // q108_corpus_cells scan — no Lloyd training, no assignment math.
-    // The online assignment (centroid argmin) lives on the STREAM side
-    // as inlined literals.
+  test("q108 static sides are table scans; stream side is narrow") {
+    // same contract as q89: the static sides of the stream-static joins
+    // are re-evaluated per micro-batch, so they must be materialized
+    // table scans — the packed sem_codebook for the online assignment and
+    // the q108_corpus_cells index for the candidate join. No Lloyd
+    // training and no stored-assignment recomputation anywhere in the
+    // micro-batch plan.
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = graft.streaming.StreamingQueries.q108Stream(spark, sf)
     val joins = df.queryExecution.analyzed.collect { case j: Join => j }
-    assert(joins.size === 1, s"expected exactly one join, got ${joins.size}")
-    val static = joins.head.right.toString
-    assert(static.contains("q108_corpus_cells"),
-      s"static side is not the corpus cell table:\n${static.take(2000)}")
-    for (bad <- Seq("aggregate(", "array_min", "array_position"))
-      assert(!static.toLowerCase.contains(bad),
-        s"static side recomputes assignment ('$bad' found):\n${static.take(2000)}")
-    val stream = joins.head.left.toString.toLowerCase
-    assert(stream.contains("array_min") && stream.contains("array_position"),
-      "online argmin must be on the streaming side")
+    assert(joins.size === 2,
+      s"expected codebook + corpus joins, got ${joins.size}")
+    val statics = joins.map(_.right.toString)
+    assert(statics.exists(_.contains("sem_codebook")),
+      "one static side must be the packed codebook table")
+    assert(statics.exists(_.contains("q108_corpus_cells")),
+      s"one static side must be the corpus cell table")
+    for (st <- statics; bad <- Seq("posexplode", "row_number"))
+      assert(!st.toLowerCase.contains(bad),
+        s"static side recomputes training ('$bad' found):\n${st.take(2000)}")
+    assert(df.queryExecution.analyzed.toString.contains("sub_argmin"),
+      "online argmin must be the compiled kernel on the stream side")
   }
 
   test("q91 is a single pass: one documents scan, no join") {
@@ -578,6 +581,31 @@ class PlanSpec extends AnyFunSuite {
       "rk <= 3 rank filter must rewrite to map-side per-item pruning")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q108 stream side: join-based online assignment, no K-wide inline") {
+    // The round-8 online assignment inlined K ∝ n/250 distance folds into
+    // one CreateArray — a plan whose expression SIZE grew with the corpus
+    // (Janino/codegen ceiling). The two-level design must keep every
+    // expression K-independent: coarse cell = ≤32 sign terms, fine argmin
+    // = one sub_argmin call against a JOINED packed codebook.
+    val lp = graft.streaming.StreamingQueries.q108Stream(spark, sf)
+      .queryExecution.analyzed
+    def widest(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      (e match {
+        case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+          ca.children.size
+        case _ => 0
+      }).max(if (e.children.isEmpty) 0 else e.children.map(widest).max)
+    val w = lp.collect { case n => n.expressions.map(widest) }
+      .flatten.foldLeft(0)(_ max _)
+    assert(w <= 256, s"stream side inlines a $w-wide array — the online " +
+      "assignment must stay K-independent (join the codebook instead)")
+    val s = lp.toString
+    assert(s.contains("sub_argmin"),
+      "online assignment must use the compiled sub_argmin kernel")
+    assert(s.contains("sem_codebook"),
+      "fine assignment must JOIN the packed codebook table")
   }
 
   test("q109 audit stays equi-keyed over the checkpointed cell frame") {
