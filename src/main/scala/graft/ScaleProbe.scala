@@ -163,6 +163,16 @@ object ScaleProbe {
       val b = f.select(col("vec_id").as("vb"), col("cell").as("cb"))
       a.join(b, col("cell") === col("cb") && col("va") < col("vb")).count()
     }
+    // q103 training economics (round 9): per-round Lloyd distance mass
+    // and full-corpus assignment mass of the two-level codebook. The
+    // round-8 flat design paid n×K = n²/250 for BOTH (measured
+    // ×100/decade); the sample-trained per-coarse-cell design must hold
+    // ~linear per decade — i.e. mass / corpus row roughly constant.
+    timed("q103_train_mass") {
+      val (train, assign) = operators.Similarity.trainingMassProbe(spark, d)
+      out("q103_train_mass") = train
+      out("q103_assign_mass") = assign
+    }
     // q108: the streaming semantic join's per-batch candidate mass —
     // new-tenth × corpus-nine-tenths meeting in trained cells. With
     // K ∝ n this tracks the q103 law (~linear per decade): per-batch

@@ -997,6 +997,30 @@ object Similarity {
   private def trainedAssign(s: SparkSession, d: String): DataFrame =
     hierTrain(s, d)._1
 
+  /** ScaleProbe hook: the codebook's per-round TRAINING distance mass
+    * (Σ_g min(n_g, 32·K_g)·K_g) and full-corpus ASSIGNMENT distance mass
+    * (Σ_g n_g·K_g), computed from the coarse-cell census without running
+    * the training. The round-8 flat design's corresponding masses were
+    * both n·K = n²/250 — the measured ×100/decade scale-killer; healthy
+    * two-level growth is ~linear per decade (flat per corpus row).
+    */
+  private[graft] def trainingMassProbe(s: SparkSession,
+      d: String): (Long, Long) = {
+    val bits = coarseBitsFor(s, d)
+    val r = Tables.embeddings(s, d)
+      .select(coarseCellExpr(col("embedding").cast("array<double>"), bits)
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("ng"))
+      .withColumn("kg", least(lit(SubKCap), greatest(lit(1L),
+        expr(s"(ng + ${LeafTarget - 1}) div $LeafTarget"))))
+      .select(
+        sum(least(col("ng"), lit(SamplePerCentroid) * col("kg")) * col("kg"))
+          .as("train"),
+        sum(col("ng") * col("kg")).as("assign"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** How many times the staged `sem_cells` artifact has been WRITTEN this
     * JVM — PipelineSpec asserts the staged suite (q103b/q104b/q105b/q107)
     * pays for Lloyd training exactly once.
