@@ -27,7 +27,12 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (BinaryType, LongType) if left.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // A null-valued foldable filter would otherwise pass here and NPE
+        // later inside the lazy deserialization at planning/codegen time,
+        // far from the call site — reject it with a typed error instead.
+        if (left.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain filter literal must not be null")
+        else TypeCheckResult.TypeCheckSuccess
       case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain expects a foldable (literal) filter")
       case other => TypeCheckResult.TypeCheckFailure(

@@ -121,8 +121,11 @@ object Sampling {
     // size T = 200: keep rate r_s = min(1, T·w_s / (W·n_s)) with
     // W = Σw_s, applied per doc as the integer test
     // u·W·n_s < T·w_s·10⁶ over an independent salted hash stream
-    // u ∈ [0, 10⁶). All longs: max u·W·n_s ~ 10⁶·3×10⁴·5×10⁶ ≈ 1.7e17,
-    // well inside 2⁶³.
+    // u ∈ [0, 10⁶). The left side is evaluated in decimal(38,0) (DuckDB:
+    // HUGEINT) because at 100-TB scale it exceeds int64 — u~10⁶ ×
+    // W~10⁷ × n_s~10¹⁰ ≈ 10²³, which int64 would wrap silently in Spark
+    // while DuckDB errors; 38-digit decimal is exact to 10³⁸ and the
+    // product is integer-valued, so both engines stay bit-deterministic.
     //
     // 100-TB posture: one tiny per-source count agg (map-side combined),
     // a sources-row rate table broadcast back, and a narrow filter — the
@@ -138,7 +141,7 @@ object Sampling {
         lit(1000000L))
       Tables.documents(s, d)
         .join(broadcast(rates), "source")
-        .filter(u * col("w_tot") * col("n_s") <
+        .filter(u.cast("decimal(38,0)") * col("w_tot") * col("n_s") <
           lit(200L) * col("w_s") * lit(1000000L))
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
@@ -191,8 +194,9 @@ object Sampling {
          | wt AS (SELECT *, SUM(w_s) OVER () AS w_tot FROM ws)
          |SELECT d.doc_id, d.source, d.lang
          |FROM documents d JOIN wt USING (source)
-         |WHERE (${sqlHash60("concat('alpha|', CAST(doc_id AS VARCHAR))")}
-         |    % 1000000) * wt.w_tot * wt.n_s < 200 * wt.w_s * 1000000
+         |WHERE CAST(${sqlHash60("concat('alpha|', CAST(doc_id AS VARCHAR))")}
+         |    % 1000000 AS HUGEINT) * wt.w_tot * wt.n_s
+         |  < 200 * wt.w_s * 1000000
          |ORDER BY d.doc_id""".stripMargin
   )
 }

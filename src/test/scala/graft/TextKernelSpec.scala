@@ -94,4 +94,16 @@ class TextKernelSpec extends AnyFunSuite {
     // same sequential summation order -> exact equality, not tolerance
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
+
+  test("bloom_might_contain rejects a null filter literal at analysis") {
+    // A null binary literal is foldable, so it used to pass type-check and
+    // NPE later inside the lazy deserialization at planning time; it must
+    // fail loudly at analysis instead.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT bloom_might_contain(CAST(NULL AS BINARY), 1L)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("null"),
+      s"expected the null-literal message, got: ${e.getMessage.take(300)}")
+  }
 }
