@@ -33,6 +33,7 @@ object Bench {
   private val results = new java.util.concurrent.ConcurrentHashMap[String, Double]()
   @volatile private var nQueries = 0
   @volatile private var sfDir = ""
+  @volatile private var emittedLine = ""
   private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Print the ONE result line. Idempotent: called from the normal path and
@@ -51,6 +52,7 @@ object Bench {
     val nSkipped = nQueries - qRows.size
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+    emittedLine = line
     println(line)
     System.out.flush()
     // stdout can be tail-truncated by the driver's capture; persist the
@@ -108,6 +110,8 @@ object Bench {
           .q89CorpusBands(spark, sfDir)),
       "artifact:sem_cells" ->
         (() => operators.Similarity.cellsArtifact(spark, sfDir)),
+      "artifact:pq_codes" ->
+        (() => operators.Similarity.pqCodesArtifact(spark, sfDir)),
       "artifact:q108_corpus_cells" ->
         (() => _root_.graft.streaming.StreamingQueries
           .q108CorpusCells(spark, sfDir)))
@@ -117,7 +121,7 @@ object Bench {
              q.startsWith("q89") || q.startsWith("q93") ||
              q.startsWith("q103b") || q.startsWith("q104b") ||
              q.startsWith("q105b") || q.startsWith("q107") ||
-             q.startsWith("q108"))) {
+             q.startsWith("q108") || q.startsWith("q90c"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>
@@ -156,6 +160,17 @@ object Bench {
         sc.cancelJobGroup("bench-warmup")
         pool.shutdownNow()
         pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)
+        // cancelJobGroup is asynchronous: tasks keep draining after the
+        // call returns, and anything still running would share CPU with
+        // (and inflate) timed pass 1. Poll the status tracker until the
+        // group's jobs have actually terminated, bounded at 60 s.
+        val tracker = sc.statusTracker
+        val drainDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (tracker.getJobIdsForGroup("bench-warmup").exists(id =>
+            tracker.getJobInfo(id).exists(_.status() ==
+              org.apache.spark.JobExecutionStatus.RUNNING)) &&
+            System.nanoTime() < drainDeadline)
+          Thread.sleep(250)
       }
     }
 
@@ -200,5 +215,10 @@ object Bench {
 
     emit()
     spark.stop()
+    // Re-print the result line as the FINAL stdout of the process: the
+    // driver's tail capture of BENCH_r08 recorded "parsed": null because
+    // shutdown log noise after the first print pushed the JSON out of the
+    // captured window. target/bench.json remains the durable copy.
+    if (emittedLine.nonEmpty) { println(emittedLine); System.out.flush() }
   }
 }

@@ -424,6 +424,31 @@ object Similarity {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Write-once staged PQ-codes table (vec_id, nrm, cell, c0..c7) —
+    * bucketed by coarse cell, NO vector column. q90/q90b re-derive
+    * `pqCodes(emb)` per run and carry the raw 64-double `emb` through the
+    * ADC join so the exact re-rank can read it in place; at 100 TB the
+    * codes are a table written once by the encode pass (q76's job) and
+    * the scan below the ADC cut touches 8 one-byte codes + 2 narrow
+    * columns per row instead of 512 bytes of vector — the ~50× scan-width
+    * cut is the reason PQ indexes store codes separately from vectors.
+    * The [[PqRerank]]-bounded survivors then re-join the vector store by
+    * vec_id (q90c). Same memo/locking contract as dup_labels
+    * ([[Bucketed.writeOnceBucketed]]).
+    */
+  private[graft] def pqCodesArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pq_codes",
+      s"$d/embeddings.parquet",
+      {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          .filter(col("nrm") > 0)
+        e.select(col("vec_id") +: col("nrm") +: cellOf(col("emb")).as("cell") +:
+          pqCodes(col("emb")): _*)
+      }, 8, Seq("cell"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — near-dup within label blocks, LSH-banded candidate
     // generation: a candidate pair must share BOTH the blocking key
@@ -561,6 +586,74 @@ object Similarity {
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("emb")),
         qStride = 500, batchSize = AnnBatchSize)),
+
+    // q90c — staged-codes IVF-PQ serving: q90b with the production index
+    // layout. The ADC scan reads ONLY the write-once [[pqCodesArtifact]]
+    // table (codes + norm + cell, no vector column — PlanSpec-asserted),
+    // and the exact re-rank re-joins the ≤PqRerank·batch survivors to
+    // the vector store by vec_id. Same rows as q90b — the staging is a
+    // physical-layout change, not a semantic one — so the oracle is the
+    // identical replay.
+    "q90c_ann_ivfpq_staged" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val codes = pqCodesArtifact(s, d)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+        .filter(col("nrm") > 0)
+      // per-query ADC table, identical literals + association to q90b
+      val adcq = array((0 until 8).flatMap { sub =>
+        (0 until 4).map { c =>
+          (0 until 8).map { dd =>
+            val x = element_at(col("qv"), 8 * sub + dd + 1)
+            val l = lit(pqCodebook(sub)(c)(dd))
+            (x - l) * (x - l)
+          }.reduce(_ + _)
+        }
+      }: _*)
+      val qb = e.filter(col("vec_id") % 500 === 0)
+        .orderBy(col("vec_id")).limit(AnnBatchSize)
+        .select(col("vec_id").as("q_id"), col("emb").as("qv"),
+          col("nrm").as("qnrm"))
+        .withColumn("adcq", adcq)
+        .withColumn("qcell", cellOf(col("qv")))
+      val probes = qb
+        .withColumn("m", explode(array(
+          (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
+        .select(col("q_id"), col("adcq"),
+          col("qcell").bitwiseXOR(col("m")).as("pcell"))
+      val adc = (0 until 8).map { sub =>
+        element_at(col("adcq"),
+          (lit(4 * sub + 1) + col(s"c$sub")).cast("int"))
+      }.reduce(_ + _)
+      // codes-only below the cut: 10 narrow columns, no vector arithmetic
+      val survivors = codes.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc", adc)
+        .withColumn("ar", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("vec_id"))))
+        .filter(col("ar") <= PqRerank)
+        .select(col("q_id"), col("vec_id"), col("cell"), col("nrm"),
+          col("adc"))
+      // bounded exact re-rank: survivors re-join the vector store by id
+      val store = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+      survivors.join(store, "vec_id")
+        .join(broadcast(qb.select(col("q_id"), col("qv"), col("qnrm"))),
+          "q_id")
+        .withColumn("cos", round(
+          dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
+          round(col("adc"), 4).as("adc_dist"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
     // scale path when no natural shard/label exists (q35 needs one).
@@ -1386,6 +1479,56 @@ object Similarity {
       }.mkString(",\n  ")
     }
 
+    // shared by q90b and its staged-codes twin q90c (identical rows —
+    // the staging changes physical layout, not semantics): per-query
+    // cell + probe list + ADC CASE chains computed from qv with the same
+    // exact literals and left-assoc association as the Spark-side adcq
+    val ivfPqBatchSql = {
+      def qdSql(sub: Int, c: Int): String =
+        (0 until 8).map { dd =>
+          val l = pqCodebook(sub)(c)(dd)
+          s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
+            s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l)"
+        }.mkString(" + ")
+      val adcqSql = (0 until 8).map { sub =>
+        s"(CASE c$sub WHEN 0 THEN ${qdSql(sub, 0)} " +
+          s"WHEN 1 THEN ${qdSql(sub, 1)} WHEN 2 THEN ${qdSql(sub, 2)} " +
+          s"ELSE ${qdSql(sub, 3)} END)::DOUBLE"
+      }.mkString(" + ")
+      s"""WITH e0 AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         | e AS (SELECT * FROM e0 WHERE nrm > 0),
+         | q0 AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+         |        CAST($cellSql AS BIGINT) AS qcell
+         |      FROM e WHERE vec_id % 500 = 0
+         |      ORDER BY vec_id LIMIT $AnnBatchSize),
+         | probe AS (SELECT q_id, qv, qnrm, xor(qcell, m.m) AS pcell
+         |      FROM q0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) m),
+         | coded AS (SELECT vec_id, embedding, nrm,
+         |    CAST($cellSql AS BIGINT) AS cell,
+         |    $pqCodesSql
+         |   FROM e),
+         | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
+         |        c.nrm, c.cell, $adcqSql AS adc
+         |   FROM probe p JOIN coded c
+         |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+         | r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY adc, vec_id) AS ar FROM j),
+         | sc AS (SELECT q_id, vec_id, cell, ROUND(adc, 4) AS adc_dist,
+         |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
+         |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
+         |      AS cos
+         |   FROM r1 WHERE ar <= $PqRerank),
+         | r2 AS (SELECT q_id, vec_id, cell, adc_dist, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |   FROM sc)
+         |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos
+         |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+    }
+
     Map(
       // same association as Spark: dot / (nrm_v * nrm_q), norms from the
       // double-cast squares, ROUND 4dp before ranking
@@ -1529,51 +1672,14 @@ object Similarity {
       // q90b: the batched replay — per-query cell + probe list + ADC
       // CASE chains computed from qv with the same exact literals and
       // left-assoc association as the Spark-side adcq array
-      "q90b_ann_ivfpq_batch" -> {
-        def qdSql(sub: Int, c: Int): String =
-          (0 until 8).map { dd =>
-            val l = pqCodebook(sub)(c)(dd)
-            s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
-              s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l)"
-          }.mkString(" + ")
-        val adcqSql = (0 until 8).map { sub =>
-          s"(CASE c$sub WHEN 0 THEN ${qdSql(sub, 0)} " +
-            s"WHEN 1 THEN ${qdSql(sub, 1)} WHEN 2 THEN ${qdSql(sub, 2)} " +
-            s"ELSE ${qdSql(sub, 3)} END)::DOUBLE"
-        }.mkString(" + ")
-        s"""WITH e0 AS (SELECT vec_id, embedding,
-           |    sqrt(list_sum(list_transform(embedding,
-           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
-           |  FROM embeddings),
-           | e AS (SELECT * FROM e0 WHERE nrm > 0),
-           | q0 AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
-           |        CAST($cellSql AS BIGINT) AS qcell
-           |      FROM e WHERE vec_id % 500 = 0
-           |      ORDER BY vec_id LIMIT $AnnBatchSize),
-           | probe AS (SELECT q_id, qv, qnrm, xor(qcell, m.m) AS pcell
-           |      FROM q0, (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m) m),
-           | coded AS (SELECT vec_id, embedding, nrm,
-           |    CAST($cellSql AS BIGINT) AS cell,
-           |    $pqCodesSql
-           |   FROM e),
-           | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
-           |        c.nrm, c.cell, $adcqSql AS adc
-           |   FROM probe p JOIN coded c
-           |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
-           | r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           |          ORDER BY adc, vec_id) AS ar FROM j),
-           | sc AS (SELECT q_id, vec_id, cell, ROUND(adc, 4) AS adc_dist,
-           |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
-           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
-           |      AS cos
-           |   FROM r1 WHERE ar <= $PqRerank),
-           | r2 AS (SELECT q_id, vec_id, cell, adc_dist, cos,
-           |    row_number() OVER (PARTITION BY q_id
-           |      ORDER BY cos DESC, vec_id) AS rk
-           |   FROM sc)
-           |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos
-           |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
-      },
+      "q90b_ann_ivfpq_batch" -> ivfPqBatchSql,
+
+      // q90c: the staged-codes form is a physical-layout change only —
+      // the scan below the ADC cut reads the write-once pq_codes table
+      // instead of re-deriving codes, and the re-rank re-joins the
+      // vector store by id — so its rows are identical to q90b's and
+      // the oracle is the same replay.
+      "q90c_ann_ivfpq_staged" -> ivfPqBatchSql,
 
       "q63_centroids" ->
         s"""SELECT label, dim, COUNT(*) AS n,

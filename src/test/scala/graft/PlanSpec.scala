@@ -439,6 +439,25 @@ class PlanSpec extends AnyFunSuite {
     assert(joins.head.left.toString.toLowerCase.contains("md5"))
   }
 
+  test("q90c ADC subtree scans the staged codes table, never the vector") {
+    // the production IVF-PQ layout: below the ADC cut the corpus side is
+    // the write-once pq_codes table (vec_id, nrm, cell, c0..c7 — no
+    // vector column exists in it at all), and the raw embedding is read
+    // only by the q-side batch and the PqRerank-bounded re-rank join.
+    val p = plan("q90c_ann_ivfpq_staged")
+    val codeScans = p.linesIterator
+      .filter(l => l.contains("pq_codes") && l.contains("FileScan")).toSeq
+    assert(codeScans.nonEmpty,
+      s"no scan of the staged pq_codes table found:\n${p.take(3000)}")
+    for (l <- codeScans)
+      assert(!l.contains("emb"),
+        s"pq_codes scan must be codes-only, found a vector column:\n$l")
+    // the vector store IS scanned (q batch + re-rank) — but with the
+    // embedding column only there, outside the ADC candidate subtree
+    assert(p.contains("embeddings.parquet"),
+      "expected the vector-store scan for the bounded exact re-rank")
+  }
+
   test("q108 static sides are table scans; stream side is narrow") {
     // same contract as q89: the static sides of the stream-static joins
     // are re-evaluated per micro-batch, so they must be materialized
