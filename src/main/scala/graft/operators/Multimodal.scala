@@ -19,14 +19,20 @@ case class MediaSample(doc_id: Long, n_frames: Long, n_sampled: Long,
 /** Stubbed media "embedding": 64 integer features in [-1000, 1000]. */
 case class MediaVec(doc_id: Long, feat: Array[Long])
 
+/** Output of the REAL PNG decode (Q41d): image dims + pixel checksums. */
+case class PngDecoded(doc_id: Long, width: Long, height: Long,
+                      px_sum: Long, px_wsum: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by a partition-batched typed map — the Scala analog
   * of a `mapInPandas` decode UDF.
   *
-  * The decode step is a STUB (this container has no image/audio codecs):
-  * `extractFeatures` computes deterministic stand-ins (byte length, head
-  * bytes hex, 64-byte "frame" count). Everything around it is the real
-  * production shape: a `binary` payload column built upstream, a
+  * The decode step is a STUB for video/JPEG/audio only (this container
+  * ships no native codecs): `extractFeatures` computes deterministic
+  * stand-ins (byte length, head bytes hex, 64-byte "frame" count). PNG
+  * decode is REAL — Q41d runs the stock JDK's `javax.imageio` codec
+  * headlessly inside the same seam ([[decodePng]]). Everything around the
+  * stubs is the real production shape: a `binary` payload column built upstream, a
   * `Dataset[MediaRow]` with product encoders, `mapPartitions` (iterator →
   * iterator, so a real decoder amortizes per-partition init — model load,
   * codec context — across the batch, exactly like mapInPandas batches),
@@ -90,6 +96,68 @@ object Multimodal {
     MediaVec(r.doc_id, sums.map(s => (s % 2001L) - 1000L))
   }
 
+  /** Bytes of payload a Q41d image encodes: 16×16 RGB = 768. Bounds the
+    * per-row encode/decode work regardless of document length — the same
+    * reason a production pipeline thumbnails before feature extraction.
+    */
+  val PngCapBytes = 768
+
+  /** Build a REAL PNG from the payload: the first [[PngCapBytes]] bytes
+    * become RGB channel values of a 16-wide image (zero-padded to full
+    * rows), compressed by the stock JDK encoder. Stands in for the stored
+    * media column the synthetic testdata lacks; the codec is real.
+    */
+  def encodePng(r: MediaRow): MediaRow = {
+    val n = math.min(r.payload.length, PngCapBytes)
+    val w = 16
+    val h = math.max(1, ((n + 2) / 3 + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def b(j: Int): Int = if (j < n) r.payload(j) & 0xFF else 0
+    var i = 0
+    while (i < w * h) {
+      img.setRGB(i % w, i / w,
+        (b(3 * i) << 16) | (b(3 * i + 1) << 8) | b(3 * i + 2))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaRow(r.doc_id, bos.toByteArray, "image/png")
+  }
+
+  /** REAL image decode — the stock JDK `javax.imageio` PNG codec, run
+    * headlessly (no native deps, no awt display). Decompresses the PNG,
+    * walks the raster in row-major channel order, and emits a plain and a
+    * position-weighted pixel checksum (weight (j%251)+1 at channel-byte
+    * offset j — a wrong pixel ORDER flips px_wsum even when px_sum
+    * survives). PNG is lossless, so the oracle replays both checksums
+    * arithmetically from the source bytes: the query is green only if a
+    * real compressed-image round-trip preserved every pixel.
+    */
+  def decodePng(r: MediaRow): PngDecoded = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable PNG payload for doc ${r.doc_id}")
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0L; var ws = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val j = 3 * (y * w + x)
+        val cr = (rgb >> 16) & 0xFF; val cg = (rgb >> 8) & 0xFF
+        val cb = rgb & 0xFF
+        s += cr + cg + cb
+        ws += cr.toLong * (j % 251 + 1) + cg.toLong * ((j + 1) % 251 + 1) +
+          cb.toLong * ((j + 2) % 251 + 1)
+        x += 1
+      }
+      y += 1
+    }
+    PngDecoded(r.doc_id, w.toLong, h.toLong, s, ws)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41 — binary payload column → partition-batched feature extraction
     "q41_multimodal" -> ((s, d) => {
@@ -116,6 +184,26 @@ object Multimodal {
         .as[MediaRow]
       media
         .mapPartitions(it => it.map(sampleFrames))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // q41d — REAL image decode through the same partition-batched seam:
+    // payload bytes → real PNG (JDK encoder) → REAL JDK ImageIO decode →
+    // pixel checksums. encode+decode run in one typed map because the
+    // testdata ships no stored-media column; at 100 TB the PNG column is
+    // read from the lake and only decodePng runs here. The projection
+    // before the seam is (doc_id, payload, kind) only — same narrow-row
+    // rule as q41 — and per-row work is bounded by [[PngCapBytes]].
+    "q41d_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("image/png").as("kind"))
+        .as[MediaRow]
+      media
+        .mapPartitions(it => it.map(r => decodePng(encodePng(r))))
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -192,6 +280,24 @@ object Multimodal {
         |    FOR i IN generate_series(0, nb-1)
         |    IF (i//64)%4 = 0 AND (i%64)%2 = 0]), 0)
         |   AS BIGINT) AS resized_sum
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q41d: PNG is lossless, so the REAL encode→decode round-trip must
+    // reproduce the source bytes exactly — the oracle replays both pixel
+    // checksums arithmetically from the text bytes (capped at 768,
+    // zero-padding contributes nothing to either sum)
+    "q41d_png_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |      LEAST(octet_length(encode(text)), 768) AS nb FROM documents)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width,
+        | CAST(GREATEST(1, ((nb + 2) // 3 + 15) // 16) AS BIGINT) AS height,
+        | CAST(COALESCE(list_sum(
+        |   [CAST(concat('0x', substr(hx, i*2+1, 2)) AS INT)
+        |    FOR i IN generate_series(0, nb-1)]), 0) AS BIGINT) AS px_sum,
+        | CAST(COALESCE(list_sum(
+        |   [CAST(concat('0x', substr(hx, i*2+1, 2)) AS BIGINT)
+        |      * ((i % 251) + 1)
+        |    FOR i IN generate_series(0, nb-1)]), 0) AS BIGINT) AS px_wsum
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // q41c: the byte-sum "encoder" replayed arithmetically, the online

@@ -80,6 +80,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.n_frames === 1L)
   }
 
+  test("q41d real PNG decode round-trips pixel checksums byte-exactly") {
+    def expect(bytes: Array[Byte]): (Long, Long, Long) = {
+      val n = math.min(bytes.length, operators.Multimodal.PngCapBytes)
+      val h = math.max(1L, (((n + 2) / 3 + 15) / 16).toLong)
+      val s = (0 until n).map(i => (bytes(i) & 0xFF).toLong).sum
+      val ws = (0 until n)
+        .map(i => (bytes(i) & 0xFF).toLong * (i % 251 + 1)).sum
+      (h, s, ws)
+    }
+    val cases = Seq(
+      Array.empty[Byte],                       // blank 16x1 image
+      "hello".getBytes("UTF-8"),               // sub-pixel tail padding
+      Array.tabulate(768)(i => i.toByte),      // exactly at the cap
+      Array.tabulate(2000)(i => (i * 37).toByte)) // capped long payload
+    for ((payload, idx) <- cases.zipWithIndex) {
+      val r = operators.MediaRow(idx.toLong, payload, "image/png")
+      val png = operators.Multimodal.encodePng(r)
+      // a real PNG came out of the encoder...
+      assert(png.payload.take(4).map(_ & 0xFF).toSeq ===
+        Seq(0x89, 0x50, 0x4E, 0x47), "missing PNG magic")
+      // ...and the real decoder reproduces the source bytes exactly
+      val dec = operators.Multimodal.decodePng(png)
+      val (h, s, ws) = expect(payload)
+      assert(dec.width === 16L)
+      assert(dec.height === h)
+      assert(dec.px_sum === s, s"case $idx plain checksum")
+      assert(dec.px_wsum === ws, s"case $idx weighted checksum")
+    }
+    // the decoder is a real codec: garbage bytes must be rejected, not
+    // silently checksummed
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodePng(
+        operators.MediaRow(99L, Array.fill[Byte](64)(0x2A), "image/png"))
+    }
+  }
+
   test("q44b approx percentile lands within the sketch's rank-error bound") {
     import spark.implicits._
     val approx = SparkEntry.queries("q44b_approx_percentiles")(spark, sf)
