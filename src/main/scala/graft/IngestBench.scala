@@ -70,12 +70,19 @@ object IngestBench {
     val enriched = ingest.Transformers.fromSyslog(src)
     val avroVal = ingest.Transformers.avro(
       Seq("dc" -> "dc1", "env" -> "bench"), Some(7L), 42)
-    val out =
-      if (partitionBy == "hour")
+    // "land-compact": land UNPARTITIONED at full sink speed, carrying the
+    // raw epoch-ms timestamp; a batch [[graft.ingest.Compact]] pass after
+    // the drain folds the landing files into hive hour partitions. The
+    // measured combined rate is the honest end-to-end cost of the layout
+    // that both sustains ingest AND gives downstream queries pruning.
+    val out = partitionBy match {
+      case "hour" =>
         enriched.select(avroVal,
           date_format(timestamp_millis(col("timestamp")), "yyyy-MM-dd-HH")
             .as("ingest_part"))
-      else enriched.select(avroVal)
+      case "land-compact" => enriched.select(avroVal, col("timestamp"))
+      case _ => enriched.select(avroVal)
+    }
     // SPARK_GRAFT_INGEST_SINK=noop isolates source acceptance + encode
     // from the file sink (whose metadata log compacts every 10 batches —
     // rewritten in full, so long runs pay a growing per-commit stall;
@@ -166,6 +173,16 @@ object IngestBench {
         cur
       } else spark.read.parquet(outDir).count()
     println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":${sent.get},"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
+    if (partitionBy == "land-compact") {
+      val compactDir = outDir + "_compacted"
+      val c0 = System.nanoTime()
+      val compacted = ingest.Compact.run(spark, outDir, compactDir)
+      val compactSec = (System.nanoTime() - c0) / 1e9
+      require(compacted == received,
+        s"compaction lost rows: landed $received, compacted $compacted")
+      val totalSec = drainSec + compactSec
+      println(s"""{"metric":"ingest_land_compact_rows_per_sec","value":${(received / totalSec).round},"unit":"rows/sec","received":$received,"drain_sec":$drainSec,"compact_sec":$compactSec,"partitions":${spark.read.parquet(compactDir).select("ingest_part").distinct().count()}}""")
+    }
     spark.stop()
   }
 }

@@ -436,10 +436,17 @@ object Similarity {
     * vec_id (q90c). Same memo/locking contract as dup_labels
     * ([[Bucketed.writeOnceBucketed]]).
     */
+  /** How many times `pq_codes` was WRITTEN this JVM — PipelineSpec
+    * asserts the encode pass is paid once, not per serving query.
+    */
+  private[graft] val pqCodesWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def pqCodesArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pq_codes",
       s"$d/embeddings.parquet",
       {
+        pqCodesWrites.incrementAndGet()
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("emb"))

@@ -45,6 +45,17 @@ class PipelineSpec extends AnyFunSuite {
       "warm consumers re-ran Lloyd training")
   }
 
+  test("pq_codes artifact encodes at most once across repeated q90c runs") {
+    import operators.Similarity
+    val d0 = Similarity.pqCodesWrites.get()
+    Similarity.queries("q90c_ann_ivfpq_staged")(spark, TestSpark.sf).collect()
+    val d1 = Similarity.pqCodesWrites.get()
+    assert(d1 - d0 <= 1, s"first serving run encoded ${d1 - d0} times")
+    Similarity.queries("q90c_ann_ivfpq_staged")(spark, TestSpark.sf).collect()
+    assert(Similarity.pqCodesWrites.get() === d1,
+      "a warm serving run re-ran the PQ encode pass")
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // run once in the base session so its memo is warm
     Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
