@@ -75,6 +75,23 @@ class CompactSpec extends AnyFunSuite {
     assert(df.inputFiles.nonEmpty)
   }
 
+  test("day granularity folds all hours of a day into one partition") {
+    val landing = tmp("graft_landing_d")
+    val out = tmp("graft_compacted_d")
+    landingRows.toDF("value", "timestamp")
+      .write.mode("overwrite").parquet(landing)
+    val n = ingest.Compact.run(spark, landing, out, granularity = "day")
+    assert(n === 301L)
+    // the fixture's three hours straddle midnight UTC (22:00, 23:00,
+    // 00:00) — day granularity must split exactly at the boundary
+    val perDay = spark.read.parquet(out).groupBy("ingest_part").count()
+      .as[(String, Long)].collect().toMap
+    assert(perDay.keys.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")),
+      s"unexpected day keys: ${perDay.keys.toSeq}")
+    assert(perDay.values.toSeq.sorted === Seq(50L, 251L),
+      s"day-boundary split wrong: $perDay")
+  }
+
   test("windowed rerun rewrites only its own partitions (idempotent retry)") {
     val landing = tmp("graft_landing_w")
     val out = tmp("graft_compacted_w")
