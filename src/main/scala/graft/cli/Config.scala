@@ -21,7 +21,7 @@ case class GraftConfig(
   tags: Seq[(String, String)] = Nil,        // repeatable --tag k=v
   sinkFormat: String = "kafka",             // --sink.format kafka|parquet
   sinkPath: Option[String] = None,          // --sink.path (parquet sink)
-  sinkPartitionBy: String = "none")         // --sink.partition.by none|hour|day
+  sinkPartitionBy: String = "none")         // --sink.partition.by none|hour|day|land-compact
 
 object Config {
 
@@ -79,9 +79,9 @@ object Config {
       Left("topic is required")
     else if (c.sinkFormat == "parquet" && c.sinkPath.isEmpty)
       Left("sink.path is required with --sink.format parquet")
-    else if (!Set("none", "hour", "day")(c.sinkPartitionBy))
-      Left(s"sink.partition.by must be none, hour or day, got " +
-        s"'${c.sinkPartitionBy}'")
+    else if (!Set("none", "hour", "day", "land-compact")(c.sinkPartitionBy))
+      Left(s"sink.partition.by must be none, hour, day or land-compact, " +
+        s"got '${c.sinkPartitionBy}'")
     else if (c.pattern == "avro" && c.registryUrl.isEmpty)
       Left("schema.registry.url is required with --avro")
     else if (c.requiredAcks < -1) Left("required.acks must be >= -1")

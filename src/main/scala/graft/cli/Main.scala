@@ -60,9 +60,15 @@ object Main {
       case _ => None
     }
     val base = source.repartition(conf.numProducers) // producer pool (O18)
-    val out = partCol match {
-      case Some(p) => base.select(value, p.as("ingest_part"))
-      case None => base.select(value)
+    // land-compact: land UNPARTITIONED at full sink speed, carrying the
+    // raw epoch-ms timestamp so a periodic `graft.ingest.Compact` batch
+    // run folds closed windows into hive hour/day partitions downstream
+    // (BASELINE.md round 9: 4.9× the hour-partitioned sink's same-day
+    // end-to-end ceiling).
+    val out = (partCol, conf.sinkPartitionBy) match {
+      case (Some(p), _) => base.select(value, p.as("ingest_part"))
+      case (None, "land-compact") => base.select(value, col("timestamp"))
+      case _ => base.select(value)
     }
 
     if (dryRun) {

@@ -128,6 +128,44 @@ object TextOps {
         i => concat_ws(" ", element_at(col("toks"), i),
           element_at(col("toks"), i + 1)))).as("g"))
 
+  /** q110 core, factored over any (doc_id, text) frame so the spec can
+    * prove the gates bite on planted repetitive documents.
+    */
+  private[graft] def repetitionGatesOver(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("toks", split(col("text"), " "))
+    def grams(n: Int): DataFrame = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k)): _*)))
+          .as("g"))
+    val top2 = grams(2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        (col("c") * length(col("g"))).cast("long").as("top2_chars"))
+    val dup5 = grams(5)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("g"))).cast("long").as("dup5_chars"))
+    base.select(col("doc_id"), col("n_chars"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top2_chars", "dup5_chars"))
+      .withColumn("flag_top2", col("top2_chars") * 5 > col("n_chars"))
+      .withColumn("flag_dup5", col("dup5_chars") * 20 > col("n_chars") * 3)
+      .select(col("doc_id"), col("n_chars"), col("top2_chars"),
+        col("dup5_chars"), col("flag_top2"), col("flag_dup5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q86 stage 0: per-doc integer quality score + whitespace-token count
     * (narrow, shuffle-free; the text column is dropped here so everything
     * downstream shuffles id + 3 ints only).
@@ -551,6 +589,26 @@ object TextOps {
         .orderBy(col("cnt").desc, col("g"))
         .limit(25)),
 
+    // q110 — Gopher-style intra-document repetition gates (Rae et al.
+    // '21, appendix A1.1: the published removal heuristics for
+    // self-repetitive documents — boilerplate, listicles, degenerate
+    // generations). Two of the family, in exact integer arithmetic:
+    // fraction of characters covered by the MOST FREQUENT word 2-gram
+    // (> 0.20 flags) and by DUPLICATED word 5-grams (count > 1, > 0.15
+    // flags). Character coverage = occurrences × gram string length
+    // (overlaps uncounted — deterministic and engine-portable, where
+    // span-union coverage is q91's job). Ties on the top 2-gram break
+    // lexicographically.
+    //
+    // 100-TB posture: the gram explode is token-linear and keyed
+    // (doc_id, gram) — partial+final hash agg, no cross-doc fanout; the
+    // per-doc top-1 is a rank-1 window LocalTopKPerKey prunes map-side;
+    // everything after the aggs is doc_id-keyed joins of narrow rows.
+    // No corpus sort, no all-pairs anything.
+    "q110_repetition_gates" -> ((s, d) =>
+      repetitionGatesOver(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))),
+
     // q98 — per-source quality calibration: keep each source's top half
     // by quality score WITHOUT sorting the corpus per source. Quality
     // scores are integers on a fixed 0..10000 scale (q38/q86 contract),
@@ -830,6 +888,36 @@ object TextOps {
           |        FROM t WHERE len(toks) >= 2)
           |SELECT g, COUNT(*) AS cnt FROM g GROUP BY g
           |ORDER BY cnt DESC, g LIMIT 25""".stripMargin,
+
+      // q110: same gram construction as q95 (separator-inclusive string
+      // length, 1-based token indexing); integer threshold tests so both
+      // engines compare exactly
+      "q110_repetition_gates" ->
+        """WITH t AS (SELECT doc_id, len(text) AS n_chars,
+          |             string_split(text, ' ') AS toks FROM documents),
+          | g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+          |          i -> toks[i] || ' ' || toks[i+1])) AS g
+          |        FROM t WHERE len(toks) >= 2),
+          | c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+          | t2 AS (SELECT doc_id, c * len(g) AS top2_chars,
+          |          row_number() OVER (PARTITION BY doc_id
+          |            ORDER BY c DESC, g) AS rn
+          |        FROM c2),
+          | g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+          |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+          |               || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+          |        FROM t WHERE len(toks) >= 5),
+          | c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+          | d5 AS (SELECT doc_id, SUM(c * len(g)) AS dup5_chars
+          |        FROM c5 WHERE c > 1 GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(t.n_chars AS BIGINT) AS n_chars,
+          |  CAST(COALESCE(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+          |  CAST(COALESCE(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+          |  COALESCE(t2.top2_chars, 0) * 5 > t.n_chars AS flag_top2,
+          |  COALESCE(d5.dup5_chars, 0) * 20 > t.n_chars * 3 AS flag_dup5
+          |FROM t LEFT JOIN (SELECT * FROM t2 WHERE rn = 1) t2 USING (doc_id)
+          |       LEFT JOIN d5 USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
 
       // q98: identical integer score; cutoff = k-th largest score per
       // source (k = ceil(n/2)) from the exact score histogram; keep

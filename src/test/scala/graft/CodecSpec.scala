@@ -190,6 +190,7 @@ class CodecSpec extends AnyFunSuite {
     assert(Config.validate(pq).isRight)
     assert(Config.validate(pq.copy(sinkPartitionBy = "hour")).isRight)
     assert(Config.validate(pq.copy(sinkPartitionBy = "day")).isRight)
+    assert(Config.validate(pq.copy(sinkPartitionBy = "land-compact")).isRight)
     assert(Config.validate(pq.copy(sinkPartitionBy = "minute")).isLeft)
     assert(Config.validate(pq.copy(sinkFormat = "console")).isLeft)
     val parsed = Config.parse(Seq("--sink.format", "parquet",

@@ -80,6 +80,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(f.n_frames === 1L)
   }
 
+  test("q110 repetition gates bite on planted repetitive docs only") {
+    import spark.implicits._
+    val docs = Seq(
+      // 0: pure 2-gram loop — "spam ham" covers ~all characters
+      (0L, Array.fill(30)("spam ham").mkString(" ")),
+      // 1: a duplicated 5-gram block repeated amid unique filler
+      (1L, (Seq("one two three four five") ++
+        (0 until 40).map(i => s"w$i") ++
+        Seq("one two three four five")).mkString(" ")),
+      // 2: all-distinct tokens — nothing repeats at any n
+      (2L, (0 until 60).map(i => s"tok$i").mkString(" ")),
+      // 3: degenerate short doc (no 5-grams possible, one 2-gram)
+      (3L, "only two")).toDF("doc_id", "text")
+    val got = operators.TextOps.repetitionGatesOver(docs)
+      .select("doc_id", "flag_top2", "flag_dup5")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(0L) === ((true, true)), "2-gram loop must flag both gates")
+    assert(got(1L)._2 === true, "duplicated 5-gram block must flag dup5")
+    assert(got(1L)._1 === false, "filler keeps the top-2-gram share low")
+    assert(got(2L) === ((false, false)), "distinct tokens must pass")
+    assert(got(3L)._2 === false, "no 5-grams -> dup5 cannot fire")
+  }
+
   test("q41d real PNG decode round-trips pixel checksums byte-exactly") {
     def expect(bytes: Array[Byte]): (Long, Long, Long) = {
       val n = math.min(bytes.length, operators.Multimodal.PngCapBytes)
