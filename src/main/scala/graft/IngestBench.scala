@@ -88,6 +88,9 @@ object IngestBench {
     // rewritten in full, so long runs pay a growing per-commit stall;
     // the degradation is the SINK's, and this knob proves it)
     val sinkFmt = sys.env.getOrElse("SPARK_GRAFT_INGEST_SINK", "parquet")
+    require(!(sinkFmt == "noop" && partitionBy == "land-compact"),
+      "SINK=noop writes no landing files for the compact pass to read — " +
+        "the combination would waste the whole measurement before failing")
     // Row accounting for the noop sink: a listener accumulating every
     // batch's numInputRows. recentProgress would undercount — it retains
     // only the last ~100 progress entries, and a 30 s run at a 500 ms

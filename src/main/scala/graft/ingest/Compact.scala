@@ -57,6 +57,19 @@ object Compact {
       granularity: String = "hour", sinceMs: Long = Long.MinValue,
       untilMs: Long = Long.MaxValue, writersPerPartition: Int = 16,
       maxRecordsPerFile: Long = 5000000L): Long = {
+    require(Set("hour", "day")(granularity),
+      s"granularity must be hour or day, got '$granularity'")
+    // A window bound inside a partition would make the dynamic overwrite
+    // DELETE the rest of that partition's already-compacted rows (the
+    // rewrite replaces the whole touched partition with only the
+    // window's subset) — silent data loss, so misaligned bounds are
+    // rejected instead of "handled".
+    val unitMs = if (granularity == "day") 86400000L else 3600000L
+    for ((b, name) <- Seq(sinceMs -> "sinceMs", untilMs -> "untilMs"))
+      require(b == Long.MinValue || b == Long.MaxValue || b % unitMs == 0,
+        s"$name ($b) must be aligned to the $granularity boundary " +
+          s"($unitMs ms) — a partial-partition window would overwrite " +
+          "the partition with only its subset")
     val landed = spark.read.parquet(landingDir)
       .filter(col("timestamp") >= sinceMs && col("timestamp") < untilMs)
     val parted = landed
@@ -70,28 +83,23 @@ object Compact {
 
   private def compactedWrite(spark: SparkSession, df: DataFrame,
       outDir: String, maxRecordsPerFile: Long): Long = {
-    // idempotent reruns: a failed window's retry replaces exactly the
-    // partitions it writes, never the whole table
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      // row count via an observation metric: collected DURING the write,
-      // so the landing data is read exactly once (a cache+count pass
-      // would double the job's scan cost for bookkeeping)
-      val obs = new org.apache.spark.sql.Observation()
-      df.observe(obs, count(lit(1)).as("rows"))
-        .write
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("ingest_part")
-        .mode("overwrite")
-        .parquet(outDir)
-      obs.get("rows").asInstanceOf[Long]
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // row count via an observation metric: collected DURING the write,
+    // so the landing data is read exactly once (a cache+count pass
+    // would double the job's scan cost for bookkeeping)
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write
+      // per-write dynamic overwrite (idempotent reruns: a failed
+      // window's retry replaces exactly the partitions it writes, never
+      // the whole table). Set as a WRITER option, not session conf —
+      // mutating the session-global conf races with concurrent writes
+      // on the same SparkSession.
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("ingest_part")
+      .mode("overwrite")
+      .parquet(outDir)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** CLI: `graft.ingest.Compact <landingDir> <outDir> [hour|day]`. */

@@ -102,6 +102,12 @@ object Multimodal {
     */
   val PngCapBytes = 768
 
+  // ImageIO's default stream cache backs every read/write with a TEMP
+  // FILE — two create/write/delete cycles per document for a 768-byte
+  // in-memory round-trip, dominating the codec work at bench scale.
+  // Payloads are capped, so memory streams are always safe.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Build a REAL PNG from the payload: the first [[PngCapBytes]] bytes
     * become RGB channel values of a 16-wide image (zero-padded to full
     * rows), compressed by the stock JDK encoder. Stands in for the stored

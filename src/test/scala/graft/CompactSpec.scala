@@ -92,6 +92,24 @@ class CompactSpec extends AnyFunSuite {
       s"day-boundary split wrong: $perDay")
   }
 
+  test("misaligned windows and unknown granularities are rejected up front") {
+    val landing = tmp("graft_landing_g")
+    landingRows.toDF("value", "timestamp")
+      .write.mode("overwrite").parquet(landing)
+    // a window bound inside a partition would make the dynamic overwrite
+    // silently drop the rest of that partition — must throw, not run
+    val e1 = intercept[IllegalArgumentException] {
+      ingest.Compact.run(spark, landing, tmp("graft_out_g1"),
+        sinceMs = baseMs + 30 * 60 * 1000L, untilMs = baseMs + hourMs)
+    }
+    assert(e1.getMessage.contains("aligned"))
+    val e2 = intercept[IllegalArgumentException] {
+      ingest.Compact.run(spark, landing, tmp("graft_out_g2"),
+        granularity = "minute")
+    }
+    assert(e2.getMessage.contains("granularity"))
+  }
+
   test("windowed rerun rewrites only its own partitions (idempotent retry)") {
     val landing = tmp("graft_landing_w")
     val out = tmp("graft_compacted_w")
