@@ -110,6 +110,46 @@ class CompactSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("granularity"))
   }
 
+  test("streaming land-then-compact end-to-end: landed stream folds into pruned hours") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the exact schema contract cli.Main's land-compact mode lands:
+    // (value binary, timestamp epoch-ms long), streamed through a real
+    // checkpointed file sink, then folded by the batch Compact job
+    val src = tmp("graft_lc_src")
+    val landing = tmp("graft_lc_landing")
+    val ckpt = tmp("graft_lc_ckpt")
+    val out = tmp("graft_lc_out")
+    val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select(col("event_id"))
+    raw.write.mode("overwrite").parquet(src)
+    val n = raw.count()
+    val q = spark.readStream.schema(raw.schema).parquet(src)
+      .select(
+        encode(concat(lit("evt|"), col("event_id").cast("string")), "UTF-8")
+          .as("value"),
+        (lit(baseMs) + pmod(col("event_id"), lit(2)) * hourMs)
+          .cast("long").as("timestamp"))
+      .writeStream.format("parquet")
+      .option("path", landing).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+
+    val compacted = ingest.Compact.run(spark, landing, out)
+    assert(compacted === n, s"landed $n, compacted $compacted")
+    val perHour = spark.read.parquet(out).groupBy("ingest_part").count()
+      .as[(String, Long)].collect().toMap
+    assert(perHour.size === 2, s"expected 2 hour partitions: $perHour")
+    assert(perHour.values.sum === n)
+    // and the point of the layout: an hour filter prunes the scan
+    val df = spark.read.parquet(out)
+      .filter(col("ingest_part") === perHour.keys.min)
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    df.collect()
+    assert(scan.metrics("numPartitions").value === 1)
+  }
+
   test("windowed rerun rewrites only its own partitions (idempotent retry)") {
     val landing = tmp("graft_landing_w")
     val out = tmp("graft_compacted_w")
