@@ -52,6 +52,16 @@ object Dedup {
     */
   private val DupSpanW = 20
 
+  /** q111 segment width (tokens) and the document-frequency threshold at
+    * which a segment counts as corpus boilerplate (appears in >= SegDf
+    * DISTINCT documents). SegDf = 2 on this synthetic corpus so the
+    * planted exact/near duplicates exercise the strip path; production
+    * corpora tune it upward (CCNet used per-shard counts with small
+    * absolute thresholds too).
+    */
+  private[graft] val SegW = 10
+  private[graft] val SegDf = 2
+
   /** Deterministic universal-hash coefficients (odd a, arbitrary b),
     * identical literals interpolated into the DuckDB oracle.
     */
@@ -613,6 +623,61 @@ object Dedup {
           sum(col("is_dup")).as("n_dup_windows"),
           sum(col("cov_i")).as("n_dup_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q111 — corpus-level segment dedup (CCNet/RefinedWeb "line dedup"
+    // adapted to unstructured text): cut each document into
+    // NON-OVERLAPPING [[SegW]]-token segments, count each distinct
+    // segment's document frequency across the whole corpus, and strip
+    // every segment that appears in >= [[SegDf]] distinct documents —
+    // the boilerplate remover (headers, footers, license blocks, quoted
+    // templates) that per-document dedup (q24/q32) structurally misses
+    // because the documents CARRYING the boilerplate are not duplicates
+    // of each other. q91 finds overlapping dup SPANS (diagnosis); this
+    // operator REMOVES exact repeated segments and emits the cleaned
+    // reassembly (action). A trailing run short of a full segment is
+    // outside the segmentation: never df-counted (a 3-token tail would
+    // collide by chance, below any meaningful boilerplate granularity)
+    // and not part of the reported reassembly — n_segments / kept_tokens
+    // / kept_md5 all describe the segmented region only.
+    //
+    // At 100 TB: segmentation is narrow map work (n/SegW rows per doc);
+    // the df count is a hash agg on the segment hash with map-side
+    // partial combine (the skew of a segment shared by millions of docs
+    // collapses in the partial); and the boiler SET — distinct segments
+    // with df >= threshold — is tiny relative to the corpus (boilerplate
+    // is by definition few distinct strings repeated massively), so the
+    // strip pass is a broadcast hash join against the corpus scan, not a
+    // corpus-wide shuffle. Reassembly groups by doc_id (bounded rows per
+    // group). Two corpus passes total (df build, strip), both narrow.
+    "q111_segment_dedup" -> ((s, d) => {
+      val toks =
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= SegW)
+      val segs = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor(size(col("toks")) / SegW).cast("int") - 1),
+            i => concat_ws(" ", slice(col("toks"), i * SegW + 1, lit(SegW))))))
+        .toDF("doc_id", "seg_idx", "seg_txt")
+        .withColumn("sh", md5(col("seg_txt")))
+      val boiler = segs.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= SegDf)
+        .select(col("sh"), lit(1L).as("is_boiler"))
+      segs.join(broadcast(boiler), Seq("sh"), "left")
+        .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("is_boiler")).as("n_boiler_segments"),
+          (lit(SegW.toLong) * (count(lit(1)) - sum(col("is_boiler"))))
+            .as("kept_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("is_boiler") === 0,
+              struct(col("seg_idx"), col("seg_txt"))))),
+            x => x.getField("seg_txt")), " ")).as("kept_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -928,7 +993,37 @@ object Dedup {
            |SELECT a.doc_id, a.n_windows, a.n_dup_windows,
            |  CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
            |FROM agg a LEFT JOIN cov c ON a.doc_id = c.doc_id
-           |ORDER BY a.doc_id""".stripMargin
+           |ORDER BY a.doc_id""".stripMargin,
+
+      // q111: same non-overlapping segmentation, df over distinct docs,
+      // strip-and-reassemble replayed via ordered string_agg. COALESCE
+      // covers the all-boilerplate document (string_agg over zero kept
+      // segments is NULL in DuckDB; Spark joins an empty array -> '').
+      "q111_segment_dedup" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           |  FROM documents),
+           |  segs AS (SELECT doc_id, i AS seg_idx,
+           |      array_to_string(toks[i*$SegW+1 : i*$SegW+$SegW], ' ')
+           |        AS seg_txt
+           |    FROM t, LATERAL unnest(
+           |      generate_series(0, len(toks)//$SegW - 1)) AS g(i)
+           |    WHERE len(toks) >= $SegW),
+           |  h AS (SELECT doc_id, seg_idx, seg_txt, md5(seg_txt) AS sh
+           |        FROM segs),
+           |  boiler AS (SELECT sh FROM h GROUP BY sh
+           |             HAVING COUNT(DISTINCT doc_id) >= $SegDf),
+           |  f AS (SELECT doc_id, seg_idx, seg_txt,
+           |      CASE WHEN sh IN (SELECT sh FROM boiler) THEN 1 ELSE 0 END
+           |        AS is_boiler FROM h)
+           |SELECT doc_id,
+           |  COUNT(*) AS n_segments,
+           |  CAST(SUM(is_boiler) AS BIGINT) AS n_boiler_segments,
+           |  CAST($SegW * (COUNT(*) - SUM(is_boiler)) AS BIGINT)
+           |    AS kept_tokens,
+           |  md5(COALESCE(string_agg(CASE WHEN is_boiler = 0 THEN seg_txt END,
+           |    ' ' ORDER BY seg_idx), '')) AS kept_md5
+           |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
   }
 }

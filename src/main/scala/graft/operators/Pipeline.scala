@@ -30,6 +30,17 @@ object Pipeline {
 
   private val GapUs = 1800000000L // 30 min session gap, microseconds
 
+  /** q113 chunking geometry: training-sequence length and stride (overlap
+    * = ChunkLen - ChunkStride tokens). Chunk i of an n-token doc covers
+    * tokens [i·stride, min(i·stride + len, n)); a chunk past the first
+    * exists iff it contributes tokens the previous chunk did not
+    * (i·stride + len - stride < n), so the chunk count is
+    * 1 + max(0, floor((n - (len - stride + 1)) / stride)) — integer
+    * arithmetic both engines evaluate identically (floor division).
+    */
+  private[graft] val ChunkLen = 64
+  private[graft] val ChunkStride = 48
+
   /** Q70/q70b shared body — per-column row/null/distinct counts and
     * min/max over `orders`, the observability primitive every pipeline
     * runs before training. ONE pass computes all 5 columns' stats as a
@@ -360,6 +371,40 @@ object Pipeline {
     "q78_sequence_pack" -> ((s, d) =>
       packBySource(docTokens(s, d)).orderBy(col("source"), col("pack_id"))),
 
+    // q113 — STRIDE CHUNKING: cut each document into fixed
+    // [[ChunkLen]]-token training sequences with [[ChunkStride]] stride
+    // (overlapping context windows — the other standard sequence-prep
+    // shape beside q78's greedy packing: packing concatenates SHORT docs
+    // up to the context length, chunking splits LONG docs down to it; a
+    // real pipeline runs both). Emits one row per chunk with its token
+    // count and content hash — the frame a tokenizer/writer stage
+    // consumes. Pure narrow map work: tokenize once, explode
+    // ~n/stride rows per doc, no shuffle anywhere except the output
+    // sort (dropped at scale); the chunk-count arithmetic is closed-form
+    // per row, so the operator is embarrassingly parallel at any corpus
+    // size.
+    "q113_stride_chunks" -> ((s, d) => {
+      val S = ChunkStride.toLong
+      val L = ChunkLen.toLong
+      val toks =
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") >= 1)
+        .select(col("doc_id"), col("n"),
+          posexplode(transform(
+            sequence(lit(0L), greatest(lit(0L),
+              floor((col("n") - lit(L - S + 1)) / lit(S)).cast("long"))),
+            i => concat_ws(" ",
+              slice(col("toks"), (i * S + 1).cast("int"), lit(ChunkLen))))))
+        .toDF("doc_id", "n", "chunk_idx", "chunk_txt")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          least(lit(L), col("n") - col("chunk_idx") * S).as("n_tokens"),
+          md5(col("chunk_txt")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // q93 — the COMPOSED corpus build: the end-to-end pass a pretraining
     // pipeline actually ships, as ONE Spark job over the staged
     // artifacts. quality filter (q84 verdict, keep only) → canonical
@@ -671,6 +716,27 @@ object Pipeline {
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // q113: same tokenization, same closed-form chunk count (DuckDB //
+    // is floor division, matching the Spark floor()), same clamped list
+    // slice and md5.
+    "q113_stride_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         | d AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t
+         |       WHERE len(toks) >= 1),
+         | c AS (SELECT doc_id, n, i AS chunk_idx,
+         |     array_to_string(
+         |       toks[i*$ChunkStride+1 : i*$ChunkStride+$ChunkLen], ' ')
+         |       AS chunk_txt
+         |   FROM d, LATERAL unnest(generate_series(0, greatest(0,
+         |     (n - ${ChunkLen - ChunkStride + 1}) // $ChunkStride)))
+         |     AS g(i))
+         |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+         |  LEAST($ChunkLen, n - chunk_idx*$ChunkStride)::BIGINT AS n_tokens,
+         |  md5(chunk_txt) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q93 = q84's verdict chain + q73's recursive closure + q87's split
     // key + q78's cumsum pack, composed from the same shared fragments

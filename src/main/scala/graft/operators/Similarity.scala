@@ -67,6 +67,15 @@ object Similarity {
   }
   val probeCells: Seq[Int] = queryCell +: (0 until 8).map(i => queryCell ^ (1 << i))
 
+  /** XOR masks generating a cell's 9-cell probe set (itself + hamming-1
+    * neighbors) — the per-query generalization of [[probeCells]], shared
+    * by q112's audit and its oracle.
+    */
+  val probeMasks: Seq[Long] = 0L +: (0 until 8).map(i => (1L << i))
+
+  /** q112 recall depth: recall@10, the standard ANN serving contract. */
+  private[graft] val AnnRecallK = 10
+
   /** Deterministic product-quantization codebook for q76: 8 subspaces ×
     * 4 centroids × 8 dims, cb(s)(c)(d) = sin(32s + 8c + d + 1). Like
     * [[Pipeline.queryVec]], the doubles are interpolated as exact
@@ -541,6 +550,68 @@ object Similarity {
         .select(col("vec_id"), col("cell"), col("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // q112 — ANN recall AUDIT: measure, don't guess. For the q85 fixed
+    // query batch, run BOTH the exact brute-force top-[[AnnRecallK]]
+    // (q85's broadcast-batch shape) and the per-query IVF 9-cell probe
+    // (q36's shape generalized from one literal query to a batch: each
+    // query explodes into its own cell + 8 hamming-1 neighbors, ≤ 9·batch
+    // tiny broadcast rows equi-joined to the corpus on the cell id), and
+    // report per-query recall = |ivf ∩ exact| / |exact|. This is the
+    // operator an ANN deployment runs CONTINUOUSLY on a held-out batch to
+    // know what its index is actually returning — the published recall
+    // envelope of sign-LSH cells is corpus-dependent, so it must be
+    // measured on THIS corpus, not quoted from a paper.
+    //
+    // At 100 TB: the exact side is the only corpus-wide pass and it is
+    // the q85 shape (broadcast batch, per-row norms computed once in the
+    // scan, LocalTopK pruning the rank shuffle to K·batch rows); the IVF
+    // side scans only the probed cells (partition pruning once the codes
+    // table is cell-partitioned, as in q90c); the audit join touches
+    // K·batch rows. Ties deterministic: cosine rounded to 4 before
+    // ranking, broken by vec_id — both engines replay bit-for-bit.
+    "q112_ann_recall_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("cell", cellOf(col("v")))
+      val q = e.filter(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell").as("qcell"))
+        .orderBy(col("q_id")).limit(AnnBatchSize)
+      val byQ = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= AnnRecallK)
+        .select(col("q_id"), col("vec_id"))
+      val probes = q.select(col("q_id"), col("qv"), col("qnrm"),
+          explode(array(probeMasks.map(m => lit(m)): _*)).as("m"),
+          col("qcell"))
+        .select(col("q_id"), col("qv"), col("qnrm"),
+          col("qcell").bitwiseXOR(col("m")).as("pcell"))
+      val ivf = e.join(broadcast(probes), col("cell") === col("pcell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(byQ))
+        .filter(col("rk") <= AnnRecallK)
+        .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+      exact.join(ivf,
+          col("q_id") === col("iq_id") && col("vec_id") === col("ivec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("ivec_id")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+        .orderBy(col("q_id"))
     }),
 
     // q90 — IVF-PQ search: the composed vector-index kernel this family
@@ -1604,6 +1675,43 @@ object Similarity {
            |       * ${Pipeline.queryVecNorm}), 4) AS cos
            |FROM e, q WHERE cell IN (${probeCells.mkString(", ")})
            |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+      // q112: same batch, same rounded-cos/vec_id tie ranking on both
+      // the exact and the probed side; probe set replayed via xor masks.
+      "q112_ann_recall_audit" ->
+        s"""WITH e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT vec_id, embedding, nrm,
+           |        CAST($cellSql AS BIGINT) AS cell FROM e0 WHERE nrm > 0),
+           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+           |        cell AS qcell
+           |       FROM e WHERE vec_id % 500 = 0
+           |       ORDER BY vec_id LIMIT $AnnBatchSize),
+           | ex AS (SELECT q.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e, q WHERE e.vec_id <> q.q_id),
+           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+           | probes AS (SELECT q_id, qv, qnrm, xor(qcell, m) AS pcell
+           |   FROM q, (SELECT unnest([${probeMasks.mkString(", ")}]) AS m)),
+           | iv AS (SELECT p.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, p.qv),
+           |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (e.nrm * p.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e JOIN probes p ON e.cell = p.pcell
+           |   WHERE e.vec_id <> p.q_id),
+           | ivt AS (SELECT q_id, vec_id FROM iv WHERE rk <= $AnnRecallK)
+           |SELECT x.q_id, COUNT(*) AS n_exact,
+           |  COUNT(i.vec_id) AS n_hit,
+           |  ROUND(COUNT(i.vec_id)::DOUBLE / COUNT(*), 4) AS recall
+           |FROM ext x LEFT JOIN ivt i
+           |  ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+           |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
 
       "q64_neardup_lsh" -> {
         // the eight 8-bit sign groups, then the 28 (band, 16-bit key)

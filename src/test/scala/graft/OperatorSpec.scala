@@ -1825,4 +1825,104 @@ class OperatorSpec extends AnyFunSuite {
     assert(pruned < full / 2,
       s"bloom prefilter barely prunes: $pruned of $full corpus keys")
   }
+
+  test("q111 strips exactly the segment-aligned cross-doc repeats") {
+    // seg (s0..s9) appears segment-ALIGNED in docs 0 and 1 -> stripped
+    // from both; doc 2 carries the same run 5 tokens off-grid -> its
+    // segments hash differently and survive (exact-segment semantics,
+    // the q91 span detector is the off-grid diagnosis tool); docs 3/4
+    // are verbatim copies -> every segment boiler, empty reassembly;
+    // doc 5's 3-token tail is kept verbatim and never df-counted.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_segdd").toString
+    val seg = (0 until 10).map(i => s"s$i")
+    val ua = (0 until 10).map(i => s"ua$i")
+    val ub = (0 until 10).map(i => s"ub$i")
+    val doc0 = (seg ++ ua).mkString(" ")
+    val doc1 = (ub ++ seg).mkString(" ")
+    val doc2 = ((0 until 5).map(i => s"j$i") ++ seg ++
+      (0 until 5).map(i => s"k$i")).mkString(" ")
+    val doc3 = (0 until 20).map(i => s"t$i").mkString(" ")
+    val doc5 = (0 until 13).map(i => s"u$i").mkString(" ")
+    Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3), (4L, doc3),
+        (5L, doc5))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("q111_segment_dedup")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(rows === List(
+      (0L, 2L, 1L, 10L, m(ua.mkString(" "))),
+      (1L, 2L, 1L, 10L, m(ub.mkString(" "))),
+      (2L, 2L, 0L, 20L, m(doc2)),
+      (3L, 2L, 2L, 0L, m("")),
+      (4L, 2L, 2L, 0L, m("")),
+      (5L, 1L, 0L, 10L, m((0 until 10).map(i => s"u$i").mkString(" ")))))
+  }
+
+  test("q112 audit reads 1.0 on an in-cell corpus, 0.0 on a blind one") {
+    import spark.implicits._
+    val v = operators.Pipeline.queryVec.map(_.toFloat)
+    // (a) true neighbors are exact copies of q's direction -> same
+    // coarse cell, probed -> the audit must certify full recall
+    val near = (0L to 11L).map(i => (i, v, 0))
+    val far = (20L until 50L).map(i => (i, v.map(x => -x), 1))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_rec1").toString
+    (near ++ far).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dirA/embeddings.parquet")
+    val a = SparkEntry.queries("q112_ann_recall_audit")(spark, dirA)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(a === List((0L, 10L, 10L, 1.0)))
+    // (b) true neighbors sit at hamming-2 from q's cell (dims 1-2 sign
+    // flipped, cosine still ~0.97) — OUTSIDE the 9-cell probe set —
+    // while q's own cell holds only low-cosine junk (first 8 dims kept,
+    // tail negated). The index is blind here and the audit must SAY so.
+    val hidden = (1L to 10L).map { i =>
+      (i, v.updated(0, -0.001f).updated(1, -0.001f), 0)
+    }
+    val junk = (20L until 36L).map { i =>
+      (i, v.take(8) ++ v.drop(8).map(x => -x), 1)
+    }
+    val dirB = java.nio.file.Files.createTempDirectory("graft_rec0").toString
+    (Seq((0L, v.toSeq, 0)) ++ hidden ++
+        junk.map { case (i, e, l) => (i, e.toSeq, l) })
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dirB/embeddings.parquet")
+    val b = SparkEntry.queries("q112_ann_recall_audit")(spark, dirB)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(b.size === 1 && b.head._1 === 0L && b.head._2 === 10L)
+    assert(b.head._3 === 0L && b.head._4 === 0.0,
+      s"blind-index fixture must audit at zero recall, got ${b.head}")
+  }
+
+  test("q113 chunk geometry: counts, boundaries, and tail lengths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    def doc(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // n = 1 / 48 / 64 -> one chunk; 65 -> 64 + 17-token tail (the 17th
+    // new token forces the second chunk); 112 -> exactly two full
+    // chunks; 113 -> three (64, 64, 17)
+    Seq((1L, doc(1)), (2L, doc(48)), (3L, doc(64)), (4L, doc(65)),
+        (5L, doc(112)), (6L, doc(113)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q113_stride_chunks")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(rows.map(r => (r._1, r._2, r._3)) === List(
+      (1L, 0L, 1L), (2L, 0L, 48L), (3L, 0L, 64L),
+      (4L, 0L, 64L), (4L, 1L, 17L),
+      (5L, 0L, 64L), (5L, 1L, 64L),
+      (6L, 0L, 64L), (6L, 1L, 64L), (6L, 2L, 17L)))
+    // overlap contract: chunk 1 of doc 4 is tokens 48..64 (0-based) —
+    // 16 tokens shared with chunk 0 plus the one new token
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val c41 = rows.find(r => r._1 == 4L && r._2 == 1L).get._4
+    assert(c41 === m((48 until 65).map(i => s"w$i").mkString(" ")))
+  }
 }

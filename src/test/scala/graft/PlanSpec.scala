@@ -656,4 +656,35 @@ class PlanSpec extends AnyFunSuite {
       .exists(l => l.contains("Scan parquet") && l.contains("documents"))
     assert(scanBelow, "bloom probe must guard the documents scan subtree")
   }
+
+  test("q111 strips via a broadcast join against the small boiler set") {
+    // the df-threshold survivors are the broadcast side; the corpus-wide
+    // segment frame must NOT shuffle on the segment hash for the strip
+    // pass (the df agg itself shuffles, that's the one corpus exchange)
+    val p = plan("q111_segment_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "boiler set must broadcast, not shuffle the corpus side:\n" +
+        p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q113 chunking is narrow map work: no join, no corpus shuffle") {
+    val p = plan("q113_stride_chunks")
+    assert(!p.contains("Join"), "chunking must not join")
+    // only the presentation sort may exchange; nothing else
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"chunking must shuffle at most for the output sort:\n${p.take(1200)}")
+  }
+
+  test("q112 exact side broadcasts the batch; probe side broadcasts " +
+      "the probe cells") {
+    val p = plan("q112_ann_recall_audit")
+    // the exact baseline is the q85 shape: batch broadcast into a
+    // nested-loop, never a shuffled cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "cell probe must be a broadcast equi-join on the cell id")
+  }
 }
