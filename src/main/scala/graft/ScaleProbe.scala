@@ -200,6 +200,22 @@ object ScaleProbe {
         operators.Pipeline.bloomPruned(corpusKeys, batchKeys).count()
     }
 
+    // q111: segment mass (corpus-linear by construction) vs the
+    // boiler SET — the broadcast side of the strip join. The scale claim
+    // is that the boiler set grows far slower than the corpus (few
+    // distinct boilerplate strings, massively repeated), which is what
+    // keeps the strip pass a broadcast join; boiler_rows is the mass the
+    // strip actually removes.
+    timed("q111_probe") {
+      val segs = operators.Dedup.segmentFrame(spark, d)
+      out("q111_segments") = segs.count()
+      val b = operators.Dedup.boilerSet(segs).cache()
+      out("q111_boiler_set") = b.count()
+      out("q111_boiler_rows") =
+        segs.join(b, Seq("sh"), "left_semi").count()
+      b.unpersist()
+    }
+
     // --- q73 round count (flat across scale = the O(log d) claim) ---
     timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)

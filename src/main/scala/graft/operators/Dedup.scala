@@ -369,6 +369,31 @@ object Dedup {
       { labelsWrites.incrementAndGet(); computeLabels(s, d) },
       8, Seq("doc_id"))
 
+  /** q111's segment frame: one row per non-overlapping [[SegW]]-token
+    * segment — (doc_id, seg_idx, seg_txt, sh). Shared with ScaleProbe,
+    * which tracks the boiler-set size (the broadcast side) per decade.
+    */
+  private[graft] def segmentFrame(s: SparkSession, d: String): DataFrame = {
+    val toks =
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SegW)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor(size(col("toks")) / SegW).cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * SegW + 1, lit(SegW))))))
+      .toDF("doc_id", "seg_idx", "seg_txt")
+      .withColumn("sh", md5(col("seg_txt")))
+  }
+
+  /** The df-threshold survivors — q111's broadcast side. */
+  private[graft] def boilerSet(segs: DataFrame): DataFrame =
+    segs.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= SegDf)
+      .select(col("sh"), lit(1L).as("is_boiler"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
     // the PPJoin positional filter (Xiao et al., WWW'08)
@@ -651,22 +676,8 @@ object Dedup {
     // corpus-wide shuffle. Reassembly groups by doc_id (bounded rows per
     // group). Two corpus passes total (df build, strip), both narrow.
     "q111_segment_dedup" -> ((s, d) => {
-      val toks =
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) >= SegW)
-      val segs = docs.select(col("doc_id"),
-          posexplode(transform(
-            sequence(lit(0), floor(size(col("toks")) / SegW).cast("int") - 1),
-            i => concat_ws(" ", slice(col("toks"), i * SegW + 1, lit(SegW))))))
-        .toDF("doc_id", "seg_idx", "seg_txt")
-        .withColumn("sh", md5(col("seg_txt")))
-      val boiler = segs.groupBy(col("sh"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= SegDf)
-        .select(col("sh"), lit(1L).as("is_boiler"))
-      segs.join(broadcast(boiler), Seq("sh"), "left")
+      val segs = segmentFrame(s, d)
+      segs.join(broadcast(boilerSet(segs)), Seq("sh"), "left")
         .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_segments"),
