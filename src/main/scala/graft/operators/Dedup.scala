@@ -669,15 +669,21 @@ object Dedup {
     // At 100 TB: segmentation is narrow map work (n/SegW rows per doc);
     // the df count is a hash agg on the segment hash with map-side
     // partial combine (the skew of a segment shared by millions of docs
-    // collapses in the partial); and the boiler SET — distinct segments
-    // with df >= threshold — is tiny relative to the corpus (boilerplate
-    // is by definition few distinct strings repeated massively), so the
-    // strip pass is a broadcast hash join against the corpus scan, not a
-    // corpus-wide shuffle. Reassembly groups by doc_id (bounded rows per
-    // group). Two corpus passes total (df build, strip), both narrow.
+    // collapses in the partial); the strip pass joins the corpus against
+    // the df-threshold SURVIVORS only. On real web corpora that boiler
+    // set is tiny (few distinct boilerplate strings repeated massively)
+    // and the join broadcasts; on THIS synthetic corpus ScaleProbe
+    // measures it as a constant ~4.5% fraction of distinct segments —
+    // linear, not sublinear — so the join strategy is deliberately left
+    // to AQE (broadcast while the set fits, sort-merge on the sh key
+    // when it outgrows; both sides are already sh-keyed and correctness
+    // is unchanged). No hard broadcast hint: that would be the plan that
+    // stops working at 100×. Reassembly groups by doc_id (bounded rows
+    // per group). Two corpus passes total (df build, strip), both
+    // narrow.
     "q111_segment_dedup" -> ((s, d) => {
       val segs = segmentFrame(s, d)
-      segs.join(broadcast(boilerSet(segs)), Seq("sh"), "left")
+      segs.join(boilerSet(segs), Seq("sh"), "left")
         .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_segments"),

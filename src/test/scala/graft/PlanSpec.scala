@@ -657,15 +657,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scanBelow, "bloom probe must guard the documents scan subtree")
   }
 
-  test("q111 strips via a broadcast join against the small boiler set") {
-    // the df-threshold survivors are the broadcast side; the corpus-wide
-    // segment frame must NOT shuffle on the segment hash for the strip
-    // pass (the df agg itself shuffles, that's the one corpus exchange)
+  test("q111 strip join broadcasts the boiler set while it fits (AQE)") {
+    // no hard hint in the code — AQE must still CHOOSE broadcast at this
+    // scale (the small-boiler-set regime), keeping the corpus-wide
+    // segment frame off any sh-keyed exchange for the strip pass; when
+    // the set outgrows the threshold AQE falls back to SMJ on its own
     val p = plan("q111_segment_dedup")
     assert(p.contains("BroadcastHashJoin"),
-      "boiler set must broadcast, not shuffle the corpus side:\n" +
+      "AQE should pick broadcast for the small boiler set:\n" +
         p.take(1200))
-    assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
   test("q113 chunking is narrow map work: no join, no corpus shuffle") {
