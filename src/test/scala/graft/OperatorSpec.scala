@@ -1863,6 +1863,49 @@ class OperatorSpec extends AnyFunSuite {
       (5L, 1L, 0L, 10L, m((0 until 10).map(i => s"u$i").mkString(" ")))))
   }
 
+  test("q111 matches an in-memory brute force on randomized corpora") {
+    // 40 docs assembled from a shared pool of 10-token blocks plus
+    // random junk prefixes: blocks recur across docs both ALIGNED
+    // (stripped) and off-grid (kept), docs shorter than one segment are
+    // excluded, segments repeat WITHIN docs (df counts distinct docs;
+    // every instance strips), and some docs are all-boilerplate
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    val pool = Seq.fill(12)(Seq.fill(10)(s"p${rnd.nextInt(8)}x${rnd.nextInt(99)}"))
+    def mkDoc(): Seq[String] = {
+      val junk = Seq.fill(rnd.nextInt(6))(s"j${rnd.nextInt(999)}")
+      val blocks = Seq.fill(rnd.nextInt(4))(pool(rnd.nextInt(pool.size)))
+      rnd.shuffle(junk +: blocks).flatten
+    }
+    val docs = (0 until 40).map(i => (i.toLong, mkDoc()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_segrnd").toString
+    docs.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // brute force
+    def segsOf(t: Seq[String]): Seq[String] =
+      (0 until t.size / 10).map(i => t.slice(i * 10, i * 10 + 10).mkString(" "))
+    val df = docs.flatMap { case (id, t) => segsOf(t).map(s => (s, id)) }
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).distinct.size) }
+    val boiler = df.filter(_._2 >= 2).keySet
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.filter(_._2.size >= 10).map { case (id, t) =>
+      val ss = segsOf(t)
+      val kept = ss.filterNot(boiler)
+      (id, ss.size.toLong, (ss.size - kept.size).toLong,
+        10L * kept.size, m(kept.mkString(" ")))
+    }.sortBy(_._1).toList
+    val got = SparkEntry.queries("q111_segment_dedup")(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got === expected)
+    // the generator must actually exercise both regimes
+    assert(expected.exists(_._3 > 0), "no boilerplate planted")
+    assert(expected.exists(r => r._3 > 0 && r._4 > 0), "no mixed doc")
+  }
+
   test("q112 audit reads 1.0 on an in-cell corpus, 0.0 on a blind one") {
     import spark.implicits._
     val v = operators.Pipeline.queryVec.map(_.toFloat)
