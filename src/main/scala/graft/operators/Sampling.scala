@@ -28,6 +28,9 @@ object Sampling {
   private def tierPermille(srcNum: Column): Column =
     when(srcNum < 5, 900).when(srcNum < 10, 500).otherwise(200)
 
+  /** q114 shard count — the number of contiguous curriculum buckets. */
+  private[graft] val CurriculumShards = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q49 — train/val/test split: hash bucket 0-99 → 80/10/10. The
     // aggregate proves the assignment (counts + chars per split × lang);
@@ -145,6 +148,62 @@ object Sampling {
           lit(200L) * col("w_s") * lit(1000000L))
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q114 — CURRICULUM SHARDING: assign every document an exact global
+    // rank by a quality score (descending) and cut the ranked corpus
+    // into [[CurriculumShards]] contiguous shards — the "easy/clean
+    // first" ordered-training prep. The interesting part is HOW the
+    // rank is computed at scale: a global row_number() is an
+    // unpartitioned window (single task — the one shape this codebase
+    // bans), so the rank is built as a distributed COUNTING SORT over
+    // the bounded score domain:
+    //
+    //   1. score = distinct-token count — integer, domain bounded by
+    //      vocabulary/doc length (~hundreds), computed in the scan
+    //      projection (array_distinct, no shuffle);
+    //   2. per-(score, salt) counts, salt = doc_id % 16 — a tiny
+    //      aggregate (|domain| × 16 rows);
+    //   3. exclusive prefix offsets over that TINY frame ordered by the
+    //      global curriculum order (score DESC, salt) — a single-task
+    //      window over the score DOMAIN, not the corpus;
+    //   4. row_number within (score, salt) — partitioned window whose
+    //      partitions are corpus/(|domain|·16), the salt keeping any
+    //      popular score from concentrating in one task;
+    //   5. rank = offset + within-rank; shard = (rank-1)·S div n.
+    //
+    // The tie-break order is (score DESC, salt, doc_id): the salt
+    // participates in the global order BY DESIGN — within equal scores
+    // any total order is curriculum-equivalent, and this one is what
+    // makes step 4 shuffle-skew-free. Deterministic end to end; the
+    // oracle replays the identical order as one row_number.
+    "q114_curriculum_shard" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val S = CurriculumShards
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0)))).cast("long").as("score"))
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      val counts = scored.groupBy(col("score"), col("salt"))
+        .agg(count(lit(1)).as("cnt"))
+      val offsets = counts
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("score").desc, col("salt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("score"), col("salt"), col("off"))
+      val n = scored.select(count(lit(1)).as("n"))
+      scored
+        .join(broadcast(offsets), Seq("score", "salt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("score"), col("salt"))
+            .orderBy(col("doc_id"))).cast("long"))
+        .withColumn("rank", col("off") + col("rn"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("score"), col("rank"),
+          floor((col("rank") - 1) * S / col("n")).cast("long").as("shard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -197,6 +256,26 @@ object Sampling {
          |WHERE CAST(${sqlHash60("concat('alpha|', CAST(doc_id AS VARCHAR))")}
          |    % 1000000 AS HUGEINT) * wt.w_tot * wt.n_s
          |  < 200 * wt.w_s * 1000000
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q114: the counting-sort rank collapses to ONE row_number over the
+    // identical total order (score DESC, salt, doc_id) — the oracle
+    // proves the distributed two-level construction equals the global
+    // window it replaces.
+    "q114_curriculum_shard" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_distinct(
+         |      regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+         |      AS score
+         |  FROM documents),
+         | n AS (SELECT COUNT(*) AS n FROM t),
+         | r AS (SELECT doc_id, score,
+         |    CAST(row_number() OVER (
+         |      ORDER BY score DESC, doc_id % 16, doc_id) AS BIGINT)
+         |      AS rank
+         |   FROM t)
+         |SELECT doc_id, score, rank,
+         |  CAST((rank - 1) * $CurriculumShards // n AS BIGINT) AS shard
+         |FROM r, n ORDER BY doc_id""".stripMargin
   )
 }

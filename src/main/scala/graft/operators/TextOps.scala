@@ -589,6 +589,32 @@ object TextOps {
         .orderBy(col("cnt").desc, col("g"))
         .limit(25)),
 
+    // q115 — corpus RELEASE MANIFEST: the per-source summary a dataset
+    // release ships and a consumer re-verifies before training — doc /
+    // token / char totals plus an ORDER-INSENSITIVE content fingerprint
+    // (bit_xor of each document's portable 60-bit text hash). XOR is the
+    // right fold at scale: commutative+associative (partial+final agg,
+    // any partitioning, any row order — same value), never overflows,
+    // and any single changed/missing/extra document flips it. Two
+    // manifests equal ⟺ same doc multiset (up to 60-bit collision) —
+    // the cheap answer to "is the corpus you trained on the corpus I
+    // published?". One scan, one tiny source-keyed hash agg with
+    // map-side combine; nothing else.
+    "q115_manifest" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
+          hash60(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          bit_xor(col("h")).as("fingerprint"))
+        .orderBy(col("source"))
+    }),
+
     // q110 — Gopher-style intra-document repetition gates (Rae et al.
     // '21, appendix A1.1: the published removal heuristics for
     // self-repetitive documents — boilerplate, listicles, degenerate
@@ -888,6 +914,16 @@ object TextOps {
           |        FROM t WHERE len(toks) >= 2)
           |SELECT g, COUNT(*) AS cnt FROM g GROUP BY g
           |ORDER BY cnt DESC, g LIMIT 25""".stripMargin,
+
+      // q115: same portable hash60, same xor fold (bit_xor is exact and
+      // order-insensitive in both engines)
+      "q115_manifest" ->
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           |    AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  bit_xor(${Shared.sqlHash60("text")}) AS fingerprint
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       // q110: same gram construction as q95 (separator-inclusive string
       // length, 1-based token indexing); integer threshold tests so both

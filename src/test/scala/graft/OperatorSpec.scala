@@ -1941,6 +1941,62 @@ class OperatorSpec extends AnyFunSuite {
       s"blind-index fixture must audit at zero recall, got ${b.head}")
   }
 
+  test("q114 counting-sort rank equals the global window it replaces") {
+    import spark.implicits._
+    // randomized corpus with heavy score ties (small vocab -> few
+    // distinct scores) — exactly the regime where the salted two-level
+    // rank must still reproduce the single global row_number
+    val rnd = new scala.util.Random(114)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))(s"w${rnd.nextInt(12)}")
+        .mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_curr").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val scored = docs.map { case (id, t) =>
+      (id, t.split(" ").distinct.length.toLong)
+    }
+    val order = scored.sortBy { case (id, sc) => (-sc, id % 16, id) }
+    val n = order.size
+    val expected = order.zipWithIndex.map { case ((id, sc), i) =>
+      (id, sc, (i + 1).toLong, ((i.toLong * 8) / n))
+    }.sortBy(_._1).toList
+    val got = SparkEntry.queries("q114_curriculum_shard")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === expected)
+    // contiguous cut: shard sizes differ by at most one
+    val sizes = got.groupBy(_._4).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"uneven shards: $sizes")
+  }
+
+  test("q115 fingerprint is order-insensitive and change-sensitive") {
+    import spark.implicits._
+    def write(docs: Seq[(Long, String)], parts: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mani").toString
+      docs.toDF("doc_id", "text").repartition(parts)
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def fp(dir: String): (Long, Long, Long, Long) =
+      SparkEntry.queries("q115_manifest")(spark, dir)
+        .select("n_docs", "n_tokens", "n_chars", "fingerprint")
+        .as[(Long, Long, Long, Long)].head()
+    val docs = (0L until 50L).map(i => (i, s"doc $i body token$i"))
+    val a = fp(write(docs, 1))
+    // same multiset, reversed order, different partitioning -> identical
+    val b = fp(write(docs.reverse, 7))
+    assert(a === b, "manifest must be independent of order/partitioning")
+    // one changed document -> fingerprint flips, counts reveal nothing
+    val c = fp(write(docs.updated(17, (17L, "doc 17 body tokenX")), 1))
+    assert(c._4 !== a._4, "changed doc must flip the fingerprint")
+    assert(c._1 === a._1, "doc count unchanged — only the xor catches it")
+  }
+
   test("q113 chunk geometry: counts, boundaries, and tail lengths") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString

@@ -677,6 +677,31 @@ class PlanSpec extends AnyFunSuite {
       s"chunking must shuffle at most for the output sort:\n${p.take(1200)}")
   }
 
+  test("q114 corpus window is (score, salt)-partitioned; offsets broadcast") {
+    val p = plan("q114_curriculum_shard")
+    // the corpus-side row_number must be partitioned — the whole point
+    // of the counting-sort construction is that no corpus-wide data
+    // crosses an unpartitioned window (the only unpartitioned window
+    // runs over the tiny (score, salt) count frame)
+    assert(p.contains("windowspecdefinition(score"),
+      "corpus rank window must be partitioned by (score, salt):\n" +
+        p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "offset table must broadcast back to the corpus")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q115 manifest is one scan into one source-keyed aggregate") {
+    val p = plan("q115_manifest")
+    assert(!p.contains("Join"), "manifest must not join")
+    assert(p.contains("partial_bit_xor") || p.contains("bit_xor"),
+      "xor fold must combine map-side")
+    // one agg exchange + the presentation sort, nothing else
+    val exchanges = p.linesIterator.count(_.contains("Exchange hash")) +
+      p.linesIterator.count(_.contains("Exchange range"))
+    assert(exchanges <= 2, p.take(1500))
+  }
+
   test("q112 exact side broadcasts the batch; probe side broadcasts " +
       "the probe cells") {
     val p = plan("q112_ann_recall_audit")
