@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [candidates]")
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [candidates|segments]")
     val d = args(0)
-    val candidatesOnly = args.length > 1 && args(1) == "candidates"
+    // "candidates": skip the TPC-H/streaming probes (documents+embeddings
+    // tiers). "segments": ONLY the q111 block — the cheap mode for the
+    // sf~10 third-decade segment-dedup probe, where the full candidate
+    // battery (q32 verify, q73 CC) costs tens of minutes.
+    val mode = if (args.length > 1) args(1) else "full"
+    val candidatesOnly = mode == "candidates" || mode == "segments"
+    val segmentsOnly = mode == "segments"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -69,6 +75,7 @@ object ScaleProbe {
     }
 
     // --- dedup / similarity candidate growth ---
+    if (!segmentsOnly) {
     out("q32_candidates") = timed("q32_candidates") {
       operators.Dedup.jaccardCandidates(spark, d).count()
     }
@@ -199,6 +206,7 @@ object ScaleProbe {
       out("q75b_bloom_survivors") =
         operators.Pipeline.bloomPruned(corpusKeys, batchKeys).count()
     }
+    } // !segmentsOnly
 
     // q111: segment mass (corpus-linear by construction) vs the
     // boiler SET — the broadcast side of the strip join. The scale claim
@@ -217,7 +225,7 @@ object ScaleProbe {
     }
 
     // --- q73 round count (flat across scale = the O(log d) claim) ---
-    timed("q73") {
+    if (!segmentsOnly) timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, rounds) = operators.Dedup.connectedComponentsRounds(edges)
