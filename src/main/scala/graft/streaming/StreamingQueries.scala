@@ -337,6 +337,36 @@ object StreamingQueries {
       drain(s, q108Stream(s, d), "q108_mem", "append")
         .orderBy(col("new_vec"), col("corpus_vec"))),
 
+    // q116 — STREAMING release manifest: q115 maintained continuously on
+    // the ingest stream. Per-source doc/token/char totals and the
+    // order-insensitive bit_xor fingerprint as a streaming aggregate in
+    // complete mode: every xor/sum/count is commutative-associative, so
+    // the state is ONE row per source (merged incrementally per
+    // micro-batch, any arrival order) and the emitted table equals the
+    // batch manifest over the same data — the oracle IS q115's SQL, so
+    // the three-tier hash match proves batch/stream parity exactly. At
+    // 100 TB/day the state stays |sources| rows — the manifest a landing
+    // pipeline keeps current for free, instead of re-scanning the corpus
+    // to re-publish (the q115 batch form audits cold data; this keeps
+    // the released fingerprint live as files land).
+    "q116_stream_manifest" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(stageTableDir(d, "documents"))
+      val agg = stream
+        .select(col("source"), col("n_chars"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
+          hash60(col("text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          bit_xor(col("h")).as("fingerprint"))
+      drain(s, agg, "q116_mem", "complete").orderBy(col("source"))
+    }),
+
     // Q46 — streaming deduplication: dropDuplicatesWithinWatermark keyed
     // on (user_id, event_type). The dedup state lives in the state store
     // keyed by the dedup columns — partitioned, RocksDB-backed, and
@@ -510,6 +540,11 @@ object StreamingQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // q116: batch/stream parity — the oracle is exactly q115's batch
+    // manifest SQL; a hash match proves the incremental state equals the
+    // cold scan.
+    "q116_stream_manifest" ->
+      graft.operators.TextOps.oracleSql("q115_manifest"),
     // q108: the q103 trained-assignment CTEs, then the new-tenth ×
     // corpus-nine-tenths cell join + cosine verify. The oracle keys BOTH
     // sides on the a3 assignment; a hash match therefore also proves the

@@ -1997,6 +1997,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(c._1 === a._1, "doc count unchanged — only the xor catches it")
   }
 
+  test("q116 manifest accumulates across micro-batches to the q115 value") {
+    // three files, one per trigger -> three micro-batches merging into
+    // the same per-source state; the final table must equal the batch
+    // manifest over the union (true incrementality, not one big batch)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft_smani").toString
+    val batches = Seq(0, 1, 2).map { b =>
+      (0 until 20).map(i =>
+        (b * 100L + i, s"body b$b d$i token${b}x$i", s"src${i % 3}"))
+    }
+    batches.zipWithIndex.foreach { case (docs, b) =>
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("append").parquet(s"$src/documents.parquet")
+    }
+    val dir = src
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    import graft.operators.Shared.hash60
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("n_chars"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
+        hash60(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), bit_xor(col("h")).as("fingerprint"))
+    spark.catalog.dropTempView("q116_spec_mem")
+    val q = agg.writeStream.format("memory").queryName("q116_spec_mem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "source must actually deliver multiple micro-batches")
+    val streamed = spark.table("q116_spec_mem")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    val batch = SparkEntry.queries("q115_manifest")(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toList
+    assert(streamed === batch)
+  }
+
   test("q113 chunk geometry: counts, boundaries, and tail lengths") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
