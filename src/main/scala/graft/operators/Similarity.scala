@@ -76,6 +76,18 @@ object Similarity {
   /** q112 recall depth: recall@10, the standard ANN serving contract. */
   private[graft] val AnnRecallK = 10
 
+  /** q117 probe widths: cumulative xor-mask sets for hamming radius
+    * 0 / 1 / 2 around a query's cell (1, 9, and 37 cells). Interpolated
+    * into both engines as explicit (width, mask) literals.
+    */
+  private[graft] val probeWidths: Seq[(Int, Long)] = {
+    val h2 = for (i <- 0 until 8; j <- i + 1 until 8)
+      yield (1L << i) | (1L << j)
+    (Seq(0L).map((0, _))) ++
+      (Seq(0L) ++ (0 until 8).map(1L << _)).map((1, _)) ++
+      (Seq(0L) ++ (0 until 8).map(1L << _) ++ h2).map((2, _))
+  }
+
   /** Deterministic product-quantization codebook for q76: 8 subspaces ×
     * 4 centroids × 8 dims, cb(s)(c)(d) = sin(32s + 8c + d + 1). Like
     * [[Pipeline.queryVec]], the doubles are interpolated as exact
@@ -612,6 +624,71 @@ object Similarity {
           count(col("ivec_id")).as("n_hit"))
         .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
         .orderBy(col("q_id"))
+    }),
+
+    // q117 — ANN PROBE-WIDTH SWEEP: q112's audit swept across hamming
+    // radius 0 / 1 / 2 probe sets (1, 9, 37 of 256 cells) — the tuning
+    // curve an index operator reads to set probe width: recall@10 as a
+    // function of the fraction of the corpus scanned. One pass computes
+    // all three widths: the per-query probe frame carries an explicit
+    // (width, mask) literal pair per row (47·batch tiny broadcast rows,
+    // cumulative sets so each width ranks its own candidate pool), the
+    // corpus equi-joins on the probed cell once, and the rank window is
+    // partitioned by (q_id, width). Exact baseline shared with q112
+    // (q85's broadcast-batch shape). Same determinism contract: rounded
+    // cosine, vec_id ties.
+    "q117_ann_probe_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .filter(col("nrm") > 0)
+        .withColumn("cell", cellOf(col("v")))
+      val q = e.filter(col("vec_id") % 500 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell").as("qcell"))
+        .orderBy(col("q_id")).limit(AnnBatchSize)
+      val exact = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= AnnRecallK)
+        .select(col("q_id"), col("vec_id"))
+      val wm = array(probeWidths.map { case (w, m) =>
+        struct(lit(w).as("width"), lit(m).as("m"))
+      }: _*)
+      val probes = q
+        .select(col("q_id"), col("qv"), col("qnrm"), col("qcell"),
+          explode(wm).as("wm"))
+        .select(col("q_id"), col("qv"), col("qnrm"),
+          col("wm.width").as("width"),
+          col("qcell").bitwiseXOR(col("wm.m")).as("pcell"))
+      val ivf = e.join(broadcast(probes), col("cell") === col("pcell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"), col("width"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= AnnRecallK)
+        .select(col("q_id").as("iq_id"), col("width").as("iwidth"),
+          col("vec_id").as("ivec_id"))
+      exact
+        .select(col("q_id"), col("vec_id"),
+          explode(array(lit(0), lit(1), lit(2))).as("width"))
+        .join(ivf,
+          col("q_id") === col("iq_id") && col("width") === col("iwidth") &&
+            col("vec_id") === col("ivec_id"),
+          "left")
+        .groupBy(col("q_id"), col("width"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("ivec_id")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+        .orderBy(col("q_id"), col("width"))
     }),
 
     // q90 — IVF-PQ search: the composed vector-index kernel this family
@@ -1712,6 +1789,51 @@ object Similarity {
            |FROM ext x LEFT JOIN ivt i
            |  ON x.q_id = i.q_id AND x.vec_id = i.vec_id
            |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
+      // q117: q112's replay with the (width, mask) literal table; each
+      // width ranks its own candidate pool, exact side crossed with the
+      // three widths.
+      "q117_ann_probe_sweep" ->
+        s"""WITH e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT vec_id, embedding, nrm,
+           |        CAST($cellSql AS BIGINT) AS cell FROM e0 WHERE nrm > 0),
+           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+           |        cell AS qcell
+           |       FROM e WHERE vec_id % 500 = 0
+           |       ORDER BY vec_id LIMIT $AnnBatchSize),
+           | ex AS (SELECT q.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e, q WHERE e.vec_id <> q.q_id),
+           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+           | wm(width, m) AS (VALUES ${
+               probeWidths.map { case (w, m) => s"($w, $m)" }.mkString(", ")
+             }),
+           | probes AS (SELECT q_id, qv, qnrm, wm.width,
+           |             xor(qcell, wm.m) AS pcell FROM q, wm),
+           | iv AS (SELECT p.q_id, p.width, e.vec_id,
+           |    row_number() OVER (PARTITION BY p.q_id, p.width ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, p.qv),
+           |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (e.nrm * p.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e JOIN probes p ON e.cell = p.pcell
+           |   WHERE e.vec_id <> p.q_id),
+           | ivt AS (SELECT q_id, width, vec_id FROM iv
+           |         WHERE rk <= $AnnRecallK),
+           | exw AS (SELECT q_id, vec_id, w.width FROM ext,
+           |         (SELECT unnest([0, 1, 2]) AS width) w)
+           |SELECT x.q_id, x.width, COUNT(*) AS n_exact,
+           |  COUNT(i.vec_id) AS n_hit,
+           |  ROUND(COUNT(i.vec_id)::DOUBLE / COUNT(*), 4) AS recall
+           |FROM exw x LEFT JOIN ivt i
+           |  ON x.q_id = i.q_id AND x.width = i.width
+           |     AND x.vec_id = i.vec_id
+           |GROUP BY x.q_id, x.width ORDER BY x.q_id, x.width""".stripMargin,
 
       "q64_neardup_lsh" -> {
         // the eight 8-bit sign groups, then the 28 (band, 16-bit key)

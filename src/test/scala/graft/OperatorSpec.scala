@@ -1941,6 +1941,30 @@ class OperatorSpec extends AnyFunSuite {
       s"blind-index fixture must audit at zero recall, got ${b.head}")
   }
 
+  test("q117 sweep shows width 2 recovering a hamming-2 blind spot") {
+    // q112's blind fixture: true neighbors at hamming-2 from q's cell,
+    // low-cosine junk in q's own cell. The sweep must read 0.0 at
+    // widths 0 and 1 and exactly 1.0 at width 2 — the tuning curve
+    // TELLING the operator which probe radius fixes the index.
+    import spark.implicits._
+    val v = operators.Pipeline.queryVec.map(_.toFloat)
+    val hidden = (1L to 10L).map { i =>
+      (i, v.updated(0, -0.001f).updated(1, -0.001f), 0)
+    }
+    val junk = (20L until 36L).map { i =>
+      (i, v.take(8) ++ v.drop(8).map(x => -x), 1)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    (Seq((0L, v.toSeq, 0)) ++ hidden ++
+        junk.map { case (i, e, l) => (i, e.toSeq, l) })
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("q117_ann_probe_sweep")(spark, dir)
+      .as[(Long, Int, Long, Long, Double)].collect().toList
+    assert(rows.map(r => (r._2, r._5)) ===
+      List((0, 0.0), (1, 0.0), (2, 1.0)), rows.toString)
+  }
+
   test("q114 counting-sort rank equals the global window it replaces") {
     import spark.implicits._
     // randomized corpus with heavy score ties (small vocab -> few
