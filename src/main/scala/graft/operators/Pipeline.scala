@@ -441,6 +441,42 @@ object Pipeline {
       packBySource(train).orderBy(col("source"), col("pack_id"))
     }),
 
+    // q118 — CURATION FUNNEL: the per-stage observability readout every
+    // pipeline publishes next to its corpus — how many documents and
+    // tokens survive each gate of the q93 build (raw → quality keep →
+    // canonical dedup → train split), as ONE job emitting one row per
+    // stage. Composes the same verified fragments q93 consumes (q84
+    // verdict chain, the write-once dup_labels artifact — another
+    // one-CC-per-pipeline consumer — and the q87 cluster-keyed split
+    // hash), so the funnel is the dashboard OF the shipped build, not a
+    // parallel reimplementation that could drift. Each stage is a narrow
+    // doc_id semi/anti join feeding a 2-value aggregate; the corpus text
+    // is read once (token counting); output is 4 rows.
+    "q118_curation_funnel" -> ((s, d) => {
+      import graft.operators.Shared.hash60
+      val toks = docTokens(s, d)
+      val verdicts = TextOps.q84Verdicts(s, d)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val labels = Dedup.labelsArtifact(s, d)
+        .select(col("doc_id"), col("rep"))
+      val dropped = labels.filter(col("doc_id") =!= col("rep"))
+        .select(col("doc_id"))
+      val s1 = toks.join(verdicts, Seq("doc_id"), "left_semi")
+      val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
+      val s3 = s2.join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
+        .filter(pmod(hash60(col("split_key").cast("string")), lit(100)) < 80)
+      def row(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      row("0_raw", toks)
+        .union(row("1_quality", s1))
+        .union(row("2_canonical", s2))
+        .union(row("3_train", s3))
+        .orderBy(col("stage"))
+    }),
+
     // q94 — q93 WITH DECONTAMINATION: before packing, drop every train
     // doc that shares a 13-token run with ANY eval-side (val/test) doc —
     // the long-n-gram eval-decontamination practice of the GPT-3/PaLM
@@ -766,6 +802,36 @@ object Pipeline {
          |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM cc GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // q118: the q93 gate chain recomputed from first principles (same
+    // equivalence q81b/q87b pin for the artifact), one funnel row per
+    // cumulative stage
+    "q118_curation_funnel" ->
+      s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
+         |  ${TextOps.sqlQ84Cte},
+         |  dtok AS (SELECT source, doc_id,
+         |             CAST(COALESCE(len(string_split(text, ' ')), 0)
+         |               AS BIGINT) AS tokens
+         |           FROM documents),
+         |  s1 AS (SELECT dt.* FROM dtok dt
+         |         JOIN r ON dt.doc_id = r.doc_id AND r.reasons = 0),
+         |  s2 AS (SELECT s1.* FROM s1
+         |         LEFT JOIN reps ON s1.doc_id = reps.doc_id
+         |         WHERE reps.doc_id IS NULL OR reps.doc_id = reps.rep),
+         |  s3 AS (SELECT s2.* FROM s2
+         |         LEFT JOIN reps ON s2.doc_id = reps.doc_id
+         |         WHERE ${Shared.sqlHash60(
+                  "CAST(COALESCE(reps.rep, s2.doc_id) AS VARCHAR)")}
+         |           % 100 < 80)
+         |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+         |       CAST(SUM(tokens) AS BIGINT) AS n_tokens FROM dtok
+         |UNION ALL SELECT '1_quality', COUNT(*),
+         |       CAST(SUM(tokens) AS BIGINT) FROM s1
+         |UNION ALL SELECT '2_canonical', COUNT(*),
+         |       CAST(SUM(tokens) AS BIGINT) FROM s2
+         |UNION ALL SELECT '3_train', COUNT(*),
+         |       CAST(SUM(tokens) AS BIGINT) FROM s3
+         |ORDER BY stage""".stripMargin,
 
     // q94 = q93's gates + the 13-shingle decontamination anti-join,
     // recomposed from the same shared fragments

@@ -1941,6 +1941,24 @@ class OperatorSpec extends AnyFunSuite {
       s"blind-index fixture must audit at zero recall, got ${b.head}")
   }
 
+  test("q118 funnel is monotone and its train stage equals the q93 build") {
+    import spark.implicits._
+    val f = SparkEntry.queries("q118_curation_funnel")(spark, sf)
+      .as[(String, Long, Long)].collect().toList
+    assert(f.map(_._1) ===
+      List("0_raw", "1_quality", "2_canonical", "3_train"))
+    // every gate only removes documents/tokens
+    f.sliding(2).foreach { case List(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"funnel not monotone: $a -> $b")
+    }
+    assert(f.last._2 < f.head._2, "gates must actually bite")
+    // the funnel describes the SHIPPED build: its train stage must equal
+    // the q93 pack totals exactly
+    val packs = SparkEntry.queries("q93_corpus_build")(spark, sf)
+      .agg(sum("n_docs"), sum("n_tokens")).as[(Long, Long)].head()
+    assert((f.last._2, f.last._3) === packs)
+  }
+
   test("q117 sweep shows width 2 recovering a hamming-2 blind spot") {
     // q112's blind fixture: true neighbors at hamming-2 from q's cell,
     // low-cosine junk in q's own cell. The sweep must read 0.0 at
