@@ -57,11 +57,18 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("a new session rewrites instead of trusting another session's memo") {
+    // Isolated tier copy: the rebuild OVERWRITES the artifact's parquet
+    // files, which would invalidate any concurrently-running suite
+    // reading the shared-tier artifact (suites run in parallel; q118's
+    // funnel read raced exactly this rewrite before the isolation).
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
     // run once in the base session so its memo is warm
-    Dedup.queries("q81b_canonical_staged")(spark, TestSpark.sf).collect()
+    Dedup.queries("q81b_canonical_staged")(spark, dir).collect()
     val before = Dedup.labelsWrites.get()
     val s2 = spark.newSession()
-    Dedup.queries("q81b_canonical_staged")(s2, TestSpark.sf).collect()
+    Dedup.queries("q81b_canonical_staged")(s2, dir).collect()
     assert(Dedup.labelsWrites.get() - before === 1,
       "a fresh session must rebuild the artifact exactly once")
   }
