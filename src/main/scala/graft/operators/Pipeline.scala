@@ -86,6 +86,35 @@ object Pipeline {
     * shift every later cumsum in the source, while DuckDB's
     * len(string_split(NULL)) is NULL.
     */
+  /** The q93 gate chain as per-doc FLAGS over one corpus pass — the
+    * single source of truth shared by the build (q93, which filters all
+    * three flags) and its funnel dashboard (q118, which aggregates
+    * conditionally per stage), so the two cannot drift: (source, doc_id,
+    * tokens, is_quality, is_canonical [cumulative: quality AND cluster
+    * rep-or-unclustered], is_train [cumulative: + split hash < 80 on the
+    * cluster-keyed q87 split key]).
+    */
+  private[graft] def curationFlags(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Shared.hash60
+    val verdicts = TextOps.q84Verdicts(s, d)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), lit(1L).as("vq"))
+    val labels = Dedup.labelsArtifact(s, d)
+      .select(col("doc_id"), col("rep"))
+    docTokens(s, d)
+      .join(verdicts, Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("is_quality", col("vq").isNotNull)
+      .withColumn("is_canonical",
+        col("is_quality") && (col("rep").isNull || col("rep") === col("doc_id")))
+      .withColumn("is_train",
+        col("is_canonical") &&
+          pmod(hash60(coalesce(col("rep"), col("doc_id")).cast("string")),
+            lit(100)) < 80)
+      .select(col("source"), col("doc_id"), col("tokens"),
+        col("is_quality"), col("is_canonical"), col("is_train"))
+  }
+
   private def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
@@ -422,60 +451,39 @@ object Pipeline {
     // artifacts (canonicality is a property of the FULL corpus — a
     // cluster whose rep fails quality contributes nothing, rather than
     // re-electing a lower-quality survivor).
-    "q93_corpus_build" -> ((s, d) => {
-      import graft.operators.Shared.hash60
-      val verdicts = TextOps.q84Verdicts(s, d)
-        .filter(col("keep") === 1).select(col("doc_id"))
-      val labels = Dedup.labelsArtifact(s, d)
-        .select(col("doc_id"), col("rep"))
-      val dropped = labels.filter(col("doc_id") =!= col("rep"))
-        .select(col("doc_id"))
-      val keyed = docTokens(s, d)
-        .join(verdicts, Seq("doc_id"), "left_semi")
-        .join(dropped, Seq("doc_id"), "left_anti")
-        .join(labels, Seq("doc_id"), "left")
-        .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
-      val train = keyed
-        .filter(pmod(hash60(col("split_key").cast("string")), lit(100)) < 80)
-        .select(col("source"), col("doc_id"), col("tokens"))
-      packBySource(train).orderBy(col("source"), col("pack_id"))
-    }),
+    "q93_corpus_build" -> ((s, d) =>
+      packBySource(curationFlags(s, d)
+          .filter(col("is_quality") && col("is_canonical") && col("is_train"))
+          .select(col("source"), col("doc_id"), col("tokens")))
+        .orderBy(col("source"), col("pack_id"))),
 
     // q118 — CURATION FUNNEL: the per-stage observability readout every
     // pipeline publishes next to its corpus — how many documents and
     // tokens survive each gate of the q93 build (raw → quality keep →
     // canonical dedup → train split), as ONE job emitting one row per
-    // stage. Composes the same verified fragments q93 consumes (q84
-    // verdict chain, the write-once dup_labels artifact — another
-    // one-CC-per-pipeline consumer — and the q87 cluster-keyed split
-    // hash), so the funnel is the dashboard OF the shipped build, not a
-    // parallel reimplementation that could drift. Each stage is a narrow
-    // doc_id semi/anti join feeding a 2-value aggregate; the corpus text
-    // is read once (token counting); output is 4 rows.
-    "q118_curation_funnel" -> ((s, d) => {
-      import graft.operators.Shared.hash60
-      val toks = docTokens(s, d)
-      val verdicts = TextOps.q84Verdicts(s, d)
-        .filter(col("keep") === 1).select(col("doc_id"))
-      val labels = Dedup.labelsArtifact(s, d)
-        .select(col("doc_id"), col("rep"))
-      val dropped = labels.filter(col("doc_id") =!= col("rep"))
-        .select(col("doc_id"))
-      val s1 = toks.join(verdicts, Seq("doc_id"), "left_semi")
-      val s2 = s1.join(dropped, Seq("doc_id"), "left_anti")
-      val s3 = s2.join(labels, Seq("doc_id"), "left")
-        .withColumn("split_key", coalesce(col("rep"), col("doc_id")))
-        .filter(pmod(hash60(col("split_key").cast("string")), lit(100)) < 80)
-      def row(name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"),
-            sum(col("tokens")).as("n_tokens"))
-          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      row("0_raw", toks)
-        .union(row("1_quality", s1))
-        .union(row("2_canonical", s2))
-        .union(row("3_train", s3))
-        .orderBy(col("stage"))
-    }),
+    // stage. Built on [[curationFlags]] — the SAME gate-flag frame q93
+    // filters — so the funnel is the dashboard OF the shipped build and
+    // cannot drift from it. One corpus pass: the flags frame feeds a
+    // single 8-value conditional aggregate (count/sum per cumulative
+    // stage, map-side combined), reshaped to 4 rows by stack(); no per-
+    // stage rescans, no joins beyond the gate chain's own.
+    "q118_curation_funnel" -> ((s, d) =>
+      curationFlags(s, d)
+        .agg(
+          count(lit(1)).as("d0"), sum(col("tokens")).as("t0"),
+          count(when(col("is_quality"), 1)).as("d1"),
+          sum(when(col("is_quality"), col("tokens"))).as("t1"),
+          count(when(col("is_canonical"), 1)).as("d2"),
+          sum(when(col("is_canonical"), col("tokens"))).as("t2"),
+          count(when(col("is_train"), 1)).as("d3"),
+          sum(when(col("is_train"), col("tokens"))).as("t3"))
+        .selectExpr(
+          """stack(4,
+             '0_raw', d0, t0,
+             '1_quality', d1, t1,
+             '2_canonical', d2, t2,
+             '3_train', d3, t3) AS (stage, n_docs, n_tokens)""")
+        .orderBy(col("stage"))),
 
     // q94 — q93 WITH DECONTAMINATION: before packing, drop every train
     // doc that shares a 13-token run with ANY eval-side (val/test) doc —

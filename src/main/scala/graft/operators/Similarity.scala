@@ -78,7 +78,9 @@ object Similarity {
 
   /** q117 probe widths: cumulative xor-mask sets for hamming radius
     * 0 / 1 / 2 around a query's cell (1, 9, and 37 cells). Interpolated
-    * into both engines as explicit (width, mask) literals.
+    * into both engines as explicit (width, mask) literals; the width
+    * DOMAIN everywhere else derives from [[sweepWidths]], so adding a
+    * radius here propagates to the exact side and the oracle.
     */
   private[graft] val probeWidths: Seq[(Int, Long)] = {
     val h2 = for (i <- 0 until 8; j <- i + 1 until 8)
@@ -86,6 +88,45 @@ object Similarity {
     (Seq(0L).map((0, _))) ++
       (Seq(0L) ++ (0 until 8).map(1L << _)).map((1, _)) ++
       (Seq(0L) ++ (0 until 8).map(1L << _) ++ h2).map((2, _))
+  }
+
+  /** The sweep's width domain, derived from [[probeWidths]]. */
+  private[graft] val sweepWidths: Seq[Int] =
+    probeWidths.map(_._1).distinct.sorted
+
+  /** Normalized audit frame shared by q112/q117: (vec_id, v, nrm, cell),
+    * zero vectors excluded (q85's NaN-cosine rationale).
+    */
+  private[graft] def annAuditFrame(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("cell", cellOf(col("v")))
+
+  /** q85's fixed deterministic query batch over the audit frame. */
+  private[graft] def annAuditBatch(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+      .orderBy(col("q_id")).limit(AnnBatchSize)
+
+  /** Exact brute-force top-[[AnnRecallK]] per query — the ground truth
+    * both audits compare against (q85's broadcast-batch shape; cosine
+    * rounded to 4 before the vec_id-tie-broken rank).
+    */
+  private[graft] def annExactTopK(e: DataFrame, q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= AnnRecallK)
+      .select(col("q_id"), col("vec_id"))
   }
 
   /** Deterministic product-quantization codebook for q76: 8 subspaces ×
@@ -585,25 +626,9 @@ object Similarity {
     // ranking, broken by vec_id — both engines replay bit-for-bit.
     "q112_ann_recall_audit" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .filter(col("nrm") > 0)
-        .withColumn("cell", cellOf(col("v")))
-      val q = e.filter(col("vec_id") % 500 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("cell").as("qcell"))
-        .orderBy(col("q_id")).limit(AnnBatchSize)
-      val byQ = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      val exact = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(
-          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
-        .withColumn("rk", row_number().over(byQ))
-        .filter(col("rk") <= AnnRecallK)
-        .select(col("q_id"), col("vec_id"))
+      val e = annAuditFrame(s, d)
+      val q = annAuditBatch(e)
+      val exact = annExactTopK(e, q)
       val probes = q.select(col("q_id"), col("qv"), col("qnrm"),
           explode(array(probeMasks.map(m => lit(m)): _*)).as("m"),
           col("qcell"))
@@ -613,7 +638,9 @@ object Similarity {
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(
           dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
-        .withColumn("rk", row_number().over(byQ))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rk") <= AnnRecallK)
         .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
       exact.join(ivf,
@@ -639,25 +666,9 @@ object Similarity {
     // cosine, vec_id ties.
     "q117_ann_probe_sweep" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .filter(col("nrm") > 0)
-        .withColumn("cell", cellOf(col("v")))
-      val q = e.filter(col("vec_id") % 500 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qnrm"), col("cell").as("qcell"))
-        .orderBy(col("q_id")).limit(AnnBatchSize)
-      val exact = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(
-          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rk") <= AnnRecallK)
-        .select(col("q_id"), col("vec_id"))
+      val e = annAuditFrame(s, d)
+      val q = annAuditBatch(e)
+      val exact = annExactTopK(e, q)
       val wm = array(probeWidths.map { case (w, m) =>
         struct(lit(w).as("width"), lit(m).as("m"))
       }: _*)
@@ -679,7 +690,7 @@ object Similarity {
           col("vec_id").as("ivec_id"))
       exact
         .select(col("q_id"), col("vec_id"),
-          explode(array(lit(0), lit(1), lit(2))).as("width"))
+          explode(array(sweepWidths.map(lit(_)): _*)).as("width"))
         .join(ivf,
           col("q_id") === col("iq_id") && col("width") === col("iwidth") &&
             col("vec_id") === col("ivec_id"),
@@ -1611,6 +1622,30 @@ object Similarity {
       .mkString(" + ")
     val qvList = Pipeline.queryVec.mkString("[", ", ", "]")
 
+    // Shared q112/q117 audit prelude: normalized frame, fixed batch,
+    // exact top-K ground truth — ONE copy, interpolated into both
+    // oracles (mirrors the annAuditFrame/annAuditBatch/annExactTopK
+    // helpers on the Spark side).
+    val annAuditCtes =
+      s"""e0 AS (SELECT vec_id, embedding,
+         |    sqrt(list_sum(list_transform(embedding,
+         |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM embeddings),
+         | e AS (SELECT vec_id, embedding, nrm,
+         |        CAST($cellSql AS BIGINT) AS cell FROM e0 WHERE nrm > 0),
+         | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+         |        cell AS qcell
+         |       FROM e WHERE vec_id % 500 = 0
+         |       ORDER BY vec_id LIMIT $AnnBatchSize),
+         | ex AS (SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+         |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+         |        4) DESC, e.vec_id) AS rk
+         |   FROM e, q WHERE e.vec_id <> q.q_id),
+         | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK)"""
+        .stripMargin
+
     val bandKeySql = (0 until 8)
       .map(i => s"CASE WHEN embedding[8*b + ${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
       .mkString(" + ")
@@ -1756,23 +1791,7 @@ object Similarity {
       // q112: same batch, same rounded-cos/vec_id tie ranking on both
       // the exact and the probed side; probe set replayed via xor masks.
       "q112_ann_recall_audit" ->
-        s"""WITH e0 AS (SELECT vec_id, embedding,
-           |    sqrt(list_sum(list_transform(embedding,
-           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
-           |  FROM embeddings),
-           | e AS (SELECT vec_id, embedding, nrm,
-           |        CAST($cellSql AS BIGINT) AS cell FROM e0 WHERE nrm > 0),
-           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
-           |        cell AS qcell
-           |       FROM e WHERE vec_id % 500 = 0
-           |       ORDER BY vec_id LIMIT $AnnBatchSize),
-           | ex AS (SELECT q.q_id, e.vec_id,
-           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
-           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
-           |        4) DESC, e.vec_id) AS rk
-           |   FROM e, q WHERE e.vec_id <> q.q_id),
-           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+        s"""WITH $annAuditCtes,
            | probes AS (SELECT q_id, qv, qnrm, xor(qcell, m) AS pcell
            |   FROM q, (SELECT unnest([${probeMasks.mkString(", ")}]) AS m)),
            | iv AS (SELECT p.q_id, e.vec_id,
@@ -1794,23 +1813,7 @@ object Similarity {
       // width ranks its own candidate pool, exact side crossed with the
       // three widths.
       "q117_ann_probe_sweep" ->
-        s"""WITH e0 AS (SELECT vec_id, embedding,
-           |    sqrt(list_sum(list_transform(embedding,
-           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
-           |  FROM embeddings),
-           | e AS (SELECT vec_id, embedding, nrm,
-           |        CAST($cellSql AS BIGINT) AS cell FROM e0 WHERE nrm > 0),
-           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
-           |        cell AS qcell
-           |       FROM e WHERE vec_id % 500 = 0
-           |       ORDER BY vec_id LIMIT $AnnBatchSize),
-           | ex AS (SELECT q.q_id, e.vec_id,
-           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
-           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
-           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
-           |        4) DESC, e.vec_id) AS rk
-           |   FROM e, q WHERE e.vec_id <> q.q_id),
-           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+        s"""WITH $annAuditCtes,
            | wm(width, m) AS (VALUES ${
                probeWidths.map { case (w, m) => s"($w, $m)" }.mkString(", ")
              }),
@@ -1826,7 +1829,8 @@ object Similarity {
            | ivt AS (SELECT q_id, width, vec_id FROM iv
            |         WHERE rk <= $AnnRecallK),
            | exw AS (SELECT q_id, vec_id, w.width FROM ext,
-           |         (SELECT unnest([0, 1, 2]) AS width) w)
+           |         (SELECT unnest([${sweepWidths.mkString(", ")}])
+           |            AS width) w)
            |SELECT x.q_id, x.width, COUNT(*) AS n_exact,
            |  COUNT(i.vec_id) AS n_hit,
            |  ROUND(COUNT(i.vec_id)::DOUBLE / COUNT(*), 4) AS recall

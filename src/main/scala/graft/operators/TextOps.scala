@@ -16,6 +16,37 @@ import org.apache.spark.sql.functions._
 object TextOps {
   import Shared._
 
+  /** q115/q116 fingerprint-sum modulus: 2⁶¹ − 1 (Mersenne prime). The
+    * sum accumulates in decimal(38,0) (DuckDB: HUGEINT) — exact to
+    * ~10³⁸, so ~10¹⁸ documents of 60-bit hashes before precision is a
+    * question — and reduces mod p to a portable BIGINT.
+    */
+  private[graft] val ManifestModP = 2305843009213693951L
+
+  /** The manifest aggregate shared VERBATIM by q115 (batch), q116 (the
+    * streaming twin — parity depends on these staying expression-
+    * identical, which is why there is exactly one copy), and their
+    * specs. Two complementary order-insensitive fingerprints: bit_xor
+    * flips on any odd-multiplicity change but CANCELS even ones (two
+    * copies of doc A swapped for two copies of doc B is xor-invisible);
+    * the mod-p hash sum shifts by the multiset delta and has no such
+    * parity blind spot. Neither is cryptographic — together they make
+    * accidental corpus drift detectable, not adversarial tampering.
+    */
+  private[graft] def manifestAgg(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
+        hash60(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        bit_xor(col("h")).as("fingerprint"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(ManifestModP))
+          .cast("long").as("fingerprint_sum"))
+
   /** Marker stopwords per language (n-gram-heuristic language ID). */
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -591,29 +622,19 @@ object TextOps {
 
     // q115 — corpus RELEASE MANIFEST: the per-source summary a dataset
     // release ships and a consumer re-verifies before training — doc /
-    // token / char totals plus an ORDER-INSENSITIVE content fingerprint
-    // (bit_xor of each document's portable 60-bit text hash). XOR is the
-    // right fold at scale: commutative+associative (partial+final agg,
-    // any partitioning, any row order — same value), never overflows,
-    // and any single changed/missing/extra document flips it. Two
-    // manifests equal ⟺ same doc multiset (up to 60-bit collision) —
-    // the cheap answer to "is the corpus you trained on the corpus I
-    // published?". One scan, one tiny source-keyed hash agg with
+    // token / char totals plus TWO order-insensitive content
+    // fingerprints over each document's portable 60-bit text hash (see
+    // [[manifestAgg]] for why both: xor flips on odd-multiplicity
+    // changes but cancels even ones; the mod-p hash sum covers that
+    // parity blind spot). Both folds are commutative+associative
+    // (partial+final agg, any partitioning, any row order — same value)
+    // and overflow-free (xor by construction, the sum via decimal(38,0)
+    // reduced mod 2⁶¹−1) — the cheap practical answer to "is the corpus
+    // you trained on the corpus I published?", detecting drift, not
+    // adversaries. One scan, one tiny source-keyed hash agg with
     // map-side combine; nothing else.
-    "q115_manifest" -> ((s, d) => {
-      import graft.operators.Shared.hash60
-      Tables.documents(s, d)
-        .select(col("source"), col("n_chars"),
-          size(regexp_extract_all(lower(col("text")),
-            lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
-          hash60(col("text")).as("h"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          bit_xor(col("h")).as("fingerprint"))
-        .orderBy(col("source"))
-    }),
+    "q115_manifest" -> ((s, d) =>
+      manifestAgg(Tables.documents(s, d)).orderBy(col("source"))),
 
     // q110 — Gopher-style intra-document repetition gates (Rae et al.
     // '21, appendix A1.1: the published removal heuristics for
@@ -916,13 +937,15 @@ object TextOps {
           |ORDER BY cnt DESC, g LIMIT 25""".stripMargin,
 
       // q115: same portable hash60, same xor fold (bit_xor is exact and
-      // order-insensitive in both engines)
+      // order-insensitive in both engines), same HUGEINT-exact mod-p sum
       "q115_manifest" ->
         s"""SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
            |    AS BIGINT) AS n_tokens,
            |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           |  bit_xor(${Shared.sqlHash60("text")}) AS fingerprint
+           |  bit_xor(${Shared.sqlHash60("text")}) AS fingerprint,
+           |  CAST(SUM(CAST(${Shared.sqlHash60("text")} AS HUGEINT))
+           |    % $ManifestModP AS BIGINT) AS fingerprint_sum
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       // q110: same gram construction as q95 (separator-inclusive string

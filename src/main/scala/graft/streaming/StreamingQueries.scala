@@ -350,20 +350,13 @@ object StreamingQueries {
     // to re-publish (the q115 batch form audits cold data; this keeps
     // the released fingerprint live as files land).
     "q116_stream_manifest" -> ((s, d) => {
-      import graft.operators.Shared.hash60
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val stream = s.readStream.schema(schema)
         .parquet(stageTableDir(d, "documents"))
-      val agg = stream
-        .select(col("source"), col("n_chars"),
-          size(regexp_extract_all(lower(col("text")),
-            lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
-          hash60(col("text")).as("h"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"),
-          sum(col("n_chars")).as("n_chars"),
-          bit_xor(col("h")).as("fingerprint"))
+      // ONE aggregate definition shared with batch q115 (TextOps) — the
+      // parity proof depends on the expressions being identical, so
+      // there is deliberately no second copy here
+      val agg = graft.operators.TextOps.manifestAgg(stream)
       drain(s, agg, "q116_mem", "complete").orderBy(col("source"))
     }),
 

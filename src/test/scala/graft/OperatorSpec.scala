@@ -2024,19 +2024,32 @@ class OperatorSpec extends AnyFunSuite {
         .write.parquet(s"$dir/documents.parquet")
       dir
     }
-    def fp(dir: String): (Long, Long, Long, Long) =
+    def fp(dir: String): (Long, Long, Long, Long, Long) =
       SparkEntry.queries("q115_manifest")(spark, dir)
-        .select("n_docs", "n_tokens", "n_chars", "fingerprint")
-        .as[(Long, Long, Long, Long)].head()
+        .select("n_docs", "n_tokens", "n_chars", "fingerprint",
+          "fingerprint_sum")
+        .as[(Long, Long, Long, Long, Long)].head()
     val docs = (0L until 50L).map(i => (i, s"doc $i body token$i"))
     val a = fp(write(docs, 1))
     // same multiset, reversed order, different partitioning -> identical
     val b = fp(write(docs.reverse, 7))
     assert(a === b, "manifest must be independent of order/partitioning")
-    // one changed document -> fingerprint flips, counts reveal nothing
+    // one changed document -> both fingerprints flip, counts reveal
+    // nothing
     val c = fp(write(docs.updated(17, (17L, "doc 17 body tokenX")), 1))
-    assert(c._4 !== a._4, "changed doc must flip the fingerprint")
-    assert(c._1 === a._1, "doc count unchanged — only the xor catches it")
+    assert(c._4 !== a._4, "changed doc must flip the xor fingerprint")
+    assert(c._5 !== a._5, "changed doc must shift the sum fingerprint")
+    assert(c._1 === a._1, "doc count unchanged — only the hashes catch it")
+    // xor's documented blind spot: swap TWO copies of one doc for TWO
+    // copies of another with identical token/char stats — xor cancels
+    // the pair, the mod-p sum does not (why the manifest carries both)
+    val twinsA = Seq((0L, "aa bb"), (1L, "aa bb"), (2L, "zz qq"))
+    val twinsB = Seq((0L, "bb aa"), (1L, "bb aa"), (2L, "zz qq"))
+    val ta = fp(write(twinsA, 1))
+    val tb = fp(write(twinsB, 1))
+    assert((ta._1, ta._2, ta._3, ta._4) === (tb._1, tb._2, tb._3, tb._4),
+      "fixture must exercise the even-multiplicity xor cancellation")
+    assert(ta._5 !== tb._5, "the sum fingerprint must catch the pair swap")
   }
 
   test("q116 manifest accumulates across micro-batches to the q115 value") {
@@ -2058,17 +2071,10 @@ class OperatorSpec extends AnyFunSuite {
     }
     val dir = src
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    import graft.operators.Shared.hash60
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/documents.parquet")
-      .select(col("source"), col("n_chars"),
-        size(regexp_extract_all(lower(col("text")),
-          lit("[a-z0-9]+"), lit(0))).cast("long").as("n_toks"),
-        hash60(col("text")).as("h"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"), bit_xor(col("h")).as("fingerprint"))
+    val agg = graft.operators.TextOps.manifestAgg(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/documents.parquet"))
     spark.catalog.dropTempView("q116_spec_mem")
     val q = agg.writeStream.format("memory").queryName("q116_spec_mem")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -2077,9 +2083,9 @@ class OperatorSpec extends AnyFunSuite {
       "source must actually deliver multiple micro-batches")
     val streamed = spark.table("q116_spec_mem")
       .orderBy("source")
-      .as[(String, Long, Long, Long, Long)].collect().toList
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
     val batch = SparkEntry.queries("q115_manifest")(spark, dir)
-      .as[(String, Long, Long, Long, Long)].collect().toList
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
     assert(streamed === batch)
   }
 
