@@ -224,6 +224,25 @@ object ScaleProbe {
       b.unpersist()
     }
 
+    // q114: the counting-sort construction is safe iff the score DOMAIN
+    // stays bounded while the corpus grows (the offsets window runs over
+    // |domain|·16 rows) and the salt keeps per-(score, salt) partitions
+    // skew-free. Measure both directly.
+    timed("q114_probe") {
+      val toks =
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val scored = Tables.documents(spark, d)
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("score"))
+        .withColumn("salt", pmod(col("doc_id"), lit(16L)))
+      out("q114_score_domain") =
+        scored.select(col("score")).distinct().count()
+      val g = scored.groupBy(col("score"), col("salt")).count()
+      val r = g.agg(max(col("count")), count(lit(1))).head()
+      out("q114_max_rank_partition") = r.getLong(0)
+      out("q114_offset_rows") = r.getLong(1)
+    }
+
     // --- q73 round count (flat across scale = the O(log d) claim) ---
     if (!segmentsOnly) timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)
