@@ -485,6 +485,27 @@ object Pipeline {
              '3_train', d3, t3) AS (stage, n_docs, n_tokens)""")
         .orderBy(col("stage"))),
 
+    // q119 — per-SOURCE curation scorecard: q118's funnel pivoted onto
+    // the source axis — docs/tokens entering, surviving each gate, and
+    // the final keep rate, per source. This is the table mixture
+    // planning (q50/q100) actually consumes: a source whose keep rate
+    // collapses (duplicate farm, quality failures) needs its sampling
+    // weight rebalanced BEFORE training, and this readout is where that
+    // shows. Third consumer of the shared [[curationFlags]] frame — one
+    // corpus pass, one source-keyed conditional aggregate.
+    "q119_source_scorecard" -> ((s, d) =>
+      curationFlags(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("n_tokens"),
+          count(when(col("is_quality"), 1)).as("n_quality"),
+          count(when(col("is_canonical"), 1)).as("n_canonical"),
+          count(when(col("is_train"), 1)).as("n_train"),
+          coalesce(sum(when(col("is_train"), col("tokens"))), lit(0L))
+            .as("train_tokens"))
+        .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
+        .orderBy(col("source"))),
+
     // q94 — q93 WITH DECONTAMINATION: before packing, drop every train
     // doc that shares a 13-token run with ANY eval-side (val/test) doc —
     // the long-n-gram eval-decontamination practice of the GPT-3/PaLM
@@ -840,6 +861,36 @@ object Pipeline {
          |UNION ALL SELECT '3_train', COUNT(*),
          |       CAST(SUM(tokens) AS BIGINT) FROM s3
          |ORDER BY stage""".stripMargin,
+
+    // q119: the q118 gate chain as per-doc booleans, grouped by source
+    "q119_source_scorecard" ->
+      s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
+         |  ${TextOps.sqlQ84Cte},
+         |  dtok AS (SELECT source, doc_id,
+         |             CAST(COALESCE(len(string_split(text, ' ')), 0)
+         |               AS BIGINT) AS tokens
+         |           FROM documents),
+         |  f AS (SELECT dt.source, dt.tokens,
+         |      (r.reasons = 0) AS isq,
+         |      ((r.reasons = 0) AND
+         |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep)) AS isc,
+         |      ((r.reasons = 0) AND
+         |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep) AND
+         |       ${Shared.sqlHash60(
+                  "CAST(COALESCE(reps.rep, dt.doc_id) AS VARCHAR)")}
+         |         % 100 < 80) AS ist
+         |    FROM dtok dt JOIN r ON dt.doc_id = r.doc_id
+         |    LEFT JOIN reps ON dt.doc_id = reps.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+         |  COUNT(*) FILTER (WHERE isq) AS n_quality,
+         |  COUNT(*) FILTER (WHERE isc) AS n_canonical,
+         |  COUNT(*) FILTER (WHERE ist) AS n_train,
+         |  CAST(COALESCE(SUM(tokens) FILTER (WHERE ist), 0) AS BIGINT)
+         |    AS train_tokens,
+         |  ROUND((COUNT(*) FILTER (WHERE ist))::DOUBLE / COUNT(*), 4)
+         |    AS keep_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     // q94 = q93's gates + the 13-shingle decontamination anti-join,
     // recomposed from the same shared fragments

@@ -1959,6 +1959,21 @@ class OperatorSpec extends AnyFunSuite {
     assert((f.last._2, f.last._3) === packs)
   }
 
+  test("q119 scorecard columns sum exactly to q118's funnel stages") {
+    import spark.implicits._
+    val sc = SparkEntry.queries("q119_source_scorecard")(spark, sf)
+      .agg(sum("n_docs"), sum("n_tokens"), sum("n_quality"),
+        sum("n_canonical"), sum("n_train"), sum("train_tokens"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val f = SparkEntry.queries("q118_curation_funnel")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert((sc._1, sc._2) === f("0_raw"))
+    assert(sc._3 === f("1_quality")._1)
+    assert(sc._4 === f("2_canonical")._1)
+    assert((sc._5, sc._6) === f("3_train"))
+  }
+
   test("q117 sweep shows width 2 recovering a hamming-2 blind spot") {
     // q112's blind fixture: true neighbors at hamming-2 from q's cell,
     // low-cosine junk in q's own cell. The sweep must read 0.0 at
