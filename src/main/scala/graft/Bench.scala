@@ -34,6 +34,7 @@ object Bench {
   @volatile private var nQueries = 0
   @volatile private var sfDir = ""
   @volatile private var emittedLine = ""
+  @volatile private var compactLine = ""
   private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Print the ONE result line. Idempotent: called from the normal path and
@@ -53,7 +54,21 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     emittedLine = line
+    // COMPACT twin of the line above: same schema, but `queries` carries
+    // only the 10 slowest rows (plus a `queries_measured` count). Rounds
+    // 8 AND 9 both recorded "parsed": null because the full line grew to
+    // 135 entries (~6 KB) and the driver's ~2 KB tail capture clipped its
+    // head; this line is bounded <1 KB so it fits any tail window. It is
+    // printed AFTER the full line here and re-printed as the process's
+    // final stdout in main() — whichever line the tail keeps, the compact
+    // one survives. target/bench.json keeps the full map.
+    val slow = qRows.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"queries_measured":${qRows.size},"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     println(line)
+    println(compactLine)
     System.out.flush()
     // stdout can be tail-truncated by the driver's capture; persist the
     // same line where a post-hoc reader can always find it
@@ -114,14 +129,20 @@ object Bench {
         (() => operators.Similarity.pqCodesArtifact(spark, sfDir)),
       "artifact:q108_corpus_cells" ->
         (() => _root_.graft.streaming.StreamingQueries
-          .q108CorpusCells(spark, sfDir)))
+          .q108CorpusCells(spark, sfDir)),
+      "artifact:q120_index" ->
+        (() => { // frozen corpus dedup state: labels + df + prefix postings
+          operators.Dedup.q120LabelsArtifact(spark, sfDir)
+          operators.Dedup.q120PrefixArtifact(spark, sfDir)
+        }))
     for ((n, f) <- artifacts
          if only.isEmpty || only.exists(q =>
            q.endsWith("b_canonical_staged") || q.endsWith("b_split_staged") ||
              q.startsWith("q89") || q.startsWith("q93") ||
              q.startsWith("q103b") || q.startsWith("q104b") ||
              q.startsWith("q105b") || q.startsWith("q107") ||
-             q.startsWith("q108") || q.startsWith("q90c"))) {
+             q.startsWith("q108") || q.startsWith("q90c") ||
+             q.startsWith("q120"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>
@@ -162,13 +183,18 @@ object Bench {
         pool.awaitTermination(20, java.util.concurrent.TimeUnit.SECONDS)
         // cancelJobGroup is asynchronous: tasks keep draining after the
         // call returns, and anything still running would share CPU with
-        // (and inflate) timed pass 1. Poll the status tracker until the
-        // group's jobs have actually terminated, bounded at 60 s.
+        // (and inflate) timed pass 1. Poll the status tracker until every
+        // job in the group is terminal (SUCCEEDED/FAILED) — UNKNOWN means
+        // the job is queued in the scheduler but not yet started, and such
+        // a straggler could still begin and overlap pass 1, so it counts
+        // as not-drained too. Bounded at 60 s.
         val tracker = sc.statusTracker
         val drainDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        def terminal(s: org.apache.spark.JobExecutionStatus): Boolean =
+          s == org.apache.spark.JobExecutionStatus.SUCCEEDED ||
+            s == org.apache.spark.JobExecutionStatus.FAILED
         while (tracker.getJobIdsForGroup("bench-warmup").exists(id =>
-            tracker.getJobInfo(id).exists(_.status() ==
-              org.apache.spark.JobExecutionStatus.RUNNING)) &&
+            !tracker.getJobInfo(id).forall(i => terminal(i.status()))) &&
             System.nanoTime() < drainDeadline)
           Thread.sleep(250)
       }
@@ -215,10 +241,15 @@ object Bench {
 
     emit()
     spark.stop()
-    // Re-print the result line as the FINAL stdout of the process: the
-    // driver's tail capture of BENCH_r08 recorded "parsed": null because
-    // shutdown log noise after the first print pushed the JSON out of the
-    // captured window. target/bench.json remains the durable copy.
-    if (emittedLine.nonEmpty) { println(emittedLine); System.out.flush() }
+    // Re-print both result lines as the FINAL stdout of the process —
+    // full line first, COMPACT line last. The driver's tail capture
+    // recorded "parsed": null in rounds 8 and 9: shutdown noise (r8) and
+    // then the full line's own 135-entry size (r9) pushed the parseable
+    // JSON out of the captured window. The compact line is bounded <1 KB,
+    // so as the last line it always lands inside the tail.
+    // target/bench.json remains the durable full copy.
+    if (emittedLine.nonEmpty) { println(emittedLine) }
+    if (compactLine.nonEmpty) { println(compactLine) }
+    System.out.flush()
   }
 }

@@ -82,6 +82,10 @@ object Config {
     else if (!Set("none", "hour", "day", "land-compact")(c.sinkPartitionBy))
       Left(s"sink.partition.by must be none, hour, day or land-compact, " +
         s"got '${c.sinkPartitionBy}'")
+    else if (c.sinkPartitionBy != "none" && c.sinkFormat != "parquet")
+      Left(s"sink.partition.by ${c.sinkPartitionBy} requires " +
+        "--sink.format parquet — the kafka writer has no partition " +
+        "directories to write, so the mode would be silently ignored")
     else if (c.pattern == "avro" && c.registryUrl.isEmpty)
       Left("schema.registry.url is required with --avro")
     else if (c.requiredAcks < -1) Left("required.acks must be >= -1")

@@ -59,6 +59,16 @@ object Compact {
       maxRecordsPerFile: Long = 5000000L): Long = {
     require(Set("hour", "day")(granularity),
       s"granularity must be hour or day, got '$granularity'")
+    // The window-alignment guard below validates UTC boundaries, but
+    // partExpr renders via date_format, which uses the SESSION timezone.
+    // With a non-UTC session the guard would pass windows misaligned with
+    // the local-time partitions — re-enabling the partial-partition
+    // dynamic-overwrite loss it exists to prevent — so the two must share
+    // one timezone. All graft sessions are UTC ([[graft.Sessions]]).
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Compact.run requires spark.sql.session.timeZone=UTC: the " +
+        "window-alignment guard and the ingest_part derivation must " +
+        "agree on the partition boundary timezone")
     // A window bound inside a partition would make the dynamic overwrite
     // DELETE the rest of that partition's already-compacted rows (the
     // rewrite replaces the whole touched partition with only the

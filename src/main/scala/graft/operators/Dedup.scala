@@ -108,8 +108,15 @@ object Dedup {
     * anyway.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    shingledOf(Tables.documents(s, d))
+
+  /** [[shingled]] over an arbitrary (doc_id, text) frame — the q120
+    * incremental path shingles the corpus and the new batch separately.
+    */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
@@ -123,8 +130,10 @@ object Dedup {
     * exact-Jaccard verify. Exposed for [[graft.ScaleProbe]], which
     * measures candidate growth across scale factors.
     */
-  private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame = {
-      val sh = shingled(s, d)
+  private[graft] def jaccardCandidates(s: SparkSession, d: String): DataFrame =
+    jaccardCandidatesOf(shingled(s, d))
+
+  private def jaccardCandidatesOf(sh: DataFrame): DataFrame = {
       val ex = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
       val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       // Keep each doc's (sz - floor(t*sz)) + 1 rarest shingles. Integer
@@ -177,9 +186,11 @@ object Dedup {
       .distinct()
   }
 
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-      val sh = shingled(s, d)
-      val cand = jaccardCandidates(s, d)
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsOf(shingled(s, d))
+
+  private def jaccardPairsOf(sh: DataFrame): DataFrame = {
+      val cand = jaccardCandidatesOf(sh)
       // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
       // arrays — array_intersect built a hash set per evaluation, and the
       // filter+projections re-evaluate the intersect several times per pair.
@@ -299,8 +310,15 @@ object Dedup {
     * in >= 1 verified dup pair: the ONE artifact every downstream dedup
     * consumer (q81 canonicalization, q87 split) derives from.
     */
-  private def computeLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d)
+  private def computeLabels(s: SparkSession, d: String): DataFrame =
+    labelsOf(Tables.documents(s, d))
+
+  /** [[computeLabels]] over an arbitrary (doc_id, text) frame — shared by
+    * the full-tier artifact, the q120 corpus-only artifact, and the
+    * incremental-vs-from-scratch equivalence spec.
+    */
+  private[graft] def labelsOf(docs: DataFrame): DataFrame = {
+    val pairs = jaccardPairsOf(shingledOf(docs))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(pairs)
       .withColumn("cluster_size", count(lit(1)).over(
@@ -369,6 +387,180 @@ object Dedup {
       { labelsWrites.incrementAndGet(); computeLabels(s, d) },
       8, Seq("doc_id"))
 
+  // ---- q120: INCREMENTAL label maintenance -------------------------------
+  //
+  // The write-once artifacts above answer "dedup this corpus"; a corpus
+  // that ingests daily needs "fold this batch INTO the dedup state" —
+  // without re-paying pair generation + connected components over the
+  // whole corpus per batch. The frozen state is three staged tables built
+  // once from the corpus (labels; shingle document frequencies; PPJoin
+  // prefix postings). An arriving batch then:
+  //
+  //   1. shingles ONLY its own docs and takes their PPJoin prefixes under
+  //      the CORPUS-FROZEN shingle order (df asc, shingle asc; a shingle
+  //      unseen in the corpus gets df 0). The prefix-filter completeness
+  //      theorem holds under ANY fixed total order applied to both sides,
+  //      so freezing the order at corpus build time loses no pairs — and
+  //      corpus prefixes never need recomputing as batches arrive;
+  //   2. generates batch↔corpus candidates by equi-joining its prefixes
+  //      against the (shingle-bucketed) corpus prefix table — the corpus
+  //      side never shuffles — plus batch↔batch candidates from a
+  //      prefix self-join. corpus↔corpus pairs cannot change (a pair
+  //      depends only on its two texts), so they are never regenerated;
+  //   3. verifies exact Jaccard, reading corpus shingle arrays only for
+  //      candidate docs (a broadcast semi-join of the delta-bounded
+  //      candidate id set into the corpus scan);
+  //   4. re-runs connected components ONLY on the affected subgraph: the
+  //      new pairs plus the (doc → rep) label edges of every cluster that
+  //      a new pair touches. Label edges are a component-preserving
+  //      contraction of the old pair graph, so subgraph CC computes
+  //      exactly the merged components — including the hard case where
+  //      one new pair BRIDGES two existing clusters. Untouched clusters
+  //      are carried over byte-identically.
+  //
+  // Cost: steps 1-4 shuffle work proportional to the batch and the
+  // affected clusters, never the corpus (the corpus-side table scans
+  // remain, column-pruned and bucket-local). The oracle is the
+  // from-scratch q73 closure over corpus+batch — incremental maintenance
+  // must be INVISIBLE in the result.
+
+  /** Shingle document frequencies (sg, df) of a shingled frame. Shingles
+    * are distinct per doc, so count(*) is document frequency.
+    */
+  private[graft] def dfOf(sh: DataFrame): DataFrame =
+    sh.select(explode(col("sh")).as("sg"))
+      .groupBy(col("sg")).agg(count(lit(1)).as("df"))
+
+  /** PPJoin prefix postings (doc_id, sg, rk, sz) of a shingled frame
+    * under the order frozen by `dfreq` — each doc keeps its
+    * (sz - floor(t·sz) + 1) rarest shingles, integer arithmetic (t=3/5).
+    * `dfreq` may cover a DIFFERENT doc set than `sh` (the batch side
+    * ranks its shingles by corpus df); unseen shingles order first (df 0).
+    */
+  private[graft] def prefixOf(sh: DataFrame, dfreq: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("sg"))
+      .join(dfreq, Seq("sg"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
+      .filter(col("rk") <= col("sz") - expr("(3 * sz) div 5") + 1)
+      .select(col("doc_id"), col("sg"), col("rk"), col("sz"))
+
+  /** Verified Jaccard pairs with >= 1 batch endpoint — step 1-3 of the
+    * incremental path. `corpusDf`/`corpusPrefix` are the corpus-frozen
+    * index (from the staged artifacts or [[dfOf]]/[[prefixOf]] inline);
+    * output is (doc_a, doc_b, jaccard) with doc_a < doc_b, disjoint from
+    * and union-compatible with the frozen corpus pair set.
+    */
+  private[graft] def batchPairs(corpusDocs: DataFrame, batchDocs: DataFrame,
+      corpusDf: DataFrame, corpusPrefix: DataFrame): DataFrame = {
+    val bsh = shingledOf(batchDocs)
+    val bprefix = prefixOf(bsh, corpusDf)
+    // positional + length filters, identical math to jaccardCandidatesOf:
+    // at a shared prefix shingle the overlap is bounded by
+    // 1 + min(remaining on either side); J >= 3/5 needs overlap
+    // >= ceil(3(|A|+|B|)/8) and 5·min(sz) >= 3·max(sz).
+    def minOv = floor((lit(3) * (col("a.sz") + col("b.sz")) + 7) / 8)
+    def posLenOk =
+      (least(col("a.sz") - col("a.rk"), col("b.sz") - col("b.rk")) + 1)
+        .geq(minOv) &&
+        lit(5) * least(col("a.sz"), col("b.sz")) >=
+          lit(3) * greatest(col("a.sz"), col("b.sz"))
+    // batch × corpus: both sides' prefixes are under the same frozen
+    // order, so the prefix filter is complete; ids are normalized
+    // (doc_a = least) because a batch id may sort either side of a
+    // corpus id. The corpus prefix table is bucketed by sg — only the
+    // (small) batch side shuffles into that layout.
+    val candX = bprefix.as("a")
+      .join(corpusPrefix.as("b"), col("a.sg") === col("b.sg") && posLenOk)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    // batch × batch: the standard PPJoin self-join over batch prefixes
+    val candB = bprefix.as("a")
+      .join(bprefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
+          posLenOk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = candX.unionByName(candB).distinct()
+    // verify — corpus shingles recomputed ONLY for candidate endpoints:
+    // the candidate id set is delta-bounded, so it broadcasts into the
+    // corpus scan as a semi-join (the corpus text column never shuffles)
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shNeeded = shingledOf(
+      corpusDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .unionByName(bsh)
+    cand
+      .join(shNeeded.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(shNeeded.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("inter",
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Step 4: fold `newPairs` into `oldLabels` — CC re-converges only on
+    * the affected component subgraph (new pair edges + label edges of
+    * touched clusters); untouched clusters carry over unchanged. Output
+    * schema/content match [[labelsOf]] on the merged corpus exactly.
+    */
+  private[graft] def incrementalLabels(oldLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val touched = newPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val touchedReps = oldLabels.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("rep")).distinct()
+    val affected = oldLabels.join(touchedReps, Seq("rep"), "left_semi")
+    // label edges (doc → rep) preserve the old components; adding the new
+    // pair edges and re-running CC on just this subgraph yields the merged
+    // components with their true minimum-id reps (every member of every
+    // touched cluster is present via its label edge)
+    val subEdges = newPairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(affected.select(col("doc_id").as("src"),
+        col("rep").as("dst")))
+    val sub = connectedComponents(subEdges)
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("rep"))))
+    val carried = oldLabels.join(touchedReps, Seq("rep"), "left_anti")
+    carried.select(col("doc_id"), col("rep"), col("cluster_size"))
+      .unionByName(sub.select(col("doc_id"), col("rep"),
+        col("cluster_size")))
+  }
+
+  /** The q120 corpus split: nine tenths are "yesterday's corpus" (frozen
+    * index), the doc_id % 10 == 0 tenth plays the arriving batch — the
+    * q89 convention.
+    */
+  private def q120Corpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+
+  /** Frozen corpus dedup state, staged write-once per (session, tier):
+    * labels bucketed by doc_id; df + prefix postings bucketed by shingle
+    * so batch-side probes join without shuffling the corpus side.
+    */
+  private[graft] def q120LabelsArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q120_corpus_labels",
+      s"$d/documents.parquet", labelsOf(q120Corpus(s, d)), 8, Seq("doc_id"))
+
+  private[graft] def q120DfArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q120_corpus_df",
+      s"$d/documents.parquet", dfOf(shingledOf(q120Corpus(s, d))),
+      16, Seq("sg"))
+
+  private[graft] def q120PrefixArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q120_corpus_prefix",
+      s"$d/documents.parquet",
+      prefixOf(shingledOf(q120Corpus(s, d)), q120DfArtifact(s, d)),
+      16, Seq("sg"))
+
   /** q111's segment frame: one row per non-overlapping [[SegW]]-token
     * segment — (doc_id, seg_idx, seg_txt, sh). Shared with ScaleProbe,
     * which tracks the boiler-set size (the broadcast side) per decade.
@@ -395,6 +587,21 @@ object Dedup {
       .select(col("sh"), lit(1L).as("is_boiler"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q120 — INCREMENTAL dup-label maintenance (see the block comment at
+    // [[batchPairs]]): fold the arriving tenth into the frozen corpus
+    // labels via delta-scoped pair generation + subgraph-only CC
+    // re-convergence. The oracle is the FROM-SCRATCH q73 closure over
+    // corpus+batch — the incremental path must be invisible in the
+    // result, including when a batch doc bridges two existing clusters.
+    "q120_incremental_labels" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val pairs = batchPairs(q120Corpus(s, d), batch,
+        q120DfArtifact(s, d), q120PrefixArtifact(s, d))
+      incrementalLabels(q120LabelsArtifact(s, d), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
     // the PPJoin positional filter (Xiao et al., WWW'08)
     "q32_neardup_jaccard" -> ((s, d) =>
@@ -771,6 +978,15 @@ object Dedup {
         s"""WITH $prefixPairs
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // q120: incremental maintenance must be invisible in the result —
+      // the oracle is the from-scratch q73 recursive closure over the
+      // FULL corpus (old nine tenths + new tenth), nothing incremental
+      "q120_incremental_labels" ->
+        s"""WITH RECURSIVE $sqlRepsCte
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin,
 
       // q102: same verified pair set, attributed to normalized source
       // pairs; integer mean of jaccard×10⁴

@@ -201,8 +201,19 @@ object Sampling {
             .orderBy(col("doc_id"))).cast("long"))
         .withColumn("rank", col("off") + col("rn"))
         .crossJoin(broadcast(n))
-        .select(col("doc_id"), col("score"), col("rank"),
-          floor((col("rank") - 1) * S / col("n")).cast("long").as("shard"))
+        .select(col("doc_id"), col("score"), col("rank"), {
+          // exact integer floor-div: `/` on longs is DOUBLE division in
+          // Spark while the oracle's `//` is exact — a double is only
+          // trustworthy to ~2^52 and the operator's contract is exact
+          // arithmetic at ANY corpus size. Naive decimal division is no
+          // better (Spark rounds the quotient HALF_UP at scale 6, which
+          // flips floor() once n reaches ~2e6), so make the division
+          // itself exact: subtract the remainder first, then divide —
+          // the quotient is integral, so scale-6 rounding is a no-op.
+          // Product via decimal(38,0), the q50 HUGEINT-parity pattern.
+          val p = ((col("rank").cast("decimal(38,0)") - 1) * S)
+          ((p - pmod(p, col("n"))) / col("n")).cast("long").as("shard")
+        })
         .orderBy(col("doc_id"))
     })
   )

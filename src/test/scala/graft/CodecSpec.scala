@@ -193,6 +193,12 @@ class CodecSpec extends AnyFunSuite {
     assert(Config.validate(pq.copy(sinkPartitionBy = "land-compact")).isRight)
     assert(Config.validate(pq.copy(sinkPartitionBy = "minute")).isLeft)
     assert(Config.validate(pq.copy(sinkFormat = "console")).isLeft)
+    // partitioned landing modes are parquet-only: with a kafka sink the
+    // writer would silently drop the partition/timestamp plumbing
+    val kf = GraftConfig(brokerList = "b:9092", topic = "t")
+    assert(Config.validate(kf).isRight)
+    assert(Config.validate(kf.copy(sinkPartitionBy = "land-compact")).isLeft)
+    assert(Config.validate(kf.copy(sinkPartitionBy = "hour")).isLeft)
     val parsed = Config.parse(Seq("--sink.format", "parquet",
       "--sink.path", "/tmp/landing", "--sink.partition.by", "hour"))
     assert(parsed.map(_.sinkPath) === Right(Some("/tmp/landing")))

@@ -1006,6 +1006,53 @@ class OperatorSpec extends AnyFunSuite {
     for ((v, r) <- expected) assert(got(v) === r, s"node $v")
   }
 
+  test("q120 incremental labels equal from-scratch, incl. a cluster bridge") {
+    import spark.implicits._
+    import operators.Dedup
+    // Texts engineered on 3-token shingles: A and B share 6 of 9 shingles
+    // (J = 0.5 < 0.6 — NOT a pair), while `bridge` = A ++ B tokens has 14
+    // shingles with J = 9/14 ≈ 0.643 >= 0.6 against BOTH — so one batch
+    // doc must merge the two pre-existing clusters (the re-convergence
+    // hard case). D and E are disjoint namespaces: D's cluster must be
+    // carried over untouched, E×2 must form a brand-new batch-only
+    // cluster under corpus-frozen ordering (every E shingle has df 0).
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val A = s"$c a1 a2 a3"
+    val B = s"$c b1 b2 b3"
+    val bridge = s"$A $B"
+    val D = (1 to 9).map(i => s"d$i").mkString(" ")
+    val E = (1 to 9).map(i => s"e$i").mkString(" ")
+    val filler = (1 to 9).map(i => s"z$i").mkString(" ")
+    val corpus = Seq(1L -> A, 11L -> A, 3L -> B, 13L -> B,
+      5L -> D, 15L -> D, 7L -> filler).toDF("doc_id", "text")
+    val batch = Seq(20L -> bridge, 30L -> E, 60L -> E)
+      .toDF("doc_id", "text")
+
+    val oldLabels = Dedup.labelsOf(corpus)
+    val corpusDf = Dedup.dfOf(corpus
+      .select(col("doc_id"), operators.Shared.shingles3(col("text")).as("sh")))
+    val corpusPrefix = Dedup.prefixOf(
+      corpus.select(col("doc_id"),
+          operators.Shared.shingles3(col("text")).as("sh"))
+        .withColumn("sz", size(col("sh"))), corpusDf)
+    val pairs = Dedup.batchPairs(corpus, batch, corpusDf, corpusPrefix)
+    val got = Dedup.incrementalLabels(oldLabels, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Dedup.labelsOf(corpus.unionByName(batch))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want, "incremental must equal from-scratch")
+    // the bridge actually merged: both old clusters now share rep 1, size 5
+    assert(got === Set(
+      (1L, 1L, 5L), (3L, 1L, 5L), (11L, 1L, 5L), (13L, 1L, 5L),
+      (20L, 1L, 5L),              // merged bridge component
+      (5L, 5L, 2L), (15L, 5L, 2L), // untouched cluster carried unchanged
+      (30L, 30L, 2L), (60L, 30L, 2L))) // new batch-only cluster
+    // and the old state really had TWO separate clusters to merge
+    val old = oldLabels.as[(Long, Long, Long)].collect().toSet
+    assert(old === Set((1L, 1L, 2L), (11L, 1L, 2L),
+      (3L, 3L, 2L), (13L, 3L, 2L), (5L, 5L, 2L), (15L, 5L, 2L)))
+  }
+
   test("davg rounds the exact mean half-away-from-zero via integer div") {
     import spark.implicits._
     def m(vals: Double*): Double =
