@@ -134,7 +134,9 @@ object Bench {
         (() => { // frozen corpus dedup state: labels + df + prefix postings
           operators.Dedup.q120LabelsArtifact(spark, sfDir)
           operators.Dedup.q120PrefixArtifact(spark, sfDir)
-        }))
+        }),
+      "artifact:q121_index" -> // frozen corpus codebook + assignment
+        (() => operators.Similarity.q121CellsArtifact(spark, sfDir)))
     for ((n, f) <- artifacts
          if only.isEmpty || only.exists(q =>
            q.endsWith("b_canonical_staged") || q.endsWith("b_split_staged") ||
@@ -142,7 +144,7 @@ object Bench {
              q.startsWith("q103b") || q.startsWith("q104b") ||
              q.startsWith("q105b") || q.startsWith("q107") ||
              q.startsWith("q108") || q.startsWith("q90c") ||
-             q.startsWith("q120"))) {
+             q.startsWith("q120") || q.startsWith("q121"))) {
       val s0 = System.nanoTime()
       val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
         case e: Throwable =>

@@ -968,6 +968,38 @@ object Similarity {
     // engines walk the identical integer centroid trajectory (q97's
     // contract), so the trained cells — and with them every drop
     // decision — are bit-reproducible cross-engine.
+    // q121 — ONLINE index maintenance with leaf split/retrain (see the
+    // block comment at [[maintainCells]]). The batch is the vec_id tenth
+    // PLUS a planted skew-load: the tenth re-landed 6× as constant
+    // all-0.5 vectors (ids offset by k·1e9) — a deterministic hot spot
+    // that pushes one leaf of the all-sign-bits-set coarse cell past
+    // [[LeafOverflow]] at EVERY tier, so the driver gate exercises the
+    // census → per-cell retrain → split path, while the other coarse
+    // cells gate the carry-over-unchanged path in the same result.
+    // Oracle: full DuckDB replay (frozen corpus training → online
+    // assignment → census → per-cell retrain).
+    "q121_online_leaf_split" -> ((s, d) => {
+      val tenth = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val planted = tenth
+        .select(explode(sequence(lit(1L), lit(6L))).as("k"), col("vec_id"))
+        .select((col("vec_id") + col("k") * lit(1000000000L)).as("vec_id"))
+        .select(col("vec_id"),
+          // all-positive → the all-sign-bits coarse cell; the per-id
+          // jitter keeps the planted rows DISTINCT (identical vectors
+          // would make the retrain's seed centroids degenerate and the
+          // split collapse back to one leaf). Pure double arithmetic on
+          // identical IEEE inputs — bit-equal in the DuckDB replay.
+          array_repeat(
+            lit(0.5d) + (col("vec_id") % 97).cast("double") / lit(10000.0d),
+            64).as("embedding"))
+      maintainCells(q121CellsArtifact(s, d), q121CodebookArtifact(s, d),
+        q121CorpusEmb(s, d), tenth.unionByName(planted), q121Bits(s, d))
+        .orderBy(col("vec_id"))
+    }),
+
     "q103_semantic_dedup_trained" -> ((s, d) =>
       dominanceDedup(trainedCellFrame(s, d))),
 
@@ -1198,11 +1230,22 @@ object Similarity {
     * trajectory bit-for-bit.
     */
   private[graft] def hierTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    hierTrainOf(Tables.embeddings(s, d), coarseBitsFor(s, d))
+
+  /** [[hierTrain]] over an arbitrary (vec_id, embedding) frame with an
+    * EXPLICIT coarse grid width. Every step after the coarse split is
+    * cell-local (per-cell windows, per-cell samples, per-cell Lloyd), so
+    * running this on a SUBSET of coarse cells retrains exactly those
+    * cells as the full run would — the property q121's online leaf
+    * split/retrain builds on.
+    */
+  private[graft] def hierTrainOf(embIn: DataFrame, bits: Int)
       : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val bits = coarseBitsFor(s, d)
-    val base = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val base = embIn
+      .repartition(
+        embIn.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("cell", coarseCellExpr(col("emb"), bits))
       .withColumn("qv", quantized(col("emb")))
@@ -1326,6 +1369,117 @@ object Similarity {
   private[graft] def codebookArtifact(s: SparkSession, d: String): DataFrame = {
     cellsArtifact(s, d)
     s.table(s"${Bucketed.dbFor(d)}.sem_codebook")
+  }
+
+  // ---- q121: ONLINE leaf split/retrain -----------------------------------
+  //
+  // The staged semantic index above is write-once-then-full-rebuild; a
+  // corpus ingesting daily needs the index MAINTAINED: assign the new
+  // batch online, and when a leaf cell outgrows its serving budget,
+  // retrain just that coarse cell's sub-codebook — never the whole
+  // index. The maintenance operator:
+  //
+  //   1. assigns batch vectors through the existing online path (sign-bit
+  //      coarse expression + packed-codebook equi-join + compiled
+  //      sub_argmin) — per-row work bounded by SubKCap, no training;
+  //   2. takes a leaf census of the merged assignment; a leaf holding
+  //      > 2·LeafTarget rows marks its COARSE cell for retrain, as does
+  //      a batch coarse cell the codebook has never seen (those rows
+  //      cannot be assigned at all — they seed a fresh cell rather than
+  //      being dropped);
+  //   3. retrains ONLY the marked cells, by running the cell-local
+  //      trainer ([[hierTrainOf]]) on their merged population under the
+  //      FROZEN coarse grid: every training step is per-cell (per-cell
+  //      sample ranks, per-cell K_g from the merged census, per-cell
+  //      Lloyd), so the subset run produces bit-identically what a full
+  //      retrain would produce for those cells;
+  //   4. carries every other cell's rows over unchanged — in the staged
+  //      form, only the retrained cells' rows are rewritten.
+  //
+  // Cost: assignment is batch-proportional; retrain mass is bounded by
+  // Σ_retrained 32·K_g·K_g sample distances — proportional to how much
+  // the batch actually perturbed the index, not to the corpus. The
+  // oracle replays the whole thing (frozen corpus training, online
+  // assignment, census, per-cell retrain) in DuckDB.
+
+  /** Leaf-overflow retrain trigger: a (coarse, sid) leaf serving more
+    * than this many rows forces its coarse cell's sub-codebook retrain.
+    */
+  private[graft] val LeafOverflow = 2L * LeafTarget
+
+  private def q121CorpusEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+
+  /** Frozen coarse-grid width — sized from the CORPUS (the grid must not
+    * move as batches arrive, or every cid changes meaning).
+    */
+  private[graft] def q121Bits(s: SparkSession, d: String): Int =
+    coarseBits(q121CorpusEmb(s, d).count())
+
+  /** Corpus-only trained assignment (vec_id, cid, d2), staged write-once;
+    * the packed codebook rides along under the same memo + lock.
+    */
+  private[graft] def q121CellsArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q121_cells",
+      s"$d/embeddings.parquet",
+      {
+        val (assign, cents) = hierTrainOf(q121CorpusEmb(s, d), q121Bits(s, d))
+        Bucketed.rewriteBucketed(s, Bucketed.dbFor(d), "q121_codebook",
+          packCodebook(cents), 1, Seq("cell"))
+        assign
+      },
+      8, Seq("vec_id"))
+
+  private[graft] def q121CodebookArtifact(s: SparkSession,
+      d: String): DataFrame = {
+    q121CellsArtifact(s, d)
+    s.table(s"${Bucketed.dbFor(d)}.q121_codebook")
+  }
+
+  /** The q121 maintenance operator (steps 1-4 above): returns the
+    * maintained assignment (vec_id, cid, d2) over corpus+batch given the
+    * frozen state. Frame-parameterized so the planted-overflow spec can
+    * drive it directly.
+    */
+  private[graft] def maintainCells(oldCells: DataFrame, codebook: DataFrame,
+      corpusEmb: DataFrame, batchEmb: DataFrame, bits: Int): DataFrame = {
+    def norm(e: DataFrame) = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val b = norm(batchEmb)
+      .withColumn("cell", coarseCellExpr(col("embedding"), bits))
+      .withColumn("qv", quantized(col("embedding")))
+    // 1. online assignment — inner join: only coarse cells the codebook
+    //    knows; the unknown ones are handled by the fresh-cell retrain
+    val bKnown = b
+      .join(codebook.select(col("cell"), col("packed")), "cell")
+      .withColumn("m", call_function("sub_argmin", col("qv"), col("packed")))
+      .select(col("vec_id"),
+        (col("cell") * lit(SubKCap) + col("m").getField("sid")).as("cid"),
+        col("m").getField("d2").as("d2"))
+    val merged0 = oldCells.select(col("vec_id"), col("cid"), col("d2"))
+      .unionByName(bKnown)
+    // 2. leaf census → retrain set (overflowing ∪ fresh coarse cells).
+    //    The census is a map-side-combined count of 16-byte rows — the
+    //    only corpus-wide touch maintenance pays, and it shuffles the
+    //    per-leaf partial counts, not the rows.
+    val overflow = merged0.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > LeafOverflow)
+      .select(expr(s"cid div $SubKCap").as("cell")).distinct()
+    val fresh = b.select(col("cell"))
+      .join(codebook.select(col("cell")), Seq("cell"), "left_anti")
+      .distinct()
+    val retrain = overflow.unionByName(fresh).distinct()
+    // 3. cell-local retrain on the merged population of just those cells
+    val rows = norm(corpusEmb).unionByName(norm(batchEmb))
+      .withColumn("cell", coarseCellExpr(col("embedding"), bits))
+      .join(broadcast(retrain), Seq("cell"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    val (reassign, _) = hierTrainOf(rows, bits)
+    // 4. carry over everything else unchanged
+    merged0.withColumn("cell", expr(s"cid div $SubKCap"))
+      .join(broadcast(retrain), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("d2"))
+      .unionByName(reassign)
   }
 
   /** ONLINE assignment to the trained two-level codebook: adds column
@@ -1550,6 +1704,7 @@ object Similarity {
   def oracleSql: Map[String, String] = {
     val m = oracleSqlBase
     m ++ Map(
+      "q121_online_leaf_split" -> q121Sql,
       // staged twins: identical output contract, so identical oracles
       "q103b_semantic_dedup_staged" -> m("q103_semantic_dedup_trained"),
       "q104b_prototype_staged" -> m("q104_prototype_prune"),
@@ -2110,5 +2265,111 @@ object Similarity {
        |    FROM qd JOIN c2 c ON c.cell = qd.cell AND c.dim = qd.dim
        |    GROUP BY qd.vec_id, qd.cell, c.sid)
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** q121 oracle — the COMPLETE maintenance replay in DuckDB: frozen
+    * corpus-only training (grid width from the corpus census), online
+    * batch assignment against the corpus codebook, leaf census, and the
+    * per-cell retrain of overflowing + fresh coarse cells over their
+    * merged population. Same integer contract as [[trainedAssignCtes]],
+    * parameterized by a CTE prefix so the two trainings coexist.
+    */
+  private[graft] def q121Sql: String = {
+    val h = Shared.sqlHash60("concat('ks|', CAST(vec_id AS VARCHAR))")
+    def kmRound(p: String, n: Int): String =
+      s"""${p}a$n AS (SELECT vec_id, cell, sid FROM (
+         |    SELECT sq.vec_id, sq.cell, c.sid,
+         |      row_number() OVER (PARTITION BY sq.vec_id
+         |        ORDER BY SUM((sq.v - c.c) * (sq.v - c.c)), c.sid) AS rn
+         |    FROM ${p}sq sq JOIN ${p}c${n - 1} c
+         |      ON c.cell = sq.cell AND c.dim = sq.dim
+         |    GROUP BY sq.vec_id, sq.cell, c.sid)
+         |  WHERE rn = 1),
+         |${p}c$n AS (SELECT a.cell, a.sid, q.dim, SUM(q.v) // COUNT(*) AS c
+         |  FROM ${p}a$n a JOIN ${p}sq q ON q.vec_id = a.vec_id
+         |  GROUP BY a.cell, a.sid, q.dim)""".stripMargin
+    def kkOf(name: String, src: String): String =
+      s"""$name AS (SELECT vec_id, cell, rk,
+         |    LEAST($SubKCap, GREATEST(1, (ng + ${LeafTarget - 1})
+         |      // $LeafTarget)) AS kg
+         |  FROM (SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY cell ORDER BY $h, vec_id)
+         |        AS rk,
+         |      COUNT(*) OVER (PARTITION BY cell) AS ng
+         |    FROM cg WHERE vec_id IN (SELECT vec_id FROM $src)))""".stripMargin
+    def sampleOf(p: String, kk: String): String =
+      s"""${p}sq AS (SELECT qd.vec_id, qd.cell, qd.dim, qd.v
+         |  FROM qd JOIN $kk k ON k.vec_id = qd.vec_id
+         |  WHERE k.rk <= $SamplePerCentroid * k.kg),
+         |${p}c0 AS (SELECT k.cell, CAST(k.rk - 1 AS BIGINT) AS sid,
+         |    qd.dim, qd.v AS c
+         |  FROM $kk k JOIN qd ON qd.vec_id = k.vec_id
+         |  WHERE k.rk <= k.kg)""".stripMargin
+    def assignOf(name: String, cents: String, src: String): String =
+      s"""$name AS (SELECT vec_id,
+         |    CAST(ccell * $SubKCap + sid AS BIGINT) AS cid, d2 FROM (
+         |    SELECT qd.vec_id, qd.cell AS ccell, c.sid,
+         |      SUM((qd.v - c.c) * (qd.v - c.c)) AS d2,
+         |      row_number() OVER (PARTITION BY qd.vec_id
+         |        ORDER BY SUM((qd.v - c.c) * (qd.v - c.c)), c.sid)
+         |        AS rn
+         |    FROM qd JOIN $cents c ON c.cell = qd.cell AND c.dim = qd.dim
+         |    WHERE qd.vec_id IN (SELECT vec_id FROM $src)
+         |    GROUP BY qd.vec_id, qd.cell, c.sid)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |batch AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |  UNION ALL
+       |  SELECT p.pid,
+       |    [0.5 + CAST(p.pid % 97 AS DOUBLE) / 10000.0
+       |     FOR i IN generate_series(1, 64)]
+       |  FROM (SELECT vec_id + g.k * 1000000000 AS pid
+       |        FROM embeddings, generate_series(1, 6) AS g(k)
+       |        WHERE vec_id % 10 = 0) p),
+       |allr AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+       |bb AS (SELECT MIN(t.b) AS b FROM generate_series(1, 32) t(b)
+       |  WHERE (SELECT COUNT(*) FROM corpus)
+       |        <= $CoarseCellTarget * (1::BIGINT << t.b)),
+       |cg AS (SELECT vec_id,
+       |    CAST(COALESCE(list_sum(
+       |      [CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i)
+       |            ELSE 0::BIGINT END
+       |       FOR i IN generate_series(0, bb.b - 1)]), 0) AS BIGINT) AS cell
+       |  FROM allr, bb),
+       |qd AS (
+       |  SELECT a.vec_id, cg.cell, CAST(g.i AS BIGINT) AS dim,
+       |    CAST(floor(CAST(a.embedding[g.i] AS DOUBLE) * 1000) AS BIGINT)
+       |      + 1000 AS v
+       |  FROM allr a JOIN cg ON cg.vec_id = a.vec_id,
+       |       generate_series(1, 64) AS g(i)),
+       |${kkOf("ckk", "corpus")},
+       |${sampleOf("c", "ckk")},
+       |${kmRound("c", 1)},
+       |${kmRound("c", 2)},
+       |${assignOf("cassign", "cc2", "corpus")},
+       |${assignOf("bassign", "cc2", "batch")},
+       |merged0 AS (
+       |  SELECT * FROM cassign UNION ALL SELECT * FROM bassign),
+       |ovf AS (SELECT DISTINCT cid // $SubKCap AS cell FROM (
+       |    SELECT cid, COUNT(*) AS n FROM merged0 GROUP BY cid)
+       |  WHERE n > $LeafOverflow),
+       |freshc AS (SELECT DISTINCT cg.cell FROM cg
+       |  WHERE cg.vec_id IN (SELECT vec_id FROM batch)
+       |    AND cg.cell NOT IN (SELECT DISTINCT cell FROM cc2)),
+       |ret AS (SELECT cell FROM ovf UNION SELECT cell FROM freshc),
+       |retr AS (SELECT cg.vec_id FROM cg
+       |  WHERE cg.cell IN (SELECT cell FROM ret)),
+       |${kkOf("rkk", "retr")},
+       |${sampleOf("r", "rkk")},
+       |${kmRound("r", 1)},
+       |${kmRound("r", 2)},
+       |${assignOf("rassign", "rc2", "retr")}
+       |SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM merged0
+       |WHERE cid // $SubKCap NOT IN (SELECT cell FROM ret)
+       |UNION ALL
+       |SELECT vec_id, cid, CAST(d2 AS BIGINT) AS d2 FROM rassign
+       |ORDER BY vec_id""".stripMargin
   }
 }

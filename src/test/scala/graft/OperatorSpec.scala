@@ -1053,6 +1053,70 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 3L, 2L), (13L, 3L, 2L), (5L, 5L, 2L), (15L, 5L, 2L)))
   }
 
+  test("q121 maintenance: overflow split, fresh cell, carry-over, cell-locality") {
+    import spark.implicits._
+    import operators.Similarity
+    val bits = 2 // coarse cells 0..3 from the signs of dims 1-2
+    def vec(d1: Double, d2: Double, i: Int): Array[Double] =
+      Array(d1, d2, 0.3 + (i % 97) / 1000.0, -0.4 + (i % 89) / 1000.0)
+    // corpus: cell 3 (both signs +) holds 240 rows — one leaf (kg=1);
+    // cell 0 (both signs -) holds 50 rows, untouched by any batch row
+    val corpus = ((0 until 240).map(i => (i.toLong, vec(0.6, 0.7, i))) ++
+      (1000 until 1050).map(i => (i.toLong, vec(-0.6, -0.7, i))))
+      .toDF("vec_id", "embedding")
+    // batch: 300 rows into cell 3 (540 > LeafOverflow=500 in its single
+    // leaf → overflow retrain, kg 1 → 3) + 20 rows into cell 1 (d1 > 0,
+    // d2 < 0) — a coarse cell the codebook has NEVER seen (fresh)
+    val batch = ((2000 until 2300).map(i => (i.toLong, vec(0.5, 0.8, i))) ++
+      (3000 until 3020).map(i => (i.toLong, vec(0.6, -0.7, i))))
+      .toDF("vec_id", "embedding")
+
+    val (oldCells0, cents) = Similarity.hierTrainOf(corpus, bits)
+    val oldCells = oldCells0.as[(Long, Long, Long)].collect().toSet
+    val codebook = Similarity.packCodebook(cents)
+    val got = Similarity
+      .maintainCells(oldCells0, codebook, corpus, batch, bits)
+      .as[(Long, Long, Long)].collect()
+
+    // nothing dropped, nothing duplicated — fresh-cell rows included
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.length === 240 + 50 + 300 + 20)
+    def coarse(cid: Long) = cid / Similarity.SubKCap
+    // untouched cell 0 carried over byte-identically
+    assert(got.filter(r => coarse(r._2) == 0).toSet ===
+      oldCells.filter(r => coarse(r._2) == 0))
+    // the overflowing cell actually split: one leaf before, >1 after
+    assert(oldCells.count(r => coarse(r._2) == 3) === 240)
+    assert(oldCells.map(_._2).filter(coarse(_) == 3).toSet.size === 1)
+    val leaves3 = got.filter(r => coarse(r._2) == 3).map(_._2).distinct
+    assert(leaves3.length > 1, s"cell 3 must split, got $leaves3")
+    // fresh cell 1 trained rather than dropped
+    assert(got.count(r => coarse(r._2) == 1) === 20)
+    // CELL-LOCALITY invariant — the claim the whole design rests on:
+    // for the retrained cells the maintained assignment equals a
+    // from-scratch training over corpus+batch under the same frozen
+    // grid (every training step is per-cell, so the subset retrain
+    // reproduces the full run's cells bit-for-bit)
+    val full = Similarity.hierTrainOf(corpus.unionByName(batch), bits)._1
+      .as[(Long, Long, Long)].collect()
+    for (c <- Seq(1L, 3L))
+      assert(got.filter(r => coarse(r._2) == c).toSet ===
+        full.filter(r => coarse(r._2) == c).toSet,
+        s"retrained cell $c must equal the from-scratch training")
+
+    // no-trigger batch: under the overflow threshold, in known cells —
+    // every old row carries over unchanged and the batch rows are
+    // online-assigned (no retrain)
+    val calm = (5000 until 5010).map(i => (i.toLong, vec(-0.5, -0.8, i)))
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity
+      .maintainCells(oldCells0, codebook, corpus, calm, bits)
+      .as[(Long, Long, Long)].collect()
+    assert(got2.length === 290 + 10)
+    assert(oldCells.subsetOf(got2.toSet),
+      "a no-trigger batch must leave every existing assignment unchanged")
+  }
+
   test("davg rounds the exact mean half-away-from-zero via integer div") {
     import spark.implicits._
     def m(vals: Double*): Double =
