@@ -238,27 +238,69 @@ object Dedup {
     *                internally. Isolated nodes (no edges) are not emitted.
     * @return (doc_id, rep) — rep is the minimum node id of the component.
     */
-  def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30): DataFrame =
-    connectedComponentsRounds(edgesIn, maxIters)._1
+  def connectedComponents(edgesIn: DataFrame, maxIters: Int = 30,
+      progressDir: Option[String] = None): DataFrame =
+    connectedComponentsRounds(edgesIn, maxIters, progressDir)._1
 
   /** [[connectedComponents]] plus the number of rounds it took — the
     * O(log diameter) claim is measured, not asserted ([[graft.ScaleProbe]]
     * tracks it across scale factors).
+    *
+    * Durability modes for the per-round state (What's-wrong #3 of the
+    * round-9 review):
+    *  - default: eager [[Shared.ckpt]] — localCheckpoint, or reliable
+    *    `checkpoint` under `spark.graft.reliableCheckpoints=true`;
+    *  - `progressDir`: each round lands as `round_k` parquet, and a
+    *    fresh call over the same dir RESUMES from the highest complete
+    *    round instead of round 0 — the 100-TB posture, where a killed
+    *    CC job re-pays only the interrupted round. The label trajectory
+    *    is deterministic given the edge set, so a resumed run converges
+    *    to bit-identical labels (StatefulRecoverySpec proves it).
+    *
+    * `haltAfterRound` (test-only) stops the loop early WITHOUT the
+    * non-convergence throw, simulating a mid-job kill for the recovery
+    * spec; production callers leave it unset.
     */
   private[graft] def connectedComponentsRounds(
-      edgesIn: DataFrame, maxIters: Int = 30): (DataFrame, Int) = {
+      edgesIn: DataFrame, maxIters: Int = 30,
+      progressDir: Option[String] = None,
+      haltAfterRound: Int = Int.MaxValue): (DataFrame, Int) = {
     val spark = edgesIn.sparkSession
     val edges = edgesIn.select(col("src"), col("dst"))
       .unionByName(edgesIn.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    // Every iteration ends in an EAGER localCheckpoint: the shortcut is a
+    // Every iteration ends in an EAGER materialization: the shortcut is a
     // self-join, so without lineage truncation the logical plan of round
     // k contains round k-1's plan TWICE — 2^k nodes, and the driver
     // chokes on plan bookkeeping long before the data does. Truncating
     // per round keeps every plan O(1); checkpoint blocks are reclaimed by
     // the context cleaner as each round's reference is dropped.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).localCheckpoint(true)
+    def persistRound(df: DataFrame, round: Int): DataFrame =
+      progressDir match {
+        case None => ckpt(df)
+        case Some(dir) =>
+          val p = s"$dir/round_$round"
+          df.write.mode("overwrite").parquet(p)
+          spark.read.parquet(p)
+      }
+    // resume point: the highest round whose parquet completed (_SUCCESS)
+    val resumeFrom: Option[Int] = progressDir.flatMap { dir =>
+      val rs = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("round_") &&
+          new java.io.File(f, "_SUCCESS").exists())
+        .map(_.getName.stripPrefix("round_").toInt)
+      rs.sorted.lastOption
+    }
+    var iters = resumeFrom.getOrElse(0)
+    var labels = resumeFrom match {
+      case Some(k) =>
+        spark.read.parquet(s"${progressDir.get}/round_$k")
+          .select(col("doc_id"), col("rep"))
+      case None =>
+        persistRound(edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("rep", col("doc_id")), 0)
+    }
     // Convergence is observed by a LongAccumulator bumped INSIDE the
     // round's own materialization pass (the eager localCheckpoint is the
     // action), not by a separate join+count job per round. Accumulator
@@ -270,8 +312,7 @@ object Dedup {
       if (changed) changedAcc.add(1L); changed
     }
     var converged = false
-    var iters = 0
-    while (!converged && iters < maxIters) {
+    while (!converged && iters < maxIters && iters < haltAfterRound) {
       changedAcc.reset()
       // HOOK: rep(v) <- min(rep(v), min over neighbors' rep)
       val nbrMin = edges
@@ -288,22 +329,22 @@ object Dedup {
       val next = hooked.join(map2, col("rep") === col("mid"), "left")
         .select(col("doc_id"),
           coalesce(col("rep2"), col("rep")).as("rep"), col("old"))
-        // the chg column is stored by the checkpoint, so the bump runs
-        // exactly once per row during the materialization job
+        // the chg column is stored by the materialization, so the bump
+        // runs exactly once per row during its job
         .withColumn("chg", bumpIfChanged(col("rep") =!= col("old")))
-        .localCheckpoint(true)
+      val mat = persistRound(next, iters + 1)
       converged = changedAcc.value == 0L
       hooked.unpersist()
-      labels = next.select(col("doc_id"), col("rep"))
+      labels = mat.select(col("doc_id"), col("rep"))
       iters += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged && iters >= maxIters)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds " +
           s"(${changedAcc.value} labels still changing) — result would be " +
           "a non-fixpoint labeling; raise maxIters")
-    (labels, iters) // narrow view over a lineage-free checkpoint
+    (labels, iters) // narrow view over a lineage-free materialization
   }
 
   /** Full dup-cluster labels — (doc_id, rep, cluster_size) for every doc
@@ -320,7 +361,12 @@ object Dedup {
   private[graft] def labelsOf(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsOf(shingledOf(docs))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(pairs)
+    // `spark.graft.cc.progressDir` (a directory dedicated to ONE labeling
+    // job) turns the CC loop into a resumable run — see
+    // [[connectedComponentsRounds]]; unset keeps the in-memory fast path
+    val progress = docs.sparkSession.conf
+      .getOption("spark.graft.cc.progressDir").filter(_.nonEmpty)
+    connectedComponents(pairs, progressDir = progress)
       .withColumn("cluster_size", count(lit(1)).over(
         Window.partitionBy(col("rep"))))
   }

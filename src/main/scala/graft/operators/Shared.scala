@@ -57,4 +57,23 @@ object Shared {
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Eager materialization + lineage truncation for iterative loops
+    * (connected components, Lloyd rounds).
+    *
+    * `localCheckpoint` stores blocks on executors — fast, but NOT
+    * executor-loss tolerant: at cluster scale one preempted executor
+    * mid-loop loses checkpoint blocks and fails the whole job, and a
+    * 100-TB CC run that cannot survive a single preemption re-pays
+    * hours. With `spark.graft.reliableCheckpoints=true` on the session
+    * (and `sparkContext.setCheckpointDir` pointing at fault-tolerant
+    * storage), loops switch to reliable `checkpoint` — each round's
+    * state is in HDFS/object storage and survives any executor. Local
+    * runs keep the fast path by default.
+    */
+  def ckpt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.reliableCheckpoints", "false").toBoolean)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

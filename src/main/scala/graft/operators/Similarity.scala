@@ -1250,7 +1250,7 @@ object Similarity {
       .withColumn("cell", coarseCellExpr(col("emb"), bits))
       .withColumn("qv", quantized(col("emb")))
       .select(col("vec_id"), col("cell"), col("qv"))
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     // per-cell sample ranks: ONE window exchange over the narrow
     // (vec_id, cell) projection — the only corpus-wide shuffle training
     // pays besides the final assignment's cell join. The window key is
@@ -1270,22 +1270,22 @@ object Similarity {
     val svecs = base
       .join(ranked.filter(col("rk") <= lit(SamplePerCentroid) * col("kg"))
         .select(col("vec_id")), "vec_id")
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     // per-dim exploded SAMPLE rows — the Lloyd update's input
     val sqd = svecs.select(col("vec_id"), col("cell"),
         posexplode(col("qv")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("cell"),
         (col("pos") + 1).cast("long").as("dim"), col("v"))
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     var cent = sqd.join(seeds, "vec_id")
       .select(col("cell"), col("sid"), col("dim"), col("v").as("c"))
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     for (_ <- 1 to 2) {
       val a = subAssign(svecs, cent).select(col("vec_id"), col("sid"))
       cent = a.join(sqd, "vec_id")
         .groupBy(col("cell"), col("sid"), col("dim"))
         .agg(expr("sum(v) div count(1)").as("c"))
-        .localCheckpoint(true)
+        .transform(Shared.ckpt)
     }
     val assign = subAssign(base, cent)
       .select(col("vec_id"),
@@ -1523,7 +1523,7 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .join(cells, "vec_id")
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
   }
 
   /** The q104 body over ANY (vec_id, cell, d2) assignment frame: rank by
@@ -1591,7 +1591,7 @@ object Similarity {
           .as(Seq("pos", "x")))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
         (floor(col("x") * 1000) + 1000).cast("long").as("v"))
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     val seeds = Tables.embeddings(s, d)
       .select(col("vec_id")).orderBy(col("vec_id")).limit(k.toInt)
       .select(col("vec_id"),
@@ -1599,7 +1599,7 @@ object Similarity {
           .cast("long").as("cid"))
     var cent = qd.join(seeds, "vec_id")
       .select(col("cid"), col("dim"), col("v").as("c"))
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
     // argmin over cells as a lexicographic min(struct(d2, cid)) aggregate
     // (map-side combinable, ties to the lowest cid — the same total order
     // the oracle's `ORDER BY d2, cid` window replays) instead of a
@@ -1617,7 +1617,7 @@ object Similarity {
       cent = a.join(qd, "vec_id")
         .groupBy(col("cid"), col("dim"))
         .agg(expr("sum(v) div count(1)").as("c"))
-        .localCheckpoint(true)
+        .transform(Shared.ckpt)
     }
     (assign(cent), cent)
   }
@@ -1698,7 +1698,7 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .join(assign, "vec_id")
-      .localCheckpoint(true)
+      .transform(Shared.ckpt)
   }
 
   def oracleSql: Map[String, String] = {
