@@ -400,6 +400,21 @@ object Pipeline {
     "q78_sequence_pack" -> ((s, d) =>
       packBySource(docTokens(s, d)).orderBy(col("source"), col("pack_id"))),
 
+    // q78b — q78's greedy packing made TOKENIZER-EXACT: identical
+    // distributed-prefix-sum machinery, but window occupancy counted in
+    // BPE subword tokens ([[TextOps.bpeDocTokens]], the compiled
+    // `bpe_count` kernel over distinct words) instead of whitespace
+    // tokens — what a training loader actually packs against. Documents
+    // whose text is NULL pack as 0 tokens, like q78.
+    "q78b_bpe_sequence_pack" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        .join(TextOps.bpeDocTokens(s, d)
+          .select(col("doc_id"), col("bpe_tokens").as("tokens")),
+          Seq("doc_id"), "left")
+        .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      packBySource(toks).orderBy(col("source"), col("pack_id"))
+    }),
+
     // q113 — STRIDE CHUNKING: cut each document into fixed
     // [[ChunkLen]]-token training sequences with [[ChunkStride]] stride
     // (overlapping context windows — the other standard sequence-prep
@@ -781,6 +796,24 @@ object Pipeline {
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+
+    // q78b: the q78 pack replayed over the recursive-CTE BPE counts
+    // (graft.functions.Bpe.sqlBpeCtes — the defined merge procedure)
+    "q78b_bpe_sequence_pack" ->
+      s"""WITH RECURSIVE ${graft.functions.Bpe.sqlBpeCtes},
+         |  bt AS (SELECT bw.doc_id, CAST(SUM(bcnt.bpe) AS BIGINT) AS bpe
+         |         FROM bw JOIN bcnt USING (w) GROUP BY bw.doc_id),
+         |  t AS (SELECT d.source, d.doc_id,
+         |          CAST(COALESCE(bt.bpe, 0) AS BIGINT) AS tokens
+         |        FROM documents d LEFT JOIN bt ON bt.doc_id = d.doc_id),
+         |  c AS (SELECT source, doc_id, tokens,
+         |          SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM t)
+         |SELECT source, CAST((cum - tokens) // 2048 AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
 
     // q113: same tokenization, same closed-form chunk count (DuckDB //
     // is floor division, matching the Spark floor()), same clamped list

@@ -69,6 +69,23 @@ object TextOps {
   private[graft] val TokenBudget = 800L
   private[graft] val BudgetSalts = 32
 
+  /** Per-doc BPE token totals — (doc_id, ws_tokens, bpe_tokens) — via
+    * the count-table pattern: tokenize each DISTINCT word once with the
+    * compiled `bpe_count` kernel ([[graft.functions.Bpe]]), join the
+    * counts back to word occurrences, sum per doc. Shared by q39b and
+    * the token-exact packing twin q78b. Unordered; callers sort.
+    */
+  private[graft] def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val wcnt = words.select(col("w")).distinct()
+      .withColumn("bpe", call_function("bpe_count", col("w")))
+    words.join(wcnt, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"))
+  }
+
   /** The q84 cleaning verdict as a reusable frame — (doc_id, n_tokens,
     * score, reasons, keep) — consumed by the q84 query itself and by the
     * composed corpus-build pipeline (q93). Unordered; callers sort.
@@ -330,6 +347,17 @@ object TextOps {
           length(col("text")).cast("long").as("n_chars"),
           octet_length(col("text")).cast("long").as("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q39b — token counts made TOKENIZER-EXACT: per-doc subword counts
+    // under the fixed BPE merge table ([[graft.functions.Bpe]]) beside
+    // the whitespace count q39 reports. The count-table pattern keeps it
+    // scale-sane: each DISTINCT word is tokenized once by the compiled
+    // `bpe_count` kernel (vocabulary-sized work — at 100 TB the
+    // vocabulary is millions while token mass is trillions), and the
+    // per-occurrence join fans out 1:1 on unique word keys.
+    "q39b_bpe_token_count" -> ((s, d) => {
+      bpeDocTokens(s, d).orderBy(col("doc_id"))
     }),
 
     // Q40 — document fingerprinting: md5 + sha256 + min-shingle-hash.
@@ -827,6 +855,16 @@ object TextOps {
           | length(text) AS n_chars,
           | octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q39b: the recursive CTE replays the DEFINED merge procedure
+      // (lowest-rank leftmost pair per step) over distinct words — same
+      // count-table shape as the Spark side
+      "q39b_bpe_token_count" ->
+        s"""WITH RECURSIVE ${graft.functions.Bpe.sqlBpeCtes}
+           |SELECT bw.doc_id, COUNT(*) AS ws_tokens,
+           |  CAST(SUM(bcnt.bpe) AS BIGINT) AS bpe_tokens
+           |FROM bw JOIN bcnt USING (w)
+           |GROUP BY bw.doc_id ORDER BY bw.doc_id""".stripMargin,
 
       // same association order as the Spark side: (tf * (n+1)) / (df+1) —
       // two correctly-rounded IEEE ops, bit-identical across engines

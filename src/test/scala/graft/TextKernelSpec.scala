@@ -106,4 +106,26 @@ class TextKernelSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("null"),
       s"expected the null-literal message, got: ${e.getMessage.take(300)}")
   }
+
+  test("bpe tokenizer: golden sequences and compiled-kernel parity") {
+    import graft.functions.Bpe
+    // hand-traced through the defined procedure (lowest-rank leftmost
+    // pair per step) against the fixture merge table
+    assert(Bpe.tokenize("the").toSeq === Seq("the"))
+    assert(Bpe.tokenize("there").toSeq === Seq("the", "re"))
+    assert(Bpe.tokenize("tokenization").toSeq ===
+      Seq("to", "k", "en", "i", "z", "at", "i", "on"))
+    assert(Bpe.tokenize("2012").toSeq === Seq("2", "0", "12"))
+    assert(Bpe.tokenize("").toSeq === Seq.empty)
+    assert(Bpe.tokenize("a").toSeq === Seq("a"))
+    assert(Bpe.tokenize("qqq").toSeq === Seq("q", "q", "q")) // no merges
+    // "and": (a,n) rank 3 beats (n,d); then (an,d) rank 19
+    assert(Bpe.tokenize("and").toSeq === Seq("and"))
+    // the compiled expression computes the same counts inside a plan
+    val got = Seq("the", "there", "tokenization", "2012", "qqq")
+      .toDF("w")
+      .select(call_function("bpe_count", col("w")).as("n"))
+      .as[Long].collect().toSeq
+    assert(got === Seq(1L, 2L, 8L, 3L, 3L))
+  }
 }
