@@ -36,8 +36,14 @@ object ScaleProbe {
     // sf~10 third-decade segment-dedup probe, where the full candidate
     // battery (q32 verify, q73 CC) costs tens of minutes.
     val mode = if (args.length > 1) args(1) else "full"
-    val candidatesOnly = mode == "candidates" || mode == "segments"
-    val segmentsOnly = mode == "segments"
+    // "zipf": ONLY the q111 zipf-skew block below (synthetic planted
+    // popularity — needs just the documents count from the tier).
+    // "inc": ONLY the q120/q121 incremental-maintenance cost laws.
+    val candidatesOnly = mode == "candidates" || mode == "segments" ||
+      mode == "zipf" || mode == "inc"
+    val segmentsOnly = mode == "segments" || mode == "zipf" || mode == "inc"
+    val zipfOnly = mode == "zipf" || mode == "inc"
+    val incOnly = mode == "inc"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -214,6 +220,141 @@ object ScaleProbe {
     // distinct boilerplate strings, massively repeated), which is what
     // keeps the strip pass a broadcast join; boiler_rows is the mass the
     // strip actually removes.
+    // --- mode == "zipf": q111's strip join under a ZIPFIAN segment
+    // popularity. The tier corpus plants near-uniform boilerplate; real
+    // web boilerplate df follows ~zipf(1.1) (a few templates dominate,
+    // a long tail barely repeats). Plant that law synthetically at this
+    // tier's document scale — rank k carries floor(n/k^1.1) occurrences
+    // — and measure the three claims the q111 plan rests on:
+    //  1. the df>=SegDf boiler set stays far below the segment mass
+    //     (the tail's df-1 ranks are excluded);
+    //  2. the df aggregate's exchange carries the distinct
+    //     (segment, doc) INCIDENCE set at ~10 B/row — within-doc repeats
+    //     collapse map-side, cross-doc repeats must survive because df
+    //     counts distinct docs (measured ×9/decade, linear in incidence
+    //     mass: the honest law, not a free collapse);
+    //  3. the unhinted strip join broadcasts while the boiler set fits
+    //     and flips to SortMergeJoin when the threshold forbids it —
+    //     AQE's runtime choice, probed under both settings.
+    // --- mode == "inc": the q120/q121 maintenance-cost laws. The claim
+    // is DELTA-proportional update work: at a FIXED corpus, a 1% batch
+    // must cost ~1/10 of a 10% batch in candidate/pair mass (q120) and
+    // in retrain training mass (q121) — and both must sit far below the
+    // full-rebuild mass. Counts, not wall seconds: the box's 7-21×
+    // contention swing makes times incomparable across runs, while the
+    // distance/candidate mass IS the work the cluster would do.
+    if (incOnly) timed("inc_probe") {
+      import operators.{Dedup, Similarity}
+      val docs = Tables.documents(spark, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      // frozen q120 index, computed once and persisted (artifact stand-in)
+      val csh = corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          operators.Shared.shingles3(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0).withColumn("sz", size(col("sh")))
+        .persist()
+      val cdf = Dedup.dfOf(csh).persist()
+      val cpfx = Dedup.prefixOf(csh, cdf).persist()
+      Seq(cdf, cpfx).foreach(_.count())
+      for ((label, modBase) <- Seq("b10" -> 10, "b1" -> 100)) {
+        // modBase 10 = the standard tenth; 100 = a 10× smaller delta
+        // over the SAME corpus (doc_id % 100 == 0 ⊂ % 10 == 0)
+        val batch = docs.filter(col("doc_id") % modBase === 0)
+        out(s"inc_${label}_docs") = batch.count()
+        val pairs =
+          Dedup.batchPairs(corpus, batch, cdf, cpfx).persist()
+        out(s"inc_${label}_pairs") = pairs.count()
+        pairs.unpersist()
+      }
+      out("inc_full_shingle_rows") =
+        csh.select(explode(col("sh"))).count() // the full-rebuild mass
+      Seq(cdf, cpfx, csh).foreach(_.unpersist())
+      // q121: retrain mass for the planted skew batch vs the full
+      // two-level training mass (trainingMassProbe's law)
+      val (trainFull, assignFull) = Similarity.trainingMassProbe(spark, d)
+      out("inc_q121_full_train_mass") = trainFull
+      out("inc_q121_full_assign_mass") = assignFull
+      val got = SparkEntry.queries("q121_online_leaf_split")(spark, d)
+        .withColumn("cell", expr(s"cid div ${Similarity.SubKCap}"))
+        .persist()
+      val cells = got.groupBy(col("cell"))
+        .agg(count(lit(1)).as("ng"),
+          countDistinct(col("cid")).as("leaves")).persist()
+      out("inc_q121_cells") = cells.count()
+      // cells maintenance may have retrained = cells holding a LEAF over
+      // the overflow trigger in the maintained output (conservative
+      // upper bound: a just-split cell's biggest leaf may already be
+      // back under it); their bounded retrain mass is Σ min(ng, 32·K)·K
+      val hot = got.groupBy(col("cell"), col("cid"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cell")).agg(max(col("n")).as("max_leaf"))
+        .filter(col("max_leaf") > 2 * Similarity.LeafTarget)
+        .select(col("cell"))
+      out("inc_q121_hot_cells") = hot.count()
+      val retrainMass = cells.join(hot, Seq("cell"), "left_semi")
+        .select(sum(least(col("ng"),
+          lit(32L) * col("leaves")) * col("leaves")).as("m"))
+        .head().getAs[Any](0)
+      out("inc_q121_retrain_mass") =
+        Option(retrainMass).map(_.toString).getOrElse("0")
+      cells.unpersist(); got.unpersist()
+    }
+
+    if (zipfOnly && !incOnly) timed("zipf_probe") {
+      val nDocs = Tables.documents(spark, d).count()
+      val K = math.round(math.pow(nDocs.toDouble, 1.0 / 1.1))
+      val ranks = spark.range(1, K + 1)
+        .select(col("id").as("k"),
+          floor(lit(nDocs.toDouble) / pow(col("id").cast("double"),
+            lit(1.1))).cast("long").as("cnt"))
+        .filter(col("cnt") >= 1)
+      // explode in 64k chunks: rank 1's occurrence array would otherwise
+      // be a single n-element row
+      val segs = ranks
+        .select(col("k"), col("cnt"),
+          explode(sequence(lit(0L),
+            floor((col("cnt") - 1) / 65536L).cast("long"))).as("c"))
+        .select(col("k"), explode(sequence(col("c") * 65536L,
+          least(col("cnt") - 1, (col("c") + 1) * 65536L - 1))).as("j"))
+        .select(pmod(hash(col("k"), col("j")), lit(nDocs)).cast("long")
+          .as("doc_id"), concat(lit("zseg"), col("k")).as("sh"))
+        .persist()
+      out("zipf_mass") = segs.count()
+      out("zipf_ranks") = K
+      // measure the agg's shuffle BEFORE persisting its result — the
+      // cache manager substitutes a persisted same-result plan into any
+      // later identical frame, which would skip the exchange entirely
+      // and record 0 bytes
+      out("zipf_agg_shuffle_bytes") =
+        shuffleBytes(operators.Dedup.boilerSet(segs))
+      val b = operators.Dedup.boilerSet(segs).persist()
+      out("zipf_boiler_set") = b.count()
+      def stripPlan(): String = {
+        val strip = segs.join(b, Seq("sh"), "left_anti")
+        strip.write.format("noop").mode("overwrite").save()
+        strip.queryExecution.executedPlan.toString
+      }
+      val p1 = stripPlan()
+      out("zipf_bhj_default") = if (p1.contains("BroadcastHashJoin")) 1 else 0
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1024")
+        val p2 = stripPlan()
+        out("zipf_smj_forced") =
+          if (p2.contains("SortMergeJoin") &&
+            !p2.contains("BroadcastHashJoin")) 1 else 0
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      }
+      b.unpersist(); segs.unpersist()
+    }
+
+    if (!zipfOnly)
     timed("q111_probe") {
       val segs = operators.Dedup.segmentFrame(spark, d)
       out("q111_segments") = segs.count()
@@ -228,6 +369,7 @@ object ScaleProbe {
     // stays bounded while the corpus grows (the offsets window runs over
     // |domain|·16 rows) and the salt keeps per-(score, salt) partitions
     // skew-free. Measure both directly.
+    if (!zipfOnly)
     timed("q114_probe") {
       val toks =
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))

@@ -672,6 +672,25 @@ class PlanSpec extends AnyFunSuite {
         p.take(1200))
   }
 
+  test("q111 strip join falls back to SMJ when the boiler set outgrows the threshold") {
+    // the other half of the unhinted-join claim: force a threshold the
+    // boiler set cannot fit (1 KB) on an ISOLATED session (parallel
+    // suites share TestSpark's) — the planner must degrade to a
+    // sort-merge join instead of an impossible broadcast. This is the
+    // regime a zipfian web corpus reaches when templates proliferate
+    // (ScaleProbe's zipf mode measures the same flip at sf~1/sf~10).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1024")
+    val df = SparkEntry.queries("q111_segment_dedup")(s2, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      "a boiler set over the threshold must sort-merge:\n" + p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"),
+      "no broadcast may survive a 1 KB threshold:\n" + p.take(1200))
+  }
+
   test("q113 chunking is narrow map work: no join, no corpus shuffle") {
     val p = plan("q113_stride_chunks")
     assert(!p.contains("Join"), "chunking must not join")
