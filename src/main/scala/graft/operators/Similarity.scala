@@ -504,19 +504,142 @@ object Similarity {
   private[graft] val pqCodesWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The staged-codes encode body — one kernel shared by the full
+    * artifact (q90c), the q122 base, and the q122 delta, so "base ∪
+    * delta == from-scratch" is true by construction of the rows and the
+    * serving query only has to prove the LAYOUT is equivalent.
+    */
+  private def pqCodesOf(e0: DataFrame): DataFrame = {
+    val e = e0
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+    e.select(col("vec_id") +: col("nrm") +: cellOf(col("emb")).as("cell") +:
+      pqCodes(col("emb")): _*)
+  }
+
   private[graft] def pqCodesArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pq_codes",
       s"$d/embeddings.parquet",
       {
         pqCodesWrites.incrementAndGet()
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-          .filter(col("nrm") > 0)
-        e.select(col("vec_id") +: col("nrm") +: cellOf(col("emb")).as("cell") +:
-          pqCodes(col("emb")): _*)
+        pqCodesOf(Tables.embeddings(s, d))
       }, 8, Seq("cell"))
+
+  // ---- q122: incremental pq_codes (base + append-only delta) -------------
+
+  /** q122's corpus/batch split — q121's convention: vec_id % 10 == 0 is
+    * the arriving increment, the rest is the frozen base the increment
+    * must never force a re-encode of.
+    */
+  private def q122CorpusEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 10 =!= 0)
+  private def q122BatchEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+
+  /** Write counters — the q122 spec asserts one base write + one delta
+    * write per tier, and that SERVING the query never re-encodes either.
+    */
+  private[graft] val q122BaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val q122DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def q122BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q122_codes_base",
+      s"$d/embeddings.parquet",
+      {
+        q122BaseWrites.incrementAndGet()
+        pqCodesOf(q122CorpusEmb(s, d))
+      }, 8, Seq("cell"))
+
+  /** The maintenance step itself: encode the BATCH ONLY and stage it
+    * beside the base. Nothing in the base is read, moved, or rewritten —
+    * the 100-TB increment cost is the delta encode plus an append;
+    * compaction into the base rides the land-then-compact schedule
+    * (ingest/Compact.scala), not the per-batch path. (The fixture
+    * derives the batch by filtering the single embeddings table — that
+    * filter is evaluated in the scan stage but cannot prune parquet I/O;
+    * a production increment arrives as its own landed files, so the
+    * encode job's INPUT is O(|batch|) too, exactly the land-then-compact
+    * reader shape.)
+    */
+  private[graft] def q122DeltaArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q122_codes_delta",
+      s"$d/embeddings.parquet",
+      {
+        q122DeltaWrites.incrementAndGet()
+        pqCodesOf(q122BatchEmb(s, d))
+      }, 8, Seq("cell"))
+
+  /** q90c's serving body over ANY staged codes frame (vec_id, nrm, cell,
+    * c0..c7): broadcast-probe ADC scan over the codes (no vector column
+    * below the [[PqRerank]] cut), bounded exact re-rank re-joining the
+    * vector store by id. Shared by q90c (the write-once full artifact)
+    * and q122 (base ∪ delta) — the physical layout varies, the semantics
+    * and the oracle replay do not.
+    */
+  private[graft] def ivfPqServeStaged(s: SparkSession, d: String,
+      codes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+      .filter(col("nrm") > 0)
+    // per-query ADC table, identical literals + association to q90b
+    val adcq = array((0 until 8).flatMap { sub =>
+      (0 until 4).map { c =>
+        (0 until 8).map { dd =>
+          val x = element_at(col("qv"), 8 * sub + dd + 1)
+          val l = lit(pqCodebook(sub)(c)(dd))
+          (x - l) * (x - l)
+        }.reduce(_ + _)
+      }
+    }: _*)
+    val qb = e.filter(col("vec_id") % 500 === 0)
+      .orderBy(col("vec_id")).limit(AnnBatchSize)
+      .select(col("vec_id").as("q_id"), col("emb").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("adcq", adcq)
+      .withColumn("qcell", cellOf(col("qv")))
+    val probes = qb
+      .withColumn("m", explode(array(
+        (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
+      .select(col("q_id"), col("adcq"),
+        col("qcell").bitwiseXOR(col("m")).as("pcell"))
+    val adc = (0 until 8).map { sub =>
+      element_at(col("adcq"),
+        (lit(4 * sub + 1) + col(s"c$sub")).cast("int"))
+    }.reduce(_ + _)
+    // codes-only below the cut: 10 narrow columns, no vector arithmetic
+    val survivors = codes.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("ar", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("ar") <= PqRerank)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("nrm"),
+        col("adc"))
+    // bounded exact re-rank: survivors re-join the vector store by id
+    val store = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+    survivors.join(store, "vec_id")
+      .join(broadcast(qb.select(col("q_id"), col("qv"), col("qnrm"))),
+        "q_id")
+      .withColumn("cos", round(
+        dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
+        round(col("adc"), 4).as("adc_dist"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q35 — near-dup within label blocks, LSH-banded candidate
@@ -760,66 +883,27 @@ object Similarity {
     // the vector store by vec_id. Same rows as q90b — the staging is a
     // physical-layout change, not a semantic one — so the oracle is the
     // identical replay.
-    "q90c_ann_ivfpq_staged" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val codes = pqCodesArtifact(s, d)
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("emb"))
-        .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
-        .filter(col("nrm") > 0)
-      // per-query ADC table, identical literals + association to q90b
-      val adcq = array((0 until 8).flatMap { sub =>
-        (0 until 4).map { c =>
-          (0 until 8).map { dd =>
-            val x = element_at(col("qv"), 8 * sub + dd + 1)
-            val l = lit(pqCodebook(sub)(c)(dd))
-            (x - l) * (x - l)
-          }.reduce(_ + _)
-        }
-      }: _*)
-      val qb = e.filter(col("vec_id") % 500 === 0)
-        .orderBy(col("vec_id")).limit(AnnBatchSize)
-        .select(col("vec_id").as("q_id"), col("emb").as("qv"),
-          col("nrm").as("qnrm"))
-        .withColumn("adcq", adcq)
-        .withColumn("qcell", cellOf(col("qv")))
-      val probes = qb
-        .withColumn("m", explode(array(
-          (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
-        .select(col("q_id"), col("adcq"),
-          col("qcell").bitwiseXOR(col("m")).as("pcell"))
-      val adc = (0 until 8).map { sub =>
-        element_at(col("adcq"),
-          (lit(4 * sub + 1) + col(s"c$sub")).cast("int"))
-      }.reduce(_ + _)
-      // codes-only below the cut: 10 narrow columns, no vector arithmetic
-      val survivors = codes.join(broadcast(probes),
-          col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
-        .withColumn("adc", adc)
-        .withColumn("ar", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("adc"), col("vec_id"))))
-        .filter(col("ar") <= PqRerank)
-        .select(col("q_id"), col("vec_id"), col("cell"), col("nrm"),
-          col("adc"))
-      // bounded exact re-rank: survivors re-join the vector store by id
-      val store = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("emb"))
-      survivors.join(store, "vec_id")
-        .join(broadcast(qb.select(col("q_id"), col("qv"), col("qnrm"))),
-          "q_id")
-        .withColumn("cos", round(
-          dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
-        .filter(col("rk") <= 10)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
-          round(col("adc"), 4).as("adc_dist"), col("cos"))
-        .orderBy(col("q_id"), col("rk"))
-    }),
+    "q90c_ann_ivfpq_staged" -> ((s, d) =>
+      ivfPqServeStaged(s, d, pqCodesArtifact(s, d))),
+
+    // q122 — INCREMENTAL pq_codes maintenance: the third staged artifact
+    // (after q120's dup_labels and q121's sem_cells) folded forward
+    // instead of rebuilt. The PQ codebook is fixed by design (q76), so
+    // the fold is the simplest of the three: encode ONLY the arriving
+    // batch through the identical kernel and serve q90c's ADC scan over
+    // base ∪ delta — an append-only maintenance step that never rewrites
+    // or re-encodes a base row (the encode filter is pushed to the scan;
+    // spec asserts base/delta row counts partition the corpus and each
+    // side is written exactly once). Output is BYTE-IDENTICAL to the
+    // from-scratch q90c — incrementality is provably invisible — so the
+    // oracle is the same full-corpus replay. At 100 TB: a daily increment
+    // pays O(|batch|) encode + an append, while serving keeps the
+    // codes-only scan shape; deltas compact into the base on the
+    // land-then-compact schedule (ingest/Compact.scala) rather than per
+    // batch.
+    "q122_incremental_pq_codes" -> ((s, d) =>
+      ivfPqServeStaged(s, d,
+        q122BaseArtifact(s, d).unionByName(q122DeltaArtifact(s, d)))),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
     // scale path when no natural shard/label exists (q35 needs one).
@@ -2076,6 +2160,9 @@ object Similarity {
       // vector store by id — so its rows are identical to q90b's and
       // the oracle is the same replay.
       "q90c_ann_ivfpq_staged" -> ivfPqBatchSql,
+      // q122 serves base ∪ delta; the rows are provably those of the
+      // from-scratch artifact, so the oracle is the identical full replay
+      "q122_incremental_pq_codes" -> ivfPqBatchSql,
 
       "q63_centroids" ->
         s"""SELECT label, dim, COUNT(*) AS n,

@@ -56,6 +56,41 @@ class PipelineSpec extends AnyFunSuite {
       "a warm serving run re-ran the PQ encode pass")
   }
 
+  test("q122: base+delta partition the codes, fold is append-only, output == from-scratch") {
+    import operators.Similarity
+    val b0 = Similarity.q122BaseWrites.get()
+    val d0 = Similarity.q122DeltaWrites.get()
+    val inc = Similarity.queries("q122_incremental_pq_codes")(
+      spark, TestSpark.sf).collect()
+    val b1 = Similarity.q122BaseWrites.get()
+    val d1 = Similarity.q122DeltaWrites.get()
+    assert(b1 - b0 <= 1 && d1 - d0 <= 1,
+      s"first maintenance encoded base ${b1 - b0} / delta ${d1 - d0} times")
+    // a warm serving run re-encodes NOTHING — neither base nor delta
+    Similarity.queries("q122_incremental_pq_codes")(spark, TestSpark.sf)
+      .collect()
+    assert(Similarity.q122BaseWrites.get() === b1 &&
+      Similarity.q122DeltaWrites.get() === d1,
+      "a warm serving run re-ran an encode pass")
+    // base and delta PARTITION the from-scratch artifact: same total
+    // row count and no vec_id appears on both sides (the fold appended,
+    // never duplicated or re-encoded)
+    val base = Similarity.q122BaseArtifact(spark, TestSpark.sf)
+    val delta = Similarity.q122DeltaArtifact(spark, TestSpark.sf)
+    val full = Similarity.pqCodesArtifact(spark, TestSpark.sf)
+    assert(base.count() + delta.count() === full.count(),
+      "base + delta row counts do not partition the full artifact")
+    assert(base.select("vec_id").intersect(delta.select("vec_id")).count()
+      === 0L, "a vec_id was encoded into BOTH base and delta")
+    assert(delta.count() > 0, "fixture degenerate: empty delta batch")
+    // incrementality is invisible: the maintained serve == q90c's
+    // from-scratch serve, row for row
+    val scratch = Similarity.queries("q90c_ann_ivfpq_staged")(
+      spark, TestSpark.sf).collect()
+    assert(inc.toSeq === scratch.toSeq,
+      "base ∪ delta serving diverged from the from-scratch artifact")
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // Isolated tier copy: the rebuild OVERWRITES the artifact's parquet
     // files, which would invalidate any concurrently-running suite

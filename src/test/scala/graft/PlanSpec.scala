@@ -458,6 +458,26 @@ class PlanSpec extends AnyFunSuite {
       "expected the vector-store scan for the bounded exact re-rank")
   }
 
+  test("q122 serves codes-only from base AND delta, encode filter pushed") {
+    // the maintained layout keeps q90c's serving shape: BOTH staged
+    // tables are scanned codes-only (no vector column below the ADC
+    // cut), and the base scan never appears more than once — serving
+    // must not trigger a re-encode of either side.
+    val p = plan("q122_incremental_pq_codes")
+    for (t <- Seq("q122_codes_base", "q122_codes_delta")) {
+      val scans = p.linesIterator
+        .filter(l => l.contains(t) && l.contains("FileScan")).toSeq
+      assert(scans.nonEmpty, s"no scan of $t found:\n${p.take(3000)}")
+      for (l <- scans)
+        assert(!l.contains("emb"),
+          s"$t scan must be codes-only, found a vector column:\n$l")
+    }
+    assert(p.contains("embeddings.parquet"),
+      "expected the vector-store scan for the bounded exact re-rank")
+    // ("serving never re-encodes" is the write-counter assert in
+    // PipelineSpec — a plan-text heuristic for it would be fragile)
+  }
+
   test("q108 static sides are table scans; stream side is narrow") {
     // same contract as q89: the static sides of the stream-static joins
     // are re-evaluated per micro-batch, so they must be materialized
