@@ -47,6 +47,46 @@ object TextOps {
         (sum(col("h").cast("decimal(38,0)")) % lit(ManifestModP))
           .cast("long").as("fingerprint_sum"))
 
+  /** q123: merge two manifests by the monoid each column was DESIGNED to
+    * be (the reason q115 chose these folds): counts/sums add, xor xors,
+    * the mod-p sums add mod p (both operands < p = 2⁶¹−1, so the long
+    * sum < 2p < 2⁶³ — exact). Full-outer with identity fill: a source
+    * seen only in the batch (a brand-new source) or only in the base
+    * merges correctly because 0 is each fold's identity.
+    */
+  private[graft] def mergeManifests(base: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val b = base.columns.filter(_ != "source")
+      .foldLeft(base)((f, c) => f.withColumnRenamed(c, s"b_$c"))
+    val n = batch.columns.filter(_ != "source")
+      .foldLeft(batch)((f, c) => f.withColumnRenamed(c, s"n_$c"))
+    def z(c: String) = coalesce(col(c), lit(0L))
+    b.join(n, Seq("source"), "full_outer")
+      .select(col("source"),
+        (z("b_n_docs") + z("n_n_docs")).as("n_docs"),
+        (z("b_n_tokens") + z("n_n_tokens")).as("n_tokens"),
+        (z("b_n_chars") + z("n_n_chars")).as("n_chars"),
+        z("b_fingerprint").bitwiseXOR(z("n_fingerprint")).as("fingerprint"),
+        ((z("b_fingerprint_sum") + z("n_fingerprint_sum"))
+          % lit(ManifestModP)).as("fingerprint_sum"))
+  }
+
+  /** How many times the q123 base manifest was aggregated this JVM. */
+  private[graft] val q123BaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The frozen published manifest: q115's aggregate over the corpus
+    * nine-tenths (doc_id % 10 != 0 — the q120/q121/q122 split), staged
+    * write-once. |sources| rows.
+    */
+  private[graft] def q123BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q123_manifest_base",
+      s"$d/documents.parquet",
+      {
+        q123BaseWrites.incrementAndGet()
+        manifestAgg(Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+      }, 1, Seq("source"))
+
   /** Marker stopwords per language (n-gram-heuristic language ID). */
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -664,6 +704,23 @@ object TextOps {
     "q115_manifest" -> ((s, d) =>
       manifestAgg(Tables.documents(s, d)).orderBy(col("source"))),
 
+    // q123 — INCREMENTAL manifest maintenance: the payoff of q115's
+    // design choice. Because every manifest column is a commutative
+    // monoid fold (counts add, xor xors, mod-p sums add mod p), folding
+    // a new batch into the frozen published manifest is EXACT algebra:
+    // aggregate the batch alone (O(|batch|) scan + map-side combine to
+    // |sources| rows) and merge per source ([[mergeManifests]]) — the
+    // corpus is never re-read. Output provably equals the from-scratch
+    // q115 over corpus+batch (the oracle IS that replay); a 100-TB
+    // release updates its manifest for the price of the day's increment.
+    // The same algebra is why q116's streaming twin can fold forever in
+    // |sources| rows of state.
+    "q123_incremental_manifest" -> ((s, d) =>
+      mergeManifests(
+        q123BaseArtifact(s, d),
+        manifestAgg(Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
+        .orderBy(col("source"))),
+
     // q110 — Gopher-style intra-document repetition gates (Rae et al.
     // '21, appendix A1.1: the published removal heuristics for
     // self-repetitive documents — boilerplate, listicles, degenerate
@@ -977,6 +1034,19 @@ object TextOps {
       // q115: same portable hash60, same xor fold (bit_xor is exact and
       // order-insensitive in both engines), same HUGEINT-exact mod-p sum
       "q115_manifest" ->
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           |    AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  bit_xor(${Shared.sqlHash60("text")}) AS fingerprint,
+           |  CAST(SUM(CAST(${Shared.sqlHash60("text")} AS HUGEINT))
+           |    % $ManifestModP AS BIGINT) AS fingerprint_sum
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // q123 merges base+batch manifests by their monoids; the result is
+      // provably the full-corpus manifest, so the oracle is q115's
+      // from-scratch replay over ALL documents
+      "q123_incremental_manifest" ->
         s"""SELECT source, COUNT(*) AS n_docs,
            |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
            |    AS BIGINT) AS n_tokens,

@@ -2242,4 +2242,47 @@ class OperatorSpec extends AnyFunSuite {
     val c41 = rows.find(r => r._1 == 4L && r._2 == 1L).get._4
     assert(c41 === m((48 until 65).map(i => s"w$i").mkString(" ")))
   }
+
+  test("q123 merge algebra: one-sided sources, xor parity, mod-p wrap") {
+    import spark.implicits._
+    import operators.TextOps
+    val p = 2305843009213693951L // 2^61 - 1, TextOps.ManifestModP
+    val cols = Seq("source", "n_docs", "n_tokens", "n_chars",
+      "fingerprint", "fingerprint_sum")
+    // base: srcA (normal), srcB (fingerprint_sum close to p → the merge
+    // sum MUST wrap), srcC (base-only — batch identity fill)
+    val base = Seq(
+      ("srcA", 10L, 100L, 1000L, 0x0f0fL, 123L),
+      ("srcB", 5L, 50L, 500L, 0x1111L, p - 7L),
+      ("srcC", 2L, 20L, 200L, 0xffL, 99L)).toDF(cols: _*)
+    // batch: srcA xor-cancels a pair of base bits (even-multiplicity
+    // interplay), srcB wraps the sum, srcD is batch-only (new source)
+    val batch = Seq(
+      ("srcA", 1L, 10L, 100L, 0x0f0fL, 877L),
+      ("srcB", 1L, 5L, 50L, 0x0101L, 20L),
+      ("srcD", 3L, 30L, 300L, 0xabcL, 7L)).toDF(cols: _*)
+    val got = TextOps.mergeManifests(base, batch)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      ("srcA", 11L, 110L, 1100L, 0L, 1000L), // identical xor cancels to 0
+      ("srcB", 6L, 55L, 550L, 0x1010L, 13L), // (p-7+20) mod p = 13
+      ("srcC", 2L, 20L, 200L, 0xffL, 99L), // base-only carries verbatim
+      ("srcD", 3L, 30L, 300L, 0xabcL, 7L))) // new source enters verbatim
+  }
+
+  test("q123: base manifest aggregated once; maintained == from-scratch q115") {
+    import operators.TextOps
+    val w0 = TextOps.q123BaseWrites.get()
+    val inc = SparkEntry.queries("q123_incremental_manifest")(spark, sf)
+      .collect()
+    val w1 = TextOps.q123BaseWrites.get()
+    assert(w1 - w0 <= 1, s"first run aggregated the base ${w1 - w0} times")
+    SparkEntry.queries("q123_incremental_manifest")(spark, sf).collect()
+    assert(TextOps.q123BaseWrites.get() === w1,
+      "a warm maintenance run re-aggregated the frozen base")
+    val scratch = SparkEntry.queries("q115_manifest")(spark, sf).collect()
+    assert(inc.toSeq === scratch.toSeq,
+      "maintained manifest diverged from the from-scratch q115")
+  }
 }
