@@ -573,6 +573,31 @@ object Similarity {
         pqCodesOf(q122BatchEmb(s, d))
       }, 8, Seq("cell"))
 
+  /** q122 COMPACTION — folds the delta into the base on the maintenance
+    * schedule (land-then-compact's cadence), not per batch. Production
+    * shape, not an in-place rewrite: the merged segment is written to a
+    * NEW table, swapped in with a catalog rename, and the delta
+    * truncated — readers see old base ∪ delta until the swap and the
+    * compacted base ∪ empty delta after; both serve identical rows
+    * (spec-proved on an isolated tier copy). The write-once memos stay
+    * valid through the swap because the catalog names and source mtimes
+    * are unchanged — consumers keep reading the same names and simply
+    * see the compacted layout.
+    */
+  private[graft] def q122Compact(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    val delta = q122DeltaArtifact(s, d)
+    val emptyDelta = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+    Bucketed.rewriteBucketed(s, db, "q122_codes_base_next",
+      q122BaseArtifact(s, d).unionByName(delta), 8, Seq("cell"))
+    s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
+    s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
+      s"$db.q122_codes_base")
+    Bucketed.rewriteBucketed(s, db, "q122_codes_delta", emptyDelta,
+      8, Seq("cell"))
+  }
+
   /** q90c's serving body over ANY staged codes frame (vec_id, nrm, cell,
     * c0..c7): broadcast-probe ADC scan over the codes (no vector column
     * below the [[PqRerank]] cut), bounded exact re-rank re-joining the

@@ -91,6 +91,31 @@ class PipelineSpec extends AnyFunSuite {
       "base ∪ delta serving diverged from the from-scratch artifact")
   }
 
+  test("q122 compaction: serve-before == serve-after, delta truncated") {
+    import operators.Similarity
+    // isolated tier copy — compaction REWRITES the staged tables, which
+    // would race any parallel suite reading the shared tier's q122
+    // artifacts (the q118 lesson)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q122c").toString
+    spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val before = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    val baseBefore = Similarity.q122BaseArtifact(spark, dir).count()
+    val deltaBefore = Similarity.q122DeltaArtifact(spark, dir).count()
+    assert(deltaBefore > 0, "fixture degenerate: nothing to compact")
+    Similarity.q122Compact(spark, dir)
+    assert(Similarity.q122BaseArtifact(spark, dir).count()
+      === baseBefore + deltaBefore,
+      "compacted base must hold base+delta rows")
+    assert(Similarity.q122DeltaArtifact(spark, dir).count() === 0L,
+      "compaction must truncate the delta")
+    val after = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    assert(after.toSeq === before.toSeq,
+      "serving changed across compaction — the swap is not transparent")
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // Isolated tier copy: the rebuild OVERWRITES the artifact's parquet
     // files, which would invalidate any concurrently-running suite
