@@ -40,9 +40,13 @@ object ScaleProbe {
     // popularity — needs just the documents count from the tier).
     // "inc": ONLY the q120/q121 incremental-maintenance cost laws.
     val candidatesOnly = mode == "candidates" || mode == "segments" ||
-      mode == "zipf" || mode == "inc"
-    val segmentsOnly = mode == "segments" || mode == "zipf" || mode == "inc"
-    val zipfOnly = mode == "zipf" || mode == "inc"
+      mode == "zipf" || mode == "inc" || mode == "folds"
+    val segmentsOnly = mode == "segments" || mode == "zipf" ||
+      mode == "inc" || mode == "folds"
+    // "folds": ONLY the q124 continuous-fold accumulation law (the
+    // *Only flags below are set so every other block skips).
+    val foldsOnly = mode == "folds"
+    val zipfOnly = mode == "zipf" || mode == "inc" || foldsOnly
     val incOnly = mode == "inc"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
@@ -301,7 +305,56 @@ object ScaleProbe {
       cells.unpersist(); got.unpersist()
     }
 
-    if (zipfOnly && !incOnly) timed("zipf_probe") {
+    // --- mode == "folds": q124's continuous-fold law. Drives the same
+    // machinery the streaming query runs (batch form — the cost law is
+    // identical; only the trigger differs) and measures, per fold: the
+    // verified pair mass (must track the micro-batch, q120's law), the
+    // override rows appended (touched-cluster bounded), and the
+    // ACCUMULATED posting/override delta the next fold will carry — the
+    // term whose growth mandates periodic compaction (SCALING.md q124).
+    if (foldsOnly) timed("folds_probe") {
+      import operators.Dedup
+      val docs = Tables.documents(spark, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val csh = corpus
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          operators.Shared.shingles3(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0).withColumn("sz", size(col("sh")))
+        .persist()
+      val cdf = Dedup.dfOf(csh).persist()
+      val cpfx = Dedup.prefixOf(csh, cdf).persist()
+      val baseLabels = Dedup.labelsOf(corpus).persist()
+      Seq(cdf, cpfx).foreach(_.count()); baseLabels.count()
+      var labDelta = baseLabels.limit(0).withColumn("ver", lit(0L))
+      var pfxDelta = cpfx.limit(0)
+      var seen = docs.select(col("doc_id")).limit(0)
+      val folds = 3
+      for (k <- 0 until folds) {
+        val b = docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k)
+        out(s"folds_f${k}_docs") = b.count()
+        val seenDocs = corpus.unionByName(
+          docs.join(seen, Seq("doc_id"), "left_semi"))
+        val pairs = Dedup.batchPairs(seenDocs, b, cdf,
+          cpfx.unionByName(pfxDelta)).persist()
+        out(s"folds_f${k}_pairs") = pairs.count()
+        val current = Dedup.latestWins(baseLabels, labDelta)
+        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+        val subV = sub.withColumn("ver", lit(k.toLong)).persist()
+        out(s"folds_f${k}_override_rows") = subV.count()
+        labDelta = labDelta.unionByName(subV)
+        val bp = Dedup.prefixRowsOf(b, cdf).persist()
+        pfxDelta = pfxDelta.unionByName(bp)
+        out(s"folds_f${k}_acc_postings") = pfxDelta.count()
+        seen = seen.unionByName(b.select(col("doc_id"))).persist()
+        pairs.unpersist()
+      }
+      out("folds_corpus_postings") = cpfx.count()
+      Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
+    }
+
+    if (zipfOnly && !incOnly && !foldsOnly) timed("zipf_probe") {
       val nDocs = Tables.documents(spark, d).count()
       val K = math.round(math.pow(nDocs.toDouble, 1.0 / 1.1))
       val ranks = spark.range(1, K + 1)

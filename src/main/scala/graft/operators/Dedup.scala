@@ -308,6 +308,11 @@ object Dedup {
     // converged round has zero changed rows in every task attempt, so
     // value==0 is exact; a nonzero value only ever means "go again".
     val changedAcc = spark.sparkContext.longAccumulator("ccChanged")
+    // Deliberately a Scala UDF: its one job is the accumulator side
+    // effect inside the checkpoint's action, which no built-in (codegen)
+    // expression can perform. Do NOT "optimize" it into an expression —
+    // that silently drops the bump and the loop would need a separate
+    // count() job per round, exactly the cost this construction avoids.
     val bumpIfChanged = udf { (changed: Boolean) =>
       if (changed) changedAcc.add(1L); changed
     }
@@ -558,6 +563,20 @@ object Dedup {
     */
   private[graft] def incrementalLabels(oldLabels: DataFrame,
       newPairs: DataFrame): DataFrame = {
+    val (sub, touchedReps) = incrementalSubLabels(oldLabels, newPairs)
+    val carried = oldLabels.join(touchedReps, Seq("rep"), "left_anti")
+    carried.select(col("doc_id"), col("rep"), col("cluster_size"))
+      .unionByName(sub)
+  }
+
+  /** The delta half of [[incrementalLabels]] — (re-converged labels of
+    * every touched cluster + newly-paired docs, touched rep set) WITHOUT
+    * the corpus-wide carried anti-join. q124's continuous fold appends
+    * only this per micro-batch (its per-fold work stays delta-bounded)
+    * and computes the carried set once, at readout.
+    */
+  private[graft] def incrementalSubLabels(oldLabels: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame) = {
     val touched = newPairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -575,17 +594,43 @@ object Dedup {
     val sub = connectedComponents(subEdges)
       .withColumn("cluster_size", count(lit(1)).over(
         Window.partitionBy(col("rep"))))
-    val carried = oldLabels.join(touchedReps, Seq("rep"), "left_anti")
-    carried.select(col("doc_id"), col("rep"), col("cluster_size"))
-      .unionByName(sub.select(col("doc_id"), col("rep"),
-        col("cluster_size")))
+    (sub.select(col("doc_id"), col("rep"), col("cluster_size")),
+      touchedReps)
   }
+
+  /** q124's override view: the current labels are the frozen base minus
+    * any doc that ever appeared in the delta, plus each delta doc's
+    * LATEST row (`ver` = fold number; one row per doc per fold, so the
+    * window is tie-free). The anti-join probes the doc_id-bucketed base
+    * with the (delta-bounded, broadcast) override id set and the window
+    * runs over the delta only — current-view construction never shuffles
+    * the corpus.
+    */
+  private[graft] def latestWins(base: DataFrame, delta: DataFrame): DataFrame = {
+    val latest = delta
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("ver").desc)))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("rep"), col("cluster_size"))
+    base.join(delta.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("rep"), col("cluster_size"))
+      .unionByName(latest)
+  }
+
+  /** Batch-side prefix postings under the corpus-frozen order — the rows
+    * q124 appends to its posting store so LATER micro-batches can pair
+    * with this one's docs (the index side of their candX).
+    */
+  private[graft] def prefixRowsOf(batchDocs: DataFrame,
+      corpusDf: DataFrame): DataFrame =
+    prefixOf(shingledOf(batchDocs), corpusDf)
 
   /** The q120 corpus split: nine tenths are "yesterday's corpus" (frozen
     * index), the doc_id % 10 == 0 tenth plays the arriving batch — the
     * q89 convention.
     */
-  private def q120Corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def q120Corpus(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
 
   /** Frozen corpus dedup state, staged write-once per (session, tier):

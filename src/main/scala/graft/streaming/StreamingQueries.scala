@@ -498,6 +498,94 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_eid"), col("purchase_eid"))
     }),
 
+    // q124 — CONTINUOUS dedup-label maintenance: q120's incremental fold
+    // run as a real Structured Streaming pipeline. The batch tenth is
+    // replayed as THREE ordered micro-batch files (maxFilesPerTrigger=1,
+    // the q30 replay pattern) and foreachBatch folds each one into the
+    // maintained state:
+    //
+    //   pairs  = batchPairs(seen docs, micro-batch, frozen corpus df,
+    //            corpus prefix ∪ ACCUMULATED batch prefix rows) — so a
+    //            doc arriving in fold 3 pairs with fold-1 docs through
+    //            the appended postings, not just with the corpus;
+    //   labels = incrementalSubLabels(latestWins(base, delta), pairs)
+    //            appended with ver = fold number (override rows only —
+    //            the corpus-wide carried set is never materialized
+    //            inside a fold);
+    //   state  = append batch prefix rows + batch ids.
+    //
+    // Per-fold shuffle is bounded by the micro-batch + its touched
+    // clusters + the accumulated delta (latestWins windows the DELTA
+    // only and probes the bucketed base with broadcast override ids);
+    // the corpus pays one column-pruned scan per fold (verify-side
+    // shingles of candidate endpoints), never a shuffle. The readout
+    // materializes latestWins once and must equal the from-scratch
+    // closure over ALL documents — q120's oracle, which is how the
+    // cross-fold transitive case (fold-2 doc bridging a fold-1 cluster
+    // with a corpus cluster) is proven, not assumed.
+    "q124_stream_incremental_labels" -> ((s, d) => {
+      import graft.Tables
+      import graft.operators.Dedup
+      val dir = Files.createTempDirectory("graft_q124")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      def writeBatch(df: DataFrame, n: Int): Unit = {
+        val stage = dir.resolve(s"stage$n")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = inDir.resolve(f"fold$n%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + n * 60000L)
+      }
+      val docs = Tables.documents(s, d)
+      val folds = 3
+      for (k <- 0 until folds)
+        writeBatch(docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), k)
+      // frozen corpus index (q120's staged artifacts) + per-run state
+      val baseLabels = Dedup.q120LabelsArtifact(s, d)
+      val corpusDf = Dedup.q120DfArtifact(s, d)
+      val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
+      val corpus = Dedup.q120Corpus(s, d)
+      val labelsDir = dir.resolve("labels_delta").toString
+      val prefixDir = dir.resolve("prefix_delta").toString
+      val seenDir = dir.resolve("seen").toString
+      baseLabels.limit(0).withColumn("ver", lit(0L))
+        .write.parquet(labelsDir)
+      corpusPrefix.limit(0).write.parquet(prefixDir)
+      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      def fold(b: DataFrame, ver: Long): Unit = {
+        val seenDocs = corpus.unionByName(
+          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
+        val prefixAll =
+          corpusPrefix.unionByName(s.read.parquet(prefixDir))
+        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+        val current =
+          Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
+        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+        sub.withColumn("ver", lit(ver))
+          .write.mode("append").parquet(labelsDir)
+        Dedup.prefixRowsOf(b, corpusDf)
+          .write.mode("append").parquet(prefixDir)
+        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            fold(b, id.longValue()))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
+        .orderBy(col("doc_id"))
+    }),
+
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
       def writeBatch(df: DataFrame, n: Int): Unit = {
@@ -538,6 +626,11 @@ object StreamingQueries {
     // cold scan.
     "q116_stream_manifest" ->
       graft.operators.TextOps.oracleSql("q115_manifest"),
+    // q124: the three-fold streaming maintenance must land on exactly
+    // the from-scratch closure over ALL documents — q120's oracle — so
+    // cross-fold pairing and override chains are hash-proven per tier.
+    "q124_stream_incremental_labels" ->
+      graft.operators.Dedup.oracleSql("q120_incremental_labels"),
     // q108: the q103 trained-assignment CTEs, then the new-tenth ×
     // corpus-nine-tenths cell join + cosine verify. The oracle keys BOTH
     // sides on the a3 assignment; a hash match therefore also proves the

@@ -2243,6 +2243,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(c41 === m((48 until 65).map(i => s"w$i").mkString(" ")))
   }
 
+  test("q124 cross-fold bridge: fold-2 doc merges a fold-1 doc with a corpus cluster") {
+    import spark.implicits._
+    import operators.Dedup
+    // Engineered 3-gram Jaccard topology (t = 3/5):
+    //   R = r1..r31 (29 shared run-trigrams), X-tail x1..x10, B-tail
+    //   b1..b10. corpus B/B' (docs 11,12) and fold-1 doc 10 (text X)
+    //   share only R: J(X,B) = 29/49 = 0.5918 < 0.6 — doc 10 pairs with
+    //   NOTHING in its own fold and enters as an unlabeled singleton.
+    //   Fold-2 doc 20 (text Y = R+Xtail+Btail) has J(Y,X) = 39/49 =
+    //   0.7959 and J(Y,B) = 37/51 = 0.7255 — it pairs with the corpus
+    //   cluster through the corpus index AND with doc 10 through the
+    //   ACCUMULATED fold-1 prefix rows. The merged {10,11,12,20} cluster
+    //   therefore exists only if cross-fold pairing works; a broken
+    //   posting store yields {11,12,20} + singleton 10 and both asserts
+    //   below fail.
+    val r = (1 to 31).map(i => s"r$i").mkString(" ")
+    val xt = (1 to 10).map(i => s"x$i").mkString(" ")
+    val bt = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (11L, s"$r $bt"), (12L, s"$r $bt"), // corpus cluster {11,12}
+      (10L, s"$r $xt"), // fold 1 ((10 div 10) % 3 == 1): singleton
+      (20L, s"$r $xt $bt")) // fold 2: the bridge
+    val dir = java.nio.file.Files.createTempDirectory("graft_q124b").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q124_stream_incremental_labels")(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    // the maintained stream result equals the from-scratch closure ...
+    val scratch = Dedup.labelsOf(spark.read
+        .parquet(s"$dir/documents.parquet"))
+      .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toList
+    assert(got === scratch, "streamed labels diverged from from-scratch")
+    // ... and the closure is the intended single merged 4-cluster
+    assert(got === List((10L, 10L, 4L), (11L, 10L, 4L), (12L, 10L, 4L),
+      (20L, 10L, 4L)), "cross-fold bridge did not merge the clusters")
+  }
+
   test("q123 merge algebra: one-sided sources, xor parity, mod-p wrap") {
     import spark.implicits._
     import operators.TextOps
