@@ -656,10 +656,16 @@ object Dedup {
     * segment — (doc_id, seg_idx, seg_txt, sh). Shared with ScaleProbe,
     * which tracks the boiler-set size (the broadcast side) per decade.
     */
-  private[graft] def segmentFrame(s: SparkSession, d: String): DataFrame = {
+  private[graft] def segmentFrame(s: SparkSession, d: String): DataFrame =
+    segmentFrameOf(Tables.documents(s, d))
+
+  /** [[segmentFrame]] over an arbitrary (doc_id, text) frame — q125
+    * segments the corpus and the arriving batch separately.
+    */
+  private[graft] def segmentFrameOf(docs: DataFrame): DataFrame = {
     val toks =
       regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= SegW)
       .select(col("doc_id"),
@@ -981,20 +987,82 @@ object Dedup {
     // narrow.
     "q111_segment_dedup" -> ((s, d) => {
       val segs = segmentFrame(s, d)
-      segs.join(boilerSet(segs), Seq("sh"), "left")
-        .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum(col("is_boiler")).as("n_boiler_segments"),
-          (lit(SegW.toLong) * (count(lit(1)) - sum(col("is_boiler"))))
-            .as("kept_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(when(col("is_boiler") === 0,
-              struct(col("seg_idx"), col("seg_txt"))))),
-            x => x.getField("seg_txt")), " ")).as("kept_md5"))
-        .orderBy(col("doc_id"))
+      stripReassembly(segs, boilerSet(segs))
+    }),
+
+    // q125 — INCREMENTAL boiler-set maintenance: q111's segment df is a
+    // pure monoid under an append-only corpus (a document's distinct
+    // segment set never changes, and batch doc sets are disjoint from
+    // the corpus, so per-segment distinct-doc counts ADD). The fold
+    // aggregates ONLY the batch's segments (O(|batch|) narrow map + a
+    // batch-sized agg) and merges into the frozen corpus df table with a
+    // full-outer add — the bucketed base never shuffles; the batch's
+    // tiny df shuffles into its layout. The boiler set then falls out of
+    // the merged counts, including segments that cross the SegDf
+    // threshold ONLY through the merge (df 1 in corpus + df 1 in batch —
+    // the planted spec's case: yesterday's unique footer becomes
+    // boilerplate the day a second site ships it). The strip/reassembly
+    // pass over all docs is q111's own serving shape and inherently
+    // corpus-wide — what the increment eliminates is the corpus-wide
+    // distinct+agg df build (the ~10 B/incidence shuffle ScaleProbe's
+    // zipf probe measured as the q111 cost law). Output must equal
+    // from-scratch q111 — the oracle is that replay.
+    "q125_incremental_boiler" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bdf = segDfOf(
+        segmentFrameOf(docs.filter(col("doc_id") % 10 === 0)))
+      val merged = q125DfArtifact(s, d)
+        .select(col("sh"), col("df").as("b_df"))
+        .join(bdf.select(col("sh"), col("df").as("n_df")),
+          Seq("sh"), "full_outer")
+        .select(col("sh"),
+          (coalesce(col("b_df"), lit(0L)) + coalesce(col("n_df"), lit(0L)))
+            .as("df"))
+      val boiler = merged.filter(col("df") >= SegDf)
+        .select(col("sh"), lit(1L).as("is_boiler"))
+      stripReassembly(segmentFrame(s, d), boiler)
     })
   )
+
+  /** q111's strip + per-doc reassembly tail over ANY (segment frame,
+    * boiler set) pair — shared verbatim by q111 (from-scratch boiler
+    * set) and q125 (incrementally maintained boiler set), so their
+    * outputs can only differ if the SETS differ.
+    */
+  private def stripReassembly(segs: DataFrame,
+      boiler: DataFrame): DataFrame =
+    segs.join(boiler, Seq("sh"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("is_boiler")).as("n_boiler_segments"),
+        (lit(SegW.toLong) * (count(lit(1)) - sum(col("is_boiler"))))
+          .as("kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_boiler") === 0,
+            struct(col("seg_idx"), col("seg_txt"))))),
+          x => x.getField("seg_txt")), " ")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Per-segment distinct-document counts — the monoid q125 merges. */
+  private[graft] def segDfOf(segs: DataFrame): DataFrame =
+    segs.select(col("sh"), col("doc_id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+
+  /** How many times the q125 corpus df table was aggregated this JVM. */
+  private[graft] val q125DfWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Frozen per-segment corpus document frequencies, staged write-once,
+    * sh-bucketed so the merge join never shuffles the corpus side.
+    */
+  private[graft] def q125DfArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q125_seg_df",
+      s"$d/documents.parquet",
+      {
+        q125DfWrites.incrementAndGet()
+        segDfOf(segmentFrameOf(q120Corpus(s, d)))
+      }, 16, Seq("sh"))
 
   /** Oracle fragment — the q32/q73 pair CTE `p` via the PPJoin prefix
     * filter instead of brute-force all-pairs: the prefix filter is
@@ -1064,7 +1132,7 @@ object Dedup {
 
     val prefixPairs = sqlPrefixPairs
 
-    Map(
+    val m = Map(
       "q32_neardup_jaccard" ->
         s"""WITH $prefixPairs
            |SELECT doc_a, doc_b, jaccard FROM p
@@ -1349,5 +1417,8 @@ object Dedup {
            |    ' ' ORDER BY seg_idx), '')) AS kept_md5
            |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
     )
+    // q125 serves q111's output from the incrementally-merged df — the
+    // oracle is the identical from-scratch replay
+    m + ("q125_incremental_boiler" -> m("q111_segment_dedup"))
   }
 }

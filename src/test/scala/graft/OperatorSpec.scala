@@ -2243,6 +2243,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(c41 === m((48 until 65).map(i => s"w$i").mkString(" ")))
   }
 
+  test("q125 threshold crossing: corpus df 1 + batch df 1 becomes boilerplate only via the merge") {
+    import spark.implicits._
+    import operators.Dedup
+    // SegW = 10-token segments. Segment S lives once in the corpus
+    // (doc 1) and once in the batch (doc 10): each side's own df is 1 —
+    // below SegDf = 2 — so S is boilerplate ONLY in the merged counts.
+    // A q125 that forgot the merge (served the frozen corpus boiler
+    // set) would keep S everywhere and diverge from q111.
+    val S = (1 to 10).map(i => s"s$i").mkString(" ")
+    val f1 = (1 to 10).map(i => s"f$i").mkString(" ")
+    val f2 = (1 to 10).map(i => s"g$i").mkString(" ")
+    val other = (1 to 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$S $f1"), (2L, other), // corpus
+      (10L, s"$S $f2")) // batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_q125").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val w0 = Dedup.q125DfWrites.get()
+    val got = SparkEntry.queries("q125_incremental_boiler")(spark, dir)
+      .collect()
+    assert(Dedup.q125DfWrites.get() - w0 <= 1,
+      "corpus df aggregated more than once")
+    val scratch = SparkEntry.queries("q111_segment_dedup")(spark, dir)
+      .collect()
+    assert(got.toSeq === scratch.toSeq,
+      "incrementally-merged boiler set diverged from from-scratch q111")
+    // and the planted crossing actually stripped S on BOTH sides
+    val byDoc = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byDoc(1L) === 1L && byDoc(10L) === 1L && byDoc(2L) === 0L,
+      s"expected exactly segment S stripped from docs 1 and 10: $byDoc")
+    // warm maintenance run re-aggregates nothing
+    val w1 = Dedup.q125DfWrites.get()
+    SparkEntry.queries("q125_incremental_boiler")(spark, dir).collect()
+    assert(Dedup.q125DfWrites.get() === w1,
+      "a warm maintenance run re-aggregated the frozen corpus df")
+  }
+
   test("q124 cross-fold bridge: fold-2 doc merges a fold-1 doc with a corpus cluster") {
     import spark.implicits._
     import operators.Dedup
