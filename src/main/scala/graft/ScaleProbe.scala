@@ -36,18 +36,21 @@ object ScaleProbe {
     // sf~10 third-decade segment-dedup probe, where the full candidate
     // battery (q32 verify, q73 CC) costs tens of minutes.
     val mode = if (args.length > 1) args(1) else "full"
-    // "zipf": ONLY the q111 zipf-skew block below (synthetic planted
-    // popularity — needs just the documents count from the tier).
-    // "inc": ONLY the q120/q121 incremental-maintenance cost laws.
-    val candidatesOnly = mode == "candidates" || mode == "segments" ||
-      mode == "zipf" || mode == "inc" || mode == "folds"
-    val segmentsOnly = mode == "segments" || mode == "zipf" ||
-      mode == "inc" || mode == "folds"
-    // "folds": ONLY the q124 continuous-fold accumulation law (the
-    // *Only flags below are set so every other block skips).
-    val foldsOnly = mode == "folds"
-    val zipfOnly = mode == "zipf" || mode == "inc" || foldsOnly
-    val incOnly = mode == "inc"
+    // Positive block gates — each names the work it ADMITS and lists the
+    // modes that run it (the round-10 review flagged the old inverted
+    // *Only flags as a trap: "zipfOnly" was true for three modes that
+    // never run the zipf block).
+    //   full       → everything below
+    //   candidates → candidate battery + segment probes + q73
+    //   segments   → segment probes only (cheap third-decade sweep)
+    //   zipf / inc / folds → exactly their own dedicated block
+    val tpchProbes = mode == "full"
+    val candidateBattery = mode == "full" || mode == "candidates"
+    val segmentProbes = mode == "full" || mode == "candidates" ||
+      mode == "segments"
+    val zipfProbe = mode == "zipf"
+    val incProbe = mode == "inc"
+    val foldsProbe = mode == "folds"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -79,13 +82,13 @@ object ScaleProbe {
     out("dir") = "\"" + d + "\""
     out("documents") = Tables.documents(spark, d).count()
     out("embeddings") = Tables.embeddings(spark, d).count()
-    if (!candidatesOnly) {
+    if (tpchProbes) {
       out("events") = Tables.events(spark, d).count()
       out("lineitem") = Tables.lineitem(spark, d).count()
     }
 
     // --- dedup / similarity candidate growth ---
-    if (!segmentsOnly) {
+    if (candidateBattery) {
     out("q32_candidates") = timed("q32_candidates") {
       operators.Dedup.jaccardCandidates(spark, d).count()
     }
@@ -216,7 +219,7 @@ object ScaleProbe {
       out("q75b_bloom_survivors") =
         operators.Pipeline.bloomPruned(corpusKeys, batchKeys).count()
     }
-    } // !segmentsOnly
+    } // candidateBattery
 
     // q111: segment mass (corpus-linear by construction) vs the
     // boiler SET — the broadcast side of the strip join. The scale claim
@@ -247,20 +250,31 @@ object ScaleProbe {
     // full-rebuild mass. Counts, not wall seconds: the box's 7-21×
     // contention swing makes times incomparable across runs, while the
     // distance/candidate mass IS the work the cluster would do.
-    if (incOnly) timed("inc_probe") {
-      import operators.{Dedup, Similarity}
-      val docs = Tables.documents(spark, d)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      // frozen q120 index, computed once and persisted (artifact stand-in)
+    /** The frozen q120-style corpus index (shingles, df, prefix
+      * postings), persisted and materialized — ONE definition so the inc
+      * and folds probes measure the same index q120/q124 build (a drift
+      * between hand copies would silently measure something else).
+      */
+    def frozenCorpusIndex(corpus: DataFrame)
+        : (DataFrame, DataFrame, DataFrame) = {
       val csh = corpus
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           operators.Shared.shingles3(col("text")).as("sh"))
         .filter(size(col("sh")) > 0).withColumn("sz", size(col("sh")))
         .persist()
-      val cdf = Dedup.dfOf(csh).persist()
-      val cpfx = Dedup.prefixOf(csh, cdf).persist()
+      val cdf = operators.Dedup.dfOf(csh).persist()
+      val cpfx = operators.Dedup.prefixOf(csh, cdf).persist()
       Seq(cdf, cpfx).foreach(_.count())
+      (csh, cdf, cpfx)
+    }
+
+    if (incProbe) timed("inc_probe") {
+      import operators.{Dedup, Similarity}
+      val docs = Tables.documents(spark, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      // frozen q120 index, computed once and persisted (artifact stand-in)
+      val (csh, cdf, cpfx) = frozenCorpusIndex(corpus)
       for ((label, modBase) <- Seq("b10" -> 10, "b1" -> 100)) {
         // modBase 10 = the standard tenth; 100 = a 10× smaller delta
         // over the SAME corpus (doc_id % 100 == 0 ⊂ % 10 == 0)
@@ -312,20 +326,13 @@ object ScaleProbe {
     // override rows appended (touched-cluster bounded), and the
     // ACCUMULATED posting/override delta the next fold will carry — the
     // term whose growth mandates periodic compaction (SCALING.md q124).
-    if (foldsOnly) timed("folds_probe") {
+    if (foldsProbe) timed("folds_probe") {
       import operators.Dedup
       val docs = Tables.documents(spark, d)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val csh = corpus
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          operators.Shared.shingles3(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0).withColumn("sz", size(col("sh")))
-        .persist()
-      val cdf = Dedup.dfOf(csh).persist()
-      val cpfx = Dedup.prefixOf(csh, cdf).persist()
+      val (csh, cdf, cpfx) = frozenCorpusIndex(corpus)
       val baseLabels = Dedup.labelsOf(corpus).persist()
-      Seq(cdf, cpfx).foreach(_.count()); baseLabels.count()
+      baseLabels.count()
       var labDelta = baseLabels.limit(0).withColumn("ver", lit(0L))
       var pfxDelta = cpfx.limit(0)
       var seen = docs.select(col("doc_id")).limit(0)
@@ -354,7 +361,7 @@ object ScaleProbe {
       Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
     }
 
-    if (zipfOnly && !incOnly && !foldsOnly) timed("zipf_probe") {
+    if (zipfProbe) timed("zipf_probe") {
       val nDocs = Tables.documents(spark, d).count()
       val K = math.round(math.pow(nDocs.toDouble, 1.0 / 1.1))
       val ranks = spark.range(1, K + 1)
@@ -407,7 +414,7 @@ object ScaleProbe {
       b.unpersist(); segs.unpersist()
     }
 
-    if (!zipfOnly)
+    if (segmentProbes)
     timed("q111_probe") {
       val segs = operators.Dedup.segmentFrame(spark, d)
       out("q111_segments") = segs.count()
@@ -422,7 +429,7 @@ object ScaleProbe {
     // stays bounded while the corpus grows (the offsets window runs over
     // |domain|·16 rows) and the salt keeps per-(score, salt) partitions
     // skew-free. Measure both directly.
-    if (!zipfOnly)
+    if (segmentProbes)
     timed("q114_probe") {
       val toks =
         regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
@@ -439,7 +446,7 @@ object ScaleProbe {
     }
 
     // --- q73 round count (flat across scale = the O(log d) claim) ---
-    if (!segmentsOnly) timed("q73") {
+    if (candidateBattery) timed("q73") {
       val edges = SparkEntry.queries("q32_neardup_jaccard")(spark, d)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val (labels, rounds) = operators.Dedup.connectedComponentsRounds(edges)
@@ -449,7 +456,7 @@ object ScaleProbe {
     }
 
     // --- q78 pack balance ---
-    if (!candidatesOnly) timed("q78") {
+    if (tpchProbes) timed("q78") {
       val packs = SparkEntry.queries("q78_sequence_pack")(spark, d)
       val s = packs.agg(
         count(lit(1)), min(col("n_tokens")), max(col("n_tokens")),
@@ -463,7 +470,7 @@ object ScaleProbe {
     // --- LocalTopK shuffle volume: q74 (rewritten) shuffles only each
     // partition's local top-k; q14 (full window rank) is the unrewritten
     // shape over the same events table ---
-    if (!candidatesOnly) {
+    if (tpchProbes) {
       out("q74_shuffle_bytes") = timed("q74") {
         shuffleBytes(SparkEntry.queries("q74_stratified_cap")(spark, d))
       }
@@ -479,7 +486,7 @@ object ScaleProbe {
     // variant (batch = |corpus|/500): the oracle-checked q85 pins its
     // batch at AnnBatchSize, which would make this invariant trivially
     // constant ---
-    if (!candidatesOnly)
+    if (tpchProbes)
       out("q85_shuffle_bytes") = timed("q85") {
         shuffleBytes(
           operators.Similarity.annBatch(spark, d, fixedBatch = false))

@@ -88,12 +88,21 @@ object Bpe {
        |bcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS bpe FROM bfin)"""
       .stripMargin
 
-  /** Apply the defined merge procedure to one word. */
+  /** Apply the defined merge procedure to one word. Seed tokens are
+    * Unicode CODE POINTS, not UTF-16 code units: DuckDB's `w[i]` /
+    * `len(w)` index characters, so a supplementary-plane char (emoji,
+    * rare CJK) must be ONE seed token in both engines — charAt-seeding
+    * would split it into two unpaired surrogates here and diverge from
+    * the oracle on the first non-BMP word.
+    */
   def tokenize(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
-    var toks = new Array[String](word.length)
+    val cps = word.codePoints().toArray
+    var toks = new Array[String](cps.length)
     var i = 0
-    while (i < word.length) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    while (i < cps.length) {
+      toks(i) = new String(Character.toChars(cps(i))); i += 1
+    }
     var done = false
     while (!done && toks.length > 1) {
       var bi = -1

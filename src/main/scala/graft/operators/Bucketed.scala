@@ -96,6 +96,18 @@ object Bucketed {
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Run `f` holding the per-(db, table) artifact lock — the same lock
+    * [[writeOnceBucketed]] serializes builds under, so a maintenance
+    * operation (q122Compact's drop/rename/truncate) can exclude
+    * concurrent in-JVM builders and readers-that-build of the SAME
+    * tables. Multi-table callers must acquire in sorted-name order.
+    */
+  private[graft] def withArtifactLock[T](db: String, name: String)(
+      f: => T): T = {
+    val lock = artifactLocks.computeIfAbsent(s"$db.$name", _ => new Object)
+    lock.synchronized(f)
+  }
+
   /** Memoized [[rewriteBucketed]]: builds `db.name` from `df` at most once
     * per (session, source state); `df` is by-name and only evaluated when a
     * write actually happens.

@@ -283,14 +283,21 @@ object Dedup {
           df.write.mode("overwrite").parquet(p)
           spark.read.parquet(p)
       }
-    // resume point: the highest round whose parquet completed (_SUCCESS)
+    // resume point: the highest round whose parquet completed (_SUCCESS).
+    // Listed through the Hadoop FileSystem of the dir's own scheme — the
+    // progressDir posture is fault-tolerant storage (HDFS/object store),
+    // where a java.io.File listing silently returns nothing and resume
+    // would never trigger.
     val resumeFrom: Option[Int] = progressDir.flatMap { dir =>
-      val rs = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("round_") &&
-          new java.io.File(f, "_SUCCESS").exists())
-        .map(_.getName.stripPrefix("round_").toInt)
-      rs.sorted.lastOption
+      val hPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath)) None
+      else fs.listStatus(hPath).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("round_") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("round_").toInt)
+        .sorted.lastOption
     }
     var iters = resumeFrom.getOrElse(0)
     var labels = resumeFrom match {
@@ -366,11 +373,23 @@ object Dedup {
   private[graft] def labelsOf(docs: DataFrame): DataFrame = {
     val pairs = jaccardPairsOf(shingledOf(docs))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // `spark.graft.cc.progressDir` (a directory dedicated to ONE labeling
-    // job) turns the CC loop into a resumable run — see
-    // [[connectedComponentsRounds]]; unset keeps the in-memory fast path
+    // `spark.graft.cc.progressDir` turns the CC loop into a resumable
+    // run — see [[connectedComponentsRounds]]; unset keeps the in-memory
+    // fast path. The dir is NAMESPACED per labeling by the canonicalized
+    // input plan's semanticHash: one session (or a restarted one) labels
+    // several distinct doc sets (the full-tier artifact, q120's
+    // corpus-only set, regenerated tiers), and a shared flat dir would
+    // let the second labeling silently resume from the FIRST's fixpoint
+    // — converged-but-wrong labels with no error. semanticHash is stable
+    // for an identical plan across driver restarts (it hashes the
+    // canonicalized tree), which is exactly the resume contract: same
+    // doc-set plan → same subdir → resume; different plan → fresh dir.
     val progress = docs.sparkSession.conf
       .getOption("spark.graft.cc.progressDir").filter(_.nonEmpty)
+      .map { dir =>
+        val tag = docs.queryExecution.analyzed.semanticHash() & 0x7fffffff
+        s"$dir/cc_$tag"
+      }
     connectedComponents(pairs, progressDir = progress)
       .withColumn("cluster_size", count(lit(1)).over(
         Window.partitionBy(col("rep"))))
@@ -602,9 +621,12 @@ object Dedup {
     * any doc that ever appeared in the delta, plus each delta doc's
     * LATEST row (`ver` = fold number; one row per doc per fold, so the
     * window is tie-free). The anti-join probes the doc_id-bucketed base
-    * with the (delta-bounded, broadcast) override id set and the window
-    * runs over the delta only — current-view construction never shuffles
-    * the corpus.
+    * with the override id set — explicitly broadcast, since that is the
+    * whole cost claim — and the window runs over the delta only, so
+    * current-view construction never shuffles the corpus. The hint is
+    * valid precisely in the regime the operator is for: the delta is
+    * compacted into the base (SCALING.md q124) long before the override
+    * id set could outgrow a broadcast.
     */
   private[graft] def latestWins(base: DataFrame, delta: DataFrame): DataFrame = {
     val latest = delta
@@ -612,7 +634,7 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("ver").desc)))
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("rep"), col("cluster_size"))
-    base.join(delta.select(col("doc_id")).distinct(),
+    base.join(broadcast(delta.select(col("doc_id")).distinct()),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("rep"), col("cluster_size"))
       .unionByName(latest)

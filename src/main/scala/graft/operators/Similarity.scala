@@ -583,19 +583,79 @@ object Similarity {
     * valid through the swap because the catalog names and source mtimes
     * are unchanged — consumers keep reading the same names and simply
     * see the compacted layout.
+    *
+    * Crash safety is a REDO MARKER, not wishful atomicity: the swap is
+    * three catalog steps, and dying between the rename and the delta
+    * truncate would leave the delta rows in BOTH tables — silent
+    * double-counted serving. So the marker is created after the merged
+    * segment lands and removed only after the truncate; every crash
+    * state rolls FORWARD idempotently in [[q122CompactRecover]], which
+    * both this method and the serving path run first. The whole
+    * operation holds the two tables' artifact locks (sorted order), so
+    * an in-JVM concurrent builder/reader cannot observe the
+    * drop-to-rename gap.
     */
   private[graft] def q122Compact(s: SparkSession, d: String): Unit = {
     val db = Bucketed.dbFor(d)
-    val delta = q122DeltaArtifact(s, d)
-    val emptyDelta = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
-    Bucketed.rewriteBucketed(s, db, "q122_codes_base_next",
-      q122BaseArtifact(s, d).unionByName(delta), 8, Seq("cell"))
-    s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
-    s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
-      s"$db.q122_codes_base")
-    Bucketed.rewriteBucketed(s, db, "q122_codes_delta", emptyDelta,
-      8, Seq("cell"))
+    Bucketed.withArtifactLock(db, "q122_codes_base") {
+      Bucketed.withArtifactLock(db, "q122_codes_delta") {
+        q122RecoverLocked(s, db)
+        val delta = q122DeltaArtifact(s, d)
+        val emptyDelta = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+        Bucketed.rewriteBucketed(s, db, "q122_codes_base_next",
+          q122BaseArtifact(s, d).unionByName(delta), 8, Seq("cell"))
+        java.nio.file.Files.createDirectories(q122Marker(db).getParent)
+        java.nio.file.Files.write(q122Marker(db), Array.emptyByteArray)
+        s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
+        s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
+          s"$db.q122_codes_base")
+        Bucketed.rewriteBucketed(s, db, "q122_codes_delta", emptyDelta,
+          8, Seq("cell"))
+        java.nio.file.Files.deleteIfExists(q122Marker(db))
+      }
+    }
+  }
+
+  /** Redo-marker path — beside the tables in the warehouse (on object
+    * storage the marker lives in the same bucket, same durability).
+    */
+  private def q122Marker(db: String): java.nio.file.Path =
+    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
+      "q122_compact_pending")
+
+  /** Roll an interrupted compaction FORWARD (idempotent; no-op without
+    * the marker). States: _next still present → finish the swap (drop
+    * stale base if any, rename) then truncate; _next gone → the swap
+    * committed, only the truncate is owed. Either way the delta rows
+    * end up in exactly one table before the marker clears.
+    */
+  private[graft] def q122CompactRecover(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.withArtifactLock(db, "q122_codes_base") {
+      Bucketed.withArtifactLock(db, "q122_codes_delta") {
+        q122RecoverLocked(s, db)
+      }
+    }
+  }
+
+  private def q122RecoverLocked(s: SparkSession, db: String): Unit = {
+    if (!java.nio.file.Files.exists(q122Marker(db))) return
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.q122_codes_base_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
+        s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
+          s"$db.q122_codes_base")
+      }
+      if (s.catalog.tableExists(s"$db.q122_codes_delta")) {
+        val schema = s.table(s"$db.q122_codes_delta").schema
+        Bucketed.rewriteBucketed(s, db, "q122_codes_delta",
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          8, Seq("cell"))
+      }
+    }
+    java.nio.file.Files.deleteIfExists(q122Marker(db))
   }
 
   /** q90c's serving body over ANY staged codes frame (vec_id, nrm, cell,
@@ -926,9 +986,11 @@ object Similarity {
     // codes-only scan shape; deltas compact into the base on the
     // land-then-compact schedule (ingest/Compact.scala) rather than per
     // batch.
-    "q122_incremental_pq_codes" -> ((s, d) =>
+    "q122_incremental_pq_codes" -> ((s, d) => {
+      q122CompactRecover(s, d) // roll forward an interrupted compaction
       ivfPqServeStaged(s, d,
-        q122BaseArtifact(s, d).unionByName(q122DeltaArtifact(s, d)))),
+        q122BaseArtifact(s, d).unionByName(q122DeltaArtifact(s, d)))
+    }),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
     // scale path when no natural shard/label exists (q35 needs one).

@@ -69,6 +69,24 @@ object StreamingQueries {
     stage.toString
   }
 
+  /** Stage `df` as ONE parquet replay file `<dir>/<prefix>NNNN.parquet`
+    * with an mtime that orders it n-th for the file streaming source —
+    * the q30/q124 multi-batch replay primitive. The directory stream is
+    * closed (see [[stageTableDir]]'s leak note).
+    */
+  private def writeReplayFile(dir: java.nio.file.Path, df: DataFrame,
+      prefix: String, n: Int): Unit = {
+    val stage = dir.resolve(s"stage_$prefix$n")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val ls = Files.list(stage)
+    val part =
+      try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+    val dst = dir.resolve(f"$prefix$n%04d.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(1700000000000L + n * 60000L)
+  }
+
   /** Streaming view of events, `ts` normalized to TimestampType whatever
     * raw layout the parquet ships ([[graft.Tables.tsTimestamp]]).
     */
@@ -529,20 +547,11 @@ object StreamingQueries {
       val dir = Files.createTempDirectory("graft_q124")
       val inDir = dir.resolve("in")
       Files.createDirectories(inDir)
-      def writeBatch(df: DataFrame, n: Int): Unit = {
-        val stage = dir.resolve(s"stage$n")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dst = inDir.resolve(f"fold$n%04d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(1700000000000L + n * 60000L)
-      }
       val docs = Tables.documents(s, d)
       val folds = 3
       for (k <- 0 until folds)
-        writeBatch(docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), k)
+        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
       // frozen corpus index (q120's staged artifacts) + per-run state
       val baseLabels = Dedup.q120LabelsArtifact(s, d)
       val corpusDf = Dedup.q120DfArtifact(s, d)
@@ -555,6 +564,13 @@ object StreamingQueries {
         .write.parquet(labelsDir)
       corpusPrefix.limit(0).write.parquet(prefixDir)
       docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      // Micro-batch REDELIVERY (a crash between the appends and the
+      // checkpoint commit) re-runs the fold with the same ver and
+      // appends byte-identical rows; every consumer is insensitive to
+      // that duplication — candidate pairs pass a distinct(), seen ids
+      // feed a semi-join, and latestWins picks one row per (doc, ver)
+      // whose duplicates are identical. At-least-once delivery therefore
+      // yields exactly-once RESULTS without a transactional sink.
       def fold(b: DataFrame, ver: Long): Unit = {
         val seenDocs = corpus.unionByName(
           docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
@@ -588,23 +604,14 @@ object StreamingQueries {
 
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
-      def writeBatch(df: DataFrame, n: Int): Unit = {
-        val stage = dir.resolve(s"stage$n")
-        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        val dst = dir.resolve(f"batch$n%04d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        dst.toFile.setLastModified(1700000000000L + n * 60000L)
-      }
       // Normalize ts FIRST (layout-adaptive), split on the micros instant,
       // and re-write the two batches with Spark — so the staged files are
       // always in Spark's own timestamp layout regardless of how the
       // driver generated the source table.
       val ev = graft.Tables.events(s, d)
       val split = timestamp_micros(lit(QThirty.splitNanos / 1000L))
-      writeBatch(ev.filter(col("ts") < split), 1)
-      writeBatch(ev.filter(col("ts") >= split), 2)
+      writeReplayFile(dir, ev.filter(col("ts") < split), "batch", 1)
+      writeReplayFile(dir, ev.filter(col("ts") >= split), "batch", 2)
 
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -116,6 +116,40 @@ class PipelineSpec extends AnyFunSuite {
       "serving changed across compaction — the swap is not transparent")
   }
 
+  test("q122 compaction crash: rename-committed-but-delta-stale rolls forward, never double-counts") {
+    import operators.{Bucketed, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft_q122r").toString
+    spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val before = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    val db = Bucketed.dbFor(dir)
+    val base = Similarity.q122BaseArtifact(spark, dir)
+    val delta = Similarity.q122DeltaArtifact(spark, dir)
+    val (nBase, nDelta) = (base.count(), delta.count())
+    assert(nDelta > 0, "fixture degenerate: nothing to compact")
+    // simulate the worst crash window by hand: merged segment written,
+    // marker set, swap COMMITTED — process dies before the delta
+    // truncate. The delta rows now exist in BOTH tables.
+    Bucketed.rewriteBucketed(spark, db, "q122_codes_base_next",
+      base.unionByName(delta), 8, Seq("cell"))
+    val marker = java.nio.file.Paths.get("/tmp/graft-warehouse",
+      s"$db.db", "q122_compact_pending")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    spark.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
+    spark.sql(
+      s"ALTER TABLE $db.q122_codes_base_next RENAME TO $db.q122_codes_base")
+    // next serving run must roll the truncate forward and match exactly
+    val after = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    assert(after.toSeq === before.toSeq,
+      "serving after an interrupted compaction diverged (double count?)")
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+    assert(Similarity.q122BaseArtifact(spark, dir).count() === nBase + nDelta)
+    assert(Similarity.q122DeltaArtifact(spark, dir).count() === 0L)
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // Isolated tier copy: the rebuild OVERWRITES the artifact's parquet
     // files, which would invalidate any concurrently-running suite

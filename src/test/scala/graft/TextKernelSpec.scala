@@ -119,6 +119,10 @@ class TextKernelSpec extends AnyFunSuite {
     assert(Bpe.tokenize("").toSeq === Seq.empty)
     assert(Bpe.tokenize("a").toSeq === Seq("a"))
     assert(Bpe.tokenize("qqq").toSeq === Seq("q", "q", "q")) // no merges
+    // code-point seeding: a supplementary-plane char is ONE seed token
+    // (DuckDB's w[i]/len(w) semantics), never two unpaired surrogates
+    assert(Bpe.tokenize("a😀b").toSeq ===
+      Seq("a", "😀", "b"))
     // "and": (a,n) rank 3 beats (n,d); then (an,d) rank 19
     assert(Bpe.tokenize("and").toSeq === Seq("and"))
     // the compiled expression computes the same counts inside a plan
