@@ -478,6 +478,23 @@ class PlanSpec extends AnyFunSuite {
     // PipelineSpec — a plan-text heuristic for it would be fragile)
   }
 
+  test("q123/q125 maintenance serves read the staged tables, corpus never re-aggregated") {
+    // the whole point of the monoid folds: the frozen side of each merge
+    // is a staged-table scan, not a recomputation of the corpus agg
+    val p123 = plan("q123_incremental_manifest")
+    assert(p123.contains("q123_manifest_base"),
+      s"q123 must read the staged base manifest:\n${p123.take(2000)}")
+    val p125 = plan("q125_incremental_boiler")
+    assert(p125.contains("q125_seg_df"),
+      s"q125 must read the staged corpus df table:\n${p125.take(2000)}")
+    // and exactly ONE documents scan feeds each batch-side agg (the
+    // serving strip pass scans documents too — so q125 has at most two)
+    val scans123 = p123.linesIterator
+      .count(l => l.contains("documents.parquet") && l.contains("FileScan"))
+    assert(scans123 === 1,
+      s"q123 should scan documents once (the batch agg), got $scans123")
+  }
+
   test("q108 static sides are table scans; stream side is narrow") {
     // same contract as q89: the static sides of the stream-static joins
     // are re-evaluated per micro-batch, so they must be materialized
