@@ -705,7 +705,142 @@ object Dedup {
       .filter(col("df") >= SegDf)
       .select(col("sh"), lit(1L).as("is_boiler"))
 
+  // ---- q126: labels override-chain COMPACTION ----------------------------
+  //
+  // q120/q124 accumulate override rows beside the frozen base, and
+  // [[latestWins]]' broadcast anti-join is valid exactly as long as the
+  // override id set stays broadcast-small — its own Scaladoc defers to "the
+  // delta is compacted into the base before that". This is that compaction:
+  // materialize the latest-wins view into a NEW base table, atomic catalog
+  // swap, truncate the delta — the q122 land-then-compact shape applied to
+  // an OVERRIDE (latest-wins) artifact instead of an append-only one.
+  //
+  // Crash safety differs from q122 in one pleasant way: latest-wins serving
+  // is idempotent under the worst crash window. If the process dies after
+  // the rename but before the delta truncate, the override rows exist in
+  // BOTH tables — but base-anti-override ∪ latest(delta) still returns each
+  // doc exactly once with its newest labels, so even a reader that missed
+  // the redo marker serves correct rows (q122's append-union would
+  // double-count here). The marker therefore owes only the rename
+  // completion and the truncate (cost, not correctness) — still applied
+  // before serving so the anti-join's broadcast side shrinks back to zero.
+
+  /** Spec counter: how many times the q126 fold evaluated (delta writes). */
+  private[graft] val q126DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q126's own copy of the corpus labels (namespaced: compaction REWRITES
+    * the base, which must never mutate `q120_corpus_labels` under q120/q124
+    * readers running in the same session).
+    */
+  private[graft] def q126BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q126_labels_base",
+      s"$d/documents.parquet", q120LabelsArtifact(s, d), 8, Seq("doc_id"))
+
+  /** The staged override delta: q120's fold output with `ver`, bucketed by
+    * doc_id like the base. Every dependency artifact is resolved BEFORE the
+    * delta's write-once lock so lock acquisition stays in one global order
+    * (q126_base < q126_delta < q120_*) — the builder never holds the delta
+    * lock while requesting the base lock, which would deadlock against
+    * [[q126Compact]]'s sorted base→delta acquisition.
+    */
+  private[graft] def q126DeltaArtifact(s: SparkSession, d: String): DataFrame = {
+    val base = q126BaseArtifact(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val pairs = batchPairs(q120Corpus(s, d), batch,
+      q120DfArtifact(s, d), q120PrefixArtifact(s, d))
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q126_labels_delta",
+      s"$d/documents.parquet",
+      {
+        q126DeltaWrites.incrementAndGet()
+        incrementalSubLabels(base, pairs)._1.withColumn("ver", lit(1L))
+      }, 8, Seq("doc_id"))
+  }
+
+  /** Fold the override delta into the base: write latest-wins to a new
+    * segment, swap it in with a catalog rename, truncate the delta. Redo
+    * marker + sorted two-table locks exactly as q122Compact; see the block
+    * comment above for why a missed marker is cost-only here.
+    */
+  private[graft] def q126Compact(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.withArtifactLock(db, "q126_labels_base") {
+      Bucketed.withArtifactLock(db, "q126_labels_delta") {
+        q126RecoverLocked(s, db)
+        val delta = q126DeltaArtifact(s, d)
+        val emptyDelta = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+        Bucketed.rewriteBucketed(s, db, "q126_labels_base_next",
+          latestWins(q126BaseArtifact(s, d), delta), 8, Seq("doc_id"))
+        java.nio.file.Files.createDirectories(q126Marker(db).getParent)
+        java.nio.file.Files.write(q126Marker(db), Array.emptyByteArray)
+        s.sql(s"DROP TABLE IF EXISTS $db.q126_labels_base")
+        s.sql(s"ALTER TABLE $db.q126_labels_base_next RENAME TO " +
+          s"$db.q126_labels_base")
+        Bucketed.rewriteBucketed(s, db, "q126_labels_delta", emptyDelta,
+          8, Seq("doc_id"))
+        java.nio.file.Files.deleteIfExists(q126Marker(db))
+      }
+    }
+  }
+
+  private def q126Marker(db: String): java.nio.file.Path =
+    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
+      "q126_compact_pending")
+
+  /** Roll an interrupted compaction forward (idempotent; no-op without the
+    * marker) — the q122RecoverLocked states, labels edition.
+    */
+  private[graft] def q126CompactRecover(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.withArtifactLock(db, "q126_labels_base") {
+      Bucketed.withArtifactLock(db, "q126_labels_delta") {
+        q126RecoverLocked(s, db)
+      }
+    }
+  }
+
+  private def q126RecoverLocked(s: SparkSession, db: String): Unit = {
+    if (!java.nio.file.Files.exists(q126Marker(db))) return
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.q126_labels_base_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.q126_labels_base")
+        s.sql(s"ALTER TABLE $db.q126_labels_base_next RENAME TO " +
+          s"$db.q126_labels_base")
+      }
+      if (s.catalog.tableExists(s"$db.q126_labels_delta")) {
+        val schema = s.table(s"$db.q126_labels_delta").schema
+        Bucketed.rewriteBucketed(s, db, "q126_labels_delta",
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          8, Seq("doc_id"))
+      }
+    }
+    java.nio.file.Files.deleteIfExists(q126Marker(db))
+  }
+
+  /** Serve the current labels: recover any interrupted compaction, then the
+    * latest-wins view over base ∪ delta — which after a compaction is just
+    * the (bucketed) base scan, zero override machinery.
+    */
+  private[graft] def q126Serve(s: SparkSession, d: String): DataFrame = {
+    q126CompactRecover(s, d)
+    latestWins(q126BaseArtifact(s, d), q126DeltaArtifact(s, d))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q126 — override-chain compaction under the CORRECTNESS gate: stage
+    // the q120 fold as an override delta, compact it into the base (when
+    // there is anything to compact — warm runs serve straight from the
+    // already-compacted base), and serve. The oracle is q120's from-scratch
+    // closure over corpus+batch, so BOTH maintenance steps — the fold and
+    // the compaction swap — are hash-proven invisible in the result.
+    "q126_labels_compact" -> ((s, d) => {
+      q126CompactRecover(s, d)
+      if (q126DeltaArtifact(s, d).limit(1).count() > 0) q126Compact(s, d)
+      q126Serve(s, d).orderBy(col("doc_id"))
+    }),
+
     // q120 — INCREMENTAL dup-label maintenance (see the block comment at
     // [[batchPairs]]): fold the arriving tenth into the frozen corpus
     // labels via delta-scoped pair generation + subgraph-only CC
@@ -1164,6 +1299,14 @@ object Dedup {
       // the oracle is the from-scratch q73 recursive closure over the
       // FULL corpus (old nine tenths + new tenth), nothing incremental
       "q120_incremental_labels" ->
+        s"""WITH RECURSIVE $sqlRepsCte
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q126: fold + compaction-swap must BOTH be invisible — same
+      // from-scratch closure as q120
+      "q126_labels_compact" ->
         s"""WITH RECURSIVE $sqlRepsCte
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size

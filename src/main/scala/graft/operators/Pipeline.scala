@@ -94,15 +94,25 @@ object Pipeline {
     * rep-or-unclustered], is_train [cumulative: + split hash < 80 on the
     * cluster-keyed q87 split key]).
     */
-  private[graft] def curationFlags(s: SparkSession, d: String): DataFrame = {
+  private[graft] def curationFlags(s: SparkSession, d: String): DataFrame =
+    flagsOf(docTokens(s, d),
+      TextOps.q84Verdicts(s, d),
+      Dedup.labelsArtifact(s, d).select(col("doc_id"), col("rep")))
+
+  /** The gate-flag frame from its three ingredients — (source, doc_id,
+    * tokens) rows, q84-shaped verdicts (doc_id, …, keep), and a labels
+    * frame (doc_id, rep). Factored out of [[curationFlags]] so q127's
+    * incremental path scores an arriving BATCH through the byte-identical
+    * gate chain (with the batch's incremental labels) — the two cannot
+    * drift.
+    */
+  private def flagsOf(toks: DataFrame, verdicts: DataFrame,
+      labels: DataFrame): DataFrame = {
     import graft.operators.Shared.hash60
-    val verdicts = TextOps.q84Verdicts(s, d)
-      .filter(col("keep") === 1)
+    val vq = verdicts.filter(col("keep") === 1)
       .select(col("doc_id"), lit(1L).as("vq"))
-    val labels = Dedup.labelsArtifact(s, d)
-      .select(col("doc_id"), col("rep"))
-    docTokens(s, d)
-      .join(verdicts, Seq("doc_id"), "left")
+    toks
+      .join(vq, Seq("doc_id"), "left")
       .join(labels, Seq("doc_id"), "left")
       .withColumn("is_quality", col("vq").isNotNull)
       .withColumn("is_canonical",
@@ -116,11 +126,163 @@ object Pipeline {
   }
 
   private def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docTokensOf(Tables.documents(s, d))
+
+  private def docTokensOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), col("doc_id"),
         when(col("text").isNull, lit(0L))
           .otherwise(size(split(col("text"), " ")).cast("long"))
           .as("tokens"))
+
+  /** q119's measure block over a gate-flag frame — shared by the
+    * from-scratch scorecard and q127's base/batch partial aggregates, so
+    * the maintained dashboard aggregates the same measures by construction.
+    */
+  private def scorecardAgg(flags: DataFrame): DataFrame =
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        count(when(col("is_quality"), 1)).as("n_quality"),
+        count(when(col("is_canonical"), 1)).as("n_canonical"),
+        count(when(col("is_train"), 1)).as("n_train"),
+        coalesce(sum(when(col("is_train"), col("tokens"))), lit(0L))
+          .as("train_tokens"))
+
+  // ---- q127: INCREMENTAL scorecard maintenance ---------------------------
+  //
+  // q119 recomputes the per-source dashboard with a full corpus pass; a
+  // corpus that ingests daily wants the dashboard kept CURRENT for the
+  // cost of the batch. The decomposition rides on which gate inputs can
+  // change when a batch arrives:
+  //
+  //  - tokens and the q84 quality verdict are pure per-doc functions —
+  //    frozen corpus docs never change them, so n_docs / n_tokens /
+  //    n_quality are plain monoids: base + batch;
+  //  - is_canonical / is_train depend on the dedup labels, which q120's
+  //    fold changes ONLY inside the touched clusters (the incremental-CC
+  //    subgraph). Every corpus doc whose rep can have changed appears in
+  //    that subgraph's output, so the label-dependent measures are
+  //    base + batch + Σ(new − old) over exactly those docs — a bounded
+  //    CORRECTION, not a rescan (the demoted-former-rep case the planted
+  //    spec exercises).
+  //
+  // Frozen state: the corpus scorecard (|sources| rows) and a per-doc
+  // (tokens, quality) flag table bucketed by doc_id — corrections probe it
+  // with the delta-bounded subgraph id set, never shuffling the corpus.
+  // keep_rate is NOT a monoid and is recomputed from the merged counts
+  // (exact — it is a pure function of n_train/n_docs). The oracle is
+  // from-scratch q119 over corpus+batch: maintenance must be invisible.
+
+  /** Spec counters: corpus-pass artifact builds (each must happen once). */
+  private[graft] val q127BaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val q127FlagWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-doc PURE gate inputs of the frozen corpus — (doc_id, source,
+    * tokens, isq) — bucketed by doc_id so the correction join co-locates
+    * with the (equally doc_id-bucketed) labels artifacts.
+    */
+  private[graft] def q127DocflagsArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q127_corpus_docflags",
+      s"$d/documents.parquet",
+      {
+        q127FlagWrites.incrementAndGet()
+        val corpus = Dedup.q120Corpus(s, d)
+        docTokensOf(corpus)
+          .join(TextOps.q84VerdictsOf(corpus)
+            .select(col("doc_id"), col("keep").as("isq")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("tokens"),
+            coalesce(col("isq"), lit(0L)).as("isq"))
+      }, 8, Seq("doc_id"))
+
+  /** The frozen corpus scorecard — q119's aggregate over the corpus nine
+    * tenths under the corpus-only labels (q120's frozen base).
+    */
+  private[graft] def q127BaseArtifact(s: SparkSession, d: String): DataFrame = {
+    val docflags = q127DocflagsArtifact(s, d)
+    val labels = Dedup.q120LabelsArtifact(s, d)
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q127_base_scorecard",
+      s"$d/documents.parquet",
+      {
+        q127BaseWrites.incrementAndGet()
+        scorecardAgg(flagsOf(
+          docflags.select(col("source"), col("doc_id"), col("tokens")),
+          docflags.select(col("doc_id"), col("isq").as("keep")),
+          labels.select(col("doc_id"), col("rep"))))
+      }, 1, Seq("source"))
+  }
+
+  /** The label-dependent corrections: for every CORPUS doc in the
+    * incremental-CC subgraph, Σ(new − old) of the canonical/train
+    * measures under (new labels = the subgraph output, old labels = the
+    * frozen base). Docs outside the subgraph cannot have changed rep —
+    * their contribution is identically zero and is never touched.
+    */
+  private[graft] def q127Corrections(sub: DataFrame,
+      docflags: DataFrame, oldLabels: DataFrame): DataFrame = {
+    import graft.operators.Shared.hash60
+    def trainBit(c: Column, key: Column): Column =
+      c && pmod(hash60(key.cast("string")), lit(100)) < 80
+    val b = (c: Column) => c.cast("long")
+    docflags
+      .join(sub.select(col("doc_id"), col("rep").as("new_rep")),
+        Seq("doc_id"))
+      .join(oldLabels.select(col("doc_id"), col("rep").as("old_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("q", col("isq") === 1)
+      .withColumn("old_c", col("q") &&
+        (col("old_rep").isNull || col("old_rep") === col("doc_id")))
+      .withColumn("new_c", col("q") && col("new_rep") === col("doc_id"))
+      .withColumn("old_t",
+        trainBit(col("old_c"), coalesce(col("old_rep"), col("doc_id"))))
+      .withColumn("new_t", trainBit(col("new_c"), col("new_rep")))
+      .groupBy(col("source"))
+      .agg(sum(b(col("new_c")) - b(col("old_c"))).as("d_canonical"),
+        sum(b(col("new_t")) - b(col("old_t"))).as("d_train"),
+        sum(col("tokens") * (b(col("new_t")) - b(col("old_t"))))
+          .as("d_train_tokens"))
+  }
+
+  /** The maintained scorecard: base ⊞ batch ⊞ corrections, per source.
+    * Full-outer merges with identity fill — a brand-new source enters via
+    * the batch side, a base-only source carries verbatim.
+    */
+  private[graft] def q127Merged(s: SparkSession, d: String): DataFrame = {
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val pairs = Dedup.batchPairs(Dedup.q120Corpus(s, d), batch,
+      Dedup.q120DfArtifact(s, d), Dedup.q120PrefixArtifact(s, d))
+    val oldLabels = Dedup.q120LabelsArtifact(s, d)
+    val (sub, _) = Dedup.incrementalSubLabels(oldLabels, pairs)
+    val batchAgg = scorecardAgg(flagsOf(
+      docTokensOf(batch),
+      TextOps.q84VerdictsOf(batch),
+      sub.select(col("doc_id"), col("rep"))))
+    val corr = q127Corrections(sub, q127DocflagsArtifact(s, d), oldLabels)
+    val z = (n: String) => coalesce(col(n), lit(0L))
+    val measures = Seq("n_docs", "n_tokens", "n_quality", "n_canonical",
+      "n_train", "train_tokens")
+    val bb = measures.foldLeft(batchAgg) { (df, m) =>
+      df.withColumnRenamed(m, s"b_$m")
+    }
+    q127BaseArtifact(s, d)
+      .join(bb, Seq("source"), "full_outer")
+      .join(corr, Seq("source"), "full_outer")
+      .select(col("source") +: measures.map {
+        case "n_canonical" =>
+          (z("n_canonical") + z("b_n_canonical") + z("d_canonical"))
+            .as("n_canonical")
+        case "n_train" =>
+          (z("n_train") + z("b_n_train") + z("d_train")).as("n_train")
+        case "train_tokens" =>
+          (z("train_tokens") + z("b_train_tokens") + z("d_train_tokens"))
+            .as("train_tokens")
+        case m => (z(m) + z(s"b_$m")).as(m)
+      }: _*)
+  }
 
   /** Greedy sequence packing of (source, doc_id, tokens) rows into
     * 2048-token context windows by doc_id order — the q78 body, shared
@@ -509,15 +671,15 @@ object Pipeline {
     // shows. Third consumer of the shared [[curationFlags]] frame — one
     // corpus pass, one source-keyed conditional aggregate.
     "q119_source_scorecard" -> ((s, d) =>
-      curationFlags(s, d)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tokens")).as("n_tokens"),
-          count(when(col("is_quality"), 1)).as("n_quality"),
-          count(when(col("is_canonical"), 1)).as("n_canonical"),
-          count(when(col("is_train"), 1)).as("n_train"),
-          coalesce(sum(when(col("is_train"), col("tokens"))), lit(0L))
-            .as("train_tokens"))
+      scorecardAgg(curationFlags(s, d))
+        .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
+        .orderBy(col("source"))),
+
+    // q127 — INCREMENTAL scorecard maintenance: q119's per-source dashboard
+    // kept current as a batch arrives, touching ONLY the batch and the
+    // clusters the batch touched. See [[q127Merged]] for the algebra.
+    "q127_incremental_scorecard" -> ((s, d) =>
+      q127Merged(s, d)
         .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
         .orderBy(col("source"))),
 
@@ -667,6 +829,38 @@ object Pipeline {
   )
 
   private def sqlQueryVec: String = queryVec.mkString("[", ", ", "]")
+
+  /** The q119 scorecard oracle — shared verbatim with q127, whose
+    * incremental maintenance must be invisible against it.
+    */
+  private lazy val sqlQ119: String =
+    s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
+       |  ${TextOps.sqlQ84Cte},
+       |  dtok AS (SELECT source, doc_id,
+       |             CAST(COALESCE(len(string_split(text, ' ')), 0)
+       |               AS BIGINT) AS tokens
+       |           FROM documents),
+       |  f AS (SELECT dt.source, dt.tokens,
+       |      (r.reasons = 0) AS isq,
+       |      ((r.reasons = 0) AND
+       |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep)) AS isc,
+       |      ((r.reasons = 0) AND
+       |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep) AND
+       |       ${Shared.sqlHash60(
+                "CAST(COALESCE(reps.rep, dt.doc_id) AS VARCHAR)")}
+       |         % 100 < 80) AS ist
+       |    FROM dtok dt JOIN r ON dt.doc_id = r.doc_id
+       |    LEFT JOIN reps ON dt.doc_id = reps.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+       |  COUNT(*) FILTER (WHERE isq) AS n_quality,
+       |  COUNT(*) FILTER (WHERE isc) AS n_canonical,
+       |  COUNT(*) FILTER (WHERE ist) AS n_train,
+       |  CAST(COALESCE(SUM(tokens) FILTER (WHERE ist), 0) AS BIGINT)
+       |    AS train_tokens,
+       |  ROUND((COUNT(*) FILTER (WHERE ist))::DOUBLE / COUNT(*), 4)
+       |    AS keep_rate
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q22_json" ->
@@ -896,34 +1090,11 @@ object Pipeline {
          |ORDER BY stage""".stripMargin,
 
     // q119: the q118 gate chain as per-doc booleans, grouped by source
-    "q119_source_scorecard" ->
-      s"""WITH RECURSIVE ${Dedup.sqlRepsCte},
-         |  ${TextOps.sqlQ84Cte},
-         |  dtok AS (SELECT source, doc_id,
-         |             CAST(COALESCE(len(string_split(text, ' ')), 0)
-         |               AS BIGINT) AS tokens
-         |           FROM documents),
-         |  f AS (SELECT dt.source, dt.tokens,
-         |      (r.reasons = 0) AS isq,
-         |      ((r.reasons = 0) AND
-         |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep)) AS isc,
-         |      ((r.reasons = 0) AND
-         |       (reps.doc_id IS NULL OR reps.doc_id = reps.rep) AND
-         |       ${Shared.sqlHash60(
-                  "CAST(COALESCE(reps.rep, dt.doc_id) AS VARCHAR)")}
-         |         % 100 < 80) AS ist
-         |    FROM dtok dt JOIN r ON dt.doc_id = r.doc_id
-         |    LEFT JOIN reps ON dt.doc_id = reps.doc_id)
-         |SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(tokens) AS BIGINT) AS n_tokens,
-         |  COUNT(*) FILTER (WHERE isq) AS n_quality,
-         |  COUNT(*) FILTER (WHERE isc) AS n_canonical,
-         |  COUNT(*) FILTER (WHERE ist) AS n_train,
-         |  CAST(COALESCE(SUM(tokens) FILTER (WHERE ist), 0) AS BIGINT)
-         |    AS train_tokens,
-         |  ROUND((COUNT(*) FILTER (WHERE ist))::DOUBLE / COUNT(*), 4)
-         |    AS keep_rate
-         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q119_source_scorecard" -> sqlQ119,
+
+    // q127: incremental maintenance must be INVISIBLE — the oracle is
+    // from-scratch q119 over corpus+batch, verbatim
+    "q127_incremental_scorecard" -> sqlQ119,
 
     // q94 = q93's gates + the 13-shingle decontamination anti-join,
     // recomposed from the same shared fragments

@@ -130,8 +130,16 @@ object TextOps {
     * score, reasons, keep) — consumed by the q84 query itself and by the
     * composed corpus-build pipeline (q93). Unordered; callers sort.
     */
-  private[graft] def q84Verdicts(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  private[graft] def q84Verdicts(s: SparkSession, d: String): DataFrame =
+    q84VerdictsOf(Tables.documents(s, d))
+
+  /** [[q84Verdicts]] over an arbitrary (doc_id, text) frame — the verdict
+    * is a pure per-doc function, so q127's incremental scorecard can score
+    * an arriving batch alone (O(|batch|)) and reuse frozen corpus verdicts.
+    */
+  private[graft] def q84VerdictsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val base = docs
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")).cast("long"))

@@ -150,6 +150,135 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.q122DeltaArtifact(spark, dir).count() === 0L)
   }
 
+  // ---- q126/q127 planted tier ------------------------------------------
+  //
+  // Texts engineered on 3-token shingles AND the q84 quality gate at once:
+  // QA/QB are 40 distinct tokens each (incl. the "the" marker → quality
+  // keeps), sharing their first 30 tokens → J = 28/48 ≈ 0.583 < 0.6 (not a
+  // pair), while each exact copy pairs at J = 1. The batch doc is QA ++ QB
+  // (80 tokens, J = 38/50 = 0.76 against both) — one batch doc bridges the
+  // two quality clusters, DEMOTING the former rep of {3, 13}: source s2
+  // loses a canonical doc, the correction q127 exists for.
+  private def q126Tier(): String = {
+    import spark.implicits._
+    val common = "the" +: (2 to 30).map(i => s"w$i")
+    val qa = (common ++ (31 to 40).map(i => s"w$i")).mkString(" ")
+    val qb = (common ++ (31 to 40).map(i => s"v$i")).mkString(" ")
+    val bridge = s"$qa $qb"
+    val filler = (1 to 9).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q126").toString
+    Seq((1L, qa, "s1"), (11L, qa, "s1"), (3L, qb, "s2"), (13L, qb, "s2"),
+      (7L, filler, "s3"), (20L, bridge, "s3"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q126 compaction: serve-before == serve-after, delta truncated, warm run folds nothing") {
+    import org.apache.spark.sql.functions.col
+    val dir = q126Tier()
+    Dedup.q126CompactRecover(spark, dir)
+    val nDelta = Dedup.q126DeltaArtifact(spark, dir).count()
+    assert(nDelta > 0, "fixture degenerate: empty override delta")
+    val before = Dedup.q126Serve(spark, dir).orderBy(col("doc_id")).collect()
+    Dedup.q126Compact(spark, dir)
+    assert(Dedup.q126DeltaArtifact(spark, dir).count() === 0L,
+      "compaction must truncate the override delta")
+    val after = Dedup.q126Serve(spark, dir).orderBy(col("doc_id")).collect()
+    assert(after.toSeq === before.toSeq,
+      "serving changed across the compaction swap")
+    // the bridge really merged the two clusters: one rep, size 5
+    assert(after.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === Set((1L, 1L, 5L), (3L, 1L, 5L), (11L, 1L, 5L), (13L, 1L, 5L),
+        (20L, 1L, 5L)))
+    // a warm query run folds nothing and serves straight from the base
+    val w0 = Dedup.q126DeltaWrites.get()
+    val warm = Dedup.queries("q126_labels_compact")(spark, dir).collect()
+    assert(Dedup.q126DeltaWrites.get() === w0,
+      "a warm serving run re-ran the fold")
+    assert(warm.toSeq === after.toSeq)
+  }
+
+  test("q126 compaction crash: latest-wins never double-serves; marker rolls forward") {
+    import operators.Bucketed
+    import org.apache.spark.sql.functions.col
+    val dir = q126Tier()
+    val db = Bucketed.dbFor(dir)
+    Dedup.q126CompactRecover(spark, dir)
+    val base = Dedup.q126BaseArtifact(spark, dir)
+    val delta = Dedup.q126DeltaArtifact(spark, dir)
+    val (nBase, nDelta) = (base.count(), delta.count())
+    assert(nDelta > 0, "fixture degenerate: nothing to compact")
+    val expect = Dedup.q126Serve(spark, dir).orderBy(col("doc_id")).collect()
+    // worst window by hand: merged segment written, marker set, swap
+    // COMMITTED — process dies before the delta truncate. The override
+    // rows now exist (materialized) in the base AND (as overrides) in the
+    // delta.
+    Bucketed.rewriteBucketed(spark, db, "q126_labels_base_next",
+      Dedup.latestWins(base, delta), 8, Seq("doc_id"))
+    val marker = java.nio.file.Paths.get("/tmp/graft-warehouse",
+      s"$db.db", "q126_compact_pending")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    spark.sql(s"DROP TABLE IF EXISTS $db.q126_labels_base")
+    spark.sql(
+      s"ALTER TABLE $db.q126_labels_base_next RENAME TO $db.q126_labels_base")
+    // the latest-wins property: even a reader that MISSED the marker
+    // serves the double-present state correctly (override rows replace
+    // their base copies — q122's append-union would double-count here)
+    val doubled = Dedup.latestWins(spark.table(s"$db.q126_labels_base"),
+      spark.table(s"$db.q126_labels_delta"))
+      .orderBy(col("doc_id")).collect()
+    assert(doubled.toSeq === expect.toSeq,
+      "latest-wins over the crash window diverged")
+    // and the serving query rolls the truncate forward
+    val after = Dedup.queries("q126_labels_compact")(spark, dir).collect()
+    assert(after.toSeq === expect.toSeq)
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+    assert(Dedup.q126DeltaArtifact(spark, dir).count() === 0L)
+    assert(Dedup.q126BaseArtifact(spark, dir).count() === nBase + 1,
+      "compacted base must hold the corpus labels + the bridge doc")
+  }
+
+  test("q127 incremental scorecard == from-scratch q119, incl. the demotion correction") {
+    import operators.Pipeline
+    import org.apache.spark.sql.functions.col
+    val dir = q126Tier()
+    val got = Pipeline.queries("q127_incremental_scorecard")(spark, dir)
+      .collect()
+    val want = Pipeline.queries("q119_source_scorecard")(spark, dir)
+      .collect()
+    assert(got.toSeq === want.toSeq,
+      "maintained scorecard diverged from the from-scratch dashboard")
+    // the fixture really exercises the correction path: s2's former rep
+    // (doc 3) is demoted by the bridge merge, so its source LOSES a
+    // canonical doc relative to the frozen base — a pure monoid fold
+    // (base + batch) could never produce this row
+    val batch = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+    val pairs = Dedup.batchPairs(Dedup.q120Corpus(spark, dir), batch,
+      Dedup.q120DfArtifact(spark, dir), Dedup.q120PrefixArtifact(spark, dir))
+    val (sub, _) = Dedup.incrementalSubLabels(
+      Dedup.q120LabelsArtifact(spark, dir), pairs)
+    val corr = Pipeline.q127Corrections(sub,
+      Pipeline.q127DocflagsArtifact(spark, dir),
+      Dedup.q120LabelsArtifact(spark, dir))
+    val s2 = corr.filter(col("source") === "s2").collect()
+    assert(s2.length === 1 && s2.head.getAs[Long]("d_canonical") === -1L,
+      s"expected s2 to lose exactly one canonical doc, got " +
+        s2.mkString(","))
+    // warm runs rebuild neither corpus-pass artifact
+    val (b0, f0) = (Pipeline.q127BaseWrites.get(), Pipeline.q127FlagWrites.get())
+    Pipeline.queries("q127_incremental_scorecard")(spark, dir).collect()
+    assert(Pipeline.q127BaseWrites.get() === b0 &&
+      Pipeline.q127FlagWrites.get() === f0,
+      "a warm maintenance run re-paid a corpus pass")
+  }
+
   test("a new session rewrites instead of trusting another session's memo") {
     // Isolated tier copy: the rebuild OVERWRITES the artifact's parquet
     // files, which would invalidate any concurrently-running suite
