@@ -190,14 +190,20 @@ object Pipeline {
       s"$d/documents.parquet",
       {
         q127FlagWrites.incrementAndGet()
-        val corpus = Dedup.q120Corpus(s, d)
-        docTokensOf(corpus)
-          .join(TextOps.q84VerdictsOf(corpus)
-            .select(col("doc_id"), col("keep").as("isq")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), col("source"), col("tokens"),
-            coalesce(col("isq"), lit(0L)).as("isq"))
+        docflagsOf(Dedup.q120Corpus(s, d))
       }, 8, Seq("doc_id"))
+
+  /** Per-doc PURE gate inputs of an arbitrary doc frame — q128's
+    * continuous fold appends these rows per micro-batch so LATER folds
+    * can correct earlier folds' docs when a merge demotes them.
+    */
+  private[graft] def docflagsOf(docs: DataFrame): DataFrame =
+    docTokensOf(docs)
+      .join(TextOps.q84VerdictsOf(docs)
+        .select(col("doc_id"), col("keep").as("isq")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("tokens"),
+        coalesce(col("isq"), lit(0L)).as("isq"))
 
   /** The frozen corpus scorecard — q119's aggregate over the corpus nine
     * tenths under the corpus-only labels (q120's frozen base).
@@ -257,18 +263,35 @@ object Pipeline {
       Dedup.q120DfArtifact(s, d), Dedup.q120PrefixArtifact(s, d))
     val oldLabels = Dedup.q120LabelsArtifact(s, d)
     val (sub, _) = Dedup.incrementalSubLabels(oldLabels, pairs)
-    val batchAgg = scorecardAgg(flagsOf(
+    q127MergeOf(q127BaseArtifact(s, d),
+      q127BatchAgg(batch, sub),
+      q127Corrections(sub, q127DocflagsArtifact(s, d), oldLabels))
+  }
+
+  /** The batch's own scorecard contribution — its docs through the shared
+    * gate chain under the fold's labels (in-subgraph docs get their merged
+    * rep, the rest enter unclustered).
+    */
+  private[graft] def q127BatchAgg(batch: DataFrame, sub: DataFrame): DataFrame =
+    scorecardAgg(flagsOf(
       docTokensOf(batch),
       TextOps.q84VerdictsOf(batch),
       sub.select(col("doc_id"), col("rep"))))
-    val corr = q127Corrections(sub, q127DocflagsArtifact(s, d), oldLabels)
+
+  /** base ⊞ batch ⊞ corrections — full-outer merges with identity fill.
+    * `base` must carry [[scorecardAgg]]'s (source + 6 measures) schema;
+    * the result carries it too, so folds CHAIN (q128 feeds fold k's merged
+    * scorecard back in as fold k+1's base).
+    */
+  private[graft] def q127MergeOf(base: DataFrame, batchAgg: DataFrame,
+      corr: DataFrame): DataFrame = {
     val z = (n: String) => coalesce(col(n), lit(0L))
     val measures = Seq("n_docs", "n_tokens", "n_quality", "n_canonical",
       "n_train", "train_tokens")
     val bb = measures.foldLeft(batchAgg) { (df, m) =>
       df.withColumnRenamed(m, s"b_$m")
     }
-    q127BaseArtifact(s, d)
+    base
       .join(bb, Seq("source"), "full_outer")
       .join(corr, Seq("source"), "full_outer")
       .select(col("source") +: measures.map {

@@ -602,6 +602,105 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q128 — CONTINUOUS scorecard maintenance: q127's monoid+corrections
+    // fold riding q124's micro-batch replay — the per-source curation
+    // dashboard kept live as the corpus ingests. Each fold:
+    //
+    //   labels  = q124's machinery (pairs against corpus ∪ accumulated
+    //             postings; subgraph CC over the latest-wins view);
+    //   scorecard' = q127MergeOf(scorecard, batchAgg(b, sub),
+    //             corrections(sub, corpusFlags ∪ ACCUMULATED batch flags,
+    //             current view)) appended with ver = fold+1 — so a later
+    //             fold can demote a doc that arrived in an EARLIER fold
+    //             (its pure flags come from the appended flag rows, its
+    //             old rep from the override view; the cross-fold
+    //             demotion spec pins exactly this);
+    //   state   = append override rows / postings / seen ids / flag rows.
+    //
+    // Every read inside a fold filters `ver < fold` (strictly pre-fold
+    // state), so micro-batch REDELIVERY recomputes byte-identical rows —
+    // at-least-once delivery, exactly-once results, no transactional
+    // sink (the q124 argument, extended to the scorecard store). The
+    // readout takes each source's newest row; the oracle is from-scratch
+    // q119 over ALL documents, so the whole fold chain — cross-fold
+    // merges, corrections, monoid adds — is hash-proven per tier.
+    "q128_stream_incremental_scorecard" -> ((s, d) => {
+      import graft.Tables
+      import graft.operators.{Dedup, Pipeline}
+      import org.apache.spark.sql.expressions.Window
+      val dir = Files.createTempDirectory("graft_q128")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val docs = Tables.documents(s, d)
+      val folds = 3
+      for (k <- 0 until folds)
+        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      val baseLabels = Dedup.q120LabelsArtifact(s, d)
+      val corpusDf = Dedup.q120DfArtifact(s, d)
+      val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
+      val corpus = Dedup.q120Corpus(s, d)
+      val corpusFlags = Pipeline.q127DocflagsArtifact(s, d)
+      val labelsDir = dir.resolve("labels_delta").toString
+      val prefixDir = dir.resolve("prefix_delta").toString
+      val seenDir = dir.resolve("seen").toString
+      val flagsDir = dir.resolve("flags_delta").toString
+      val scDir = dir.resolve("scorecard").toString
+      baseLabels.limit(0).withColumn("ver", lit(0L))
+        .write.parquet(labelsDir)
+      corpusPrefix.limit(0).write.parquet(prefixDir)
+      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      corpusFlags.limit(0).withColumn("ver", lit(0L))
+        .write.parquet(flagsDir)
+      Pipeline.q127BaseArtifact(s, d).withColumn("ver", lit(0L))
+        .write.parquet(scDir)
+      def latestSc(upTo: Long): DataFrame =
+        s.read.parquet(scDir).filter(col("ver") <= upTo)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("ver").desc)))
+          .filter(col("_rn") === 1).drop("_rn", "ver")
+      def fold(b: DataFrame, ver: Long): Unit = {
+        val seenDocs = corpus.unionByName(
+          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
+        val prefixAll =
+          corpusPrefix.unionByName(s.read.parquet(prefixDir))
+        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+        val current = Dedup.latestWins(baseLabels,
+          s.read.parquet(labelsDir).filter(col("ver") < ver))
+        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+        val allFlags = corpusFlags.unionByName(
+          s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
+            .dropDuplicates("doc_id"))
+        Pipeline.q127MergeOf(latestSc(ver),
+            Pipeline.q127BatchAgg(b, sub),
+            Pipeline.q127Corrections(sub, allFlags, current))
+          .withColumn("ver", lit(ver + 1))
+          .write.mode("append").parquet(scDir)
+        sub.withColumn("ver", lit(ver))
+          .write.mode("append").parquet(labelsDir)
+        Dedup.prefixRowsOf(b, corpusDf)
+          .write.mode("append").parquet(prefixDir)
+        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+        Pipeline.docflagsOf(b).withColumn("ver", lit(ver))
+          .write.mode("append").parquet(flagsDir)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            fold(b, id.longValue()))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      latestSc(Long.MaxValue)
+        .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    }),
+
     "q30_stream_late" -> ((s, d) => {
       val dir = Files.createTempDirectory("graft_q30")
       // Normalize ts FIRST (layout-adaptive), split on the micros instant,
@@ -638,6 +737,11 @@ object StreamingQueries {
     // cross-fold pairing and override chains are hash-proven per tier.
     "q124_stream_incremental_labels" ->
       graft.operators.Dedup.oracleSql("q120_incremental_labels"),
+    // q128: the continuously-maintained dashboard must land on exactly
+    // the from-scratch q119 scorecard over ALL documents — cross-fold
+    // corrections and monoid adds hash-proven per tier.
+    "q128_stream_incremental_scorecard" ->
+      graft.operators.Pipeline.oracleSql("q119_source_scorecard"),
     // q108: the q103 trained-assignment CTEs, then the new-tenth ×
     // corpus-nine-tenths cell join + cosine verify. The oracle keys BOTH
     // sides on the a3 assignment; a hash match therefore also proves the

@@ -2316,6 +2316,47 @@ class OperatorSpec extends AnyFunSuite {
       (20L, 10L, 4L)), "cross-fold bridge did not merge the clusters")
   }
 
+  test("q128 cross-fold demotion: a fold-2 merge corrects a fold-1 doc's scorecard row") {
+    import spark.implicits._
+    // The q124 bridge topology (J(X,B) = 29/49 < 0.6 < 37/51 = J(Y,B)),
+    // upgraded to QUALITY-passing texts (41-51 distinct tokens, "the"
+    // marker inside the shared run) and per-source placement so the
+    // demotion is visible in the dashboard:
+    //   corpus 11,12 = R+bt in s1 → cluster rep 11;
+    //   fold-1 doc 40 = R+xt in s2 → pairs NOTHING in its fold, enters as
+    //     a quality canonical singleton (s2 n_canonical = 1 after fold 1);
+    //   fold-2 doc 20 = R+xt+bt in s3 → bridges {40} with {11,12} via the
+    //     ACCUMULATED postings; merged rep 11 DEMOTES doc 40. Its pure
+    //     flags live only in the appended flag rows and its old rep only
+    //     in the override view — s2 ends at n_canonical = 0 iff the
+    //     cross-fold correction machinery works end to end.
+    val r = ("the" +: (2 to 31).map(i => s"r$i")).mkString(" ")
+    val xt = (1 to 10).map(i => s"x$i").mkString(" ")
+    val bt = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q128b").toString
+    Seq((11L, s"$r $bt", "s1"), (12L, s"$r $bt", "s1"),
+      (40L, s"$r $xt", "s2"), (20L, s"$r $xt $bt", "s3"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q128_stream_incremental_scorecard")(
+      spark, dir).collect()
+    val want = SparkEntry.queries("q119_source_scorecard")(spark, dir)
+      .collect()
+    assert(got.toSeq === want.toSeq,
+      "continuously-maintained scorecard diverged from from-scratch q119")
+    val s2 = got.find(_.getString(0) == "s2").get
+    assert(s2.getAs[Long]("n_docs") === 1L &&
+      s2.getAs[Long]("n_quality") === 1L &&
+      s2.getAs[Long]("n_canonical") === 0L,
+      s"fold-1 doc must end demoted (quality but not canonical): $s2")
+    val s1 = got.find(_.getString(0) == "s1").get
+    assert(s1.getAs[Long]("n_canonical") === 1L,
+      s"corpus rep must stay canonical: $s1")
+  }
+
   test("q123 merge algebra: one-sided sources, xor parity, mod-p wrap") {
     import spark.implicits._
     import operators.TextOps
