@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [candidates|segments]")
+    require(args.nonEmpty,
+      "usage: ScaleProbe <sfDir> [candidates|segments|zipf|inc|folds|scorecard]")
     val d = args(0)
     // "candidates": skip the TPC-H/streaming probes (documents+embeddings
     // tiers). "segments": ONLY the q111 block — the cheap mode for the
@@ -51,6 +52,7 @@ object ScaleProbe {
     val zipfProbe = mode == "zipf"
     val incProbe = mode == "inc"
     val foldsProbe = mode == "folds"
+    val scorecardProbe = mode == "scorecard"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -359,6 +361,45 @@ object ScaleProbe {
       }
       out("folds_corpus_postings") = cpfx.count()
       Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
+    }
+
+    // --- mode == "scorecard": the q127/q128 maintenance-cost law. The
+    // claim is that a dashboard update costs O(|batch| + corrected docs +
+    // |sources|): corrected docs are bounded by the touched-cluster
+    // subgraph (q120's delta law), the merge is |sources| rows (corpus-
+    // constant), and NOTHING rescans the corpus — while from-scratch q119
+    // pays a full corpus pass per refresh. Counts, not wall-seconds (the
+    // box's contention swing); the b1 batch is 10× smaller than b10 over
+    // the SAME corpus, so delta-proportionality shows as ~×10 drops.
+    if (scorecardProbe) timed("scorecard_probe") {
+      import operators.{Dedup, Pipeline}
+      val docs = Tables.documents(spark, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      out("sc_corpus_docs") = corpus.count()
+      out("sc_sources") = docs.select(col("source")).distinct().count()
+      val (csh, cdf, cpfx) = frozenCorpusIndex(corpus)
+      val baseLabels = Dedup.labelsOf(corpus).persist()
+      out("sc_labels_rows") = baseLabels.count() // q126 compaction rewrite bound
+      val corpusFlags = Pipeline.docflagsOf(corpus).persist()
+      corpusFlags.count() // artifact stand-in, built once at ingest
+      for ((label, modBase) <- Seq("b10" -> 10, "b1" -> 100)) {
+        val batch = docs.filter(col("doc_id") % modBase === 0)
+        out(s"sc_${label}_docs") = batch.count()
+        val pairs = Dedup.batchPairs(corpus, batch, cdf, cpfx)
+        val (sub, _) = Dedup.incrementalSubLabels(baseLabels, pairs)
+        val subP = sub.persist()
+        out(s"sc_${label}_subgraph_docs") = subP.count()
+        // the correction join's probe side: corpus docs whose rep can
+        // have changed — the ONLY corpus rows the update touches
+        out(s"sc_${label}_corrected_docs") = corpusFlags
+          .join(subP.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .count()
+        out(s"sc_${label}_batch_agg_rows") =
+          Pipeline.q127BatchAgg(batch, subP).count()
+        subP.unpersist()
+      }
+      Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
+      corpusFlags.unpersist()
     }
 
     if (zipfProbe) timed("zipf_probe") {
