@@ -2357,6 +2357,58 @@ class OperatorSpec extends AnyFunSuite {
       s"corpus rep must stay canonical: $s1")
   }
 
+  test("q129 incremental contamination: new-shingle delta adds exactly, indexed shingles add nothing") {
+    import spark.implicits._
+    import operators.TextOps
+    // 5-token runs as shingle atoms:
+    //   corpus train doc 1 ships the a-run; test doc 8 holds a+x+b runs
+    //   (base n_shared = 1 via a), test doc 9 holds c+d runs (base CLEAN).
+    //   batch doc 20 ships b (new → doc 8 gains +1) AND a (already
+    //   indexed → must add NOTHING); batch doc 30 ships c (doc 9 enters
+    //   the audit through the merge, not a base row update).
+    val a = (1 to 6).map(i => s"a$i").mkString(" ")   // 2 shingles
+    val x = (1 to 5).map(i => s"x$i").mkString(" ")
+    val b = (1 to 5).map(i => s"b$i").mkString(" ")
+    val c = (1 to 5).map(i => s"c$i").mkString(" ")
+    val dd = (1 to 5).map(i => s"d$i").mkString(" ")
+    val q = (1 to 5).map(i => s"q$i").mkString(" ")
+    val a5 = (1 to 5).map(i => s"a$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q129").toString
+    Seq(
+      (1L, a, "s1"),              // corpus train: a-run indexed
+      (8L, s"$a5 $x $b", "s1"),   // test: 11 shingles, base n_shared 1
+      (9L, s"$c $dd", "s2"),      // test: 6 shingles, base clean
+      (20L, s"$b $a5", "s1"),     // batch: b new, a already indexed
+      (30L, s"$c $q", "s2"))      // batch: c new → doc 9 enters
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // the frozen base really starts where the comment says
+    val base = TextOps.q129BaseArtifact(spark, dir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSet
+    assert(base === Set((8L, 1L)), s"base audit wrong: $base")
+    val got = SparkEntry.queries("q129_incremental_contamination")(
+      spark, dir).collect()
+    val want = SparkEntry.queries("q61_contamination")(spark, dir).collect()
+    assert(got.toSeq === want.toSeq,
+      "maintained audit diverged from from-scratch q61")
+    val rows = got.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows(8L) === ((11L, 2L)),
+      s"doc 8 must gain exactly +1 from the new b-run (a-run re-ship " +
+        s"adds nothing): ${rows.get(8L)}")
+    assert(rows(9L) === ((6L, 1L)),
+      s"doc 9 must ENTER via the merge with the c-run hit: ${rows.get(9L)}")
+    // warm runs re-derive neither frozen corpus pass
+    val (i0, t0) = (TextOps.q129IndexWrites.get(), TextOps.q129TestWrites.get())
+    SparkEntry.queries("q129_incremental_contamination")(spark, dir).collect()
+    assert(TextOps.q129IndexWrites.get() === i0 &&
+      TextOps.q129TestWrites.get() === t0,
+      "a warm audit refresh re-paid a corpus pass")
+  }
+
   test("q123 merge algebra: one-sided sources, xor parity, mod-p wrap") {
     import spark.implicits._
     import operators.TextOps
