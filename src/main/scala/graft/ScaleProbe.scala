@@ -400,6 +400,30 @@ object ScaleProbe {
       }
       Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
       corpusFlags.unpersist()
+      // q129's disjoint-delta law over the same corpus/batch pair: the
+      // new-shingle delta must track the batch while the frozen index
+      // and eval table stay corpus-sized (built once, probed per batch)
+      import operators.TextOps
+      val corpusTrain = corpus.filter(col("doc_id") % 10 < 8)
+      val trainIdx = TextOps.contamShinglesOf(corpusTrain)
+        .select(explode(col("sh")).as("h")).distinct().persist()
+      out("sc_train_index_shingles") = trainIdx.count()
+      val testRows = TextOps.contamShinglesOf(
+        corpus.filter(col("doc_id") % 10 >= 8))
+        .select(col("doc_id"), explode(col("sh")).as("h")).persist()
+      out("sc_test_shingle_rows") = testRows.count()
+      for ((label, modBase) <- Seq("b10" -> 10, "b1" -> 100)) {
+        val batch = docs.filter(col("doc_id") % modBase === 0)
+        val newH = TextOps.contamShinglesOf(batch)
+          .select(explode(col("sh")).as("h")).distinct()
+          .join(trainIdx, Seq("h"), "left_anti").persist()
+        out(s"sc_${label}_new_shingles") = newH.count()
+        out(s"sc_${label}_contam_corr_rows") =
+          testRows.join(newH, Seq("h")).select(col("doc_id"))
+            .distinct().count()
+        newH.unpersist()
+      }
+      trainIdx.unpersist(); testRows.unpersist()
     }
 
     if (zipfProbe) timed("zipf_probe") {

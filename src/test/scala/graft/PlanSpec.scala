@@ -767,6 +767,42 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, p.take(1500))
   }
 
+  test("q129 audit fold scans documents once (the batch pass); everything else is staged") {
+    val p = plan("q129_incremental_contamination")
+    // the claim the operator exists for: the train corpus is never
+    // rescanned — the only documents.parquet scan is the batch shingle
+    // pass; index, eval shingles, and the frozen audit come from the
+    // three staged tables
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    assert(docScans == 1,
+      s"expected exactly one documents scan (the batch), got $docScans:\n" +
+        p.take(1500))
+    assert(p.contains("q129_train_shingles") &&
+      p.contains("q129_test_shingles") &&
+      p.contains("q129_base_contamination"),
+      "fold must read the staged index/eval/audit tables")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q127 maintenance reads the staged scorecard + flag tables, no cartesian") {
+    val p = plan("q127_incremental_scorecard")
+    assert(p.contains("q127_base_scorecard") &&
+      p.contains("q127_corpus_docflags"),
+      "maintenance must serve from the frozen corpus artifacts")
+    // the correction probe joins the delta-bounded subgraph against the
+    // bucketed flag table — never an unkeyed pair stage
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q126 serves from the compacted base table") {
+    val p = plan("q126_labels_compact")
+    assert(p.contains("q126_labels_base"),
+      "post-compact serve must scan the swapped-in base")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q112 exact side broadcasts the batch; probe side broadcasts " +
       "the probe cells") {
     val p = plan("q112_ann_recall_audit")
