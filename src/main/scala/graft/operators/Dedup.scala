@@ -551,7 +551,13 @@ object Dedup {
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id") &&
           posLenOk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // the doc_a =!= doc_b guard is a no-op while batch and index doc sets
+    // are disjoint (q120/q124); it makes the probe correct ALSO when the
+    // batch's own postings are already folded into the index (q130's
+    // warm serving path) — there a doc meets its own index rows, and a
+    // self-pair would smuggle a pairless singleton into the labels
     val cand = candX.unionByName(candB).distinct()
+      .filter(col("doc_a") =!= col("doc_b"))
     // verify — corpus shingles recomputed ONLY for candidate endpoints:
     // the candidate id set is delta-bounded, so it broadcasts into the
     // corpus scan as a semi-join (the corpus text column never shuffles)
@@ -828,6 +834,116 @@ object Dedup {
     latestWins(q126BaseArtifact(s, d), q126DeltaArtifact(s, d))
   }
 
+  // ---- q130: posting-store COMPACTION ------------------------------------
+  //
+  // q124's honest scale caveat (SCALING.md): the accumulated batch posting
+  // delta grows with total folded mass and must periodically fold into the
+  // bucketed corpus index. This is that fold — the q122 swap applied to
+  // the PPJoin posting store. Two properties make it sound:
+  //
+  //  - the shingle ORDER stays frozen (the df table is never touched):
+  //    prefix completeness requires both join sides under one fixed total
+  //    order, so batch postings — already ranked under the corpus-frozen
+  //    order when they were appended — merge in verbatim, and the index
+  //    order never drifts under future batches. (Re-freezing the order is
+  //    a rare full-index rebuild, not a compaction.)
+  //  - pair generation consumes candidates through distinct() and the
+  //    doc_a =!= doc_b guard, so serving is IDEMPOTENT under the worst
+  //    crash window (posting rows present in base AND delta yield the
+  //    same pair set — the crash spec proves it); the redo marker owes
+  //    rename completion + truncate cost, as in q126.
+  //
+  // The query proves compaction end-to-end: batch A's postings fold into
+  // the index, then batch B pairs with A's docs ONLY through the
+  // compacted rows (no delta union in the probe). Oracle = the
+  // from-scratch closure over corpus+A+B.
+
+  /** Spec counter: how many times batch A's postings were derived. */
+  private[graft] val q130DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def q130BatchA(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .filter(expr("(doc_id div 10) % 2") === 0)
+
+  private[graft] def q130BatchB(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .filter(expr("(doc_id div 10) % 2") === 1)
+
+  /** q130's own copy of the corpus posting index (compaction rewrites it;
+    * `q120_corpus_prefix` must stay pristine under q120/q124 readers).
+    */
+  private[graft] def q130BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q130_prefix_base",
+      s"$d/documents.parquet", q120PrefixArtifact(s, d), 16, Seq("sg"))
+
+  /** Batch A's posting rows under the corpus-frozen order — the
+    * accumulated delta a continuous deployment would have appended.
+    * Dependencies resolve before the write-once lock (the q126 ordering
+    * argument).
+    */
+  private[graft] def q130DeltaArtifact(s: SparkSession, d: String): DataFrame = {
+    q130BaseArtifact(s, d)
+    val rows = prefixRowsOf(q130BatchA(s, d), q120DfArtifact(s, d))
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q130_prefix_delta",
+      s"$d/documents.parquet",
+      { q130DeltaWrites.incrementAndGet(); rows }, 16, Seq("sg"))
+  }
+
+  private[graft] def q130Compact(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.withArtifactLock(db, "q130_prefix_base") {
+      Bucketed.withArtifactLock(db, "q130_prefix_delta") {
+        q130RecoverLocked(s, db)
+        val delta = q130DeltaArtifact(s, d)
+        val emptyDelta = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
+        Bucketed.rewriteBucketed(s, db, "q130_prefix_base_next",
+          q130BaseArtifact(s, d).unionByName(delta), 16, Seq("sg"))
+        java.nio.file.Files.createDirectories(q130Marker(db).getParent)
+        java.nio.file.Files.write(q130Marker(db), Array.emptyByteArray)
+        s.sql(s"DROP TABLE IF EXISTS $db.q130_prefix_base")
+        s.sql(s"ALTER TABLE $db.q130_prefix_base_next RENAME TO " +
+          s"$db.q130_prefix_base")
+        Bucketed.rewriteBucketed(s, db, "q130_prefix_delta", emptyDelta,
+          16, Seq("sg"))
+        java.nio.file.Files.deleteIfExists(q130Marker(db))
+      }
+    }
+  }
+
+  private def q130Marker(db: String): java.nio.file.Path =
+    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
+      "q130_compact_pending")
+
+  private[graft] def q130CompactRecover(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.withArtifactLock(db, "q130_prefix_base") {
+      Bucketed.withArtifactLock(db, "q130_prefix_delta") {
+        q130RecoverLocked(s, db)
+      }
+    }
+  }
+
+  private def q130RecoverLocked(s: SparkSession, db: String): Unit = {
+    if (!java.nio.file.Files.exists(q130Marker(db))) return
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.q130_prefix_base_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.q130_prefix_base")
+        s.sql(s"ALTER TABLE $db.q130_prefix_base_next RENAME TO " +
+          s"$db.q130_prefix_base")
+      }
+      if (s.catalog.tableExists(s"$db.q130_prefix_delta")) {
+        val schema = s.table(s"$db.q130_prefix_delta").schema
+        Bucketed.rewriteBucketed(s, db, "q130_prefix_delta",
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          16, Seq("sg"))
+      }
+    }
+    java.nio.file.Files.deleteIfExists(q130Marker(db))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q126 — override-chain compaction under the CORRECTNESS gate: stage
     // the q120 fold as an override delta, compact it into the base (when
@@ -839,6 +955,27 @@ object Dedup {
       q126CompactRecover(s, d)
       if (q126DeltaArtifact(s, d).limit(1).count() > 0) q126Compact(s, d)
       q126Serve(s, d).orderBy(col("doc_id"))
+    }),
+
+    // q130 — posting-store compaction under the CORRECTNESS gate: batch
+    // A's postings fold into the index (swap + truncate), then batch B
+    // generates its pairs against the COMPACTED index alone — a B↔A pair
+    // exists only if the compacted rows carry A's postings verbatim. Two
+    // chained incremental folds (A then B) land on the from-scratch
+    // closure over corpus+A+B, so the oracle hash-proves the compaction
+    // AND the fold chaining at every tier.
+    "q130_index_compact" -> ((s, d) => {
+      q130CompactRecover(s, d)
+      if (q130DeltaArtifact(s, d).limit(1).count() > 0) q130Compact(s, d)
+      val compacted = q130BaseArtifact(s, d)
+      val corpusDf = q120DfArtifact(s, d)
+      val corpus = q120Corpus(s, d)
+      val a = q130BatchA(s, d)
+      val pairsA = batchPairs(corpus, a, corpusDf, compacted)
+      val labels1 = incrementalLabels(q120LabelsArtifact(s, d), pairsA)
+      val pairsB = batchPairs(corpus.unionByName(a), q130BatchB(s, d),
+        corpusDf, compacted)
+      incrementalLabels(labels1, pairsB).orderBy(col("doc_id"))
     }),
 
     // q120 — INCREMENTAL dup-label maintenance (see the block comment at
@@ -1307,6 +1444,14 @@ object Dedup {
       // q126: fold + compaction-swap must BOTH be invisible — same
       // from-scratch closure as q120
       "q126_labels_compact" ->
+        s"""WITH RECURSIVE $sqlRepsCte
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q130: posting compaction + chained A/B folds must be invisible —
+      // same from-scratch closure
+      "q130_index_compact" ->
         s"""WITH RECURSIVE $sqlRepsCte
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size

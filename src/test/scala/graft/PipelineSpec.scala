@@ -244,6 +244,101 @@ class PipelineSpec extends AnyFunSuite {
       "compacted base must hold the corpus labels + the bridge doc")
   }
 
+  // q130 planted tier — the q124 bridge topology arranged so the B↔A pair
+  // exists ONLY through batch A's compacted posting rows: corpus {11,12}
+  // (R+bt, J(X,B)=29/49 < 0.6), batch A doc 40 = R+xt (pairs nothing),
+  // batch B doc 30 = R+xt+bt (J=39/49 vs X, 37/51 vs B — bridges all).
+  private def q130Tier(): String = {
+    import spark.implicits._
+    val r = (1 to 31).map(i => s"r$i").mkString(" ")
+    val xt = (1 to 10).map(i => s"x$i").mkString(" ")
+    val bt = (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q130").toString
+    Seq((11L, s"$r $bt"), (12L, s"$r $bt"),
+      (40L, s"$r $xt"), (30L, s"$r $xt $bt"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q130 compaction: B pairs with A through the compacted index; delta truncated") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = q130Tier()
+    Dedup.q130CompactRecover(spark, dir)
+    val nBase = Dedup.q130BaseArtifact(spark, dir).count()
+    val nDelta = Dedup.q130DeltaArtifact(spark, dir).count()
+    assert(nDelta > 0, "fixture degenerate: batch A shipped no postings")
+    val got = Dedup.queries("q130_index_compact")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.q130DeltaArtifact(spark, dir).count() === 0L,
+      "compaction must truncate the posting delta")
+    assert(Dedup.q130BaseArtifact(spark, dir).count() === nBase + nDelta,
+      "compacted index must hold corpus + batch-A postings")
+    // the merged component exists only if doc 30 (batch B) found doc 40
+    // (batch A) through the compacted rows — no delta union in the probe
+    assert(got === Set((11L, 11L, 4L), (12L, 11L, 4L),
+      (30L, 11L, 4L), (40L, 11L, 4L)), s"got $got")
+    val want = Dedup.labelsOf(spark.read
+        .parquet(s"$dir/documents.parquet"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want, "compacted-index folds diverged from from-scratch")
+    // warm serving re-derives nothing
+    val w0 = Dedup.q130DeltaWrites.get()
+    val warm = Dedup.queries("q130_index_compact")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(Dedup.q130DeltaWrites.get() === w0 && warm === got)
+  }
+
+  test("q130 crash window: double-present postings serve identical pairs; marker rolls forward") {
+    import spark.implicits._
+    import operators.Bucketed
+    import org.apache.spark.sql.functions.col
+    val dir = q130Tier()
+    val db = Bucketed.dbFor(dir)
+    Dedup.q130CompactRecover(spark, dir)
+    val base = Dedup.q130BaseArtifact(spark, dir)
+    val delta = Dedup.q130DeltaArtifact(spark, dir)
+    val (nBase, nDelta) = (base.count(), delta.count())
+    assert(nDelta > 0, "fixture degenerate: nothing to compact")
+    val corpus = Dedup.q120Corpus(spark, dir)
+    val a = Dedup.q130BatchA(spark, dir)
+    val b = Dedup.q130BatchB(spark, dir)
+    val cdf = Dedup.q120DfArtifact(spark, dir)
+    val cleanPairs = Dedup.batchPairs(corpus.unionByName(a), b, cdf,
+        base.unionByName(delta))
+      .as[(Long, Long, Double)].collect().toSet
+    // worst window by hand: merged segment written, marker set, swap
+    // committed — death before the truncate leaves every batch-A posting
+    // row in BOTH tables
+    Bucketed.rewriteBucketed(spark, db, "q130_prefix_base_next",
+      base.unionByName(delta), 16, Seq("sg"))
+    val marker = java.nio.file.Paths.get("/tmp/graft-warehouse",
+      s"$db.db", "q130_compact_pending")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    spark.sql(s"DROP TABLE IF EXISTS $db.q130_prefix_base")
+    spark.sql(
+      s"ALTER TABLE $db.q130_prefix_base_next RENAME TO $db.q130_prefix_base")
+    // the idempotency claim: a reader that MISSED the marker probes rows
+    // present in base AND delta — distinct() + the self-pair guard make
+    // the pair set identical, not doubled
+    val doubled = Dedup.batchPairs(corpus.unionByName(a), b, cdf,
+        spark.table(s"$db.q130_prefix_base")
+          .unionByName(spark.table(s"$db.q130_prefix_delta")))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(doubled === cleanPairs,
+      "double-present postings changed the served pair set")
+    // and the query rolls the truncate forward
+    val after = Dedup.queries("q130_index_compact")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after === Set((11L, 11L, 4L), (12L, 11L, 4L),
+      (30L, 11L, 4L), (40L, 11L, 4L)))
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+    assert(Dedup.q130DeltaArtifact(spark, dir).count() === 0L)
+    assert(Dedup.q130BaseArtifact(spark, dir).count() === nBase + nDelta)
+  }
+
   test("q127 incremental scorecard == from-scratch q119, incl. the demotion correction") {
     import operators.Pipeline
     import org.apache.spark.sql.functions.col
