@@ -108,6 +108,86 @@ object Bucketed {
     lock.synchronized(f)
   }
 
+  // ---- land-then-compact swap (shared by q122/q126/q130) -----------------
+  //
+  // One copy of the crash-critical base/delta compaction state machine:
+  //
+  //   1. write merged segment to `<base>_next`         [new segment]
+  //   2. create redo marker                            [intent]
+  //   3. DROP base; RENAME _next → base                [catalog swap]
+  //   4. truncate delta (empty rewrite)                [reset]
+  //   5. delete marker
+  //
+  // All under both tables' artifact locks (base before delta — callers
+  // must keep any independent acquisition in the same order). Every crash
+  // window rolls FORWARD idempotently in [[recoverPending]]: _next present
+  // → finish the swap then truncate; _next gone → only the truncate is
+  // owed. What the dangerous window (rename committed, delta stale) means
+  // is the CALLER's merge semantics: an append-union artifact would serve
+  // delta rows twice without the marker (q122), a latest-wins or
+  // distinct-consumed artifact serves identically either way (q126/q130)
+  // — each caller's crash spec pins its own reading.
+
+  /** Fold `merged` (evaluated under the locks, against pre-swap state)
+    * into `db.base`, truncating `db.delta` — the redo-marker swap above.
+    */
+  private[graft] def compactSwap(s: SparkSession, db: String, base: String,
+      delta: String, marker: String, merged: => DataFrame, buckets: Int,
+      keys: Seq[String]): Unit =
+    withArtifactLock(db, base) {
+      withArtifactLock(db, delta) {
+        recoverLocked(s, db, base, delta, marker, buckets, keys)
+        val m = merged // builds any missing artifact inputs (re-entrant)
+        val deltaSchema = s.table(s"$db.$delta").schema
+        rewriteBucketed(s, db, s"${base}_next", m, buckets, keys)
+        java.nio.file.Files.createDirectories(markerPath(db, marker).getParent)
+        java.nio.file.Files.write(markerPath(db, marker), Array.emptyByteArray)
+        s.sql(s"DROP TABLE IF EXISTS $db.$base")
+        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+        rewriteBucketed(s, db, delta, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema),
+          buckets, keys)
+        java.nio.file.Files.deleteIfExists(markerPath(db, marker))
+      }
+    }
+
+  /** Roll an interrupted [[compactSwap]] forward (idempotent; no-op
+    * without the marker). Run by both the compaction and serving paths.
+    */
+  private[graft] def recoverPending(s: SparkSession, db: String,
+      base: String, delta: String, marker: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    withArtifactLock(db, base) {
+      withArtifactLock(db, delta) {
+        recoverLocked(s, db, base, delta, marker, buckets, keys)
+      }
+    }
+
+  private def recoverLocked(s: SparkSession, db: String, base: String,
+      delta: String, marker: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    if (!java.nio.file.Files.exists(markerPath(db, marker))) return
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.${base}_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.$base")
+        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+      }
+      if (s.catalog.tableExists(s"$db.$delta")) {
+        val schema = s.table(s"$db.$delta").schema
+        rewriteBucketed(s, db, delta, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+          buckets, keys)
+      }
+    }
+    java.nio.file.Files.deleteIfExists(markerPath(db, marker))
+  }
+
+  /** Marker beside the tables in the warehouse (on object storage the
+    * marker lives in the same bucket, same durability).
+    */
+  private def markerPath(db: String, marker: String): java.nio.file.Path =
+    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db", marker)
+
   /** Memoized [[rewriteBucketed]]: builds `db.name` from `df` at most once
     * per (session, source state); `df` is by-name and only evaluated when a
     * write actually happens.

@@ -555,9 +555,11 @@ object Dedup {
     // are disjoint (q120/q124); it makes the probe correct ALSO when the
     // batch's own postings are already folded into the index (q130's
     // warm serving path) — there a doc meets its own index rows, and a
-    // self-pair would smuggle a pairless singleton into the labels
-    val cand = candX.unionByName(candB).distinct()
-      .filter(col("doc_a") =!= col("doc_b"))
+    // self-pair would smuggle a pairless singleton into the labels.
+    // Filtered BEFORE distinct so self-pair rows die map-side instead of
+    // riding the dedup shuffle.
+    val cand = candX.unionByName(candB)
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
     // verify — corpus shingles recomputed ONLY for candidate endpoints:
     // the candidate id set is delta-bounded, so it broadcasts into the
     // corpus scan as a semi-join (the corpus text column never shuffles)
@@ -763,67 +765,19 @@ object Dedup {
       }, 8, Seq("doc_id"))
   }
 
-  /** Fold the override delta into the base: write latest-wins to a new
-    * segment, swap it in with a catalog rename, truncate the delta. Redo
-    * marker + sorted two-table locks exactly as q122Compact; see the block
-    * comment above for why a missed marker is cost-only here.
+  /** Fold the override delta into the base: [[Bucketed.compactSwap]] with
+    * latest-wins as the merge; see the block comment above for why a
+    * missed marker is cost-only here.
     */
-  private[graft] def q126Compact(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q126_labels_base") {
-      Bucketed.withArtifactLock(db, "q126_labels_delta") {
-        q126RecoverLocked(s, db)
-        val delta = q126DeltaArtifact(s, d)
-        val emptyDelta = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
-        Bucketed.rewriteBucketed(s, db, "q126_labels_base_next",
-          latestWins(q126BaseArtifact(s, d), delta), 8, Seq("doc_id"))
-        java.nio.file.Files.createDirectories(q126Marker(db).getParent)
-        java.nio.file.Files.write(q126Marker(db), Array.emptyByteArray)
-        s.sql(s"DROP TABLE IF EXISTS $db.q126_labels_base")
-        s.sql(s"ALTER TABLE $db.q126_labels_base_next RENAME TO " +
-          s"$db.q126_labels_base")
-        Bucketed.rewriteBucketed(s, db, "q126_labels_delta", emptyDelta,
-          8, Seq("doc_id"))
-        java.nio.file.Files.deleteIfExists(q126Marker(db))
-      }
-    }
-  }
+  private[graft] def q126Compact(s: SparkSession, d: String): Unit =
+    Bucketed.compactSwap(s, Bucketed.dbFor(d), "q126_labels_base",
+      "q126_labels_delta", "q126_compact_pending",
+      latestWins(q126BaseArtifact(s, d), q126DeltaArtifact(s, d)),
+      8, Seq("doc_id"))
 
-  private def q126Marker(db: String): java.nio.file.Path =
-    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
-      "q126_compact_pending")
-
-  /** Roll an interrupted compaction forward (idempotent; no-op without the
-    * marker) — the q122RecoverLocked states, labels edition.
-    */
-  private[graft] def q126CompactRecover(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q126_labels_base") {
-      Bucketed.withArtifactLock(db, "q126_labels_delta") {
-        q126RecoverLocked(s, db)
-      }
-    }
-  }
-
-  private def q126RecoverLocked(s: SparkSession, db: String): Unit = {
-    if (!java.nio.file.Files.exists(q126Marker(db))) return
-    if (s.catalog.databaseExists(db)) {
-      if (s.catalog.tableExists(s"$db.q126_labels_base_next")) {
-        s.sql(s"DROP TABLE IF EXISTS $db.q126_labels_base")
-        s.sql(s"ALTER TABLE $db.q126_labels_base_next RENAME TO " +
-          s"$db.q126_labels_base")
-      }
-      if (s.catalog.tableExists(s"$db.q126_labels_delta")) {
-        val schema = s.table(s"$db.q126_labels_delta").schema
-        Bucketed.rewriteBucketed(s, db, "q126_labels_delta",
-          s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          8, Seq("doc_id"))
-      }
-    }
-    java.nio.file.Files.deleteIfExists(q126Marker(db))
-  }
+  private[graft] def q126CompactRecover(s: SparkSession, d: String): Unit =
+    Bucketed.recoverPending(s, Bucketed.dbFor(d), "q126_labels_base",
+      "q126_labels_delta", "q126_compact_pending", 8, Seq("doc_id"))
 
   /** Serve the current labels: recover any interrupted compaction, then the
     * latest-wins view over base ∪ delta — which after a compaction is just
@@ -890,59 +844,15 @@ object Dedup {
       { q130DeltaWrites.incrementAndGet(); rows }, 16, Seq("sg"))
   }
 
-  private[graft] def q130Compact(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q130_prefix_base") {
-      Bucketed.withArtifactLock(db, "q130_prefix_delta") {
-        q130RecoverLocked(s, db)
-        val delta = q130DeltaArtifact(s, d)
-        val emptyDelta = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
-        Bucketed.rewriteBucketed(s, db, "q130_prefix_base_next",
-          q130BaseArtifact(s, d).unionByName(delta), 16, Seq("sg"))
-        java.nio.file.Files.createDirectories(q130Marker(db).getParent)
-        java.nio.file.Files.write(q130Marker(db), Array.emptyByteArray)
-        s.sql(s"DROP TABLE IF EXISTS $db.q130_prefix_base")
-        s.sql(s"ALTER TABLE $db.q130_prefix_base_next RENAME TO " +
-          s"$db.q130_prefix_base")
-        Bucketed.rewriteBucketed(s, db, "q130_prefix_delta", emptyDelta,
-          16, Seq("sg"))
-        java.nio.file.Files.deleteIfExists(q130Marker(db))
-      }
-    }
-  }
+  private[graft] def q130Compact(s: SparkSession, d: String): Unit =
+    Bucketed.compactSwap(s, Bucketed.dbFor(d), "q130_prefix_base",
+      "q130_prefix_delta", "q130_compact_pending",
+      q130BaseArtifact(s, d).unionByName(q130DeltaArtifact(s, d)),
+      16, Seq("sg"))
 
-  private def q130Marker(db: String): java.nio.file.Path =
-    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
-      "q130_compact_pending")
-
-  private[graft] def q130CompactRecover(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q130_prefix_base") {
-      Bucketed.withArtifactLock(db, "q130_prefix_delta") {
-        q130RecoverLocked(s, db)
-      }
-    }
-  }
-
-  private def q130RecoverLocked(s: SparkSession, db: String): Unit = {
-    if (!java.nio.file.Files.exists(q130Marker(db))) return
-    if (s.catalog.databaseExists(db)) {
-      if (s.catalog.tableExists(s"$db.q130_prefix_base_next")) {
-        s.sql(s"DROP TABLE IF EXISTS $db.q130_prefix_base")
-        s.sql(s"ALTER TABLE $db.q130_prefix_base_next RENAME TO " +
-          s"$db.q130_prefix_base")
-      }
-      if (s.catalog.tableExists(s"$db.q130_prefix_delta")) {
-        val schema = s.table(s"$db.q130_prefix_delta").schema
-        Bucketed.rewriteBucketed(s, db, "q130_prefix_delta",
-          s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          16, Seq("sg"))
-      }
-    }
-    java.nio.file.Files.deleteIfExists(q130Marker(db))
-  }
+  private[graft] def q130CompactRecover(s: SparkSession, d: String): Unit =
+    Bucketed.recoverPending(s, Bucketed.dbFor(d), "q130_prefix_base",
+      "q130_prefix_delta", "q130_compact_pending", 16, Seq("sg"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q126 — override-chain compaction under the CORRECTNESS gate: stage
@@ -952,7 +862,9 @@ object Dedup {
     // closure over corpus+batch, so BOTH maintenance steps — the fold and
     // the compaction swap — are hash-proven invisible in the result.
     "q126_labels_compact" -> ((s, d) => {
-      q126CompactRecover(s, d)
+      // no leading recover: compact and serve each self-recover; a
+      // pending-marker delta read here at worst triggers one redundant
+      // (idempotent) compaction after a crash
       if (q126DeltaArtifact(s, d).limit(1).count() > 0) q126Compact(s, d)
       q126Serve(s, d).orderBy(col("doc_id"))
     }),
@@ -965,8 +877,8 @@ object Dedup {
     // closure over corpus+A+B, so the oracle hash-proves the compaction
     // AND the fold chaining at every tier.
     "q130_index_compact" -> ((s, d) => {
-      q130CompactRecover(s, d)
       if (q130DeltaArtifact(s, d).limit(1).count() > 0) q130Compact(s, d)
+      else q130CompactRecover(s, d) // truncate-owed marker with empty delta
       val compacted = q130BaseArtifact(s, d)
       val corpusDf = q120DfArtifact(s, d)
       val corpus = q120Corpus(s, d)

@@ -291,9 +291,8 @@ object Pipeline {
     val bb = measures.foldLeft(batchAgg) { (df, m) =>
       df.withColumnRenamed(m, s"b_$m")
     }
-    base
-      .join(bb, Seq("source"), "full_outer")
-      .join(corr, Seq("source"), "full_outer")
+    Shared.fullOuterOnNullable(
+        Shared.fullOuterOnNullable(base, bb, "source"), corr, "source")
       .select(col("source") +: measures.map {
         case "n_canonical" =>
           (z("n_canonical") + z("b_n_canonical") + z("d_canonical"))

@@ -20,6 +20,24 @@ object Shared {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Full-outer join on a NULLABLE key (null-safe `<=>`, key coalesced
+    * back into one column). `Seq(key)` joins use EqualTo, under which a
+    * NULL key never matches — a null-source row would split into
+    * per-side partials while the oracle's GROUP BY folds nulls into ONE
+    * group. Used by the manifest/scorecard monoid merges whose key is
+    * the (nullable-in-parquet) `source` column.
+    */
+  private[graft] def fullOuterOnNullable(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val (lk, rk) = (s"_l_$key", s"_r_$key")
+    val l = left.withColumnRenamed(key, lk)
+    val r = right.withColumnRenamed(key, rk)
+    l.join(r, col(lk) <=> col(rk), "full_outer")
+      .withColumn(key, coalesce(col(lk), col(rk)))
+      .drop(lk, rk)
+  }
+
   /** DuckDB twin of [[hash60]] as a SQL fragment over expression `x`. */
   def sqlHash60(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"

@@ -595,68 +595,18 @@ object Similarity {
     * an in-JVM concurrent builder/reader cannot observe the
     * drop-to-rename gap.
     */
-  private[graft] def q122Compact(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q122_codes_base") {
-      Bucketed.withArtifactLock(db, "q122_codes_delta") {
-        q122RecoverLocked(s, db)
-        val delta = q122DeltaArtifact(s, d)
-        val emptyDelta = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], delta.schema)
-        Bucketed.rewriteBucketed(s, db, "q122_codes_base_next",
-          q122BaseArtifact(s, d).unionByName(delta), 8, Seq("cell"))
-        java.nio.file.Files.createDirectories(q122Marker(db).getParent)
-        java.nio.file.Files.write(q122Marker(db), Array.emptyByteArray)
-        s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
-        s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
-          s"$db.q122_codes_base")
-        Bucketed.rewriteBucketed(s, db, "q122_codes_delta", emptyDelta,
-          8, Seq("cell"))
-        java.nio.file.Files.deleteIfExists(q122Marker(db))
-      }
-    }
-  }
+  private[graft] def q122Compact(s: SparkSession, d: String): Unit =
+    Bucketed.compactSwap(s, Bucketed.dbFor(d), "q122_codes_base",
+      "q122_codes_delta", "q122_compact_pending",
+      q122BaseArtifact(s, d).unionByName(q122DeltaArtifact(s, d)),
+      8, Seq("cell"))
 
-  /** Redo-marker path — beside the tables in the warehouse (on object
-    * storage the marker lives in the same bucket, same durability).
+  /** Roll an interrupted compaction FORWARD — [[Bucketed.recoverPending]]
+    * on the codes tables; run by both compaction and the serving path.
     */
-  private def q122Marker(db: String): java.nio.file.Path =
-    java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
-      "q122_compact_pending")
-
-  /** Roll an interrupted compaction FORWARD (idempotent; no-op without
-    * the marker). States: _next still present → finish the swap (drop
-    * stale base if any, rename) then truncate; _next gone → the swap
-    * committed, only the truncate is owed. Either way the delta rows
-    * end up in exactly one table before the marker clears.
-    */
-  private[graft] def q122CompactRecover(s: SparkSession, d: String): Unit = {
-    val db = Bucketed.dbFor(d)
-    Bucketed.withArtifactLock(db, "q122_codes_base") {
-      Bucketed.withArtifactLock(db, "q122_codes_delta") {
-        q122RecoverLocked(s, db)
-      }
-    }
-  }
-
-  private def q122RecoverLocked(s: SparkSession, db: String): Unit = {
-    if (!java.nio.file.Files.exists(q122Marker(db))) return
-    if (s.catalog.databaseExists(db)) {
-      if (s.catalog.tableExists(s"$db.q122_codes_base_next")) {
-        s.sql(s"DROP TABLE IF EXISTS $db.q122_codes_base")
-        s.sql(s"ALTER TABLE $db.q122_codes_base_next RENAME TO " +
-          s"$db.q122_codes_base")
-      }
-      if (s.catalog.tableExists(s"$db.q122_codes_delta")) {
-        val schema = s.table(s"$db.q122_codes_delta").schema
-        Bucketed.rewriteBucketed(s, db, "q122_codes_delta",
-          s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-          8, Seq("cell"))
-      }
-    }
-    java.nio.file.Files.deleteIfExists(q122Marker(db))
-  }
+  private[graft] def q122CompactRecover(s: SparkSession, d: String): Unit =
+    Bucketed.recoverPending(s, Bucketed.dbFor(d), "q122_codes_base",
+      "q122_codes_delta", "q122_compact_pending", 8, Seq("cell"))
 
   /** q90c's serving body over ANY staged codes frame (vec_id, nrm, cell,
     * c0..c7): broadcast-probe ADC scan over the codes (no vector column

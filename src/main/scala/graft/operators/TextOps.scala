@@ -61,7 +61,7 @@ object TextOps {
     val n = batch.columns.filter(_ != "source")
       .foldLeft(batch)((f, c) => f.withColumnRenamed(c, s"n_$c"))
     def z(c: String) = coalesce(col(c), lit(0L))
-    b.join(n, Seq("source"), "full_outer")
+    Shared.fullOuterOnNullable(b, n, "source")
       .select(col("source"),
         (z("b_n_docs") + z("n_n_docs")).as("n_docs"),
         (z("b_n_tokens") + z("n_n_tokens")).as("n_tokens"),

@@ -617,13 +617,23 @@ object StreamingQueries {
     //             demotion spec pins exactly this);
     //   state   = append override rows / postings / seen ids / flag rows.
     //
-    // Every read inside a fold filters `ver < fold` (strictly pre-fold
-    // state), so micro-batch REDELIVERY recomputes byte-identical rows —
-    // at-least-once delivery, exactly-once results, no transactional
-    // sink (the q124 argument, extended to the scorecard store). The
-    // readout takes each source's newest row; the oracle is from-scratch
-    // q119 over ALL documents, so the whole fold chain — cross-fold
-    // merges, corrections, monoid adds — is hash-proven per tier.
+    // Redelivery safety comes from two complementary mechanisms. The
+    // stores whose duplication would be VISIBLE in arithmetic —
+    // scorecard rows, label overrides, flag rows — carry a `ver` column
+    // and every in-fold read filters `ver < fold` (strictly pre-fold
+    // state), so a redelivered micro-batch recomputes byte-identical
+    // rows from byte-identical inputs. The prefix/seen stores are
+    // UNVERSIONED and a redelivery does duplicate their rows — harmless
+    // because every consumer is duplication-insensitive (candidates
+    // pass distinct() + the self-pair guard, seen ids feed a semi-join
+    // — q124's argument); a consumer that counted those stores, or a
+    // compaction that unioned them verbatim, would need the dedup first
+    // (q130's crash spec pins exactly this property for postings).
+    // Net: at-least-once delivery, exactly-once results, no
+    // transactional sink. The readout takes each source's newest row;
+    // the oracle is from-scratch q119 over ALL documents, so the whole
+    // fold chain — cross-fold merges, corrections, monoid adds — is
+    // hash-proven per tier.
     "q128_stream_incremental_scorecard" -> ((s, d) => {
       import graft.Tables
       import graft.operators.{Dedup, Pipeline}
