@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout RAW instead of through sbt's logger:
+// the logger prefixes every forwarded line with "[info] ", which is what
+// broke the driver's tail-parse of Bench's one-line JSON result for three
+// rounds running ("parsed": null — in round 10 the line was inside the
+// captured tail but decorated). With StdoutOutput the JSON line reaches
+// the driver byte-clean.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

