@@ -288,9 +288,12 @@ object Dedup {
     // progressDir posture is fault-tolerant storage (HDFS/object store),
     // where a java.io.File listing silently returns nothing and resume
     // would never trigger.
-    val resumeFrom: Option[Int] = progressDir.flatMap { dir =>
+    def hadoopFs(dir: String) = {
       val hPath = new org.apache.hadoop.fs.Path(dir)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (hPath, hPath.getFileSystem(spark.sparkContext.hadoopConfiguration))
+    }
+    val resumeFrom: Option[Int] = progressDir.flatMap { dir =>
+      val (hPath, fs) = hadoopFs(dir)
       if (!fs.exists(hPath)) None
       else fs.listStatus(hPath).toSeq
         .filter(st => st.isDirectory &&
@@ -299,7 +302,33 @@ object Dedup {
         .map(_.getPath.getName.stripPrefix("round_").toInt)
         .sorted.lastOption
     }
+    // A CONVERGED trail is marked by `DONE_<k>` beside `round_<k>`
+    // (written below, after the zero-changes round). Resuming over it
+    // returns the fixpoint immediately: without the marker a resumed
+    // call could not tell "converged at k" from "killed at k", so it
+    // re-paid one full confirmation round per call — and when k ==
+    // maxIters it never entered the loop at all and spuriously threw
+    // the non-convergence error on an actual fixpoint (round-10 advice).
+    val doneAt: Option[Int] = (progressDir, resumeFrom) match {
+      case (Some(dir), Some(k)) =>
+        val (_, fs) = hadoopFs(dir)
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir, s"DONE_$k"))) Some(k)
+        else None
+      case _ => None
+    }
+    if (doneAt.isDefined) {
+      val k = doneAt.get
+      edges.unpersist()
+      return (spark.read.parquet(s"${progressDir.get}/round_$k")
+        .select(col("doc_id"), col("rep")), k)
+    }
     var iters = resumeFrom.getOrElse(0)
+    // Killed-at-round-k trails (no DONE marker) resume with the SAME
+    // total round budget the fresh run had, plus the one confirmation
+    // round needed when the prior run converged exactly at maxIters but
+    // died before writing the marker.
+    val effectiveMax =
+      if (resumeFrom.exists(_ > 0)) maxIters + 1 else maxIters
     var labels = resumeFrom match {
       case Some(k) =>
         spark.read.parquet(s"${progressDir.get}/round_$k")
@@ -324,7 +353,7 @@ object Dedup {
       if (changed) changedAcc.add(1L); changed
     }
     var converged = false
-    while (!converged && iters < maxIters && iters < haltAfterRound) {
+    while (!converged && iters < effectiveMax && iters < haltAfterRound) {
       changedAcc.reset()
       // HOOK: rep(v) <- min(rep(v), min over neighbors' rep)
       val nbrMin = edges
@@ -351,11 +380,26 @@ object Dedup {
       iters += 1
     }
     edges.unpersist()
-    if (!converged && iters >= maxIters)
+    if (!converged && iters >= effectiveMax)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds " +
           s"(${changedAcc.value} labels still changing) — result would be " +
           "a non-fixpoint labeling; raise maxIters")
+    // Converged with a progress trail: mark the fixpoint round DONE and
+    // drop the earlier rounds — a later identical labeling (same dir)
+    // then returns the memoized fixpoint instead of re-paying a
+    // confirmation round, and the trail's disk footprint is one round,
+    // not O(rounds).
+    if (converged) progressDir.foreach { dir =>
+      val (_, fs) = hadoopFs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"DONE_$iters"), true)
+        .close()
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("round_") &&
+          st.getPath.getName.stripPrefix("round_").toInt < iters)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
     (labels, iters) // narrow view over a lineage-free materialization
   }
 
@@ -375,20 +419,32 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // `spark.graft.cc.progressDir` turns the CC loop into a resumable
     // run — see [[connectedComponentsRounds]]; unset keeps the in-memory
-    // fast path. The dir is NAMESPACED per labeling by the canonicalized
-    // input plan's semanticHash: one session (or a restarted one) labels
-    // several distinct doc sets (the full-tier artifact, q120's
-    // corpus-only set, regenerated tiers), and a shared flat dir would
-    // let the second labeling silently resume from the FIRST's fixpoint
-    // — converged-but-wrong labels with no error. semanticHash is stable
-    // for an identical plan across driver restarts (it hashes the
-    // canonicalized tree), which is exactly the resume contract: same
-    // doc-set plan → same subdir → resume; different plan → fresh dir.
+    // fast path. The dir is NAMESPACED per labeling by TWO tokens:
+    //  - the canonicalized input plan's semanticHash (plan identity):
+    //    one session (or a restarted one) labels several distinct doc
+    //    sets (the full-tier artifact, q120's corpus-only set), and a
+    //    shared flat dir would let the second labeling silently resume
+    //    from the FIRST's fixpoint — converged-but-wrong labels with no
+    //    error. semanticHash is stable for an identical plan across
+    //    driver restarts (it hashes the canonicalized tree);
+    //  - a DATA-freshness digest of the plan's input files (sorted leaf
+    //    paths — Spark writes fresh UUID part names on every overwrite,
+    //    so a REGENERATED tier at the same path changes the digest even
+    //    though the plan is identical). Plan identity alone let the
+    //    documented sf~1 tier-regeneration workflow resume from the
+    //    previous corpus's fixpoint and "converge" instantly to stale
+    //    labels (round-10 advice, medium).
+    // Same plan + same files → same subdir → resume/memo hit; anything
+    // else → fresh dir.
     val progress = docs.sparkSession.conf
       .getOption("spark.graft.cc.progressDir").filter(_.nonEmpty)
       .map { dir =>
         val tag = docs.queryExecution.analyzed.semanticHash() & 0x7fffffff
-        s"$dir/cc_$tag"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        docs.inputFiles.sorted.foreach(f =>
+          md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val dataTag = md.digest().take(4).map("%02x".format(_)).mkString
+        s"$dir/cc_${tag}_$dataTag"
       }
     connectedComponents(pairs, progressDir = progress)
       .withColumn("cluster_size", count(lit(1)).over(

@@ -339,6 +339,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.q130BaseArtifact(spark, dir).count() === nBase + nDelta)
   }
 
+  test("driver-swap recovery: marker + dirs with NO catalog db roll forward at the filesystem level") {
+    import operators.Bucketed
+    // Simulates the replaced-maintenance-driver posture: a crashed
+    // driver's warehouse dirs (base, committed _next, stale delta) and
+    // redo marker exist on the shared filesystem, but THIS process's
+    // (in-memory) catalog has never heard of the database. Round 10
+    // deleted the marker in that state without doing the owed work;
+    // round 11 replays the swap + truncate against the dirs themselves.
+    import spark.implicits._
+    val db = s"graft_swap_${System.nanoTime()}"
+    val wh = java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db")
+    def write(leaf: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "v").write.mode("overwrite")
+        .parquet(wh.resolve(leaf).toString)
+    write("acc", Seq((1L, "old")))          // pre-swap base (to be replaced)
+    write("acc_next", Seq((1L, "old"), (2L, "delta"))) // committed segment
+    write("acc_delta", Seq((2L, "delta"))) // stale delta (the crash window)
+    val marker = wh.resolve("acc_pending")
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    assert(!spark.catalog.databaseExists(db), "fixture db must be unknown")
+    Bucketed.recoverPending(spark, db, "acc", "acc_delta", "acc_pending",
+      8, Seq("k"))
+    // _next promoted over base; delta contents gone; marker cleared
+    val base = spark.read.parquet(wh.resolve("acc").toString)
+      .as[(Long, String)].collect().toSet
+    assert(base === Set((1L, "old"), (2L, "delta")),
+      "swap not rolled forward at the FS level")
+    assert(!java.nio.file.Files.exists(wh.resolve("acc_next")))
+    assert(java.nio.file.Files.list(wh.resolve("acc_delta")).count() === 0L,
+      "stale delta rows must be cleared — an append-union artifact would " +
+        "serve them twice")
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+  }
+
+  test("FS lease: orphaned lease is taken over; live compaction cleans its lease up") {
+    import operators.{Bucketed, Similarity}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val before = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    val db = Bucketed.dbFor(dir)
+    assert(Similarity.q122DeltaArtifact(spark, dir).count() > 0)
+    // a dead driver's lease: plant the file, age it past the lease window
+    val lease = java.nio.file.Paths.get("/tmp/graft-warehouse", s"$db.db",
+      "_LEASE_q122_codes_base")
+    java.nio.file.Files.createDirectories(lease.getParent)
+    java.nio.file.Files.write(lease, Array.emptyByteArray)
+    spark.conf.set("spark.graft.fs.leaseMs", "1500")
+    try {
+      java.nio.file.Files.setLastModifiedTime(lease,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10000))
+      Similarity.q122Compact(spark, dir) // must take the orphan over
+    } finally spark.conf.unset("spark.graft.fs.leaseMs")
+    assert(!java.nio.file.Files.exists(lease),
+      "compaction must release (and not strand) the lease")
+    val after = Similarity.queries("q122_incremental_pq_codes")(spark, dir)
+      .collect()
+    assert(after.toSeq === before.toSeq)
+    assert(Similarity.q122DeltaArtifact(spark, dir).count() === 0L)
+  }
+
   test("q127 incremental scorecard == from-scratch q119, incl. the demotion correction") {
     import operators.Pipeline
     import org.apache.spark.sql.functions.col
