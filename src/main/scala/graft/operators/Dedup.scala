@@ -910,7 +910,114 @@ object Dedup {
     Bucketed.recoverPending(s, Bucketed.dbFor(d), "q130_prefix_base",
       "q130_prefix_delta", "q130_compact_pending", 16, Seq("sg"))
 
+  // ---- q131: compaction TRIGGER policy ------------------------------------
+  //
+  // q126/q130/q122 built the "how" of compaction; the "when" lived in
+  // prose (SCALING.md's acc-postings-11%-of-corpus tables). q131 makes the
+  // cadence DATA: a maintenance-status query over the staged stores that
+  // emits one row per artifact family — (artifact, base_n, delta_n,
+  // threshold_pct, compact_due) — with an integer-exact verdict
+  // (delta_n·100 >= base_n·threshold_pct, no float round-off at the
+  // boundary). A 100-TB deployment runs N folds, consults this frame, and
+  // compacts exactly the artifacts whose accumulated delta crossed its
+  // declared threshold; the spec-level loop in PipelineSpec wires the
+  // q124-style fold cadence to it.
+  //
+  // The counts are genuine store scans (count aggregates over the staged
+  // tables — a deployment could read them from table statistics for
+  // O(1)); the oracle recomputes every count FROM SCRATCH in SQL, so the
+  // whole fold bookkeeping is hash-proven, not self-reported. q131 stages
+  // its own delta copies (q131_*) because q126/q130 TRUNCATE their deltas
+  // when their queries run — the status query must not depend on whether
+  // a compaction query happened to run first in the same session.
+
+  /** Declared per-artifact thresholds (pct of base rows the accumulated
+    * delta may reach before compaction is due). Labels tolerate a deeper
+    * override chain (latestWins stays correct at any depth; the cost is
+    // the broadcast anti-join side) than the append-union stores.
+    */
+  private[graft] val CompactThresholds: Seq[(String, Int)] = Seq(
+    "labels_overrides" -> 25, "posting_store" -> 10,
+    "pq_codes" -> 10, "flag_store" -> 10)
+
+  /** One status row for one artifact family: both counts are distributed
+    * aggregates (the cross join multiplies two 1-row frames).
+    */
+  private[graft] def storeStatus(name: String, base: DataFrame,
+      delta: DataFrame, thrPct: Int): DataFrame =
+    base.agg(count(lit(1)).as("base_n"))
+      .crossJoin(delta.agg(count(lit(1)).as("delta_n")))
+      .select(lit(name).as("artifact"), col("base_n"), col("delta_n"),
+        lit(thrPct).as("threshold_pct"),
+        (col("delta_n") * 100 >= col("base_n") * thrPct).as("compact_due"))
+
+  /** The accumulated label-override store as it stands after the batch
+    * tenth is fully folded — q120's subgraph output, staged under q131's
+    * own name (q126's copy gets truncated by its compaction query).
+    * Dependencies resolve before the write-once lock (q126 ordering rule).
+    */
+  private[graft] def q131LabelsDeltaArtifact(s: SparkSession,
+      d: String): DataFrame = {
+    val base = q120LabelsArtifact(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    val pairs = batchPairs(q120Corpus(s, d), batch,
+      q120DfArtifact(s, d), q120PrefixArtifact(s, d))
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q131_labels_delta",
+      s"$d/documents.parquet",
+      incrementalSubLabels(base, pairs)._1.withColumn("ver", lit(1L)),
+      8, Seq("doc_id"))
+  }
+
+  /** The accumulated posting store after folding the whole batch tenth —
+    * what q124's three folds append in total.
+    */
+  private[graft] def q131PrefixDeltaArtifact(s: SparkSession,
+      d: String): DataFrame = {
+    val dfreq = q120DfArtifact(s, d)
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q131_prefix_delta",
+      s"$d/documents.parquet", prefixRowsOf(batch, dfreq), 16, Seq("sg"))
+  }
+
+  /** The accumulated flag store after the batch tenth — q128's per-fold
+    * flag appends in total (pure per-doc facts, one row per batch doc).
+    */
+  private[graft] def q131FlagsDeltaArtifact(s: SparkSession,
+      d: String): DataFrame = {
+    val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q131_flags_delta",
+      s"$d/documents.parquet",
+      Pipeline.docflagsOf(batch).withColumn("ver", lit(1L)),
+      8, Seq("doc_id"))
+  }
+
+  /** The q131 body over explicit stores — PipelineSpec's fold loop calls
+    * this directly with its own accumulating state.
+    */
+  private[graft] def compactDueOf(
+      stores: Seq[(String, DataFrame, DataFrame, Int)]): DataFrame =
+    stores.map { case (n, b, del, t) => storeStatus(n, b, del, t) }
+      .reduce(_.unionByName(_))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q131 — the compaction trigger policy as data: per-artifact
+    // accumulated-delta ratios against declared thresholds. Counts are
+    // store scans; the oracle recomputes them from scratch (corpus-only
+    // closure size, subgraph node count, prefix-length sums, raw doc /
+    // embedding counts), so the fold bookkeeping itself is hash-checked.
+    "q131_compact_due" -> ((s, d) => {
+      val thr = CompactThresholds.toMap
+      compactDueOf(Seq(
+        ("labels_overrides", q120LabelsArtifact(s, d),
+          q131LabelsDeltaArtifact(s, d), thr("labels_overrides")),
+        ("posting_store", q120PrefixArtifact(s, d),
+          q131PrefixDeltaArtifact(s, d), thr("posting_store")),
+        ("pq_codes", Similarity.q122BaseArtifact(s, d),
+          Similarity.q122DeltaArtifact(s, d), thr("pq_codes")),
+        ("flag_store", Pipeline.q127DocflagsArtifact(s, d),
+          q131FlagsDeltaArtifact(s, d), thr("flag_store"))))
+        .orderBy(col("artifact"))
+    }),
     // q126 — override-chain compaction under the CORRECTNESS gate: stage
     // the q120 fold as an override delta, compact it into the base (when
     // there is anything to compact — warm runs serve straight from the
@@ -1424,6 +1531,68 @@ object Dedup {
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q131: every store count recomputed FROM SCRATCH —
+      //  labels base  = corpus-only closure size (docs in >= 1 corpus pair)
+      //  labels delta = nodes of the incremental subgraph: members of
+      //                 batch-touched corpus clusters ∪ batch-pair
+      //                 endpoints (pairs are df-order-independent, so the
+      //                 all-docs pair CTE restricted to >= 1 batch
+      //                 endpoint IS the batchPairs set, by completeness)
+      //  postings     = Σ min(sz, sz - (3sz)//5 + 1) per doc side (the
+      //                 prefix length depends only on sz, never the order)
+      //  pq / flags   = raw embedding / document counts per side
+      "q131_compact_due" ->
+        s"""WITH RECURSIVE $sqlPrefixPairs,
+           |  ec AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+           |         UNION ALL SELECT doc_b, doc_a FROM p
+           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+           |  creach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM ec
+           |    UNION
+           |    SELECT ec.src, creach.r FROM ec JOIN creach
+           |      ON ec.dst = creach.src),
+           |  creps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |            FROM creach GROUP BY src),
+           |  bp AS (SELECT doc_a, doc_b FROM p
+           |         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
+           |  -- NOTE: set-op UNION inside a CTE under WITH RECURSIVE gets
+           |  -- recursive-union (append) semantics in DuckDB 1.0 — dedup
+           |  -- must be an explicit DISTINCT over UNION ALL here
+           |  bpe AS (SELECT DISTINCT doc_id FROM (
+           |            SELECT doc_a AS doc_id FROM bp
+           |            UNION ALL SELECT doc_b FROM bp)),
+           |  treps AS (SELECT DISTINCT c.rep FROM creps c
+           |            JOIN bpe ON c.doc_id = bpe.doc_id),
+           |  members AS (SELECT c.doc_id FROM creps c
+           |              JOIN treps t ON c.rep = t.rep),
+           |  subnodes AS (SELECT DISTINCT doc_id FROM (
+           |                 SELECT doc_id FROM members
+           |                 UNION ALL SELECT doc_id FROM bpe)),
+           |  psz AS (SELECT doc_id,
+           |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),
+           |  rows_ AS (
+           |    SELECT 'labels_overrides' AS artifact,
+           |      (SELECT COUNT(*) FROM creps) AS base_n,
+           |      (SELECT COUNT(*) FROM subnodes) AS delta_n,
+           |      25 AS threshold_pct
+           |    UNION ALL SELECT 'posting_store',
+           |      (SELECT COALESCE(SUM(pn), 0) FROM psz
+           |       WHERE doc_id % 10 <> 0),
+           |      (SELECT COALESCE(SUM(pn), 0) FROM psz
+           |       WHERE doc_id % 10 = 0), 10
+           |    UNION ALL SELECT 'pq_codes',
+           |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 0),
+           |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0), 10
+           |    UNION ALL SELECT 'flag_store',
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0), 10)
+           |SELECT artifact, CAST(base_n AS BIGINT) AS base_n,
+           |  CAST(delta_n AS BIGINT) AS delta_n, threshold_pct,
+           |  (CAST(delta_n AS BIGINT) * 100 >=
+           |     CAST(base_n AS BIGINT) * threshold_pct) AS compact_due
+           |FROM rows_ ORDER BY artifact""".stripMargin,
 
       // q102: same verified pair set, attributed to normalized source
       // pairs; integer mean of jaccard×10⁴

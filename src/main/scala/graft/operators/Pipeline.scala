@@ -705,6 +705,110 @@ object Pipeline {
         .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
         .orderBy(col("source"))),
 
+    // q128b — the COMPACTION CLOSERS for q128's two still-growing stores
+    // (round-10 verdict #5): the accumulated per-doc flag rows and the
+    // versioned scorecard chain. The fold chain is q128's exact per-fold
+    // body replayed in batch form (3 ordered folds, same pairs/labels/
+    // corrections/merge math — the streaming run adds only micro-batch
+    // machinery, not different algebra); then both stores land-then-
+    // compact through the shared [[Bucketed.compactSwap]]:
+    //  - flag store: append-union merge, delta deduplicated by doc_id
+    //    first (redelivered flag rows are byte-identical per-doc facts,
+    //    so dedup-then-union is exact — the q130 posting argument);
+    //  - scorecard: latest-wins per source (newest ver survives — the
+    //    q126 override argument), so the compacted base is one row per
+    //    source and serving needs ZERO version machinery.
+    // Serving reads the COMPACTED bases alone; the oracle is from-scratch
+    // q119 over all documents, so fold chain + both swaps are hash-proven
+    // invisible at every tier.
+    "q128b_scorecard_compact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val folds = 3
+      val baseLabels = Dedup.q120LabelsArtifact(s, d)
+      val corpusDf = Dedup.q120DfArtifact(s, d)
+      val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
+      val corpus = Dedup.q120Corpus(s, d)
+      val corpusFlags = q127DocflagsArtifact(s, d)
+      val scBase0 = q127BaseArtifact(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q128b")
+      val labelsDir = dir.resolve("labels_delta").toString
+      val prefixDir = dir.resolve("prefix_delta").toString
+      val seenDir = dir.resolve("seen").toString
+      val flagsDir = dir.resolve("flags_delta").toString
+      val scDir = dir.resolve("scorecard").toString
+      baseLabels.limit(0).withColumn("ver", lit(0L)).write.parquet(labelsDir)
+      corpusPrefix.limit(0).write.parquet(prefixDir)
+      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      corpusFlags.limit(0).withColumn("ver", lit(0L)).write.parquet(flagsDir)
+      scBase0.withColumn("ver", lit(0L)).write.parquet(scDir)
+      def latestSc(upTo: Long): DataFrame =
+        s.read.parquet(scDir).filter(col("ver") <= upTo)
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("ver").desc)))
+          .filter(col("_rn") === 1).drop("_rn", "ver")
+      for (k <- 0 until folds) {
+        val ver = k.toLong
+        val b = docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k)
+        val seenDocs = corpus.unionByName(
+          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
+        val prefixAll = corpusPrefix.unionByName(s.read.parquet(prefixDir))
+        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+        val current = Dedup.latestWins(baseLabels,
+          s.read.parquet(labelsDir).filter(col("ver") < ver))
+        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+        val allFlags = corpusFlags.unionByName(
+          s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
+            .dropDuplicates("doc_id"))
+        q127MergeOf(latestSc(ver), q127BatchAgg(b, sub),
+            q127Corrections(sub, allFlags, current))
+          .withColumn("ver", lit(ver + 1))
+          .write.mode("append").parquet(scDir)
+        sub.withColumn("ver", lit(ver))
+          .write.mode("append").parquet(labelsDir)
+        Dedup.prefixRowsOf(b, corpusDf).write.mode("append").parquet(prefixDir)
+        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+        docflagsOf(b).withColumn("ver", lit(ver))
+          .write.mode("append").parquet(flagsDir)
+      }
+      val db = Bucketed.dbFor(d)
+      Bucketed.rewriteBucketed(s, db, "q128b_flags_base",
+        corpusFlags.withColumn("ver", lit(0L)), 8, Seq("doc_id"))
+      Bucketed.rewriteBucketed(s, db, "q128b_flags_delta",
+        s.read.parquet(flagsDir), 8, Seq("doc_id"))
+      Bucketed.compactSwap(s, db, "q128b_flags_base", "q128b_flags_delta",
+        "q128b_flags_pending",
+        s.table(s"$db.q128b_flags_base").unionByName(
+          s.table(s"$db.q128b_flags_delta").dropDuplicates("doc_id")),
+        8, Seq("doc_id"))
+      Bucketed.rewriteBucketed(s, db, "q128b_sc_base",
+        scBase0.withColumn("ver", lit(0L)), 1, Seq("source"))
+      Bucketed.rewriteBucketed(s, db, "q128b_sc_delta",
+        s.read.parquet(scDir).filter(col("ver") > 0), 1, Seq("source"))
+      Bucketed.compactSwap(s, db, "q128b_sc_base", "q128b_sc_delta",
+        "q128b_sc_pending",
+        // explicit repartition before the window: the union of two
+        // 1-bucket tables otherwise runs the per-source window on each
+        // side's scan partition separately (no exchange — each side
+        // satisfies the clustering alone, the union doesn't), which
+        // kept a base row AND a delta row per source instead of the
+        // newest. Measured, not theoretical: the first cut of this
+        // query served 38 rows for 20 sources.
+        s.table(s"$db.q128b_sc_base")
+          .unionByName(s.table(s"$db.q128b_sc_delta"))
+          .repartition(col("source"))
+          .withColumn("_rn", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("ver").desc)))
+          .filter(col("_rn") === 1).drop("_rn"),
+        1, Seq("source"))
+      // serve from the compacted bases alone — no version filtering, no
+      // delta union, one bucketed scan
+      s.table(s"$db.q128b_sc_base").drop("ver")
+        .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    }),
+
     // q94 — q93 WITH DECONTAMINATION: before packing, drop every train
     // doc that shares a 13-token run with ANY eval-side (val/test) doc —
     // the long-n-gram eval-decontamination practice of the GPT-3/PaLM
@@ -1117,6 +1221,9 @@ object Pipeline {
     // q127: incremental maintenance must be INVISIBLE — the oracle is
     // from-scratch q119 over corpus+batch, verbatim
     "q127_incremental_scorecard" -> sqlQ119,
+    // q128b: fold chain + flag-store and scorecard compaction swaps must
+    // all be invisible — from-scratch q119 over all documents
+    "q128b_scorecard_compact" -> sqlQ119,
 
     // q94 = q93's gates + the 13-shingle decontamination anti-join,
     // recomposed from the same shared fragments

@@ -402,6 +402,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(Similarity.q122DeltaArtifact(spark, dir).count() === 0L)
   }
 
+  test("q131 trigger loop: fold cadence consults compact_due, the third fold flips it, compaction clears it") {
+    import spark.implicits._
+    import operators.Dedup
+    import org.apache.spark.sql.functions.{col, expr}
+    // 18 corpus docs + 6 batch docs (3 folds x 2), all 10 distinct tokens
+    // -> 8 shingles -> 5 prefix rows each: base 90, delta +10/fold, so the
+    // 25% posting threshold is crossed exactly at fold 3 (11% -> 22% -> 33%)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q131").toString
+    val ids = ((1 to 9) ++ (11 to 19)).map(_.toLong) ++
+      (1 to 6).map(i => i * 10L)
+    ids.map(i => (i, (1 to 10).map(j => s"d${i}_w$j").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpusDf = Dedup.q120DfArtifact(spark, dir)
+    val corpusPrefix = Dedup.q120PrefixArtifact(spark, dir)
+    assert(corpusPrefix.count() === 90L)
+    val thr = 25 // spec-local threshold sized so the flip lands at fold 3
+    var acc = corpusPrefix.limit(0)
+    val verdicts = (0 until 3).map { k =>
+      val b = docs.filter(col("doc_id") % 10 === 0)
+        .filter(expr(s"(doc_id div 10) % 3") === k)
+      acc = acc.unionByName(Dedup.prefixRowsOf(b, corpusDf)).localCheckpoint()
+      val st = Dedup.storeStatus("posting_store", corpusPrefix, acc, thr)
+        .collect().head
+      (st.getAs[Long]("delta_n"), st.getAs[Boolean]("compact_due"))
+    }
+    assert(verdicts.map(_._1) === Seq(10L, 20L, 30L),
+      s"delta must grow by one fold's postings per fold: $verdicts")
+    assert(verdicts.map(_._2) === Seq(false, false, true),
+      s"compact_due must flip exactly when fold 3 crosses $thr%: $verdicts")
+    // consult-and-act: the compaction folds the accumulated rows into the
+    // base and truncates the delta — the verdict clears
+    val compacted = corpusPrefix.unionByName(acc)
+    val after = Dedup.storeStatus("posting_store", compacted,
+      acc.limit(0), thr).collect().head
+    assert(after.getAs[Long]("base_n") === 120L &&
+      !after.getAs[Boolean]("compact_due"),
+      s"post-compaction status must clear: $after")
+  }
+
   test("q127 incremental scorecard == from-scratch q119, incl. the demotion correction") {
     import operators.Pipeline
     import org.apache.spark.sql.functions.col
