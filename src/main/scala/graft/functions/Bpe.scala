@@ -95,7 +95,19 @@ object Bpe {
     * would split it into two unpaired surrogates here and diverge from
     * the oracle on the first non-BMP word.
     */
-  def tokenize(word: String): Array[String] = {
+  def tokenize(word: String): Array[String] = tokenizeWith(word, rank)
+
+  /** The kernel body over an ARBITRARY merge table — the fixture path
+    * and the trained-table path share one implementation, so the scale
+    * measurement measures the shipping kernel. Per-word cost: each step
+    * scans the current token seam (O(L)) and merges one occurrence, and
+    * there are at most L−1 steps — O(L²) seam scans per word in the
+    * worst case, where L is the CODE-POINT length. This is why callers
+    * keep the count-table pattern (distinct words once): the quadratic
+    * is paid per VOCABULARY entry, not per corpus token.
+    */
+  private[graft] def tokenizeWith(word: String,
+      rk: java.util.HashMap[String, Integer]): Array[String] = {
     if (word.isEmpty) return Array.empty
     val cps = word.codePoints().toArray
     var toks = new Array[String](cps.length)
@@ -109,7 +121,7 @@ object Bpe {
       var br = Int.MaxValue
       var j = 0
       while (j < toks.length - 1) {
-        val r = rank.get(toks(j) + "|" + toks(j + 1))
+        val r = rk.get(toks(j) + "|" + toks(j + 1))
         if (r != null && r < br) { br = r; bi = j }
         j += 1
       }
@@ -127,6 +139,158 @@ object Bpe {
 
   /** Codegen entry: BPE token count of one word. */
   def count(word: UTF8String): Long = tokenize(word.toString).length.toLong
+
+  // ---- trained-table slot (bpe_count_trained) ----------------------------
+  //
+  // The fixture table above is the ORACLE contract (q39b/q78b replay it
+  // in DuckDB — a 50k-entry list literal would make the recursive-CTE
+  // oracle both unreadable and unrunnable, so the fixture size IS the
+  // documented oracle contract). Realistic-scale tables go through this
+  // second slot: [[train]] learns one from a corpus, [[installTrained]]
+  // swaps it in, and the `bpe_count_trained` expression runs the SAME
+  // compiled kernel against it. graft.BpeBench measures the kernel at
+  // 50k merges / 200k-word vocabulary (SCALING.md).
+
+  @volatile private var trainedRank: java.util.HashMap[String, Integer] = rank
+
+  /** Install a trained table for `bpe_count_trained` (defaults to the
+    * fixture until installed). Driver-side call; executors in local mode
+    * share the JVM — a cluster deployment broadcasts the table instead.
+    */
+  def installTrained(merges: Seq[(String, String)]): Unit = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "|" + b, i) }
+    trainedRank = m
+  }
+
+  def countTrained(word: UTF8String): Long =
+    tokenizeWith(word.toString, trainedRank).length.toLong
+
+  /** Greedy BPE trainer (Sennrich et al. '16, arXiv:1508.07909 — the
+    * public algorithm): repeatedly merge the most frequent adjacent
+    * token pair across the (count-weighted) vocabulary. Deterministic:
+    * ties break on the lexicographically smallest (a, b). Incremental
+    * bookkeeping — pair counts and pair→word postings are updated only
+    * for the words a merge touches, with a lazy-deletion max-heap for
+    * selection — so training 50k merges over a 200k-word vocabulary is
+    * seconds, not hours. Stops early when no pair occurs twice
+    * (saturation): on this repo's synthetic corpus that is ~100 merges
+    * (31 distinct words), which is why the scale measurement uses a
+    * generated vocabulary (graft.BpeBench).
+    */
+  def train(vocab: Seq[(String, Long)], target: Int): Vector[(String, String)] = {
+    final class Word(var toks: Array[String], val n: Long)
+    val words = vocab.iterator.filter(_._1.nonEmpty).map { case (w, c) =>
+      val cps = w.codePoints().toArray
+      new Word(cps.map(cp => new String(Character.toChars(cp))), c)
+    }.toArray
+    val pairCount = new java.util.HashMap[String, Long]()
+    val pairWords = new java.util.HashMap[String, java.util.BitSet]()
+    // key → (a, b): the key string is not parseable back (tokens may
+    // themselves contain the separator), so the sides are kept alongside
+    val pairAB = new java.util.HashMap[String, (String, String)]()
+    def key(a: String, b: String) = a + "|" + b
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val w = words(wi)
+      var j = 0
+      while (j < w.toks.length - 1) {
+        val k = key(w.toks(j), w.toks(j + 1))
+        val c = pairCount.getOrDefault(k, 0L) + sign * w.n
+        if (c <= 0L) pairCount.remove(k) else pairCount.put(k, c)
+        if (sign > 0) {
+          pairWords.computeIfAbsent(k, _ => new java.util.BitSet()).set(wi)
+          if (!pairAB.containsKey(k)) pairAB.put(k, (w.toks(j), w.toks(j + 1)))
+        }
+        j += 1
+      }
+    }
+    // heap of (count, pairKey), max count first, lex-min key on ties;
+    // stale entries (count != current) are discarded on pop and the
+    // current value re-pushed so a decreased pair is never lost
+    val heap = new java.util.PriorityQueue[(Long, String)](
+      (x: (Long, String), y: (Long, String)) =>
+        if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+        else x._2.compareTo(y._2))
+    words.indices.foreach(addPairs(_, 1L))
+    pairCount.forEach((k, c) => heap.add((c, k)))
+    val merges = Vector.newBuilder[(String, String)]
+    var n = 0
+    var exhausted = false
+    while (n < target && !exhausted) {
+      var picked: String = null
+      while (picked == null && !heap.isEmpty) {
+        val (c, k) = heap.poll()
+        val cur = pairCount.getOrDefault(k, 0L)
+        if (cur == c && c >= 2L) picked = k
+        else if (cur >= 2L && cur < c) heap.add((cur, k)) // decreased: requeue
+        // cur > c entries were re-pushed at increase time; cur < 2 drops
+      }
+      if (picked == null) exhausted = true
+      else {
+        val (a, b) = pairAB.get(picked)
+        merges += ((a, b))
+        n += 1
+        val touched = pairWords.remove(picked)
+        val merged = a + b
+        var wi = if (touched == null) -1 else touched.nextSetBit(0)
+        while (wi >= 0) {
+          val w = words(wi)
+          // only words still containing the pair (postings can be stale
+          // after earlier merges rewrote the word)
+          var has = false
+          var j = 0
+          while (!has && j < w.toks.length - 1) {
+            has = w.toks(j) == a && w.toks(j + 1) == b; j += 1
+          }
+          if (has) {
+            addPairs(wi, -1L)
+            // merge ALL occurrences left-to-right (training-time rule)
+            val out = new scala.collection.mutable.ArrayBuffer[String](
+              w.toks.length)
+            var i2 = 0
+            while (i2 < w.toks.length) {
+              if (i2 < w.toks.length - 1 && w.toks(i2) == a &&
+                  w.toks(i2 + 1) == b) { out += merged; i2 += 2 }
+              else { out += w.toks(i2); i2 += 1 }
+            }
+            w.toks = out.toArray
+            addPairs(wi, 1L)
+            var j2 = 0
+            while (j2 < w.toks.length - 1) {
+              val k2 = key(w.toks(j2), w.toks(j2 + 1))
+              val c2 = pairCount.getOrDefault(k2, 0L)
+              if (c2 >= 2L) heap.add((c2, k2))
+              j2 += 1
+            }
+          }
+          wi = touched.nextSetBit(wi + 1)
+        }
+      }
+    }
+    merges.result()
+  }
+}
+
+/** string (one word) → BPE token count under the INSTALLED trained
+  * table ([[Bpe.installTrained]]; fixture until installed). Same
+  * compiled kernel as [[BpeCount]], different table slot — the scale
+  * measurement path (graft.BpeBench).
+  */
+case class BpeCountTrained(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_count_trained expects string, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.countTrained(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe.countTrained($c);")
+  override def prettyName: String = "bpe_count_trained"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** string (one word) → BPE token count under [[Bpe.Merges]]. */

@@ -132,4 +132,51 @@ class TextKernelSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(got === Seq(1L, 2L, 8L, 3L, 3L))
   }
+
+  test("bpe trainer: greedy frequency order, determinism, saturation, kernel round-trip") {
+    import graft.functions.Bpe
+    // hand-checkable corpus: "aaab"x3 + "ab"x2. Pair counts: (a,a)=6,
+    // (a,b)=5 -> first merge (a,a). Then "aa|a|b"x3: (aa,a)=3, (a,b)=5
+    // -> second merge (a,b). Then (aa,ab)=3 ...
+    val vocab = Seq(("aaab", 3L), ("ab", 2L))
+    val m = Bpe.train(vocab, 10)
+    assert(m.take(2) === Vector(("a", "a"), ("a", "b")),
+      s"greedy frequency order violated: $m")
+    // deterministic: identical input -> identical table
+    assert(Bpe.train(vocab, 10) === m)
+    // saturation: the trainer stops when no pair occurs twice, and the
+    // table is bounded by the corpus (never padded to the target)
+    assert(m.length < 10, s"must saturate, got ${m.length} merges")
+    // a trained table drives the SAME kernel: full merges collapse the
+    // training words to minimal token counts
+    val rank = {
+      val h = new java.util.HashMap[String, Integer]()
+      m.zipWithIndex.foreach { case ((a, b), i) => h.put(a + "|" + b, i) }
+      h
+    }
+    assert(Bpe.tokenizeWith("aaab", rank).length <= 2)
+    assert(Bpe.tokenizeWith("ab", rank).toSeq === Seq("ab"))
+    // trained-table expression slot: install, evaluate in a plan, restore
+    Bpe.installTrained(m)
+    try {
+      val got = Seq("aaab", "ab", "zz").toDF("w")
+        .select(call_function("bpe_count_trained", col("w")).as("n"))
+        .as[Long].collect().toSeq
+      assert(got.take(2) === Seq(
+        Bpe.tokenizeWith("aaab", rank).length.toLong, 1L))
+      assert(got(2) === 2L) // unseen chars stay unmerged
+    } finally Bpe.installTrained(Bpe.Merges) // restore fixture default
+    // determinism + scale smoke on a generated vocabulary: same seed,
+    // same table; trains well past the fixture size
+    val synth = graft.BpeBench.syntheticVocab(3000).map((_, 1L))
+    val t1 = Bpe.train(synth, 2000)
+    // the 3000-word vocab saturates around ~1.8k merges (measured); the
+    // point is it trains far past the 47-entry fixture and cuts off at
+    // the target when one is given
+    assert(t1.length > 1500, s"expected >1500 merges, got ${t1.length}")
+    assert(Bpe.train(synth, 2000) === t1)
+    assert(Bpe.train(synth, 500).length === 500 &&
+      Bpe.train(synth, 500) === t1.take(500),
+      "a smaller target must be a prefix of the larger table")
+  }
 }
