@@ -442,6 +442,48 @@ class PipelineSpec extends AnyFunSuite {
       s"post-compaction status must clear: $after")
   }
 
+  test("q132 tick: compacts exactly the due families, leaves the rest staged, idempotent re-tick") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.col
+    import operators.Bucketed
+    // Two synthetic families against a 20% threshold: fam_a's delta is
+    // 3/10 = 30% (due), fam_b's is 1/10 = 10% (not due). Selectivity must
+    // be observable in the PHYSICAL stores, not just the report.
+    val db = "graft_q132spec"
+    def kv(ids: Range): DataFrame =
+      ids.map(i => (i.toLong, i.toLong * 100)).toDF("k", "v")
+    val union = (b: DataFrame, del: DataFrame) => b.unionByName(del)
+    val fams = Seq(
+      ("fam_a", 20, 2, Seq("k"), kv(1 to 10), kv(11 to 13), union),
+      ("fam_b", 20, 2, Seq("k"), kv(1 to 10), kv(11 to 11), union))
+    val out = Dedup.maintenanceTick(spark, db, "t1", fams)
+      .orderBy(col("artifact")).collect()
+    assert(out.map(r => (r.getAs[String]("artifact"),
+      r.getAs[Boolean]("compact_due"), r.getAs[Long]("base_n_after"),
+      r.getAs[Long]("delta_n_after"))).toSeq ===
+      Seq(("fam_a", true, 13L, 0L), ("fam_b", false, 10L, 1L)),
+      s"tick transition: ${out.mkString(",")}")
+    assert(spark.table(s"$db.t1_fam_a_base").count() === 13L &&
+      spark.table(s"$db.t1_fam_a_delta").count() === 0L,
+      "due family must be physically compacted")
+    assert(spark.table(s"$db.t1_fam_b_base").count() === 10L &&
+      spark.table(s"$db.t1_fam_b_delta").count() === 1L,
+      "under-threshold family must be left staged untouched")
+    // post-tick contract: nothing is due
+    val post = Dedup.compactDueOf(fams.map { case (n, thr, _, _, _, _, _) =>
+      (n, spark.table(s"$db.t1_${n}_base"),
+        spark.table(s"$db.t1_${n}_delta"), thr)
+    }).collect()
+    assert(post.forall(!_.getAs[Boolean]("compact_due")),
+      s"post-tick nothing may be due: ${post.mkString(",")}")
+    // the tick re-stages from its pristine inputs: a second run reports
+    // the identical transition (deterministic under bench/verify re-runs)
+    val out2 = Dedup.maintenanceTick(spark, db, "t1", fams)
+      .orderBy(col("artifact")).collect()
+    assert(out2.toSeq === out.toSeq, "re-tick must be idempotent")
+  }
+
   test("q127 incremental scorecard == from-scratch q119, incl. the demotion correction") {
     import operators.Pipeline
     import org.apache.spark.sql.functions.col
