@@ -1431,6 +1431,77 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q133 — cross-document duplicated-span STRIP: the ACTION twin of
+    // q91's diagnosis, i.e. the ExactSubstr dedup of the suffix-array
+    // literature (Lee et al. '22) approximated to >= W-token repeats at
+    // MapReduce cost. Every duplicated window (hash in >= 2 distinct
+    // docs — within-doc repeats are deliberately out of contract, as in
+    // q91) is stripped from every document EXCEPT the hash's canonical
+    // keeper (min doc_id), so exactly one copy of each cross-doc repeat
+    // survives the corpus. Unlike q111's non-overlapping grid segments,
+    // alignment is arbitrary: a repeated paragraph straddling segment
+    // boundaries still strips, wherever it sits in either doc.
+    //
+    // Shape: q91's single-pass window machinery (narrow explode; keeper
+    // + dup test as ONE window over the uniform 128-bit hash — no join
+    // back, no skew), then gaps-and-islands interval merge per doc, and
+    // reassembly WITHOUT a token-level join: the merged strip intervals
+    // come back as one small array per doc (bounded by the doc's window
+    // count) and an aggregate() expression slices the gap runs straight
+    // out of the token array. Per-doc work is linear in tokens +
+    // intervals; the only wide exchanges are the window-hash partition
+    // and the doc_id window — nothing pairwise, nothing corpus².
+    "q133_span_strip" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = DupSpanW
+      val toksC =
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), toksC.as("toks"))
+      val wins = docs.filter(size(col("toks")) >= W)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
+        .toDF("doc_id", "pos", "wh")
+      val byHash = Window.partitionBy(col("wh"))
+      val spans = wins
+        .withColumn("kd", min(col("doc_id")).over(byHash))
+        .withColumn("xd", max(col("doc_id")).over(byHash))
+        .filter(col("kd") =!= col("xd") && col("doc_id") =!= col("kd"))
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + (W - 1)).as("e"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("s"), col("e"))
+      val merged = spans
+        .withColumn("pm", max(col("e")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("grp", sum(
+          when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+          .over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      docs.join(merged, Seq("doc_id"), "left")
+        .withColumn("kept",
+          when(col("iv").isNull, col("toks")).otherwise(expr(
+            """aggregate(iv,
+              |  struct(CAST(0 AS INT) AS cur,
+              |         CAST(array() AS ARRAY<STRING>) AS acc),
+              |  (st, x) -> struct(CAST(x.e + 1 AS INT) AS cur,
+              |    concat(st.acc, slice(toks, st.cur + 1, x.s - st.cur)) AS acc),
+              |  st -> concat(st.acc,
+              |    slice(toks, st.cur + 1, size(toks) - st.cur)))"""
+              .stripMargin)))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long")
+            .as("n_stripped_tokens"),
+          md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q111 — corpus-level segment dedup (CCNet/RefinedWeb "line dedup"
     // adapted to unstructured text): cut each document into
     // NON-OVERLAPPING [[SegW]]-token segments, count each distinct
@@ -2008,6 +2079,53 @@ object Dedup {
            |  CAST(COALESCE(c.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens
            |FROM agg a LEFT JOIN cov c ON a.doc_id = c.doc_id
            |ORDER BY a.doc_id""".stripMargin,
+
+      // q133: same windows, keeper = min doc_id per cross-doc hash;
+      // DELIBERATELY different reassembly formulation — token-level
+      // LEFT JOIN against the merged strip intervals (each token hits at
+      // most one disjoint interval) + ordered string_agg, vs the Spark
+      // side's gap-slice aggregate over the token array. Same strings,
+      // same md5s.
+      "q133_span_strip" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+           |  FROM documents),
+           |  w AS (SELECT doc_id, i - 1 AS pos,
+           |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
+           |    FROM t, LATERAL unnest(
+           |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
+           |    WHERE len(toks) >= $DupSpanW),
+           |  keeper AS (SELECT wh, MIN(doc_id) AS kd FROM w GROUP BY wh
+           |             HAVING COUNT(DISTINCT doc_id) >= 2),
+           |  spans AS (SELECT w.doc_id, w.pos AS s,
+           |      w.pos + ${DupSpanW - 1} AS e
+           |    FROM w JOIN keeper k ON w.wh = k.wh WHERE w.doc_id <> k.kd),
+           |  m AS (SELECT doc_id, s, e,
+           |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |            AS pm
+           |        FROM spans),
+           |  g2 AS (SELECT doc_id, s, e,
+           |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+           |        FROM m),
+           |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+           |        FROM g2 GROUP BY doc_id, grp),
+           |  tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
+           |          FROM t, LATERAL unnest(
+           |            generate_series(1, len(toks))) AS g(i)),
+           |  kept AS (SELECT tok.doc_id,
+           |      string_agg(CASE WHEN u.s IS NULL THEN tk END,
+           |        ' ' ORDER BY p) AS ktxt,
+           |      COUNT(*) FILTER (WHERE u.s IS NOT NULL) AS nstrip
+           |    FROM tok LEFT JOIN u ON tok.doc_id = u.doc_id
+           |      AND tok.p BETWEEN u.s AND u.e
+           |    GROUP BY tok.doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(k.nstrip, 0) AS BIGINT) AS n_stripped_tokens,
+           |  md5(COALESCE(k.ktxt, '')) AS kept_md5
+           |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
 
       // q111: same non-overlapping segmentation, df over distinct docs,
       // strip-and-reassemble replayed via ordered string_agg. COALESCE

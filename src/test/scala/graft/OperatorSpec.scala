@@ -1334,6 +1334,97 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q133 strips the planted repeat from the non-keeper only, off-grid") {
+    // doc 0 and doc 1 share a 25-token run at DIFFERENT offsets (11 vs 3
+    // — deliberately off q111's 10-token segment grid on one side); the
+    // keeper (min doc_id = 0) keeps every token, doc 1 loses exactly the
+    // run's interval union (6 dup windows at s=3..8 merge to [3, 27] =
+    // 25 tokens). doc 2 repeats a 20-token run TWICE within itself but
+    // nowhere else — within-doc repeats are out of contract, untouched.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_strip").toString
+    val run = (0 until 25).map(i => s"s$i")
+    val doc0 = ((0 until 11).map(i => s"a$i") ++ run ++
+      (0 until 9).map(i => s"b$i")).mkString(" ")
+    val doc1toks = (0 until 3).map(i => s"c$i") ++ run ++
+      (0 until 7).map(i => s"d$i")
+    val doc1 = doc1toks.mkString(" ")
+    val rep = (0 until 20).map(i => s"r$i")
+    val doc2 = (rep ++ Seq("x0", "x1") ++ rep).mkString(" ")
+    Seq((0L, doc0), (1L, doc1), (2L, doc2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = SparkEntry.queries("q133_span_strip")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toList
+    val doc1kept = ((0 until 3).map(i => s"c$i") ++
+      (0 until 7).map(i => s"d$i")).mkString(" ")
+    assert(rows === List(
+      (0L, 45L, 0L, md5hex(doc0)),
+      (1L, 35L, 25L, md5hex(doc1kept)),
+      (2L, 42L, 0L, md5hex(doc2))))
+  }
+
+  test("q133 matches an in-memory brute force on randomized corpora") {
+    // q91's randomized generator (planted >W shared runs at random
+    // offsets), verified against the DEFINITION: keeper = min doc_id per
+    // cross-doc window sequence; a non-keeper doc loses the interval
+    // union of its dup-window spans; kept text = remaining tokens in
+    // order. Exercises multi-doc keepers, overlapping islands, docs that
+    // lose everything, and sub-W docs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1717)
+    val alphabet = (0 until 12).map(i => s"t$i")
+    val sharedRun = (0 until 26).map(i => s"s$i")
+    val docs = (0L until 40L).map { id =>
+      val n = 5 + rnd.nextInt(60)
+      val base = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val withRun =
+        if (id % 5 == 0) {
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ sharedRun ++ base.drop(at)
+        } else base
+      (id, withRun.mkString(" "))
+    }
+    val W = 20
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector }.toMap
+    val wins = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length < W) Seq.empty
+      else (0 to tk.length - W).map(p => (id, p, tk.slice(p, p + W)))
+    }
+    val keeper = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (seq, ws) => seq -> ws.map(_._1).min }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, _) =>
+      val tk = toks(id)
+      val strip = wins.filter(w => w._1 == id &&
+        keeper.get(w._3).exists(_ != id)).map(_._2)
+      val covered = strip.flatMap(p => p until p + W).toSet
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !covered(i) => t }
+      (id, tk.length.toLong, covered.size.toLong, md5hex(kept.mkString(" ")))
+    }
+    assert(expected.exists(_._3 > 0), "generator must plant strips")
+    assert(expected.exists(e => e._3 > 0 && e._3 < e._2),
+      "generator must produce partially-stripped docs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rnd133").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q133_span_strip")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("q94 drops exactly the train doc sharing a 13-token run with eval") {
     // The synthetic corpus never trips the decontamination gate (near-
     // dups are cluster-split together, and no sub-document cross-split

@@ -531,6 +531,26 @@ class PlanSpec extends AnyFunSuite {
     assert(windows >= 2, "expected the wh-window and the lead-window")
   }
 
+  test("q133 decides keeper in the wh window; one doc_id join, nothing pairwise") {
+    // the dup + keeper verdict is ONE window over the uniform 128-bit
+    // hash (q91's no-join-back argument); the only join in the plan is
+    // the per-doc merged-interval array rejoining documents on doc_id —
+    // never a token-level or pairwise join
+    val p = plan("q133_span_strip")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q133 must contain nothing pairwise")
+    val joins =
+      "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins === 1,
+      s"expected exactly the doc_id reassembly join, got $joins:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.linesIterator.filter(_.contains("Join"))
+      .forall(_.contains("doc_id")), "the one join must key on doc_id")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 2, "expected the wh-window and the island windows")
+  }
+
   test("q93 reads the staged labels table and never recomputes CC") {
     // the composed pipeline's dedup gates must come from the write-once
     // dup_labels artifact (its third consumer), not from a re-run of
