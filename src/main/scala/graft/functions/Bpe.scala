@@ -137,8 +137,193 @@ object Bpe {
     toks
   }
 
-  /** Codegen entry: BPE token count of one word. */
-  def count(word: UTF8String): Long = tokenize(word.toString).length.toLong
+  // ---- interned kernel ----------------------------------------------------
+  //
+  // The string kernel above is the DEFINED contract (and what the DuckDB
+  // oracle replays). Its cost law, measured at a dense 50k table
+  // (SCALING.md round 11), was superquadratic in word length: O(L²) seam
+  // scans × O(L) string-concat key bytes per probe. The interned kernel
+  // removes both factors — the standard BPE implementation trick:
+  //  - every token the table can produce is interned to an int id
+  //    (BY STRING, so two rules producing the same text share one id);
+  //  - a rule lookup is one probe of an open-addressed long→long map
+  //    keyed by (leftId << 32 | rightId) — no key bytes materialized;
+  //  - selection is a lazy-deletion binary heap of (rank << 32 | pos)
+  //    packed longs over a doubly-linked token list, so a word costs
+  //    O(L log L) instead of O(L) full seam rescans per merge.
+  // Merge ORDER is unchanged: the heap pops the globally lowest rank,
+  // smallest position — token positions keep their original index, which
+  // is monotone in sequence order, so smallest-pos == leftmost, exactly
+  // the string kernel's tie rule. Stale entries (the pair at that
+  // position changed or vanished) fail the revalidation probe and are
+  // discarded; new pairs formed by a merge are pushed eagerly. The spec
+  // pins fast == string-path equality on the fixture table, the trained
+  // 50k table, and adversarial words (repeats, non-BMP, unseen chars).
+
+  /** A merge table compiled to int-pair form. Unknown characters map to
+    * id −1, which no rule's key contains — they simply never merge.
+    */
+  private[graft] final class InternedTable(merges: Seq[(String, String)]) {
+    private val idOf = new java.util.HashMap[String, Integer]()
+    private def intern(t: String): Int = {
+      val got = idOf.get(t)
+      if (got != null) got.intValue
+      else { val id = idOf.size(); idOf.put(t, id); id }
+    }
+    // open-addressed long→long map: key (a << 32 | b), value
+    // (rank << 32 | outId). Power-of-two capacity, linear probing,
+    // EMPTY = Long.MinValue (never a valid key: ids are >= 0).
+    private val cap = {
+      var c = 16
+      while (c < merges.size * 4) c <<= 1
+      c
+    }
+    private val keys = Array.fill[Long](cap)(Long.MinValue)
+    private val vals = new Array[Long](cap)
+    // Fibonacci-hash multiplier 0x9E3779B9 as a signed Int constant.
+    private final val HashMul = -1640531527
+    private def put(k: Long, v: Long): Unit = {
+      var i = (java.lang.Long.hashCode(k) * HashMul) & (cap - 1)
+      while (keys(i) != Long.MinValue && keys(i) != k) i = (i + 1) & (cap - 1)
+      // last writer wins on a duplicate (a, b) rule — the string kernel's
+      // HashMap.put behavior (ranks are unique per key in any real table,
+      // so this matters only for degenerate inputs)
+      keys(i) = k; vals(i) = v
+    }
+    /** rank << 32 | outId, or −1 if the pair is not a rule. */
+    def lookup(a: Int, b: Int): Long = {
+      if (a < 0 || b < 0) return -1L
+      val k = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
+      var i = (java.lang.Long.hashCode(k) * HashMul) & (cap - 1)
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == Long.MinValue) return -1L
+        i = (i + 1) & (cap - 1)
+      }
+      -1L
+    }
+    // single-code-point seed ids (only chars the table can consume)
+    private val seedOf = new java.util.HashMap[Integer, Integer]()
+    locally {
+      merges.zipWithIndex.foreach { case ((a, b), r) =>
+        val ia = intern(a); val ib = intern(b); val io = intern(a + b)
+        put((ia.toLong << 32) | (ib.toLong & 0xFFFFFFFFL),
+          (r.toLong << 32) | (io.toLong & 0xFFFFFFFFL))
+      }
+      idOf.forEach { (t, id) =>
+        if (t.codePointCount(0, t.length) == 1)
+          seedOf.put(t.codePointAt(0), id)
+      }
+    }
+    def seedId(cp: Int): Int = {
+      val got = seedOf.get(cp)
+      if (got == null) -1 else got.intValue
+    }
+  }
+
+  /** Token count of one word under an interned table: heap-driven exact
+    * replay of the defined merge procedure. Allocation-light: three int
+    * arrays + one growable long heap per call.
+    */
+  private[graft] def countInterned(word: String, tb: InternedTable): Long = {
+    if (word.isEmpty) return 0L
+    val n = word.codePointCount(0, word.length)
+    if (n == 1) return 1L
+    val ids = new Array[Int](n)
+    var ci = 0
+    var k = 0
+    while (k < n) {
+      val cp = word.codePointAt(ci)
+      ids(k) = tb.seedId(cp)
+      ci += Character.charCount(cp)
+      k += 1
+    }
+    val prev = new Array[Int](n)
+    val next = new Array[Int](n)
+    var i = 0
+    while (i < n) { prev(i) = i - 1; next(i) = i + 1; i += 1 }
+    next(n - 1) = -1
+    val alive = new Array[Boolean](n)
+    java.util.Arrays.fill(alive, true)
+    // binary min-heap of (rank << 32 | pos) packed longs
+    var heap = new Array[Long](math.max(16, n))
+    var hn = 0
+    def push(v: Long): Unit = {
+      if (hn == heap.length) heap = java.util.Arrays.copyOf(heap, hn * 2)
+      heap(hn) = v; hn += 1
+      var c = hn - 1
+      while (c > 0 && heap((c - 1) >> 1) > heap(c)) {
+        val p = (c - 1) >> 1
+        val t = heap(p); heap(p) = heap(c); heap(c) = t
+        c = p
+      }
+    }
+    def pop(): Long = {
+      val top = heap(0)
+      hn -= 1
+      heap(0) = heap(hn)
+      var c = 0
+      var going = true
+      while (going) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < hn && heap(l) < heap(m)) m = l
+        if (r < hn && heap(r) < heap(m)) m = r
+        if (m == c) going = false
+        else { val t = heap(m); heap(m) = heap(c); heap(c) = t; c = m }
+      }
+      top
+    }
+    def tryPush(pos: Int): Unit = {
+      val nx = next(pos)
+      if (nx >= 0) {
+        val v = tb.lookup(ids(pos), ids(nx))
+        if (v >= 0)
+          push(((v >>> 32) << 32) | (pos.toLong & 0xFFFFFFFFL))
+      }
+    }
+    i = 0
+    while (i < n - 1) {
+      val v = tb.lookup(ids(i), ids(i + 1))
+      if (v >= 0) push(((v >>> 32) << 32) | (i.toLong & 0xFFFFFFFFL))
+      i += 1
+    }
+    var count = n.toLong
+    while (hn > 0) {
+      val top = pop()
+      val pos = (top & 0xFFFFFFFFL).toInt
+      val rank = (top >>> 32).toInt
+      if (alive(pos)) {
+        val nx = next(pos)
+        if (nx >= 0) {
+          val v = tb.lookup(ids(pos), ids(nx))
+          // revalidate: the popped entry may predate a merge that changed
+          // either side; the CURRENT pair owns its own (newer) entry
+          if (v >= 0 && (v >>> 32).toInt == rank) {
+            ids(pos) = (v & 0xFFFFFFFFL).toInt
+            alive(nx) = false
+            val nn = next(nx)
+            next(pos) = nn
+            if (nn >= 0) prev(nn) = pos
+            count -= 1
+            val pv = prev(pos)
+            if (pv >= 0) tryPush(pv)
+            tryPush(pos)
+          }
+        }
+      }
+    }
+    count
+  }
+
+  private lazy val fixtureInterned = new InternedTable(Merges)
+
+  /** Codegen entry: BPE token count of one word (interned fast path;
+    * spec-pinned equal to the string-path contract).
+    */
+  def count(word: UTF8String): Long =
+    countInterned(word.toString, fixtureInterned)
 
   // ---- trained-table slot (bpe_count_trained) ----------------------------
   //
@@ -152,6 +337,13 @@ object Bpe {
   // 50k merges / 200k-word vocabulary (SCALING.md).
 
   @volatile private var trainedRank: java.util.HashMap[String, Integer] = rank
+  @volatile private var trainedInterned: InternedTable = fixtureInterned
+
+  /** The installed trained table in string form — the spec's reference
+    * path for fast==contract equality under the trained table.
+    */
+  private[graft] def trainedStringCount(word: String): Long =
+    tokenizeWith(word, trainedRank).length.toLong
 
   /** Install a trained table for `bpe_count_trained` (defaults to the
     * fixture until installed). Driver-side call; executors in local mode
@@ -161,10 +353,11 @@ object Bpe {
     val m = new java.util.HashMap[String, Integer]()
     merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "|" + b, i) }
     trainedRank = m
+    trainedInterned = new InternedTable(merges)
   }
 
   def countTrained(word: UTF8String): Long =
-    tokenizeWith(word.toString, trainedRank).length.toLong
+    countInterned(word.toString, trainedInterned)
 
   /** Greedy BPE trainer (Sennrich et al. '16, arXiv:1508.07909 — the
     * public algorithm): repeatedly merge the most frequent adjacent

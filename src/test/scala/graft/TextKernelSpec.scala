@@ -133,6 +133,47 @@ class TextKernelSpec extends AnyFunSuite {
     assert(got === Seq(1L, 2L, 8L, 3L, 3L))
   }
 
+  test("bpe interned fast path == string-path contract, fixture + trained tables") {
+    import graft.functions.Bpe
+    // the shipping count expressions run the interned heap kernel; the
+    // string kernel IS the defined contract (and the oracle replay), so
+    // equality is asserted over adversarial + random words on both the
+    // fixture table and a trained ~1.8k-merge table
+    val fixtureTb = new Bpe.InternedTable(Bpe.Merges)
+    def stringCount(w: String): Long = Bpe.tokenize(w).length.toLong
+    val adversarial = Seq("", "a", "the", "there", "tokenization", "2012",
+      "qqq", "a😀b", "😀", "and", "a" * 40, "ab" * 20, "the" * 13,
+      "ZZZZ", "éé😀éé", "thethethex", "ingingin", "00001212")
+    for (w <- adversarial)
+      assert(Bpe.countInterned(w, fixtureTb) === stringCount(w),
+        s"fixture mismatch on '$w'")
+    // random words over an alphabet that mixes table chars, unseen chars,
+    // and a supplementary-plane char; lengths 0..40
+    val cps = "abcdefinorstuxz012éZ😀".codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val rnd = new scala.util.Random(1234)
+    val words = (1 to 2000).map(_ =>
+      (0 until rnd.nextInt(41)).map(_ => cps(rnd.nextInt(cps.length)))
+        .mkString)
+    for (w <- words)
+      assert(Bpe.countInterned(w, fixtureTb) === stringCount(w),
+        s"fixture mismatch on '$w'")
+    // trained table: same kernel, table from the greedy trainer
+    val synth = graft.BpeBench.syntheticVocab(3000).map((_, 1L))
+    val trained = Bpe.train(synth, 2000)
+    val trainedTb = new Bpe.InternedTable(trained)
+    val trainedRank = {
+      val h = new java.util.HashMap[String, Integer]()
+      trained.zipWithIndex.foreach { case ((a, b), i) => h.put(a + "|" + b, i) }
+      h
+    }
+    val trainedWords = synth.take(500).map(_._1) ++ words.take(500)
+    for (w <- trainedWords)
+      assert(Bpe.countInterned(w, trainedTb) ===
+        Bpe.tokenizeWith(w, trainedRank).length.toLong,
+        s"trained-table mismatch on '$w'")
+  }
+
   test("bpe trainer: greedy frequency order, determinism, saturation, kernel round-trip") {
     import graft.functions.Bpe
     // hand-checkable corpus: "aaab"x3 + "ab"x2. Pair counts: (a,a)=6,
