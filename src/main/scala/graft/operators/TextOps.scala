@@ -473,6 +473,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // q134 — the DISTRIBUTED half of tokenizer training: weighted
+    // vocabulary extraction + the initial character-pair count table —
+    // exactly the state [[graft.functions.Bpe.train]]'s greedy loop
+    // seeds from. At 100 TB this is the part that must be a Spark job
+    // (one corpus scan, one vocabulary-sized shuffle); the merge loop
+    // itself is vocabulary-sized driver work over THESE counts, so the
+    // operator is the honest seam between cluster and driver. The top
+    // row of this table IS the trainer's first merge (spec-pinned
+    // against Bpe.train); counts < 2 are dropped because the trainer
+    // never merges a pair it cannot see twice. The guard length >= 2
+    // matters in BOTH engines: Spark's sequence(1, 0) is a DESCENDING
+    // [1, 0], not empty like DuckDB's generate_series.
+    "q134_bpe_pair_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(length(col("w")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, length(w) - 1),
+            |  i -> struct(substring(w, i, 1) AS l,
+            |              substring(w, i + 1, 1) AS r))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+    }),
+
     // q39b — token counts made TOKENIZER-EXACT: per-doc subword counts
     // under the fixed BPE merge table ([[graft.functions.Bpe]]) beside
     // the whitespace count q39 reports. The count-table pattern keeps it
@@ -1025,6 +1054,22 @@ object TextOps {
           | length(text) AS n_chars,
           | octet_length(encode(text)) AS n_bytes
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q134: weighted vocab + character-pair sums, replayed with
+      // DuckDB's character indexing (w[i] = one code point, matching the
+      // Spark side's substring semantics on this corpus)
+      "q134_bpe_pair_counts" ->
+        """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w
+          |            FROM documents),
+          |  dw AS (SELECT w, COUNT(*) AS n FROM wd
+          |         WHERE w <> '' GROUP BY w),
+          |  pr AS (SELECT w[i] AS l, w[i+1] AS r, n
+          |         FROM dw, LATERAL unnest(
+          |           generate_series(1, len(w) - 1)) AS g(i)
+          |         WHERE len(w) >= 2)
+          |SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt
+          |FROM pr GROUP BY l, r HAVING SUM(n) >= 2
+          |ORDER BY cnt DESC, l, r""".stripMargin,
 
       // q39b: the recursive CTE replays the DEFINED merge procedure
       // (lowest-rank leftmost pair per step) over distinct words — same

@@ -174,6 +174,26 @@ class TextKernelSpec extends AnyFunSuite {
         s"trained-table mismatch on '$w'")
   }
 
+  test("q134 pair counts seed the trainer: top row is Bpe.train's first merge") {
+    import graft.functions.Bpe
+    // q134 orders (cnt desc, l, r); the trainer picks (max count,
+    // lex-min pair) — identical total order, so q134's first row must BE
+    // the first merge the greedy loop emits over the same corpus
+    val rows = SparkEntry.queries("q134_bpe_pair_counts")(
+      spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val top = (rows.head.getAs[String]("l"), rows.head.getAs[String]("r"))
+    val vocab = Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(Bpe.train(vocab, 1).head === top,
+      s"trainer first merge must match q134's top row $top")
+    // and every listed pair is one the trainer COULD merge (count >= 2)
+    assert(rows.forall(_.getAs[Long]("cnt") >= 2L))
+  }
+
   test("bpe trainer: greedy frequency order, determinism, saturation, kernel round-trip") {
     import graft.functions.Bpe
     // hand-checkable corpus: "aaab"x3 + "ab"x2. Pair counts: (a,a)=6,
