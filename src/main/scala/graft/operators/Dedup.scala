@@ -1096,6 +1096,128 @@ object Dedup {
           b.unionByName(del.drop("ver").dropDuplicates("doc_id"))))
   }
 
+  // ---- q133/q135 shared span-strip stages ----------------------------------
+
+  /** Tokenized span-family frame: (doc_id, toks) under the q91 word
+    * tokenization, pre-spread by doc_id for the explode stage.
+    */
+  private[graft] def spanDocs(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+          .as("toks"))
+
+  /** (doc_id, pos, wh): every [[DupSpanW]]-token sliding window, hashed. */
+  private[graft] def spanWindows(sd: DataFrame): DataFrame =
+    sd.filter(size(col("toks")) >= DupSpanW)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (DupSpanW - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(DupSpanW)))))))
+      .toDF("doc_id", "pos", "wh")
+
+  /** q133's tail: merge strip spans (doc_id, s, e) into disjoint
+    * intervals (gaps-and-islands), rejoin the per-doc interval array on
+    * doc_id, and slice the gap runs out of the token array with an
+    * aggregate() expression — no token-level join. Emits one row per
+    * `sd` doc (doc_id, n_tokens, n_stripped_tokens, kept_md5), unordered.
+    */
+  private[graft] def spanStripRows(sd: DataFrame, spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val merged = spans
+      .withColumn("pm", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(
+        when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+        .over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    sd.join(merged, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("iv").isNull, col("toks")).otherwise(expr(
+          """aggregate(iv,
+            |  struct(CAST(0 AS INT) AS cur,
+            |         CAST(array() AS ARRAY<STRING>) AS acc),
+            |  (st, x) -> struct(CAST(x.e + 1 AS INT) AS cur,
+            |    concat(st.acc, slice(toks, st.cur + 1, x.s - st.cur)) AS acc),
+            |  st -> concat(st.acc,
+            |    slice(toks, st.cur + 1, size(toks) - st.cur)))"""
+            .stripMargin)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_stripped_tokens"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+  }
+
+  // ---- q135: INCREMENTAL span-strip maintenance ----------------------------
+  //
+  // q133 over a 100-TB corpus is one full-corpus window pass; q135 folds
+  // an arriving batch into its frozen output without re-paying it. The
+  // monotonicity that makes the fold sound: adding documents can only
+  // (a) flip a window hash from unique to cross-doc, or (b) move a
+  // hash's keeper DOWN (min over a grown doc set) — a corpus doc's strip
+  // set never shrinks, and it changes ONLY if one of its own hashes
+  // changed state. Every state-changing hash carries batch postings, so
+  // the affected-hash set — and from it the touched-doc set — is exactly
+  // discoverable from a bucket-local probe of the posting store by the
+  // batch's window hashes. Touched docs (plus the batch) are recomputed
+  // FROM DEFINITION against the merged per-hash state (corpus aggregates
+  // from the bucketed postings + batch aggregates, ids disjoint so
+  // distinct-doc counts ADD); everything else serves verbatim from the
+  // frozen base via a broadcast anti-join of the touched-id set — the
+  // q124 latest-wins regime, with the same compaction story (the
+  // recomputed rows are the override delta a continuous deployment would
+  // append; `Bucketed.compactSwap` folds them down on the q131 cadence).
+  //
+  // Frozen corpus state (write-once, one corpus window pass total):
+  //  - q135_postings (wh, doc_id) DISTINCT, bucketed by wh — the probe
+  //    side for affected-hash/touched-doc discovery and per-hash corpus
+  //    aggregates (min doc, distinct docs), all bucket-local;
+  //  - q135_bydoc (doc_id, pos, wh), bucketed by doc_id — a touched
+  //    doc's full window list without re-tokenizing the corpus;
+  //  - q135_base — the corpus-only q133 rows, bucketed by doc_id.
+
+  /** Spec counter: how many times the corpus window pass ran. */
+  private[graft] val q135StoreWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def q135PostingsArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q135_postings",
+      s"$d/documents.parquet",
+      {
+        q135StoreWrites.incrementAndGet()
+        spanWindows(spanDocs(s, q120Corpus(s, d)))
+          .select(col("wh"), col("doc_id")).distinct()
+      }, 16, Seq("wh"))
+
+  private[graft] def q135ByDocArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q135_bydoc",
+      s"$d/documents.parquet",
+      spanWindows(spanDocs(s, q120Corpus(s, d))), 8, Seq("doc_id"))
+
+  private[graft] def q135BaseArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q135_base",
+      s"$d/documents.parquet",
+      {
+        import org.apache.spark.sql.expressions.Window
+        val sd = spanDocs(s, q120Corpus(s, d))
+        val byHash = Window.partitionBy(col("wh"))
+        val spans = spanWindows(sd)
+          .withColumn("kd", min(col("doc_id")).over(byHash))
+          .withColumn("xd", max(col("doc_id")).over(byHash))
+          .filter(col("kd") =!= col("xd") && col("doc_id") =!= col("kd"))
+          .select(col("doc_id"), col("pos").as("s"),
+            (col("pos") + (DupSpanW - 1)).as("e"))
+        spanStripRows(sd, spans)
+      }, 8, Seq("doc_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q131 — the compaction trigger policy as data: per-artifact
     // accumulated-delta ratios against declared thresholds. Counts are
@@ -1453,52 +1575,82 @@ object Dedup {
     // and the doc_id window — nothing pairwise, nothing corpus².
     "q133_span_strip" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val W = DupSpanW
-      val toksC =
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-      val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), toksC.as("toks"))
-      val wins = docs.filter(size(col("toks")) >= W)
-        .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("toks")) - (W - 1)),
-            i => md5(concat_ws(" ", slice(col("toks"), i, lit(W)))))))
-        .toDF("doc_id", "pos", "wh")
+      val sd = spanDocs(s, Tables.documents(s, d))
+      val wins = spanWindows(sd)
       val byHash = Window.partitionBy(col("wh"))
       val spans = wins
         .withColumn("kd", min(col("doc_id")).over(byHash))
         .withColumn("xd", max(col("doc_id")).over(byHash))
         .filter(col("kd") =!= col("xd") && col("doc_id") =!= col("kd"))
         .select(col("doc_id"), col("pos").as("s"),
-          (col("pos") + (W - 1)).as("e"))
-      val byDoc = Window.partitionBy(col("doc_id"))
-        .orderBy(col("s"), col("e"))
-      val merged = spans
-        .withColumn("pm", max(col("e")).over(
-          byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("grp", sum(
-          when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
-          .over(byDoc))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
-      docs.join(merged, Seq("doc_id"), "left")
-        .withColumn("kept",
-          when(col("iv").isNull, col("toks")).otherwise(expr(
-            """aggregate(iv,
-              |  struct(CAST(0 AS INT) AS cur,
-              |         CAST(array() AS ARRAY<STRING>) AS acc),
-              |  (st, x) -> struct(CAST(x.e + 1 AS INT) AS cur,
-              |    concat(st.acc, slice(toks, st.cur + 1, x.s - st.cur)) AS acc),
-              |  st -> concat(st.acc,
-              |    slice(toks, st.cur + 1, size(toks) - st.cur)))"""
-              .stripMargin)))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          (size(col("toks")) - size(col("kept"))).cast("long")
-            .as("n_stripped_tokens"),
-          md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+          (col("pos") + (DupSpanW - 1)).as("e"))
+      spanStripRows(sd, spans).orderBy(col("doc_id"))
+    }),
+
+    // q135 — q133 folded forward (see the block comment at
+    // [[q135PostingsArtifact]]): batch windows probe the bucketed corpus
+    // posting store, state-changed hashes name the touched corpus docs,
+    // touched ∪ batch recompute from definition against the merged
+    // per-hash state, everything else serves from the frozen base. The
+    // oracle is the FROM-SCRATCH q133 over ALL documents, so the fold —
+    // including the keeper-migration case (a smaller-id batch doc
+    // demoting a corpus keeper, which must newly strip a doc whose own
+    // text never changed) — is hash-proven invisible per tier.
+    "q135_incremental_span_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      // dependencies resolve before any fold work (q126 ordering rule)
+      val postings = q135PostingsArtifact(s, d)
+      val bydoc = q135ByDocArtifact(s, d)
+      val base = q135BaseArtifact(s, d)
+      val bsd = spanDocs(s, batch)
+      val bwins = spanWindows(bsd)
+      val bpost = bwins.select(col("wh"), col("doc_id")).distinct()
+      // corpus state of the hashes the batch touches: bucket-local probe
+      // + partial-agg of the wh-bucketed postings; batch aggregates on
+      // the same keys; corpus/batch ids are disjoint so distinct-doc
+      // counts ADD and the merged keeper is a null-skipping least()
+      val bAgg = bpost.groupBy(col("wh"))
+        .agg(min(col("doc_id")).as("bmin"),
+          countDistinct(col("doc_id")).as("bn"))
+      val cAgg = postings
+        .join(bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+        .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+          countDistinct(col("doc_id")).as("cn"))
+      // a hash's serving state changed iff cross-ness flipped or the
+      // keeper moved; only hashes that HAD corpus docs can touch corpus
+      // output (cn null = batch-only hash)
+      val changed = bAgg.join(cAgg, Seq("wh"), "left_outer")
+        .filter(col("cn").isNotNull &&
+          (((col("cn") + col("bn")) >= 2) =!= (col("cn") >= 2) ||
+            least(col("cmin"), col("bmin")) =!= col("cmin")))
+        .select(col("wh"))
+      val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val tIds = touched.unionByName(batch.select(col("doc_id"))).distinct()
+      // full window lists of the recompute set: corpus side bucket-local
+      // from q135_bydoc, batch side just computed
+      val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
+        .unionByName(bwins)
+      // merged global state for every hash those windows hit
+      val cState = postings
+        .join(twins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+        .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+          countDistinct(col("doc_id")).as("cn"))
+      val state = cState.join(bAgg, Seq("wh"), "full_outer")
+        .select(col("wh"),
+          least(col("cmin"), col("bmin")).as("keeper"),
+          ((coalesce(col("cn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+            >= 2).as("cross"))
+      val spans = twins.join(state, Seq("wh"))
+        .filter(col("cross") && col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + (DupSpanW - 1)).as("e"))
+      val tsd = spanDocs(s,
+        docs.join(broadcast(tIds), Seq("doc_id"), "left_semi"))
+      val recomputed = spanStripRows(tsd, spans)
+      base.join(broadcast(tIds), Seq("doc_id"), "left_anti")
+        .unionByName(recomputed)
         .orderBy(col("doc_id"))
     }),
 
@@ -1679,6 +1831,49 @@ object Dedup {
     val minhashSig = (0 until MinhashK).map(i => s"mh$i").mkString("[", ", ", "]")
 
     val prefixPairs = sqlPrefixPairs
+
+    // q133's from-scratch strip — ALSO q135's oracle verbatim: the
+    // incremental fold must be invisible in the result.
+    val sqlSpanStrip =
+      s"""WITH t AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |  w AS (SELECT doc_id, i - 1 AS pos,
+         |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
+         |    FROM t, LATERAL unnest(
+         |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
+         |    WHERE len(toks) >= $DupSpanW),
+         |  keeper AS (SELECT wh, MIN(doc_id) AS kd FROM w GROUP BY wh
+         |             HAVING COUNT(DISTINCT doc_id) >= 2),
+         |  spans AS (SELECT w.doc_id, w.pos AS s,
+         |      w.pos + ${DupSpanW - 1} AS e
+         |    FROM w JOIN keeper k ON w.wh = k.wh WHERE w.doc_id <> k.kd),
+         |  m AS (SELECT doc_id, s, e,
+         |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |            AS pm
+         |        FROM spans),
+         |  g2 AS (SELECT doc_id, s, e,
+         |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+         |        FROM m),
+         |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+         |        FROM g2 GROUP BY doc_id, grp),
+         |  tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
+         |          FROM t, LATERAL unnest(
+         |            generate_series(1, len(toks))) AS g(i)),
+         |  kept AS (SELECT tok.doc_id,
+         |      string_agg(CASE WHEN u.s IS NULL THEN tk END,
+         |        ' ' ORDER BY p) AS ktxt,
+         |      COUNT(*) FILTER (WHERE u.s IS NOT NULL) AS nstrip
+         |    FROM tok LEFT JOIN u ON tok.doc_id = u.doc_id
+         |      AND tok.p BETWEEN u.s AND u.e
+         |    GROUP BY tok.doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(k.nstrip, 0) AS BIGINT) AS n_stripped_tokens,
+         |  md5(COALESCE(k.ktxt, '')) AS kept_md5
+         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         |ORDER BY t.doc_id""".stripMargin
 
     val m = Map(
       "q32_neardup_jaccard" ->
@@ -2086,46 +2281,10 @@ object Dedup {
       // most one disjoint interval) + ordered string_agg, vs the Spark
       // side's gap-slice aggregate over the token array. Same strings,
       // same md5s.
-      "q133_span_strip" ->
-        s"""WITH t AS (SELECT doc_id,
-           |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-           |  FROM documents),
-           |  w AS (SELECT doc_id, i - 1 AS pos,
-           |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
-           |    FROM t, LATERAL unnest(
-           |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
-           |    WHERE len(toks) >= $DupSpanW),
-           |  keeper AS (SELECT wh, MIN(doc_id) AS kd FROM w GROUP BY wh
-           |             HAVING COUNT(DISTINCT doc_id) >= 2),
-           |  spans AS (SELECT w.doc_id, w.pos AS s,
-           |      w.pos + ${DupSpanW - 1} AS e
-           |    FROM w JOIN keeper k ON w.wh = k.wh WHERE w.doc_id <> k.kd),
-           |  m AS (SELECT doc_id, s, e,
-           |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-           |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           |            AS pm
-           |        FROM spans),
-           |  g2 AS (SELECT doc_id, s, e,
-           |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-           |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-           |        FROM m),
-           |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
-           |        FROM g2 GROUP BY doc_id, grp),
-           |  tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
-           |          FROM t, LATERAL unnest(
-           |            generate_series(1, len(toks))) AS g(i)),
-           |  kept AS (SELECT tok.doc_id,
-           |      string_agg(CASE WHEN u.s IS NULL THEN tk END,
-           |        ' ' ORDER BY p) AS ktxt,
-           |      COUNT(*) FILTER (WHERE u.s IS NOT NULL) AS nstrip
-           |    FROM tok LEFT JOIN u ON tok.doc_id = u.doc_id
-           |      AND tok.p BETWEEN u.s AND u.e
-           |    GROUP BY tok.doc_id)
-           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-           |  CAST(COALESCE(k.nstrip, 0) AS BIGINT) AS n_stripped_tokens,
-           |  md5(COALESCE(k.ktxt, '')) AS kept_md5
-           |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
-           |ORDER BY t.doc_id""".stripMargin,
+      "q133_span_strip" -> sqlSpanStrip,
+
+      // q135: the incremental fold must be invisible — from-scratch q133
+      "q135_incremental_span_strip" -> sqlSpanStrip,
 
       // q111: same non-overlapping segmentation, df over distinct docs,
       // strip-and-reassemble replayed via ordered string_agg. COALESCE

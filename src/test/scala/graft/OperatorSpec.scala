@@ -1425,6 +1425,88 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("q135 fold == from-scratch q133, incl. keeper migration demoting a corpus doc") {
+    // corpus docs 11 & 13 share run R: the frozen base's keeper is 11,
+    // so 13 strips and 11 keeps. Batch doc 10 ALSO carries R — the
+    // merged keeper migrates to 10, so corpus doc 11 must NEWLY strip
+    // although its own text never changed (the fold's hard case). Corpus
+    // doc 3 shares run S with batch doc 20: keeper stays 3, so 3 is
+    // recomputed-but-unchanged and 20 strips. Doc 5 is untouched and
+    // serves verbatim from the base.
+    import spark.implicits._
+    import operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_q135").toString
+    val runR = (0 until 25).map(i => s"r$i")
+    val runS = (0 until 25).map(i => s"s$i")
+    val mk = Seq(
+      3L -> ((0 until 4).map(i => s"a$i") ++ runS ++
+        (0 until 6).map(i => s"b$i")),
+      5L -> (0 until 30).map(i => s"u$i"),
+      11L -> ((0 until 3).map(i => s"c$i") ++ runR ++
+        (0 until 7).map(i => s"d$i")),
+      13L -> ((0 until 5).map(i => s"e$i") ++ runR ++
+        (0 until 5).map(i => s"f$i")),
+      10L -> ((0 until 5).map(i => s"g$i") ++ runR ++
+        (0 until 5).map(i => s"h$i")),
+      20L -> ((0 until 4).map(i => s"i$i") ++ runS ++
+        (0 until 6).map(i => s"j$i")))
+    mk.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val base = Dedup.q135BaseArtifact(spark, dir)
+      .select(col("doc_id"), col("n_stripped_tokens"))
+      .as[(Long, Long)].collect().toMap
+    assert(base(11L) === 0L && base(13L) === 25L,
+      s"frozen base must elect 11 keeper: $base")
+    val got = SparkEntry.queries("q135_incremental_span_strip")(spark, dir)
+      .collect()
+    val want = SparkEntry.queries("q133_span_strip")(spark, dir).collect()
+    assert(got.toSeq === want.toSeq,
+      "fold must equal the from-scratch strip")
+    val strip = got.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_stripped_tokens")).toMap
+    assert(strip === Map(3L -> 0L, 5L -> 0L, 10L -> 0L, 11L -> 25L,
+      13L -> 25L, 20L -> 25L),
+      s"keeper migration must demote doc 11: $strip")
+    // warm fold: the corpus window pass is not re-paid
+    val w0 = Dedup.q135StoreWrites.get()
+    SparkEntry.queries("q135_incremental_span_strip")(spark, dir).collect()
+    assert(Dedup.q135StoreWrites.get() === w0,
+      "warm fold re-ran the corpus window pass")
+  }
+
+  test("q135 == q133 on randomized corpora with batch-side keepers") {
+    // q133's randomized generator plants the shared run on every 5th id
+    // (0, 5, 10, ...): ids 0/10/20/30 are the BATCH tenth, so the merged
+    // keeper (0) differs from the frozen base's (5) — keeper migration
+    // exercised on top of random overlaps, sub-W docs, and island merges
+    import spark.implicits._
+    val rnd = new scala.util.Random(9090)
+    val alphabet = (0 until 12).map(i => s"t$i")
+    val sharedRun = (0 until 26).map(i => s"s$i")
+    val docs = (0L until 40L).map { id =>
+      val n = 5 + rnd.nextInt(60)
+      val base = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val withRun =
+        if (id % 5 == 0) {
+          val at = rnd.nextInt(base.length + 1)
+          base.take(at) ++ sharedRun ++ base.drop(at)
+        } else base
+      (id, withRun.mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rnd135").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q135_incremental_span_strip")(spark, dir)
+      .collect()
+    val want = SparkEntry.queries("q133_span_strip")(spark, dir).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("q94 drops exactly the train doc sharing a 13-token run with eval") {
     // The synthetic corpus never trips the decontamination gate (near-
     // dups are cluster-split together, and no sub-document cross-split
