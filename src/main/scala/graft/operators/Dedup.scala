@@ -938,7 +938,12 @@ object Dedup {
     */
   private[graft] val CompactThresholds: Seq[(String, Int)] = Seq(
     "labels_overrides" -> 25, "posting_store" -> 10,
-    "pq_codes" -> 10, "flag_store" -> 10)
+    "pq_codes" -> 10, "flag_store" -> 10,
+    // span-strip override rows (q135): a latest-wins store like labels,
+    // so it tolerates the deeper chain — and at ~12% per folded tenth
+    // (SCALING.md q135) it sits genuinely UNDER threshold at every tier,
+    // exercising the tick's leave-staged path on real data
+    "span_overrides" -> 25)
 
   /** One status row for one artifact family: both counts are distributed
     * aggregates (the cross join multiplies two 1-row frames).
@@ -1093,7 +1098,12 @@ object Dedup {
       ("flag_store", thr("flag_store"), 8, Seq("doc_id"),
         Pipeline.q127DocflagsArtifact(s, d), q131FlagsDeltaArtifact(s, d),
         (b: DataFrame, del: DataFrame) =>
-          b.unionByName(del.drop("ver").dropDuplicates("doc_id"))))
+          b.unionByName(del.drop("ver").dropDuplicates("doc_id"))),
+      ("span_overrides", thr("span_overrides"), 8, Seq("doc_id"),
+        q135BaseArtifact(s, d), q131SpanDeltaArtifact(s, d),
+        (b: DataFrame, del: DataFrame) =>
+          b.join(del.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti").unionByName(del.drop("ver"))))
   }
 
   // ---- q133/q135 shared span-strip stages ----------------------------------
@@ -1218,6 +1228,76 @@ object Dedup {
         spanStripRows(sd, spans)
       }, 8, Seq("doc_id"))
 
+  /** The q135 fold body: (recomputed rows for touched ∪ batch, the
+    * recompute id set). Batch windows probe the bucketed corpus posting
+    * store; state-changed hashes name the touched corpus docs; the
+    * recompute set re-derives from definition against the merged
+    * per-hash state (corpus aggregates bucket-local, ids disjoint so
+    * distinct-doc counts ADD, keeper = null-skipping least()).
+    */
+  private[graft] def q135Fold(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // dependencies resolve before any fold work (q126 ordering rule)
+    val postings = q135PostingsArtifact(s, d)
+    val bydoc = q135ByDocArtifact(s, d)
+    val bsd = spanDocs(s, batch)
+    val bwins = spanWindows(bsd)
+    val bpost = bwins.select(col("wh"), col("doc_id")).distinct()
+    val bAgg = bpost.groupBy(col("wh"))
+      .agg(min(col("doc_id")).as("bmin"),
+        countDistinct(col("doc_id")).as("bn"))
+    val cAgg = postings
+      .join(bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+        countDistinct(col("doc_id")).as("cn"))
+    // a hash's serving state changed iff cross-ness flipped or the
+    // keeper moved; only hashes that HAD corpus docs can touch corpus
+    // output (cn null = batch-only hash)
+    val changed = bAgg.join(cAgg, Seq("wh"), "left_outer")
+      .filter(col("cn").isNotNull &&
+        (((col("cn") + col("bn")) >= 2) =!= (col("cn") >= 2) ||
+          least(col("cmin"), col("bmin")) =!= col("cmin")))
+      .select(col("wh"))
+    val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val tIds = touched.unionByName(batch.select(col("doc_id"))).distinct()
+    // full window lists of the recompute set: corpus side bucket-local
+    // from q135_bydoc, batch side just computed
+    val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .unionByName(bwins)
+    val cState = postings
+      .join(twins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+        countDistinct(col("doc_id")).as("cn"))
+    val state = cState.join(bAgg, Seq("wh"), "full_outer")
+      .select(col("wh"),
+        least(col("cmin"), col("bmin")).as("keeper"),
+        ((coalesce(col("cn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
+          >= 2).as("cross"))
+    val spans = twins.join(state, Seq("wh"))
+      .filter(col("cross") && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (DupSpanW - 1)).as("e"))
+    val tsd = spanDocs(s,
+      docs.join(broadcast(tIds), Seq("doc_id"), "left_semi"))
+    (spanStripRows(tsd, spans), tIds)
+  }
+
+  /** The accumulated span-override store after the batch tenth is fully
+    * folded — q135's recomputed rows, staged under q131's own name (the
+    * q131 convention: never truncated by a compaction query, so status
+    * is order-independent). Dependencies resolve eagerly above the lock.
+    */
+  private[graft] def q131SpanDeltaArtifact(s: SparkSession,
+      d: String): DataFrame = {
+    q135BaseArtifact(s, d)
+    val delta = q135Fold(s, d)._1.withColumn("ver", lit(1L))
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q131_span_delta",
+      s"$d/documents.parquet", delta, 8, Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q131 — the compaction trigger policy as data: per-artifact
     // accumulated-delta ratios against declared thresholds. Counts are
@@ -1234,7 +1314,9 @@ object Dedup {
         ("pq_codes", Similarity.q122BaseArtifact(s, d),
           Similarity.q122DeltaArtifact(s, d), thr("pq_codes")),
         ("flag_store", Pipeline.q127DocflagsArtifact(s, d),
-          q131FlagsDeltaArtifact(s, d), thr("flag_store"))))
+          q131FlagsDeltaArtifact(s, d), thr("flag_store")),
+        ("span_overrides", q135BaseArtifact(s, d),
+          q131SpanDeltaArtifact(s, d), thr("span_overrides"))))
         .orderBy(col("artifact"))
     }),
     // q132 — the maintenance TICK (see [[maintenanceTick]]): consult the
@@ -1597,58 +1679,8 @@ object Dedup {
     // demoting a corpus keeper, which must newly strip a doc whose own
     // text never changed) — is hash-proven invisible per tier.
     "q135_incremental_span_strip" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      // dependencies resolve before any fold work (q126 ordering rule)
-      val postings = q135PostingsArtifact(s, d)
-      val bydoc = q135ByDocArtifact(s, d)
       val base = q135BaseArtifact(s, d)
-      val bsd = spanDocs(s, batch)
-      val bwins = spanWindows(bsd)
-      val bpost = bwins.select(col("wh"), col("doc_id")).distinct()
-      // corpus state of the hashes the batch touches: bucket-local probe
-      // + partial-agg of the wh-bucketed postings; batch aggregates on
-      // the same keys; corpus/batch ids are disjoint so distinct-doc
-      // counts ADD and the merged keeper is a null-skipping least()
-      val bAgg = bpost.groupBy(col("wh"))
-        .agg(min(col("doc_id")).as("bmin"),
-          countDistinct(col("doc_id")).as("bn"))
-      val cAgg = postings
-        .join(bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi")
-        .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
-          countDistinct(col("doc_id")).as("cn"))
-      // a hash's serving state changed iff cross-ness flipped or the
-      // keeper moved; only hashes that HAD corpus docs can touch corpus
-      // output (cn null = batch-only hash)
-      val changed = bAgg.join(cAgg, Seq("wh"), "left_outer")
-        .filter(col("cn").isNotNull &&
-          (((col("cn") + col("bn")) >= 2) =!= (col("cn") >= 2) ||
-            least(col("cmin"), col("bmin")) =!= col("cmin")))
-        .select(col("wh"))
-      val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
-        .select(col("doc_id")).distinct()
-      val tIds = touched.unionByName(batch.select(col("doc_id"))).distinct()
-      // full window lists of the recompute set: corpus side bucket-local
-      // from q135_bydoc, batch side just computed
-      val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
-        .unionByName(bwins)
-      // merged global state for every hash those windows hit
-      val cState = postings
-        .join(twins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
-        .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
-          countDistinct(col("doc_id")).as("cn"))
-      val state = cState.join(bAgg, Seq("wh"), "full_outer")
-        .select(col("wh"),
-          least(col("cmin"), col("bmin")).as("keeper"),
-          ((coalesce(col("cn"), lit(0L)) + coalesce(col("bn"), lit(0L)))
-            >= 2).as("cross"))
-      val spans = twins.join(state, Seq("wh"))
-        .filter(col("cross") && col("doc_id") =!= col("keeper"))
-        .select(col("doc_id"), col("pos").as("s"),
-          (col("pos") + (DupSpanW - 1)).as("e"))
-      val tsd = spanDocs(s,
-        docs.join(broadcast(tIds), Seq("doc_id"), "left_semi"))
-      val recomputed = spanStripRows(tsd, spans)
+      val (recomputed, tIds) = q135Fold(s, d)
       base.join(broadcast(tIds), Seq("doc_id"), "left_anti")
         .unionByName(recomputed)
         .orderBy(col("doc_id"))
@@ -1832,6 +1864,38 @@ object Dedup {
 
     val prefixPairs = sqlPrefixPairs
 
+    // From-definition span-fold counts for the span_overrides policy row
+    // (q131/q132): windows, corpus/batch per-hash aggregates, the
+    // state-changed hashes (cross-ness flip or keeper migration), the
+    // touched corpus docs, and the recompute-set size — exactly q135's
+    // discovery predicates, recomputed from scratch.
+    val sqlSpanFoldCtes =
+      s"""st9 AS (SELECT doc_id,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |  sw9 AS (SELECT doc_id,
+         |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS swh
+         |    FROM st9, LATERAL unnest(
+         |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
+         |    WHERE len(toks) >= $DupSpanW),
+         |  scag9 AS (SELECT swh, MIN(doc_id) AS cmin,
+         |      COUNT(DISTINCT doc_id) AS cn
+         |    FROM sw9 WHERE doc_id % 10 <> 0 GROUP BY swh),
+         |  sbag9 AS (SELECT swh, MIN(doc_id) AS bmin,
+         |      COUNT(DISTINCT doc_id) AS bn
+         |    FROM sw9 WHERE doc_id % 10 = 0 GROUP BY swh),
+         |  schg9 AS (SELECT b.swh FROM sbag9 b JOIN scag9 c
+         |      ON b.swh = c.swh
+         |    WHERE ((c.cn + b.bn >= 2) <> (c.cn >= 2))
+         |       OR LEAST(c.cmin, b.bmin) <> c.cmin),
+         |  stch9 AS (SELECT DISTINCT w.doc_id FROM sw9 w
+         |    JOIN schg9 ch ON w.swh = ch.swh WHERE w.doc_id % 10 <> 0),
+         |  sdel9 AS (SELECT COUNT(DISTINCT doc_id) AS n FROM (
+         |      SELECT doc_id FROM stch9
+         |      UNION ALL
+         |      SELECT doc_id FROM documents WHERE doc_id % 10 = 0))"""
+        .stripMargin
+
     // q133's from-scratch strip — ALSO q135's oracle verbatim: the
     // incremental fold must be invisible in the result.
     val sqlSpanStrip =
@@ -1946,6 +2010,7 @@ object Dedup {
            |                 UNION ALL SELECT doc_id FROM bpe)),
            |  psz AS (SELECT doc_id,
            |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),
+           |  $sqlSpanFoldCtes,
            |  rows_ AS (
            |    SELECT 'labels_overrides' AS artifact,
            |      (SELECT COUNT(*) FROM creps) AS base_n,
@@ -1961,7 +2026,10 @@ object Dedup {
            |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0), 10
            |    UNION ALL SELECT 'flag_store',
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
-           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0), 10)
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0), 10
+           |    UNION ALL SELECT 'span_overrides',
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
+           |      (SELECT n FROM sdel9), 25)
            |SELECT artifact, CAST(base_n AS BIGINT) AS base_n,
            |  CAST(delta_n AS BIGINT) AS delta_n, threshold_pct,
            |  (CAST(delta_n AS BIGINT) * 100 >=
@@ -2002,6 +2070,7 @@ object Dedup {
            |                 UNION ALL SELECT doc_id FROM bpe)),
            |  psz AS (SELECT doc_id,
            |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),
+           |  $sqlSpanFoldCtes,
            |  rows_ AS (
            |    SELECT 'labels_overrides' AS artifact,
            |      (SELECT COUNT(*) FROM creps) AS base_n,
@@ -2021,7 +2090,11 @@ object Dedup {
            |    UNION ALL SELECT 'flag_store',
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0),
-           |      10, 0)
+           |      10, 0
+           |    UNION ALL SELECT 'span_overrides',
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
+           |      (SELECT n FROM sdel9), 25,
+           |      (SELECT COUNT(*) FROM stch9))
            |SELECT artifact, CAST(base_n AS BIGINT) AS base_n,
            |  CAST(delta_n AS BIGINT) AS delta_n, threshold_pct,
            |  (CAST(delta_n AS BIGINT) * 100 >=
