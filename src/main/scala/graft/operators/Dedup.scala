@@ -1238,10 +1238,23 @@ object Dedup {
   private[graft] def q135Fold(s: SparkSession,
       d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
-    val batch = docs.filter(col("doc_id") % 10 === 0)
     // dependencies resolve before any fold work (q126 ordering rule)
     val postings = q135PostingsArtifact(s, d)
     val bydoc = q135ByDocArtifact(s, d)
+    spanFoldAgainst(s, docs, docs.filter(col("doc_id") % 10 === 0),
+      postings, bydoc)
+  }
+
+  /** [[q135Fold]] over EXPLICIT stores — q136's continuous form feeds it
+    * the corpus stores ∪ the accumulated per-fold appends, so a fold-3
+    * doc pairs with fold-1 docs through the appended postings (the q124
+    * argument). Duplication-insensitive on both stores: per-hash
+    * aggregates are min/COUNT(DISTINCT) and span coverage is an interval
+    * union, so redelivered posting/window rows change nothing.
+    */
+  private[graft] def spanFoldAgainst(s: SparkSession, docs: DataFrame,
+      batch: DataFrame, postings: DataFrame,
+      bydoc: DataFrame): (DataFrame, DataFrame) = {
     val bsd = spanDocs(s, batch)
     val bwins = spanWindows(bsd)
     val bpost = bwins.select(col("wh"), col("doc_id")).distinct()
@@ -1283,6 +1296,27 @@ object Dedup {
     val tsd = spanDocs(s,
       docs.join(broadcast(tIds), Seq("doc_id"), "left_semi"))
     (spanStripRows(tsd, spans), tIds)
+  }
+
+  /** Latest-wins serving view for versioned span override rows — the
+    * q124 pattern applied to q135's output schema: base minus any
+    * overridden doc, plus each delta doc's newest row (one row per doc
+    * per fold, so the window is tie-free).
+    */
+  private[graft] def latestSpanWins(base: DataFrame,
+      delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("doc_id", "n_tokens", "n_stripped_tokens", "kept_md5")
+      .map(col)
+    val latest = delta
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("ver").desc)))
+      .filter(col("_rn") === 1)
+      .select(cols: _*)
+    base.join(broadcast(delta.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .select(cols: _*)
+      .unionByName(latest)
   }
 
   /** The accumulated span-override store after the batch tenth is fully
@@ -1805,6 +1839,51 @@ object Dedup {
     * (the round-4 brute-force forms ran for hours there). Reserves CTE
     * names s/sz/ex/dfreq/prefix/cand/p.
     */
+  /** q133's from-scratch strip oracle — ALSO q135's and q136's
+    * verbatim: every incremental/continuous form must be invisible in
+    * the result.
+    */
+  private[graft] lazy val sqlSpanStripOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |  FROM documents),
+       |  w AS (SELECT doc_id, i - 1 AS pos,
+       |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
+       |    FROM t, LATERAL unnest(
+       |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
+       |    WHERE len(toks) >= $DupSpanW),
+       |  keeper AS (SELECT wh, MIN(doc_id) AS kd FROM w GROUP BY wh
+       |             HAVING COUNT(DISTINCT doc_id) >= 2),
+       |  spans AS (SELECT w.doc_id, w.pos AS s,
+       |      w.pos + ${DupSpanW - 1} AS e
+       |    FROM w JOIN keeper k ON w.wh = k.wh WHERE w.doc_id <> k.kd),
+       |  m AS (SELECT doc_id, s, e,
+       |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |            AS pm
+       |        FROM spans),
+       |  g2 AS (SELECT doc_id, s, e,
+       |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |        FROM m),
+       |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
+       |        FROM g2 GROUP BY doc_id, grp),
+       |  tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
+       |          FROM t, LATERAL unnest(
+       |            generate_series(1, len(toks))) AS g(i)),
+       |  kept AS (SELECT tok.doc_id,
+       |      string_agg(CASE WHEN u.s IS NULL THEN tk END,
+       |        ' ' ORDER BY p) AS ktxt,
+       |      COUNT(*) FILTER (WHERE u.s IS NOT NULL) AS nstrip
+       |    FROM tok LEFT JOIN u ON tok.doc_id = u.doc_id
+       |      AND tok.p BETWEEN u.s AND u.e
+       |    GROUP BY tok.doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(k.nstrip, 0) AS BIGINT) AS n_stripped_tokens,
+       |  md5(COALESCE(k.ktxt, '')) AS kept_md5
+       |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   private[graft] lazy val sqlPrefixPairs: String =
     s"""s AS ($sqlShingles3),
        |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
@@ -1896,48 +1975,8 @@ object Dedup {
          |      SELECT doc_id FROM documents WHERE doc_id % 10 = 0))"""
         .stripMargin
 
-    // q133's from-scratch strip — ALSO q135's oracle verbatim: the
-    // incremental fold must be invisible in the result.
-    val sqlSpanStrip =
-      s"""WITH t AS (SELECT doc_id,
-         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-         |  FROM documents),
-         |  w AS (SELECT doc_id, i - 1 AS pos,
-         |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
-         |    FROM t, LATERAL unnest(
-         |      generate_series(1, len(toks) - ${DupSpanW - 1})) AS g(i)
-         |    WHERE len(toks) >= $DupSpanW),
-         |  keeper AS (SELECT wh, MIN(doc_id) AS kd FROM w GROUP BY wh
-         |             HAVING COUNT(DISTINCT doc_id) >= 2),
-         |  spans AS (SELECT w.doc_id, w.pos AS s,
-         |      w.pos + ${DupSpanW - 1} AS e
-         |    FROM w JOIN keeper k ON w.wh = k.wh WHERE w.doc_id <> k.kd),
-         |  m AS (SELECT doc_id, s, e,
-         |          MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |            AS pm
-         |        FROM spans),
-         |  g2 AS (SELECT doc_id, s, e,
-         |          SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
-         |            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-         |        FROM m),
-         |  u AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e
-         |        FROM g2 GROUP BY doc_id, grp),
-         |  tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tk
-         |          FROM t, LATERAL unnest(
-         |            generate_series(1, len(toks))) AS g(i)),
-         |  kept AS (SELECT tok.doc_id,
-         |      string_agg(CASE WHEN u.s IS NULL THEN tk END,
-         |        ' ' ORDER BY p) AS ktxt,
-         |      COUNT(*) FILTER (WHERE u.s IS NOT NULL) AS nstrip
-         |    FROM tok LEFT JOIN u ON tok.doc_id = u.doc_id
-         |      AND tok.p BETWEEN u.s AND u.e
-         |    GROUP BY tok.doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(COALESCE(k.nstrip, 0) AS BIGINT) AS n_stripped_tokens,
-         |  md5(COALESCE(k.ktxt, '')) AS kept_md5
-         |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
-         |ORDER BY t.doc_id""".stripMargin
+    val sqlSpanStrip = sqlSpanStripOracle
+
 
     val m = Map(
       "q32_neardup_jaccard" ->

@@ -602,6 +602,71 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q136 — CONTINUOUS span-strip maintenance: q135's fold as a real
+    // Structured Streaming pipeline (three ordered micro-batch files,
+    // maxFilesPerTrigger=1, foreachBatch — the q124 replay pattern).
+    // Each fold runs [[Dedup.spanFoldAgainst]] with the corpus stores ∪
+    // the ACCUMULATED per-fold appends, so a fold-3 doc pairs with
+    // fold-1 docs through the appended postings, and a later fold's
+    // smaller-id doc demotes an EARLIER fold's keeper (the recomputed
+    // override row with a newer `ver` wins at readout). State appended
+    // per fold: recomputed rows (ver = fold), the fold's distinct
+    // (wh, doc_id) postings, and its (doc_id, pos, wh) windows.
+    //
+    // Redelivery: the fold reads only the posting/window stores, whose
+    // duplication is invisible (per-hash aggregates are min/COUNT
+    // DISTINCT; coverage is an interval union), so a redelivered
+    // micro-batch appends byte-identical override rows and latest-wins
+    // serves each doc once — at-least-once delivery, exactly-once
+    // results, the q124 argument. The oracle is the from-scratch q133
+    // over ALL documents: cross-fold pairing, keeper migration, and the
+    // override chain are hash-proven per tier.
+    "q136_stream_incremental_span_strip" -> ((s, d) => {
+      import graft.Tables
+      import graft.operators.Dedup
+      val dir = Files.createTempDirectory("graft_q136")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val docs = Tables.documents(s, d)
+      val folds = 3
+      for (k <- 0 until folds)
+        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      val basePostings = Dedup.q135PostingsArtifact(s, d)
+      val baseBydoc = Dedup.q135ByDocArtifact(s, d)
+      val base = Dedup.q135BaseArtifact(s, d)
+      val postDir = dir.resolve("postings_delta").toString
+      val bydocDir = dir.resolve("bydoc_delta").toString
+      val ovDir = dir.resolve("overrides").toString
+      basePostings.limit(0).write.parquet(postDir)
+      baseBydoc.limit(0).write.parquet(bydocDir)
+      base.limit(0).withColumn("ver", lit(0L)).write.parquet(ovDir)
+      def fold(b: DataFrame, ver: Long): Unit = {
+        val posts = basePostings.unionByName(s.read.parquet(postDir))
+        val byd = baseBydoc.unionByName(s.read.parquet(bydocDir))
+        val (rec, _) = Dedup.spanFoldAgainst(s, docs, b, posts, byd)
+        rec.withColumn("ver", lit(ver)).write.mode("append").parquet(ovDir)
+        val bw = Dedup.spanWindows(Dedup.spanDocs(s, b))
+        bw.select(col("wh"), col("doc_id")).distinct()
+          .write.mode("append").parquet(postDir)
+        bw.write.mode("append").parquet(bydocDir)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            fold(b, id.longValue()))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Dedup.latestSpanWins(base, s.read.parquet(ovDir))
+        .orderBy(col("doc_id"))
+    }),
+
     // q128 — CONTINUOUS scorecard maintenance: q127's monoid+corrections
     // fold riding q124's micro-batch replay — the per-source curation
     // dashboard kept live as the corpus ingests. Each fold:
@@ -752,6 +817,11 @@ object StreamingQueries {
     // corrections and monoid adds hash-proven per tier.
     "q128_stream_incremental_scorecard" ->
       graft.operators.Pipeline.oracleSql("q119_source_scorecard"),
+    // q136: the continuously-folded span store must serve exactly the
+    // from-scratch q133 strip over ALL documents — cross-fold pairing,
+    // keeper migration, and the override chain hash-proven per tier.
+    "q136_stream_incremental_span_strip" ->
+      graft.operators.Dedup.sqlSpanStripOracle,
     // q108: the q103 trained-assignment CTEs, then the new-tenth ×
     // corpus-nine-tenths cell join + cosine verify. The oracle keys BOTH
     // sides on the a3 assignment; a hash match therefore also proves the

@@ -1507,6 +1507,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q136 cross-fold pairing + later-fold keeper demotion via the accumulated stores") {
+    // fold assignment is (doc_id div 10) % 3: doc 30 → fold 0,
+    // doc 10 → fold 1, doc 20 → fold 2. Run X is shared by docs 10 and
+    // 20 ONLY (absent from the corpus): the fold-2 doc can pair with the
+    // fold-1 doc only through the appended postings, keeper 10 → doc 20
+    // strips X. Run Y is shared by docs 30 and 20: keeper = 20 (smaller
+    // id arrives in a LATER fold), so doc 30 — which kept everything in
+    // fold 0 — must be recomputed in fold 2 with a newer ver that strips
+    // Y: the override chain, not a lucky in-fold recompute.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q136").toString
+    val runX = (0 until 25).map(i => s"x$i")
+    val runY = (0 until 25).map(i => s"y$i")
+    val mk = Seq(
+      1L -> (0 until 30).map(i => s"u$i"),
+      11L -> (0 until 30).map(i => s"v$i"),
+      10L -> ((0 until 3).map(i => s"a$i") ++ runX ++
+        (0 until 7).map(i => s"b$i")),
+      20L -> ((0 until 3).map(i => s"c$i") ++ runX ++
+        (0 until 2).map(i => s"d$i") ++ runY ++
+        (0 until 2).map(i => s"e$i")),
+      30L -> ((0 until 5).map(i => s"p$i") ++ runY ++
+        (0 until 5).map(i => s"q$i")))
+    mk.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q136_stream_incremental_span_strip")(
+      spark, dir).collect()
+    val want = SparkEntry.queries("q133_span_strip")(spark, dir).collect()
+    assert(got.toSeq === want.toSeq,
+      "continuous fold must equal the from-scratch strip")
+    val strip = got.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_stripped_tokens")).toMap
+    assert(strip === Map(1L -> 0L, 11L -> 0L, 10L -> 0L, 20L -> 25L,
+      30L -> 25L),
+      s"cross-fold strip + later-fold demotion: $strip")
+  }
+
   test("q94 drops exactly the train doc sharing a 13-token run with eval") {
     // The synthetic corpus never trips the decontamination gate (near-
     // dups are cluster-split together, and no sub-document cross-split
