@@ -110,7 +110,11 @@ object Bench {
     */
   private def estCost(n: String): Double = costTable.getOrElse(n, {
     if (n.contains("stream") && n.contains("incremental")) 40.0
-    else if (n.contains("compact")) 8.0
+    // measured class is 23-64 s (q130/q128b); over-estimating a new
+    // cheap status query (q131-style) just schedules it last and once —
+    // the safe direction. Under-estimating a real compaction fold ran
+    // it through pass 1 + three warm passes (~4x full price).
+    else if (n.contains("compact")) 25.0
     else if (n.contains("incremental")) 8.0
     else if (n.contains("stream")) 5.0
     else 1.5

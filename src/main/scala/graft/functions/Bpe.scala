@@ -45,11 +45,25 @@ object Bpe {
     ("er", "s"), ("on", "g"), ("the", "r"), ("re", "s"), ("at", "e"),
     ("or", "d"), ("en", "t"), ("it", "y"))
 
-  private val rank: java.util.HashMap[String, Integer] = {
+  /** Unambiguous pair key: the bare "a|b" concatenation conflates
+    * distinct pairs once tokens themselves contain '|' (key("a|","b") ==
+    * key("a","|b")), corrupting rank lookups and trainer pair counts.
+    * Length-prefixing the left side makes the key injective for ANY
+    * token alphabet. (The DuckDB oracle replay still renders "a|b" keys
+    * — its documented boundary is the fixture table, whose tokens never
+    * contain '|'.)
+    */
+  private def pairKey(a: String, b: String): String =
+    a.length + "|" + a + b
+
+  private[graft] def rankMapOf(
+      merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
-    Merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "|" + b, i) }
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(pairKey(a, b), i) }
     m
   }
+
+  private val rank: java.util.HashMap[String, Integer] = rankMapOf(Merges)
 
   /** The merge table as a DuckDB list literal of "a|b" keys (1-based
     * list_position = rank + 1 — order-preserving, which is all the
@@ -121,7 +135,7 @@ object Bpe {
       var br = Int.MaxValue
       var j = 0
       while (j < toks.length - 1) {
-        val r = rk.get(toks(j) + "|" + toks(j + 1))
+        val r = rk.get(pairKey(toks(j), toks(j + 1)))
         if (r != null && r < br) { br = r; bi = j }
         j += 1
       }
@@ -336,28 +350,33 @@ object Bpe {
   // compiled kernel against it. graft.BpeBench measures the kernel at
   // 50k merges / 200k-word vocabulary (SCALING.md).
 
-  @volatile private var trainedRank: java.util.HashMap[String, Integer] = rank
-  @volatile private var trainedInterned: InternedTable = fixtureInterned
+  /** Both forms of the installed table behind ONE volatile reference, so
+    * a reader never observes a torn (new rank map, old interned table)
+    * pair across an [[installTrained]] racing a running job.
+    */
+  private final class TrainedTables(
+      val rank: java.util.HashMap[String, Integer],
+      val interned: InternedTable)
 
-  /** The installed trained table in string form — the spec's reference
-    * path for fast==contract equality under the trained table.
+  @volatile private var trainedTables: TrainedTables =
+    new TrainedTables(rank, fixtureInterned)
+
+  /** The installed trained table through the string kernel — the spec's
+    * reference path for fast==contract equality under the trained table.
     */
   private[graft] def trainedStringCount(word: String): Long =
-    tokenizeWith(word, trainedRank).length.toLong
+    tokenizeWith(word, trainedTables.rank).length.toLong
 
   /** Install a trained table for `bpe_count_trained` (defaults to the
     * fixture until installed). Driver-side call; executors in local mode
     * share the JVM — a cluster deployment broadcasts the table instead.
     */
-  def installTrained(merges: Seq[(String, String)]): Unit = {
-    val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + "|" + b, i) }
-    trainedRank = m
-    trainedInterned = new InternedTable(merges)
-  }
+  def installTrained(merges: Seq[(String, String)]): Unit =
+    trainedTables = new TrainedTables(rankMapOf(merges),
+      new InternedTable(merges))
 
   def countTrained(word: UTF8String): Long =
-    countInterned(word.toString, trainedInterned)
+    countInterned(word.toString, trainedTables.interned)
 
   /** Greedy BPE trainer (Sennrich et al. '16, arXiv:1508.07909 — the
     * public algorithm): repeatedly merge the most frequent adjacent
@@ -382,7 +401,7 @@ object Bpe {
     // key → (a, b): the key string is not parseable back (tokens may
     // themselves contain the separator), so the sides are kept alongside
     val pairAB = new java.util.HashMap[String, (String, String)]()
-    def key(a: String, b: String) = a + "|" + b
+    def key(a: String, b: String) = pairKey(a, b)
     def addPairs(wi: Int, sign: Long): Unit = {
       val w = words(wi)
       var j = 0
@@ -407,6 +426,14 @@ object Bpe {
     words.indices.foreach(addPairs(_, 1L))
     pairCount.forEach((k, c) => heap.add((c, k)))
     val merges = Vector.newBuilder[(String, String)]
+    // A pair CAN re-form after its rule was emitted: a later merge whose
+    // output string equals `a` (or `b`) creates new (a, b) adjacencies.
+    // The rule already exists — at tokenize time the earlier rank fires —
+    // so the trainer must APPLY it again (keeping its bookkeeping in sync
+    // with what tokenization does) but must NOT emit a duplicate entry,
+    // which under the rank map's last-wins would move the pair to the
+    // later rank and change merge order vs the emitted list.
+    val emitted = new java.util.HashSet[String]()
     var n = 0
     var exhausted = false
     while (n < target && !exhausted) {
@@ -421,8 +448,10 @@ object Bpe {
       if (picked == null) exhausted = true
       else {
         val (a, b) = pairAB.get(picked)
-        merges += ((a, b))
-        n += 1
+        if (emitted.add(picked)) {
+          merges += ((a, b))
+          n += 1
+        }
         val touched = pairWords.remove(picked)
         val merged = a + b
         var wi = if (touched == null) -1 else touched.nextSetBit(0)

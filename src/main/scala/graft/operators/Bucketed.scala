@@ -163,17 +163,46 @@ object Bucketed {
     * maintenance ops are idempotent roll-forward state machines, so a
     * takeover mid-crash-window re-runs recovery, never corrupts.
     */
+  /** Advisory cross-driver lease with an OWNER TOKEN. The token closes
+    * the release race an age-only lease has: if driver A's work outlives
+    * `leaseMs` and driver B takes the lease over, A's release must NOT
+    * delete B's lease (that would admit a third driver while B is
+    * mid-swap). So the lease file carries the holder's nonce, and
+    * release deletes only a lease the caller still owns. The stolen
+    * holder's own critical section is still exposed — that is inherent
+    * to any lease without a heartbeat — so `leaseMs` must be sized above
+    * the worst-case swap wall (and [[compactSwap]]'s marker protocol
+    * keeps even an interleaved crash window roll-forward-safe).
+    */
   private[graft] def withFsLease[T](s: SparkSession, db: String,
       name: String)(f: => T): T = {
     val lease = warehousePath(s, db, s"_LEASE_$name")
     val fs = fsOf(s, lease)
     val leaseMs = s.conf.getOption("spark.graft.fs.leaseMs")
       .map(_.toLong).getOrElse(10L * 60 * 1000)
+    val nonce = java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     fs.mkdirs(lease.getParent)
+    def writeOwn(): Boolean =
+      try {
+        val out = fs.create(lease, false) // fails if the file exists
+        try out.write(nonce) finally out.close()
+        true
+      } catch { case _: Throwable => false }
+    def ownedByUs(): Boolean =
+      try {
+        val in = fs.open(lease)
+        val got = try {
+          val buf = new Array[Byte](nonce.length + 1)
+          val n = in.read(buf)
+          java.util.Arrays.copyOf(buf, math.max(0, n))
+        } finally in.close()
+        java.util.Arrays.equals(got, nonce)
+      } catch { case _: Throwable => false }
     var acquired = false
     val giveUp = System.currentTimeMillis() + leaseMs + 60000
     while (!acquired && System.currentTimeMillis() < giveUp) {
-      acquired = try fs.createNewFile(lease) catch { case _: Throwable => false }
+      acquired = writeOwn()
       if (!acquired) {
         val age = try System.currentTimeMillis() -
           fs.getFileStatus(lease).getModificationTime
@@ -185,7 +214,12 @@ object Bucketed {
     if (!acquired) throw new IllegalStateException(
       s"could not acquire FS lease $lease within ${leaseMs + 60000} ms — " +
         "another maintenance driver appears live; refusing to interleave")
-    try f finally { try fs.delete(lease, false) catch { case _: Throwable => () } }
+    try f finally {
+      // release ONLY a lease we still own — if a takeover happened, the
+      // file is the new holder's and must survive our exit
+      try { if (ownedByUs()) fs.delete(lease, false) }
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Fold `merged` (evaluated under the locks, against pre-swap state)

@@ -1031,27 +1031,38 @@ object Dedup {
   /** One tick over explicit stores: recover any crashed previous tick,
     * decide from one status scan, compact the due families, re-scan. The
     * spec drives this directly with synthetic stores (one due, one not);
-    * the q132 query feeds it the four real staged families. `fams` rows
+    * the q132 query feeds it the five real staged families. `fams` rows
     * are (name, threshold_pct, buckets, bucket keys, base df, delta df,
-    * merge). The 4-row decision frame is collected driver-side — catalog
-    * DDL (swap/truncate) cannot be issued from inside a dataframe, and
-    * the frame is one row per ARTIFACT FAMILY, never data-sized.
+    * merge). The decision frame is collected driver-side — catalog DDL
+    * (swap/truncate) cannot be issued from inside a dataframe, and the
+    * frame is one row per ARTIFACT FAMILY, never data-sized.
+    *
+    * `restage = true` (the CORRECTNESS-gate mode) rebuilds every
+    * family's working tables from the passed base/delta frames first, so
+    * a re-invocation is deterministic under bench/verify re-runs. A
+    * production deployment ticking its LIVE stores — where the fold jobs
+    * own the deltas and a base-sized rewrite per tick would defeat the
+    * threshold's whole point — passes `restage = false`: the tick then
+    * only recovers, decides, and compacts in place.
     */
   private[graft] def maintenanceTick(s: SparkSession, db: String,
       prefix: String,
       fams: Seq[(String, Int, Int, Seq[String], DataFrame, DataFrame,
-        (DataFrame, DataFrame) => DataFrame)]): DataFrame = {
+        (DataFrame, DataFrame) => DataFrame)],
+      restage: Boolean = true): DataFrame = {
     def baseT(n: String) = s"${prefix}_${n}_base"
     def deltaT(n: String) = s"${prefix}_${n}_delta"
     def marker(n: String) = s"${prefix}_${n}_pending"
-    // Stage fresh working copies. Recovery FIRST: a marker stranded by a
-    // tick killed mid-swap would otherwise replay against the fresh
-    // rewrites below (truncating a just-staged delta); after recovery the
-    // marker is gone and compactSwap's internal recover is a no-op.
+    // Recovery FIRST: a marker stranded by a tick killed mid-swap would
+    // otherwise replay against the fresh rewrites below (truncating a
+    // just-staged delta); after recovery the marker is gone and
+    // compactSwap's internal recover is a no-op.
     for ((n, _, bk, keys, base, delta, _) <- fams) {
       Bucketed.recoverPending(s, db, baseT(n), deltaT(n), marker(n), bk, keys)
-      Bucketed.rewriteBucketed(s, db, baseT(n), base, bk, keys)
-      Bucketed.rewriteBucketed(s, db, deltaT(n), delta, bk, keys)
+      if (restage) {
+        Bucketed.rewriteBucketed(s, db, baseT(n), base, bk, keys)
+        Bucketed.rewriteBucketed(s, db, deltaT(n), delta, bk, keys)
+      }
     }
     val before = compactDueOf(fams.map { case (n, thr, _, _, _, _, _) =>
       (n, s.table(s"$db.${baseT(n)}"), s.table(s"$db.${deltaT(n)}"), thr)
@@ -1101,9 +1112,11 @@ object Dedup {
           b.unionByName(del.drop("ver").dropDuplicates("doc_id"))),
       ("span_overrides", thr("span_overrides"), 8, Seq("doc_id"),
         q135BaseArtifact(s, d), q131SpanDeltaArtifact(s, d),
-        (b: DataFrame, del: DataFrame) =>
-          b.join(del.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti").unionByName(del.drop("ver"))))
+        // latest-wins PER DOC: a multi-fold delta holds several versions
+        // of a recomputed doc and only the newest may survive the merge
+        // (q131's staged delta is single-fold, but the merge algebra
+        // must match the store's documented contract, not the fixture)
+        (b: DataFrame, del: DataFrame) => latestSpanWins(b, del)))
   }
 
   // ---- q133/q135 shared span-strip stages ----------------------------------
@@ -1975,6 +1988,40 @@ object Dedup {
          |      SELECT doc_id FROM documents WHERE doc_id % 10 = 0))"""
         .stripMargin
 
+    // The corpus-closure / batch-subgraph / prefix-length CTEs shared
+    // VERBATIM by the q131 and q132 oracles — one definition so a fix
+    // cannot desynchronize them. NOTE: set-op UNION inside a CTE under
+    // WITH RECURSIVE gets recursive-union (append) semantics in DuckDB
+    // 1.0 — dedup must be an explicit DISTINCT over UNION ALL (bpe,
+    // subnodes below).
+    val sqlSubgraphCtes =
+      s"""ec AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+       |         UNION ALL SELECT doc_b, doc_a FROM p
+       |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+       |  creach(src, r) AS (
+       |    SELECT DISTINCT src, src FROM ec
+       |    UNION
+       |    SELECT ec.src, creach.r FROM ec JOIN creach
+       |      ON ec.dst = creach.src),
+       |  creps AS (SELECT src AS doc_id, MIN(r) AS rep
+       |            FROM creach GROUP BY src),
+       |  bp AS (SELECT doc_a, doc_b FROM p
+       |         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
+       |  bpe AS (SELECT DISTINCT doc_id FROM (
+       |            SELECT doc_a AS doc_id FROM bp
+       |            UNION ALL SELECT doc_b FROM bp)),
+       |  treps AS (SELECT DISTINCT c.rep FROM creps c
+       |            JOIN bpe ON c.doc_id = bpe.doc_id),
+       |  members AS (SELECT c.doc_id FROM creps c
+       |              JOIN treps t ON c.rep = t.rep),
+       |  subnodes AS (SELECT DISTINCT doc_id FROM (
+       |                 SELECT doc_id FROM members
+       |                 UNION ALL SELECT doc_id FROM bpe)),
+       |  psz AS (SELECT doc_id,
+       |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),"""
+        .stripMargin
+
     val sqlSpanStrip = sqlSpanStripOracle
 
 
@@ -2021,34 +2068,7 @@ object Dedup {
       //  pq / flags   = raw embedding / document counts per side
       "q131_compact_due" ->
         s"""WITH RECURSIVE $sqlPrefixPairs,
-           |  ec AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
-           |         UNION ALL SELECT doc_b, doc_a FROM p
-           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
-           |  creach(src, r) AS (
-           |    SELECT DISTINCT src, src FROM ec
-           |    UNION
-           |    SELECT ec.src, creach.r FROM ec JOIN creach
-           |      ON ec.dst = creach.src),
-           |  creps AS (SELECT src AS doc_id, MIN(r) AS rep
-           |            FROM creach GROUP BY src),
-           |  bp AS (SELECT doc_a, doc_b FROM p
-           |         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
-           |  -- NOTE: set-op UNION inside a CTE under WITH RECURSIVE gets
-           |  -- recursive-union (append) semantics in DuckDB 1.0 — dedup
-           |  -- must be an explicit DISTINCT over UNION ALL here
-           |  bpe AS (SELECT DISTINCT doc_id FROM (
-           |            SELECT doc_a AS doc_id FROM bp
-           |            UNION ALL SELECT doc_b FROM bp)),
-           |  treps AS (SELECT DISTINCT c.rep FROM creps c
-           |            JOIN bpe ON c.doc_id = bpe.doc_id),
-           |  members AS (SELECT c.doc_id FROM creps c
-           |              JOIN treps t ON c.rep = t.rep),
-           |  subnodes AS (SELECT DISTINCT doc_id FROM (
-           |                 SELECT doc_id FROM members
-           |                 UNION ALL SELECT doc_id FROM bpe)),
-           |  psz AS (SELECT doc_id,
-           |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),
+$sqlSubgraphCtes
            |  $sqlSpanFoldCtes,
            |  rows_ AS (
            |    SELECT 'labels_overrides' AS artifact,
@@ -2084,31 +2104,7 @@ object Dedup {
       // exactly for the compacted families.
       "q132_maintenance_tick" ->
         s"""WITH RECURSIVE $sqlPrefixPairs,
-           |  ec AS (SELECT doc_a AS src, doc_b AS dst FROM p
-           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
-           |         UNION ALL SELECT doc_b, doc_a FROM p
-           |         WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
-           |  creach(src, r) AS (
-           |    SELECT DISTINCT src, src FROM ec
-           |    UNION
-           |    SELECT ec.src, creach.r FROM ec JOIN creach
-           |      ON ec.dst = creach.src),
-           |  creps AS (SELECT src AS doc_id, MIN(r) AS rep
-           |            FROM creach GROUP BY src),
-           |  bp AS (SELECT doc_a, doc_b FROM p
-           |         WHERE doc_a % 10 = 0 OR doc_b % 10 = 0),
-           |  bpe AS (SELECT DISTINCT doc_id FROM (
-           |            SELECT doc_a AS doc_id FROM bp
-           |            UNION ALL SELECT doc_b FROM bp)),
-           |  treps AS (SELECT DISTINCT c.rep FROM creps c
-           |            JOIN bpe ON c.doc_id = bpe.doc_id),
-           |  members AS (SELECT c.doc_id FROM creps c
-           |              JOIN treps t ON c.rep = t.rep),
-           |  subnodes AS (SELECT DISTINCT doc_id FROM (
-           |                 SELECT doc_id FROM members
-           |                 UNION ALL SELECT doc_id FROM bpe)),
-           |  psz AS (SELECT doc_id,
-           |            least(sz, sz - (3 * sz) // 5 + 1) AS pn FROM sz),
+$sqlSubgraphCtes
            |  $sqlSpanFoldCtes,
            |  rows_ AS (
            |    SELECT 'labels_overrides' AS artifact,

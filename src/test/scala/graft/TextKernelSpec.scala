@@ -158,20 +158,32 @@ class TextKernelSpec extends AnyFunSuite {
     for (w <- words)
       assert(Bpe.countInterned(w, fixtureTb) === stringCount(w),
         s"fixture mismatch on '$w'")
-    // trained table: same kernel, table from the greedy trainer
+    // trained table: same kernel, table from the greedy trainer — and
+    // the comparison goes through the INSTALLED slot on both sides
+    // (trainedStringCount = string contract, countTrained = interned),
+    // so slot installation itself is under test
     val synth = graft.BpeBench.syntheticVocab(3000).map((_, 1L))
     val trained = Bpe.train(synth, 2000)
-    val trainedTb = new Bpe.InternedTable(trained)
-    val trainedRank = {
-      val h = new java.util.HashMap[String, Integer]()
-      trained.zipWithIndex.foreach { case ((a, b), i) => h.put(a + "|" + b, i) }
-      h
-    }
-    val trainedWords = synth.take(500).map(_._1) ++ words.take(500)
-    for (w <- trainedWords)
-      assert(Bpe.countInterned(w, trainedTb) ===
-        Bpe.tokenizeWith(w, trainedRank).length.toLong,
-        s"trained-table mismatch on '$w'")
+    Bpe.installTrained(trained)
+    try {
+      val trainedWords = synth.take(500).map(_._1) ++ words.take(500)
+      for (w <- trainedWords)
+        assert(Bpe.countTrained(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w)) ===
+          Bpe.trainedStringCount(w),
+          s"trained-table mismatch on '$w'")
+    } finally Bpe.installTrained(Bpe.Merges)
+    // tokens containing the legacy '|' separator must not conflate
+    // distinct rules: ("a","|")→"a|", then ("a|","b") vs ("a","|b") are
+    // different pairs with different ranks
+    val pipey = Vector(("a", "|"), ("a|", "b"), ("a", "|b"))
+    val pipeTb = new Bpe.InternedTable(pipey)
+    for (w <- Seq("a|b", "a||b", "|ab", "ab|", "a|a|b"))
+      assert(Bpe.countInterned(w, pipeTb) ===
+        Bpe.tokenizeWith(w, Bpe.rankMapOf(pipey)).length.toLong,
+        s"pipe-token mismatch on '$w'")
+    assert(Bpe.tokenizeWith("a|b", Bpe.rankMapOf(pipey)).toSeq ===
+      Seq("a|b"), "a|b must merge via ('a','|') then ('a|','b')")
   }
 
   test("q134 pair counts seed the trainer: top row is Bpe.train's first merge") {
@@ -210,11 +222,7 @@ class TextKernelSpec extends AnyFunSuite {
     assert(m.length < 10, s"must saturate, got ${m.length} merges")
     // a trained table drives the SAME kernel: full merges collapse the
     // training words to minimal token counts
-    val rank = {
-      val h = new java.util.HashMap[String, Integer]()
-      m.zipWithIndex.foreach { case ((a, b), i) => h.put(a + "|" + b, i) }
-      h
-    }
+    val rank = Bpe.rankMapOf(m)
     assert(Bpe.tokenizeWith("aaab", rank).length <= 2)
     assert(Bpe.tokenizeWith("ab", rank).toSeq === Seq("ab"))
     // trained-table expression slot: install, evaluate in a plan, restore
