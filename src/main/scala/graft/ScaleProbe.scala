@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ScaleProbe <sfDir> [candidates|segments|zipf|inc|folds|scorecard]")
+      "usage: ScaleProbe <sfDir> [candidates|segments|zipf|inc|folds|scorecard|span]")
     val d = args(0)
     // "candidates": skip the TPC-H/streaming probes (documents+embeddings
     // tiers). "segments": ONLY the q111 block — the cheap mode for the
@@ -53,6 +53,7 @@ object ScaleProbe {
     val incProbe = mode == "inc"
     val foldsProbe = mode == "folds"
     val scorecardProbe = mode == "scorecard"
+    val spanProbe = mode == "span"
     val spark = Sessions.local()
     val out = scala.collection.mutable.LinkedHashMap[String, Any]()
 
@@ -361,6 +362,42 @@ object ScaleProbe {
       }
       out("folds_corpus_postings") = cpfx.count()
       Seq(cdf, cpfx, csh).foreach(_.unpersist()); baseLabels.unpersist()
+    }
+
+    // --- mode == "span": the q135/q136 span-fold delta law (SCALING.md
+    // round 11). The claim: per-fold work = batch windows + state-changed
+    // hashes + touched docs, every term delta-proportional, while the
+    // corpus window store is a built-once linear asset. Counts, not
+    // wall-seconds. b1 is a 10× smaller batch over the SAME corpus:
+    // delta-proportionality shows as ~×10 drops in changed hashes and
+    // touched docs at fixed corpus. The change predicate is the
+    // operator's own (Dedup.spanChangedHashes) — the probe cannot drift
+    // from what q135 actually discovers.
+    if (spanProbe) timed("span_probe") {
+      import operators.Dedup
+      val docs = Tables.documents(spark, d)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val cw = Dedup.spanWindows(Dedup.spanDocs(spark, corpus)).persist()
+      out("span_corpus_windows") = cw.count()
+      val cpost = cw.select(col("wh"), col("doc_id")).distinct().persist()
+      out("span_corpus_postings") = cpost.count()
+      for ((tag, batch) <- Seq(
+          "b10" -> docs.filter(col("doc_id") % 10 === 0),
+          "b1" -> docs.filter(col("doc_id") % 100 === 0))) {
+        val bw = Dedup.spanWindows(Dedup.spanDocs(spark, batch)).persist()
+        out(s"span_${tag}_windows") = bw.count()
+        val bpost = bw.select(col("wh"), col("doc_id")).distinct()
+        val bAgg = bpost.groupBy(col("wh"))
+          .agg(min(col("doc_id")).as("bmin"),
+            countDistinct(col("doc_id")).as("bn"))
+        val changed = Dedup.spanChangedHashes(cpost, bpost, bAgg).persist()
+        out(s"span_${tag}_changed_hashes") = changed.count()
+        out(s"span_${tag}_touched_docs") = cpost
+          .join(changed, Seq("wh"), "left_semi")
+          .select(col("doc_id")).distinct().count()
+        changed.unpersist(); bw.unpersist()
+      }
+      cw.unpersist(); cpost.unpersist()
     }
 
     // --- mode == "scorecard": the q127/q128 maintenance-cost law. The

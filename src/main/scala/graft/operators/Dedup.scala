@@ -1258,6 +1258,25 @@ object Dedup {
       postings, bydoc)
   }
 
+  /** The fold's state-change predicate, shared with ScaleProbe's span
+    * probe so the measured delta law uses the operator's OWN discovery
+    * logic: a hash's serving state changed iff cross-ness flipped or the
+    * keeper moved; only hashes that HAD prior docs can touch prior
+    * output (cn null = batch-only hash).
+    */
+  private[graft] def spanChangedHashes(postings: DataFrame,
+      bpost: DataFrame, bAgg: DataFrame): DataFrame = {
+    val cAgg = postings
+      .join(bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+        countDistinct(col("doc_id")).as("cn"))
+    bAgg.join(cAgg, Seq("wh"), "left_outer")
+      .filter(col("cn").isNotNull &&
+        (((col("cn") + col("bn")) >= 2) =!= (col("cn") >= 2) ||
+          least(col("cmin"), col("bmin")) =!= col("cmin")))
+      .select(col("wh"))
+  }
+
   /** [[q135Fold]] over EXPLICIT stores — q136's continuous form feeds it
     * the corpus stores ∪ the accumulated per-fold appends, so a fold-3
     * doc pairs with fold-1 docs through the appended postings (the q124
@@ -1274,18 +1293,7 @@ object Dedup {
     val bAgg = bpost.groupBy(col("wh"))
       .agg(min(col("doc_id")).as("bmin"),
         countDistinct(col("doc_id")).as("bn"))
-    val cAgg = postings
-      .join(bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi")
-      .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
-        countDistinct(col("doc_id")).as("cn"))
-    // a hash's serving state changed iff cross-ness flipped or the
-    // keeper moved; only hashes that HAD corpus docs can touch corpus
-    // output (cn null = batch-only hash)
-    val changed = bAgg.join(cAgg, Seq("wh"), "left_outer")
-      .filter(col("cn").isNotNull &&
-        (((col("cn") + col("bn")) >= 2) =!= (col("cn") >= 2) ||
-          least(col("cmin"), col("bmin")) =!= col("cmin")))
-      .select(col("wh"))
+    val changed = spanChangedHashes(postings, bpost, bAgg)
     val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
       .select(col("doc_id")).distinct()
     val tIds = touched.unionByName(batch.select(col("doc_id"))).distinct()
