@@ -1628,6 +1628,57 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // q137 — MinHash BANDING PARAMETER SWEEP: the q117 honest-audit
+    // pattern applied to the lexical LSH. For each (bands, rows)
+    // factorization of the 32-value signature, the candidate mass and
+    // the recall against the EXACT Jaccard >= 3/5 truth set (q32's
+    // verified pairs) — the b/r trade a deployment tunes before trusting
+    // banding at a new scale: more bands of fewer rows = higher recall,
+    // quadratically more candidates to verify. Counts + integer
+    // basis-point recall (no float verdict). The oracle recomputes each
+    // config's candidates brute-force (all-pairs band compare) — oracle
+    // clarity over speed, which caps the oracle at sf0.1 like the other
+    // deliberately-quadratic oracles.
+    "q137_minhash_band_sweep" -> ((s, d) => {
+      import s.implicits.newLongArrayEncoder
+      val feats = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("h31", hash60(col("s")).bitwiseAND(lit(0x7FFFFFFFL)))
+      val mhAgg = udaf(new graft.functions.SignatureAggs.MinhashAgg(
+        permA.toArray, permB.toArray, MinhashP))
+      // materialized once (localCheckpoint): four band configs re-read
+      // the signatures and the truth set
+      val sigs = feats.groupBy(col("doc_id"))
+        .agg(mhAgg(col("h31")).as("sig")).localCheckpoint(true)
+      val truth = jaccardPairs(s, d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val nTruthDf = truth.agg(count(lit(1)).as("n_truth"))
+      Seq((16, 2), (8, 4), (4, 8), (2, 16)).map { case (nb, r) =>
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until nb).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(",", (0 until r).map(i =>
+                element_at(col("sig"), b * r + i + 1)): _*).as("bv"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bv"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hit")))
+          .crossJoin(nTruthDf)
+          .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_truth"), col("n_hit"),
+            when(col("n_truth") === 0, lit(0L))
+              .otherwise(expr("(n_hit * 10000) div n_truth"))
+              .as("recall_bp"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("bands").desc)
+    }),
+
     // q91 — cross-document duplicated-SPAN detection: the SUBSTRING-level
     // dedup signal (doc-level near-dup — q32/q33/q34 — misses a boiler-
     // plate paragraph shared by otherwise-distinct documents). Every
@@ -2329,6 +2380,49 @@ $sqlSubgraphCtes
            |SELECT doc_a, doc_b, ROUND(n_eq / ${MinhashK.toDouble}, 4) AS est_jaccard
            |FROM p WHERE n_eq >= $MinhashEq
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // q137: per-config candidates recomputed brute-force (all-pairs
+      // band-slice compare — DuckDB list slicing on the same mh signature
+      // CTEs); truth = the q32 prefix-pair CTE's verified set. Integer
+      // basis-point recall, div-by-zero guarded in both engines.
+      "q137_minhash_band_sweep" -> {
+        val cfgs = Seq((16, 2), (8, 4), (4, 8), (2, 16))
+        val candCtes = cfgs.map { case (nb, r) =>
+          s"""c${nb}x$r AS (SELECT DISTINCT a.doc_id AS doc_a,
+             |      b.doc_id AS doc_b
+             |    FROM sigm a JOIN sigm b ON a.doc_id < b.doc_id
+             |    WHERE EXISTS (SELECT 1 FROM
+             |        unnest(generate_series(0, ${nb - 1})) g(bi)
+             |      WHERE a.sig[bi*$r+1:bi*$r+$r] =
+             |            b.sig[bi*$r+1:bi*$r+$r]))""".stripMargin
+        }.mkString(",\n           |  ")
+        val cfgRows = cfgs.map { case (nb, r) =>
+          s"""SELECT $nb AS bands, $r AS rows_per_band,
+             |      (SELECT COUNT(*) FROM c${nb}x$r) AS n_candidates,
+             |      (SELECT COUNT(*) FROM p) AS n_truth,
+             |      (SELECT COUNT(*) FROM c${nb}x$r c
+             |       JOIN p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
+             |        AS n_hit""".stripMargin
+        }.mkString("\n           |    UNION ALL ")
+        s"""WITH $sqlPrefixPairs,
+           |  fm AS (SELECT doc_id, ${sqlHash60("x.s")} & 2147483647 AS h31
+           |         FROM (SELECT doc_id, unnest(sh) AS s FROM s) x),
+           |  sgm AS (SELECT doc_id,
+           |    $minhashMins
+           |    FROM fm GROUP BY doc_id),
+           |  sigm AS (SELECT doc_id, $minhashSig AS sig FROM sgm),
+           |  $candCtes,
+           |  rows_ AS (
+           |    $cfgRows)
+           |SELECT bands, rows_per_band,
+           |  CAST(n_candidates AS BIGINT) AS n_candidates,
+           |  CAST(n_truth AS BIGINT) AS n_truth,
+           |  CAST(n_hit AS BIGINT) AS n_hit,
+           |  CAST(CASE WHEN n_truth = 0 THEN 0
+           |       ELSE (n_hit * 10000) // n_truth END AS BIGINT)
+           |    AS recall_bp
+           |FROM rows_ ORDER BY bands DESC""".stripMargin
+      },
 
       // q89 (query lives in streaming/StreamingQueries.scala): batch
       // replay of the streaming near-dup backfill — new tenth × corpus

@@ -1547,6 +1547,28 @@ class OperatorSpec extends AnyFunSuite {
       s"cross-fold strip + later-fold demotion: $strip")
   }
 
+  test("q137 banding sweep: candidates and recall are monotone in band count") {
+    // the factorizations nest (a shared 4-wide band implies both its
+    // 2-wide halves are shared), so the candidate set — and with it the
+    // hit count and recall — can only GROW as bands are split finer;
+    // a violation means the band slicing misaligned somewhere
+    val rows = SparkEntry.queries("q137_minhash_band_sweep")(
+      spark, TestSpark.sf).collect()
+    assert(rows.length === 4)
+    val byBands = rows.sortBy(-_.getAs[Int]("bands"))
+    assert(byBands.map(_.getAs[Int]("bands")).toSeq === Seq(16, 8, 4, 2))
+    def mono(field: String): Unit = {
+      val v = byBands.map(_.getAs[Long](field)).toSeq
+      assert(v.zip(v.tail).forall { case (hi, lo) => hi >= lo },
+        s"$field must be non-increasing as bands coarsen: $v")
+    }
+    mono("n_candidates"); mono("n_hit"); mono("recall_bp")
+    // and the sweep must discriminate: the finest banding strictly
+    // out-recalls the coarsest on this corpus
+    assert(byBands.head.getAs[Long]("recall_bp") >
+      byBands.last.getAs[Long]("recall_bp"))
+  }
+
   test("q94 drops exactly the train doc sharing a 13-token run with eval") {
     // The synthetic corpus never trips the decontamination gate (near-
     // dups are cluster-split together, and no sub-document cross-split
