@@ -207,9 +207,12 @@ object Bench {
         (s"""{"slow_factor":$slowF,"admission_skipped":$skippedNames,"rows":$detail}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // Candidate cost table for the next round's scheduling: only a
-      // COMPLETE, zero-failure run qualifies (a partial or failing run
-      // would bake contention or missing rows into the schedule).
-      if (nFailed == 0 && nSkipped == 0 && qRows.nonEmpty) {
+      // COMPLETE, zero-failure, UNRESTRICTED run qualifies (a partial or
+      // failing run would bake contention or missing rows into the
+      // schedule — and an args-restricted dev run, whose own subset is
+      // trivially "complete", must not overwrite the full map).
+      if (nFailed == 0 && nSkipped == 0 && qRows.nonEmpty &&
+          qRows.size == SparkEntry.queries.size) {
         val costs = rs.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_costs.json"),
