@@ -23,7 +23,8 @@ object SparkEntry {
       operators.TextOps.queries ++ operators.Multimodal.queries ++
       operators.Ingest.queries ++ streaming.StreamingQueries.queries ++
       streaming.StatefulSession.queries ++ operators.Bucketed.queries ++
-      operators.Sampling.queries
+      operators.Sampling.queries ++ operators.Sketches.queries ++
+      operators.Layout.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextOps.oracleSql ++ operators.Multimodal.oracleSql ++
       operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql ++
       streaming.StatefulSession.oracleSql ++ operators.Bucketed.oracleSql ++
-      operators.Sampling.oracleSql
+      operators.Sampling.oracleSql ++ operators.Sketches.oracleSql ++
+      operators.Layout.oracleSql
 }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-dimensional DATA LAYOUT as an operator: Z-ORDER the events table
+  * on (time, user) and serve box queries through partition pruning.
+  *
+  * The 100-TB problem this solves: a single sort key prunes one dimension —
+  * a table laid out by time answers time ranges cheaply but scans
+  * EVERYTHING for a user range, and vice versa. Interleaving the bucket
+  * bits of both dimensions (Morton/Z-order) gives every partition a small
+  * bounding box in BOTH dimensions, so a 2-d box query touches only the
+  * partitions whose box intersects it — the technique behind
+  * Delta/Iceberg `ZORDER BY`, expressed here with plain Spark primitives:
+  * a hive-partitioned write on the z-cell + `IN`-list partition filters at
+  * read time (visible as `PartitionFilters` in the scan, asserted in
+  * LayoutSpec, measured via the scan's `numFiles` metric).
+  *
+  * Everything is integer-exact and engine-portable: bucket cuts are
+  * `(v - min) * 8 div span`, the box bounds are span fractions of the same
+  * min/max, and the oracle replays the identical box over the RAW events
+  * (the layout is invisible to results — that's the point of a layout).
+  *
+  * Scale posture: the layout build is one pass (a min/max agg for the cuts
+  * + a partitioned write — at real scale a range-partitioned write keyed
+  * on the z-value); the cuts are layout METADATA (one tiny sidecar row),
+  * read once per query, never a corpus scan. Candidate cells are
+  * enumerated driver-side over the 8x8 grid — O(64), independent of data.
+  */
+object Layout {
+
+  /** Bits per dimension: 8x8 grid -> 64 z-cells. */
+  private[graft] val DimBits = 3
+  private[graft] val Grid = 1 << DimBits // 8
+
+  /** Morton interleave of two `DimBits`-bit bucket columns:
+    * z = ... t1 u1 t0 u0 (t in odd positions, u in even).
+    */
+  private[graft] def zCell(t: Column, u: Column): Column =
+    (0 until DimBits).map { k =>
+      shiftleft(shiftright(t, k).bitwiseAND(lit(1L)), 2 * k + 1) +
+        shiftleft(shiftright(u, k).bitwiseAND(lit(1L)), 2 * k)
+    }.reduce(_ + _).cast("int")
+
+  /** Driver-side twin of [[zCell]] for candidate-cell enumeration. */
+  private[graft] def zId(t: Int, u: Int): Int =
+    (0 until DimBits).map { k =>
+      (((t >> k) & 1) << (2 * k + 1)) | (((u >> k) & 1) << (2 * k))
+    }.sum
+
+  /** Integer bucket of `v` into [0, Grid) given inclusive [min, max]:
+    * (v - min) * Grid div (max - min + 1). Monotone, exact, and identical
+    * in Spark and DuckDB (both floor-divide nonnegative operands).
+    */
+  private[graft] def bucketOf(v: Column, min: Column, max: Column): Column =
+    call_function("div", (v - min) * lit(Grid.toLong),
+      max - min + lit(1L)).cast("long")
+
+  // memo: layout built at most once per (session warehouse, source mtime)
+  private val layoutWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  /** Spec counter: the layout write must be paid at most once. */
+  private[graft] val layoutWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def layoutDir(s: SparkSession, d: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    s"$wh/${Bucketed.dbFor(d)}.db/events_zorder"
+  }
+
+  /** Cuts sidecar: the layout's metadata row (tmin, tmax, umin, umax). */
+  private def cutsDir(s: SparkSession, d: String): String =
+    layoutDir(s, d) + "_cuts"
+
+  /** Build (once) the z-ordered layout: events partitioned by zcell, with
+    * the bucket cuts persisted as a one-row sidecar.
+    */
+  private[graft] def zLayout(s: SparkSession, d: String): String = {
+    val dir = layoutDir(s, d)
+    val src = s"$d/events.parquet"
+    val srcM = {
+      val p = java.nio.file.Paths.get(src)
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }
+    layoutWritten.synchronized {
+      val prev = layoutWritten.get(dir)
+      // Hadoop-FS existence check: the session's warehouse dir is a
+      // QUALIFIED URI (file:/... locally, s3a://... on object storage), so
+      // java.io paths would silently miss and rebuild every call.
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val exists = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(hp)
+      if (!(layoutWritten.containsKey(dir) && prev == srcM && exists)) {
+        layoutWrites.incrementAndGet()
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
+            col("user_id"), col("event_type"), col("value"))
+        val cuts = ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
+          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+        cuts.coalesce(1).write.mode("overwrite").parquet(cutsDir(s, d))
+        val c = s.read.parquet(cutsDir(s, d))
+        val withCell = ev.crossJoin(broadcast(c))
+          .withColumn("tb", bucketOf(col("tsc"), col("tmin"), col("tmax")))
+          .withColumn("ub", bucketOf(col("user_id"), col("umin"), col("umax")))
+          .withColumn("zcell", zCell(col("tb"), col("ub")))
+          .select(col("event_id"), col("tsc"), col("user_id"),
+            col("event_type"), col("value"), col("zcell"))
+        // repartition by zcell so each partition dir gets one file per
+        // writing task that actually owns the cell (no 32x64 file blowup)
+        withCell.repartition(col("zcell"))
+          .write.mode("overwrite").partitionBy("zcell").parquet(dir)
+        layoutWritten.put(dir, srcM)
+      }
+    }
+    dir
+  }
+
+  /** The q140 box bounds, derived from the cuts row: time in
+    * [tmin + tspan/8, tmin + tspan/2], user in [umin + uspan/4,
+    * umin + uspan/2] — integer span fractions both engines compute
+    * identically from the same min/max.
+    */
+  private[graft] def boxOf(tmin: Long, tmax: Long, umin: Long, umax: Long)
+      : (Long, Long, Long, Long) = {
+    val tspan = tmax - tmin + 1
+    val uspan = umax - umin + 1
+    (tmin + tspan / 8, tmin + tspan / 2,
+      umin + uspan / 4, umin + uspan / 2)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q140 — Z-ORDER box query: aggregate a 2-d (time x user) box over the
+    // z-laid-out events, reading ONLY the partitions whose cell intersects
+    // the box. Candidate cells are enumerated driver-side from the layout
+    // metadata (an O(64) loop over the grid, never a data scan); the scan
+    // carries `PartitionFilters: zcell IN (...)` plus the exact residual
+    // predicate. The oracle replays the identical box over the raw,
+    // un-laid-out events — layouts must be invisible to results. LayoutSpec
+    // measures the pruning (files read under the IN-list vs the full
+    // layout) and proves the layout build is paid once.
+    "q140_zorder_box" -> ((s, d) => {
+      val dir = zLayout(s, d)
+      val cut = s.read.parquet(cutsDir(s, d)).head()
+      val (tmin, tmax, umin, umax) =
+        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
+      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
+      def b(v: Long, mn: Long, mx: Long): Int =
+        ((v - mn) * Grid / (mx - mn + 1)).toInt
+      val cells = for {
+        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
+        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
+      } yield zId(tb, ub)
+      s.read.parquet(dir)
+        .filter(col("zcell").isin(cells: _*))
+        .filter(col("tsc").between(tlo, thi) &&
+          col("user_id").between(ulo, uhi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q140_zorder_box" ->
+      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
+         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
+         |      tmin + (tmax - tmin + 1) // 2 AS thi,
+         |      umin + (umax - umin + 1) // 4 AS ulo,
+         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
+         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
+         |FROM events, box
+         |WHERE epoch_us(ts) BETWEEN tlo AND thi
+         |  AND user_id BETWEEN ulo AND uhi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

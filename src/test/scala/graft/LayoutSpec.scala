@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout invariants: the layout is invisible to results, the box
+  * scan actually prunes partitions (the whole point), and the layout build
+  * is paid at most once per session/source.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("zCell/zId agree and are a bijection on the 8x8 grid") {
+    val ids = for (t <- 0 until 8; u <- 0 until 8) yield Layout.zId(t, u)
+    assert(ids.toSet == (0 until 64).toSet)
+    import spark.implicits._
+    val df = (for (t <- 0L until 8L; u <- 0L until 8L) yield (t, u))
+      .toDF("t", "u")
+      .withColumn("z", Layout.zCell(col("t"), col("u")))
+      .collect()
+    df.foreach { r =>
+      assert(r.getInt(2) == Layout.zId(r.getLong(0).toInt, r.getLong(1).toInt))
+    }
+  }
+
+  test("q140: layout is invisible — box over z-layout == box over raw events") {
+    val viaLayout = SparkEntry.queries("q140_zorder_box")(spark, sf)
+    // raw replay: same box arithmetic straight off the events table
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("tsc"), col("user_id"),
+        col("event_type"), col("value"))
+    val c = ev.agg(min(col("tsc")), max(col("tsc")),
+      min(col("user_id")), max(col("user_id"))).head()
+    val (tlo, thi, ulo, uhi) =
+      Layout.boxOf(c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    val raw = ev.filter(col("tsc").between(tlo, thi) &&
+        col("user_id").between(ulo, uhi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+    assert(viaLayout.exceptAll(raw).isEmpty && raw.exceptAll(viaLayout).isEmpty)
+  }
+
+  test("q140: the scan carries PartitionFilters and reads fewer files") {
+    val df = SparkEntry.queries("q140_zorder_box")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zcell"),
+      s"no partition filter on zcell in:\n$plan")
+    df.collect() // populate metrics
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val totalFiles = scans.map(_.relation.location.inputFiles.length).sum
+    assert(filesRead < totalFiles,
+      s"no pruning: read $filesRead of $totalFiles layout files")
+    // the 2-d box covers <= (buckets_t x buckets_u) cells; with the box at
+    // [1/8,1/2] x [1/4,1/2] of each span that is at most 4x3 = 12 of 64
+    assert(filesRead <= 12, s"box read $filesRead files (expected <= 12)")
+  }
+
+  test("q140: layout build is paid at most once across repeated serves") {
+    val before = Layout.layoutWrites.get()
+    SparkEntry.queries("q140_zorder_box")(spark, sf).count()
+    SparkEntry.queries("q140_zorder_box")(spark, sf).count()
+    val after = Layout.layoutWrites.get()
+    assert(after - before <= 1, s"layout written ${after - before}x")
+  }
+}

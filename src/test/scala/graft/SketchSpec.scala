@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Portable-sketch invariants the DuckDB hash check cannot express:
+  * estimate accuracy against exact counts (the float readout deliberately
+  * kept out of the oracle contract) and the merge-monoid laws that make
+  * the sketches maintainable at 100 TB.
+  */
+class SketchSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("q138: HLL estimate from the register table lands within 3% of exact") {
+    val regs = SparkEntry.queries("q138_hll_registers")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(regs.keySet == exact.keySet)
+    regs.foreach { case (flag, rows) =>
+      val est = Sketches.hllEstimate(rows.map(t => (t._2, t._3)).toSeq)
+      val nd = exact(flag).toDouble
+      assert(math.abs(est - nd) / nd < 0.03,
+        s"flag=$flag est=$est exact=$nd")
+    }
+  }
+
+  test("q138: registers are a max-monoid — shard-wise build + merge == whole") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_partkey"))
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, "flag", col("l_partkey").cast("string"))
+    val whole = regsOf(li)
+    val merged = regsOf(li.filter(col("l_partkey") % 2 === 0))
+      .unionByName(regsOf(li.filter(col("l_partkey") % 2 =!= 0)))
+      .groupBy(col("flag"), col("idx"))
+      .agg(max(col("maxrho")).as("maxrho"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  test("q139: fold equals from-scratch rebuild; corpus pass paid at most once") {
+    val before = Sketches.q139BaseWrites.get()
+    val fold = SparkEntry.queries("q139_incremental_distinct")(spark, sf)
+    val scratch = Sketches.docRegisters(Tables.documents(spark, sf))
+    assert(fold.exceptAll(scratch).isEmpty && scratch.exceptAll(fold).isEmpty)
+    // second serve folds again without re-reading the corpus base
+    SparkEntry.queries("q139_incremental_distinct")(spark, sf).count()
+    val after = Sketches.q139BaseWrites.get()
+    assert(after - before <= 1, s"corpus register pass paid ${after - before}x")
+  }
+
+  test("q141: CMS never underestimates and is exact for uncollided grams") {
+    val rows = SparkEntry.queries("q141_cms_frequency")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 25)
+    rows.foreach { case (g, cnt, est) =>
+      assert(est >= cnt, s"CMS underestimated '$g': est=$est < cnt=$cnt")
+    }
+    // the sketch is useful, not vacuous: the heavy end of a zipfy corpus
+    // collides rarely, so most top grams read back exactly
+    val exactBack = rows.count { case (_, cnt, est) => est == cnt }
+    assert(exactBack >= 15, s"only $exactBack/25 grams read back exactly")
+  }
+
+  test("q141: counters are a sum-monoid — shard-wise build + merge == whole") {
+    val grams = operators.TextOps.bigramsOf(spark, sf)
+      .withColumn("h", operators.Shared.hash60(col("g")))
+    val whole = Sketches.cmsCounters(grams.drop("h"))
+    val merged = Sketches.cmsCounters(grams.filter(col("h") % 2 === 0).drop("h"))
+      .unionByName(Sketches.cmsCounters(
+        grams.filter(col("h") % 2 =!= 0).drop("h")))
+      .groupBy(col("row"), col("idx"))
+      .agg(sum(col("c")).as("c"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+}
