@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ScaleProbe <sfDir> [candidates|segments|zipf|inc|folds|scorecard|span]")
+      "usage: ScaleProbe <sfDir> " +
+        "[candidates|segments|zipf|inc|folds|scorecard|span|sketch]")
     val d = args(0)
     // "candidates": skip the TPC-H/streaming probes (documents+embeddings
     // tiers). "segments": ONLY the q111 block — the cheap mode for the
@@ -398,6 +399,40 @@ object ScaleProbe {
         changed.unpersist(); bw.unpersist()
       }
       cw.unpersist(); cpost.unpersist()
+    }
+
+    // --- mode == "sketch": the q138-q141 boundedness laws. The sketch
+    // claim is that STATE stays register/cell-bounded while input grows
+    // (HLL <= groups x 4096, CMS = 4 x 1024); the layout claim is that a
+    // 2-d box reads a constant cell subset of the 64-cell grid at every
+    // tier. Counts and file tallies, never wall-seconds.
+    if (mode == "sketch") timed("sketch_probe") {
+      out("sk_lineitem_rows") = Tables.lineitem(spark, d).count()
+      out("sk_hll_registers") =
+        SparkEntry.queries("q138_hll_registers")(spark, d).count()
+      out("sk_documents_rows") = Tables.documents(spark, d).count()
+      out("sk_q139_registers") =
+        SparkEntry.queries("q139_incremental_distinct")(spark, d).count()
+      val cms = SparkEntry.queries("q141_cms_frequency")(spark, d)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      out("sk_cms_exact_readback") = cms.count { case (c, e) => e == c }
+      val box = SparkEntry.queries("q140_zorder_box")(spark, d)
+      // collect() on THIS queryExecution so the scan metrics populate
+      // (count() would plan and run a different execution)
+      out("sk_box_rows_out") = box.collect().length
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scansOf)
+      }
+      val scans = scansOf(box.queryExecution.executedPlan)
+      out("sk_box_files_read") = scans.map(_.metrics("numFiles").value).sum
+      out("sk_layout_files_total") =
+        scans.map(_.relation.location.inputFiles.length.toLong).sum
     }
 
     // --- mode == "scorecard": the q127/q128 maintenance-cost law. The

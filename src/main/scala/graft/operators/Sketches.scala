@@ -211,6 +211,51 @@ object Sketches {
         .groupBy(col("g"), col("cnt"))
         .agg(min(col("c")).as("cms_est"))
         .orderBy(col("cnt").desc, col("g"))
+    }),
+
+    // q141b — CMS WIDTH SWEEP: the w-tuning curve a deployment measures
+    // before trusting a fixed-width sketch at a new scale (the q117/q137
+    // honest-audit pattern, applied to frequency sketching). Motivated by
+    // a real measurement: the q141 4x1024 sketch reads its top-25 grams
+    // back exactly at sf0.01-0.1 (23/25) but SATURATES at the sf~1 stress
+    // tier (0/25 exact; distinct grams outgrow the cells, and CMS error
+    // is an additive ~N*e/w). For each width in {256, 1024, 4096, 16384}:
+    // exact-readback count, max and total overestimate over the top-25,
+    // beside the corpus mass the error law scales with — all integers,
+    // hash-checked, so the curve itself is oracle-proven. Cost: the
+    // count-table pattern (grams aggregated FIRST, then the 16
+    // (width x row) cells explode over the VOCABULARY, not the token
+    // stream) — shuffle bounded by 4*(256+...+16384) ~ 87k cells.
+    "q141b_cms_width_sweep" -> ((s, d) => {
+      val widths = Seq(256L, 1024L, 4096L, 16384L)
+      val gc = TextOps.bigramsOf(s, d)
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      val cells = widths.flatMap(w => (0 until CmsRows).map { r =>
+        struct(lit(w).as("w"), lit(r.toLong).as("row"),
+          pmod(Shared.hash60(concat(lit(s"cms$r:"), col("g"))),
+            lit(w)).as("idx"))
+      })
+      val counters = gc.select(col("cnt"), explode(array(cells: _*)).as("cell"))
+        .groupBy(col("cell.w").as("w"), col("cell.row").as("row"),
+          col("cell.idx").as("idx"))
+        .agg(sum(col("cnt")).as("c"))
+      val top = gc.orderBy(col("cnt").desc, col("g")).limit(25)
+      val est = top
+        .select(col("g"), col("cnt"), explode(array(cells: _*)).as("cell"))
+        .select(col("g"), col("cnt"), col("cell.w").as("w"),
+          col("cell.row").as("row"), col("cell.idx").as("idx"))
+        .join(counters, Seq("w", "row", "idx"))
+        .groupBy(col("w"), col("g"), col("cnt"))
+        .agg(min(col("c")).as("est"))
+      val mass = gc.agg(sum(col("cnt")).cast("long").as("n_mass"),
+        count(lit(1)).as("n_distinct"))
+      est.groupBy(col("w"))
+        .agg(sum(when(col("est") === col("cnt"), 1L).otherwise(0L))
+            .cast("long").as("n_exact"),
+          max(col("est") - col("cnt")).cast("long").as("max_overshoot"),
+          sum(col("est") - col("cnt")).cast("long").as("sum_overshoot"))
+        .crossJoin(broadcast(mass))
+        .orderBy(col("w"))
     })
   )
 
@@ -244,6 +289,38 @@ object Sketches {
          |SELECT tp.g, CAST(MIN(tp.cnt) AS BIGINT) AS cnt,
          |  CAST(MIN(c.c) AS BIGINT) AS cms_est
          |FROM tp JOIN counters c ON tp.row = c.row AND tp.idx = c.idx
-         |GROUP BY tp.g ORDER BY cnt DESC, g""".stripMargin
+         |GROUP BY tp.g ORDER BY cnt DESC, g""".stripMargin,
+
+    "q141b_cms_width_sweep" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |  g AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS g
+         |        FROM t WHERE len(toks) >= 2),
+         |  gc AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g),
+         |  cfg AS (SELECT w.w, r.r
+         |    FROM (SELECT unnest([256, 1024, 4096, 16384]) AS w) w
+         |    CROSS JOIN (SELECT unnest(range(0, $CmsRows)) AS r) r),
+         |  counters AS (SELECT cfg.w, cfg.r,
+         |      ${Shared.sqlHash60("concat('cms', cfg.r, ':', gc.g)")} % cfg.w
+         |        AS idx, SUM(gc.cnt) AS c
+         |    FROM gc CROSS JOIN cfg GROUP BY cfg.w, cfg.r, idx),
+         |  top AS (SELECT g, cnt FROM gc ORDER BY cnt DESC, g LIMIT 25),
+         |  tp AS (SELECT t.g, t.cnt, cfg.w, cfg.r,
+         |      ${Shared.sqlHash60("concat('cms', cfg.r, ':', t.g)")} % cfg.w
+         |        AS idx
+         |    FROM top t CROSS JOIN cfg),
+         |  est AS (SELECT tp.w, tp.g, tp.cnt, MIN(c.c) AS est
+         |    FROM tp JOIN counters c
+         |      ON tp.w = c.w AND tp.r = c.r AND tp.idx = c.idx
+         |    GROUP BY tp.w, tp.g, tp.cnt),
+         |  mass AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_mass,
+         |      COUNT(*) AS n_distinct FROM gc)
+         |SELECT CAST(w AS BIGINT) AS w,
+         |  CAST(SUM(CASE WHEN est = cnt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  CAST(MAX(est - cnt) AS BIGINT) AS max_overshoot,
+         |  CAST(SUM(est - cnt) AS BIGINT) AS sum_overshoot,
+         |  n_mass, n_distinct
+         |FROM est, mass GROUP BY w, n_mass, n_distinct ORDER BY w""".stripMargin
   )
 }

@@ -65,9 +65,19 @@ class LayoutSpec extends AnyFunSuite {
     val totalFiles = scans.map(_.relation.location.inputFiles.length).sum
     assert(filesRead < totalFiles,
       s"no pruning: read $filesRead of $totalFiles layout files")
-    // the 2-d box covers <= (buckets_t x buckets_u) cells; with the box at
-    // [1/8,1/2] x [1/4,1/2] of each span that is at most 4x3 = 12 of 64
-    assert(filesRead <= 12, s"box read $filesRead files (expected <= 12)")
+    // upper bound from the same cut arithmetic the query uses: the box
+    // spans at most (tb range) x (ub range) cells of the 8x8 grid
+    val c = Tables.events(spark, sf)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        min(col("user_id")), max(col("user_id"))).head()
+    val (tmin, tmax, umin, umax) =
+      (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    val (tlo, thi, ulo, uhi) = Layout.boxOf(tmin, tmax, umin, umax)
+    def b(v: Long, mn: Long, mx: Long) = ((v - mn) * 8 / (mx - mn + 1)).toInt
+    val nCells = (b(thi, tmin, tmax) - b(tlo, tmin, tmax) + 1) *
+      (b(uhi, umin, umax) - b(ulo, umin, umax) + 1)
+    assert(filesRead <= nCells && nCells < 64,
+      s"box read $filesRead files (candidate cells $nCells of 64)")
   }
 
   test("q140: layout build is paid at most once across repeated serves") {

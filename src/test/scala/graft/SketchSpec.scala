@@ -68,6 +68,23 @@ class SketchSpec extends AnyFunSuite {
     assert(exactBack >= 15, s"only $exactBack/25 grams read back exactly")
   }
 
+  test("q141b: width sweep is monotone — wider never reads back worse") {
+    val rows = SparkEntry.queries("q141b_cms_width_sweep")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 1024L, 4096L, 16384L))
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 >= a._2, s"n_exact fell ${a._1}->${b._1}")
+      assert(b._3 <= a._3, s"max_overshoot rose ${a._1}->${b._1}")
+      assert(b._4 <= a._4, s"sum_overshoot rose ${a._1}->${b._1}")
+    }
+    // overshoot is the only error mode CMS has: never an underestimate
+    rows.foreach { case (w, _, maxOver, sumOver) =>
+      assert(maxOver >= 0 && sumOver >= 0, s"w=$w underestimated")
+    }
+  }
+
   test("q141: counters are a sum-monoid — shard-wise build + merge == whole") {
     val grams = operators.TextOps.bigramsOf(spark, sf)
       .withColumn("h", operators.Shared.hash60(col("g")))
