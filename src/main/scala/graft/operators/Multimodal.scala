@@ -23,6 +23,10 @@ case class MediaVec(doc_id: Long, feat: Array[Long])
 case class PngDecoded(doc_id: Long, width: Long, height: Long,
                       px_sum: Long, px_wsum: Long)
 
+/** Output of the REAL WAV decode (Q41e): PCM stream shape + checksums. */
+case class WavDecoded(doc_id: Long, sample_rate: Long, n_samples: Long,
+                      s_sum: Long, s_wsum: Long, peak: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by a partition-batched typed map — the Scala analog
   * of a `mapInPandas` decode UDF.
@@ -164,6 +168,99 @@ object Multimodal {
     PngDecoded(r.doc_id, w.toLong, h.toLong, s, ws)
   }
 
+  /** Bytes of payload a Q41e clip encodes: 1024 → 512 16-bit samples.
+    * Bounds per-row codec work like [[PngCapBytes]] does for images.
+    */
+  val WavCapBytes = 1024
+
+  /** 16-bit signed little-endian sample i of the payload (bytes past the
+    * cap read as 0) — the ONE definition the encoder, the decoder spec,
+    * and the DuckDB oracle all share.
+    */
+  private def sampleAt(p: Array[Byte], n: Int, i: Int): Int = {
+    def b(j: Int): Int = if (j < n) p(j) & 0xFF else 0
+    val u = b(2 * i) | (b(2 * i + 1) << 8)
+    if (u >= 0x8000) u - 0x10000 else u
+  }
+
+  /** Build a REAL RIFF/WAVE file from the payload: canonical 44-byte PCM
+    * header (fmt 1, mono, 8 kHz, 16-bit) + the capped payload bytes as
+    * little-endian samples. A stock audio tool plays the result; the
+    * codec is real, only the stored-media column is synthesized (the
+    * same stand-in contract as [[encodePng]]).
+    */
+  def encodeWav(r: MediaRow): MediaRow = {
+    val n = math.min(r.payload.length, WavCapBytes)
+    val ns = (n + 1) / 2
+    val dataLen = ns * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < ns) { bb.putShort(sampleAt(r.payload, n, i).toShort); i += 1 }
+    MediaRow(r.doc_id, bb.array(), "audio/wav")
+  }
+
+  /** REAL audio decode — a proper RIFF chunk walker, not a fixed-offset
+    * peek: verifies the RIFF/WAVE magics, iterates (id, size) chunks
+    * honoring the spec's odd-size pad byte, reads the fmt chunk (PCM,
+    * mono, 16-bit required), then decodes the data chunk's little-endian
+    * samples. It decodes any canonical PCM WAV, including files with
+    * extra chunks (LIST/INFO metadata) before data — the spec proves that
+    * on a hand-built file. Emits stream shape + plain / position-weighted
+    * checksums + peak amplitude; PCM is lossless, so the oracle replays
+    * all three arithmetically from the source bytes.
+    */
+  def decodeWav(r: MediaRow): WavDecoded = {
+    val p = r.payload
+    val bb = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not RIFF: doc ${r.doc_id}")
+    bb.getInt() // riff size (trust chunk walk, not this)
+    require(fourcc() == "WAVE", s"not WAVE: doc ${r.doc_id}")
+    var rate = -1L; var dataOff = -1; var dataLen = -1
+    while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
+      val id = fourcc(); val sz = bb.getInt()
+      id match {
+        case "fmt " =>
+          val tag = bb.getShort(); val ch = bb.getShort()
+          rate = bb.getInt().toLong; bb.getInt() // byte rate
+          bb.getShort() // block align
+          val bits = bb.getShort()
+          require(tag == 1 && ch == 1 && bits == 16,
+            s"unsupported WAV (tag=$tag ch=$ch bits=$bits): doc ${r.doc_id}")
+          bb.position(bb.position() + (sz - 16) + (sz & 1))
+        case "data" =>
+          dataOff = bb.position(); dataLen = sz
+          bb.position(bb.position() + sz + (sz & 1))
+        case _ => // skip unknown chunk (+ pad byte for odd sizes)
+          bb.position(bb.position() + sz + (sz & 1))
+      }
+    }
+    require(rate > 0 && dataOff >= 0,
+      s"missing fmt/data chunk: doc ${r.doc_id}")
+    val ns = dataLen / 2
+    var sum = 0L; var wsum = 0L; var peak = 0L
+    var i = 0
+    while (i < ns) {
+      val v = bb.getShort(dataOff + 2 * i).toLong
+      sum += v
+      wsum += v * (i % 251 + 1)
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    WavDecoded(r.doc_id, rate, ns.toLong, sum, wsum, peak)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41 — binary payload column → partition-batched feature extraction
     "q41_multimodal" -> ((s, d) => {
@@ -210,6 +307,30 @@ object Multimodal {
         .as[MediaRow]
       media
         .mapPartitions(it => it.map(r => decodePng(encodePng(r))))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // q41e — REAL audio decode through the same partition-batched seam:
+    // payload bytes → real RIFF/WAVE file (canonical PCM header + 16-bit
+    // LE samples) → REAL chunk-walking WAV parse → stream shape + sample
+    // checksums + peak. The codec is real (plays in any audio tool,
+    // decodes files with extra metadata chunks — spec-proven); only the
+    // stored-media column is synthesized, the same stand-in contract as
+    // q41d's PNG. PCM is lossless, so the oracle replays every sample
+    // arithmetically from the source bytes: green means a real audio
+    // container round-trip preserved the waveform. Per-row work bounded
+    // by [[WavCapBytes]]; the seam projection stays (doc_id, payload,
+    // kind) narrow.
+    "q41e_wav_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("audio/wav").as("kind"))
+        .as[MediaRow]
+      media
+        .mapPartitions(it => it.map(r => decodeWav(encodeWav(r))))
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -305,6 +426,29 @@ object Multimodal {
         |      * ((i % 251) + 1)
         |    FOR i IN generate_series(0, nb-1)]), 0) AS BIGINT) AS px_wsum
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q41e: the PCM samples replayed arithmetically from the text bytes —
+    // little-endian pair assembly, two's-complement sign, position weights
+    "q41e_wav_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |      LEAST(octet_length(encode(text)), 1024) AS nb FROM documents),
+        | v AS (SELECT doc_id,
+        |   [CASE WHEN x >= 32768 THEN x - 65536 ELSE x END
+        |    FOR x IN [CAST(concat('0x', substr(hx, (2*i)*2+1, 2)) AS INT)
+        |              + 256 * (CASE WHEN 2*i+1 < nb
+        |                 THEN CAST(concat('0x', substr(hx, (2*i+1)*2+1, 2))
+        |                      AS INT)
+        |                 ELSE 0 END)
+        |              FOR i IN generate_series(0, (nb+1)//2 - 1)]] AS vs
+        |   FROM b)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(len(vs) AS BIGINT) AS n_samples,
+        |  CAST(COALESCE(list_sum(vs), 0) AS BIGINT) AS s_sum,
+        |  CAST(COALESCE(list_sum([vs[i+1] * ((i % 251) + 1)
+        |       FOR i IN generate_series(0, len(vs)-1)]), 0) AS BIGINT)
+        |    AS s_wsum,
+        |  CAST(COALESCE(list_max([abs(x) FOR x IN vs]), 0) AS BIGINT) AS peak
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // q41c: the byte-sum "encoder" replayed arithmetically, the online
     // assignment replayed against the SAME trained codebook (c2 — the

@@ -140,6 +140,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q41e real WAV decode round-trips PCM checksums byte-exactly") {
+    def expect(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+      val n = math.min(bytes.length, operators.Multimodal.WavCapBytes)
+      val ns = (n + 1) / 2
+      def b(j: Int): Int = if (j < n) bytes(j) & 0xFF else 0
+      val vs = (0 until ns).map { i =>
+        val u = b(2 * i) | (b(2 * i + 1) << 8)
+        (if (u >= 0x8000) u - 0x10000 else u).toLong
+      }
+      (ns.toLong, vs.sum, vs.zipWithIndex.map { case (v, i) =>
+        v * (i % 251 + 1) }.sum,
+        if (vs.isEmpty) 0L else vs.map(math.abs).max)
+    }
+    val cases = Seq(
+      Array.empty[Byte],                         // zero-sample stream
+      "hi!".getBytes("UTF-8"),                   // odd byte count (pad)
+      Array.tabulate(1024)(i => i.toByte),       // exactly at the cap
+      Array.tabulate(4000)(i => (i * 73).toByte)) // capped long payload
+    for ((payload, idx) <- cases.zipWithIndex) {
+      val r = operators.MediaRow(idx.toLong, payload, "audio/wav")
+      val wav = operators.Multimodal.encodeWav(r)
+      assert(new String(wav.payload.take(4), "US-ASCII") === "RIFF")
+      assert(new String(wav.payload.slice(8, 12), "US-ASCII") === "WAVE")
+      val dec = operators.Multimodal.decodeWav(wav)
+      val (ns, s, ws, pk) = expect(payload)
+      assert(dec.sample_rate === 8000L)
+      assert(dec.n_samples === ns, s"case $idx sample count")
+      assert(dec.s_sum === s, s"case $idx plain checksum")
+      assert(dec.s_wsum === ws, s"case $idx weighted checksum")
+      assert(dec.peak === pk, s"case $idx peak")
+    }
+    // the decoder is a real RIFF chunk walker, not a fixed-offset peek:
+    // an odd-sized LIST metadata chunk (with its spec-mandated pad byte)
+    // inserted BEFORE fmt/data must be skipped transparently
+    val base = operators.Multimodal.encodeWav(
+      operators.MediaRow(7L, "walker".getBytes("UTF-8"), "audio/wav"))
+    val meta = "INFOx".getBytes("US-ASCII") // odd size 5 -> 1 pad byte
+    val bb = java.nio.ByteBuffer
+      .allocate(base.payload.length + 8 + meta.length + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base.payload, 0, 12) // RIFF hdr + WAVE
+      .put("LIST".getBytes("US-ASCII")).putInt(meta.length).put(meta)
+      .put(0.toByte) // pad
+      .put(base.payload, 12, base.payload.length - 12)
+    val withMeta = operators.Multimodal.decodeWav(
+      operators.MediaRow(7L, bb.array(), "audio/wav"))
+    val plain = operators.Multimodal.decodeWav(base)
+    assert(withMeta === plain, "LIST chunk must not change the decode")
+    // garbage must be rejected, not silently checksummed
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeWav(
+        operators.MediaRow(99L, Array.fill[Byte](64)(0x2A), "audio/wav"))
+    }
+  }
+
   test("q44b approx percentile lands within the sketch's rank-error bound") {
     import spark.implicits._
     val approx = SparkEntry.queries("q44b_approx_percentiles")(spark, sf)
