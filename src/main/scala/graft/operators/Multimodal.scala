@@ -27,6 +27,10 @@ case class PngDecoded(doc_id: Long, width: Long, height: Long,
 case class WavDecoded(doc_id: Long, sample_rate: Long, n_samples: Long,
                       s_sum: Long, s_wsum: Long, peak: Long)
 
+/** Output of the REAL AVI demux + per-frame PNG decode (Q41f). */
+case class AviDecoded(doc_id: Long, n_frames: Long, px_sum: Long,
+                      fw_sum: Long, pw_sum: Long)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, processed by a partition-batched typed map — the Scala analog
   * of a `mapInPandas` decode UDF.
@@ -261,6 +265,117 @@ object Multimodal {
     WavDecoded(r.doc_id, rate, ns.toLong, sum, wsum, peak)
   }
 
+  /** Q41f frame geometry: payload chopped into 192-byte frames (16×4 RGB
+    * images), capped at 6 frames. 192 < 251 keeps the within-frame pixel
+    * weight `(j%251)+1` equal to `j+1`, so the oracle's arithmetic replay
+    * stays a one-liner per weight axis.
+    */
+  val AviFrameBytes = 192
+  val AviMaxFrames = 6
+  val AviCapBytes: Int = AviFrameBytes * AviMaxFrames
+
+  private def putFourcc(bb: java.nio.ByteBuffer, s: String): java.nio.ByteBuffer =
+    bb.put(s.getBytes("US-ASCII"))
+
+  /** Build a REAL RIFF/AVI container from the payload: proper hdrl
+    * (avih main header + one strl video stream with strh/strf), then a
+    * movi list whose '00dc' chunks each hold a REAL PNG frame (the
+    * [[encodePng]] codec over a 192-byte payload slice). Container layout
+    * per the public RIFF/AVI spec; frame codec fourcc 'MPNG' (motion
+    * PNG). The avih totalFrames field is set truthfully — the decoder
+    * cross-checks it against the demuxed count, so a header/payload
+    * mismatch fails loudly.
+    */
+  def encodeAvi(r: MediaRow): MediaRow = {
+    val n = math.min(r.payload.length, AviCapBytes)
+    val nf = math.max(1, (n + AviFrameBytes - 1) / AviFrameBytes)
+    val frames = (0 until nf).map { f =>
+      val slice = r.payload.slice(f * AviFrameBytes,
+        math.min((f + 1) * AviFrameBytes, n))
+      encodePng(MediaRow(r.doc_id, slice, "image/png")).payload
+    }
+    val moviBody = frames.map(p => 8 + p.length + (p.length & 1)).sum
+    val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffBody = 4 + (8 + hdrlBody) + (8 + 4 + moviBody)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    putFourcc(bb, "RIFF").putInt(riffBody); putFourcc(bb, "AVI ")
+    putFourcc(bb, "LIST").putInt(hdrlBody); putFourcc(bb, "hdrl")
+    putFourcc(bb, "avih").putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0) // us/frame(25fps),rate,pad,flags
+      .putInt(nf).putInt(0).putInt(1).putInt(0) // TOTAL FRAMES, init, streams, buf
+      .putInt(16).putInt(4) // width, height
+      .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    putFourcc(bb, "LIST").putInt(4 + 64 + 48); putFourcc(bb, "strl")
+    putFourcc(bb, "strh").putInt(56)
+    putFourcc(bb, "vids"); putFourcc(bb, "MPNG")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, frames
+      .putInt(1).putInt(25).putInt(0).putInt(nf) // scale, rate, start, length
+      .putInt(0).putInt(-1).putInt(0) // bufsize, quality, samplesize
+      .putShort(0).putShort(0).putShort(16).putShort(4) // rcFrame
+    putFourcc(bb, "strf").putInt(40)
+    bb.putInt(40).putInt(16).putInt(4).putShort(1).putShort(24) // BITMAPINFOHEADER
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(bb, "LIST").putInt(4 + moviBody); putFourcc(bb, "movi")
+    frames.foreach { p =>
+      putFourcc(bb, "00dc").putInt(p.length).put(p)
+      if ((p.length & 1) == 1) bb.put(0.toByte)
+    }
+    MediaRow(r.doc_id, bb.array(), "video/avi")
+  }
+
+  /** REAL video demux + decode: walks the RIFF/AVI chunk tree (magic
+    * checks, LIST recursion, odd-size pad bytes), reads totalFrames from
+    * the avih header, iterates the movi list's '00dc' frame chunks, and
+    * runs the REAL PNG decoder on each frame. Cross-checks the demuxed
+    * frame count against the header (a torn container fails loudly).
+    * Emits per-document aggregates over the frames' pixel checksums —
+    * plain sum, frame-index-weighted sum (catches frame ORDER), and
+    * within-frame position-weighted sum (catches pixel order inside a
+    * frame). PNG frames are lossless, so the oracle replays all three
+    * arithmetically from the source bytes.
+    */
+  def decodeAvi(r: MediaRow): AviDecoded = {
+    val bb = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", s"not RIFF: doc ${r.doc_id}")
+    bb.getInt()
+    require(fourcc() == "AVI ", s"not AVI: doc ${r.doc_id}")
+    var hdrFrames = -1L
+    var nf = 0L; var pxSum = 0L; var fwSum = 0L; var pwSum = 0L
+    def walk(end: Int): Unit = {
+      while (bb.position() + 8 <= end) {
+        val id = fourcc(); val sz = bb.getInt()
+        val next = bb.position() + sz + (sz & 1)
+        id match {
+          case "LIST" =>
+            fourcc() // list subtype (hdrl/strl/movi) — children decide
+            walk(bb.position() + sz - 4)
+          case "avih" =>
+            bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+            hdrFrames = bb.getInt().toLong
+          case "00dc" | "00db" =>
+            val frame = new Array[Byte](sz); bb.get(frame)
+            val d = decodePng(MediaRow(r.doc_id, frame, "image/png"))
+            nf += 1
+            pxSum += d.px_sum
+            fwSum += nf * d.px_sum
+            pwSum += d.px_wsum
+          case _ => // skip (strh/strf/unknown)
+        }
+        bb.position(next)
+      }
+    }
+    walk(r.payload.length)
+    require(hdrFrames == nf,
+      s"container torn: header says $hdrFrames frames, demuxed $nf" +
+        s" (doc ${r.doc_id})")
+    AviDecoded(r.doc_id, nf, pxSum, fwSum, pwSum)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q41 — binary payload column → partition-batched feature extraction
     "q41_multimodal" -> ((s, d) => {
@@ -331,6 +446,29 @@ object Multimodal {
         .as[MediaRow]
       media
         .mapPartitions(it => it.map(r => decodeWav(encodeWav(r))))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    // q41f — REAL video path: payload → real AVI container (RIFF hdrl +
+    // movi, truthful avih frame count) of REAL PNG frames → real demux
+    // (chunk-tree walk) + per-frame PNG decode → frame/pixel checksum
+    // aggregates. With q41d (image) and q41e (audio), all three media
+    // modalities now run genuine container/codec code in the
+    // partition-batched seam; only single-image JPEG remains an honest
+    // stub (lossy DCT can't be replayed by an arithmetic oracle). The
+    // three output checksums are chosen so frame REORDERING (fw_sum),
+    // within-frame pixel reordering (pw_sum), and any byte corruption
+    // (px_sum) each flip a column the oracle pins.
+    "q41f_avi_demux" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit("video/avi").as("kind"))
+        .as[MediaRow]
+      media
+        .mapPartitions(it => it.map(r => decodeAvi(encodeAvi(r))))
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -448,6 +586,25 @@ object Multimodal {
         |       FOR i IN generate_series(0, len(vs)-1)]), 0) AS BIGINT)
         |    AS s_wsum,
         |  CAST(COALESCE(list_max([abs(x) FOR x IN vs]), 0) AS BIGINT) AS peak
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    // q41f: PNG frames are lossless, so all three checksums replay from
+    // the source bytes: frame of byte i = i div 192, within-frame weight
+    // = (i mod 192) + 1 (192 < 251 collapses the PNG pixel weight)
+    "q41f_avi_demux" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |      LEAST(octet_length(encode(text)), 1152) AS nb FROM documents),
+        | v AS (SELECT doc_id, nb,
+        |   [CAST(concat('0x', substr(hx, i*2+1, 2)) AS BIGINT)
+        |    FOR i IN generate_series(0, nb-1)] AS bs
+        |   FROM b)
+        |SELECT doc_id,
+        |  CAST(GREATEST(1, (nb + 191) // 192) AS BIGINT) AS n_frames,
+        |  CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS px_sum,
+        |  CAST(COALESCE(list_sum([bs[i+1] * ((i // 192) + 1)
+        |       FOR i IN generate_series(0, nb-1)]), 0) AS BIGINT) AS fw_sum,
+        |  CAST(COALESCE(list_sum([bs[i+1] * ((i % 192) + 1)
+        |       FOR i IN generate_series(0, nb-1)]), 0) AS BIGINT) AS pw_sum
         |FROM v ORDER BY doc_id""".stripMargin,
 
     // q41c: the byte-sum "encoder" replayed arithmetically, the online

@@ -195,6 +195,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q41f real AVI demux decodes PNG frames and checks the header count") {
+    def expect(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+      val n = math.min(bytes.length, operators.Multimodal.AviCapBytes)
+      val nf = math.max(1L, ((n + 191) / 192).toLong)
+      def b(i: Int) = (bytes(i) & 0xFF).toLong
+      val px = (0 until n).map(b).sum
+      val fw = (0 until n).map(i => b(i) * (i / 192 + 1)).sum
+      val pw = (0 until n).map(i => b(i) * (i % 192 + 1)).sum
+      (nf, px, fw, pw)
+    }
+    val cases = Seq(
+      Array.empty[Byte],                          // one blank frame
+      "short".getBytes("UTF-8"),                  // single partial frame
+      Array.tabulate(1152)(i => i.toByte),        // exactly 6 full frames
+      Array.tabulate(5000)(i => (i * 31).toByte)) // capped long payload
+    for ((payload, idx) <- cases.zipWithIndex) {
+      val r = operators.MediaRow(idx.toLong, payload, "video/avi")
+      val avi = operators.Multimodal.encodeAvi(r)
+      assert(new String(avi.payload.take(4), "US-ASCII") === "RIFF")
+      assert(new String(avi.payload.slice(8, 12), "US-ASCII") === "AVI ")
+      val dec = operators.Multimodal.decodeAvi(avi)
+      val (nf, px, fw, pw) = expect(payload)
+      assert(dec.n_frames === nf, s"case $idx frame count")
+      assert(dec.px_sum === px, s"case $idx plain checksum")
+      assert(dec.fw_sum === fw, s"case $idx frame-weighted checksum")
+      assert(dec.pw_sum === pw, s"case $idx pixel-weighted checksum")
+    }
+    // the header cross-check is real: corrupt avih totalFrames and the
+    // decoder must refuse the torn container
+    val avi = operators.Multimodal.encodeAvi(
+      operators.MediaRow(5L, Array.tabulate(400)(_.toByte), "video/avi"))
+    val torn = avi.payload.clone()
+    // avih totalFrames lives at offset 12(RIFF+AVI ) + 12(LIST hdr+hdrl)
+    // + 8(avih hdr) + 16 = 48, little-endian
+    val bb = java.nio.ByteBuffer.wrap(torn)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(48, bb.getInt(48) + 1)
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeAvi(
+        operators.MediaRow(5L, torn, "video/avi"))
+    }
+  }
+
   test("q44b approx percentile lands within the sketch's rank-error bound") {
     import spark.implicits._
     val approx = SparkEntry.queries("q44b_approx_percentiles")(spark, sf)
