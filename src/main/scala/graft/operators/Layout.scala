@@ -75,16 +75,41 @@ object Layout {
   private def cutsDir(s: SparkSession, d: String): String =
     layoutDir(s, d) + "_cuts"
 
-  /** Build (once) the z-ordered layout: events partitioned by zcell, with
-    * the bucket cuts persisted as a one-row sidecar.
+  /** Narrow event projection every layout write shares. */
+  private def evProjected(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** Assign z-cells to `ev` under the cuts row `c`. `clamp` pins
+    * out-of-range values (a batch arriving AFTER the cuts froze) to the
+    * edge buckets — sound for pruning because candidate-cell enumeration
+    * only serves boxes INSIDE the frozen span, and an in-box row's
+    * buckets are in range by monotonicity; clamped rows can only sit in
+    * cells the box already probes, where the residual predicate drops
+    * them.
     */
-  private[graft] def zLayout(s: SparkSession, d: String): String = {
-    val dir = layoutDir(s, d)
-    val src = s"$d/events.parquet"
-    val srcM = {
-      val p = java.nio.file.Paths.get(src)
-      java.nio.file.Files.getLastModifiedTime(p).toMillis
-    }
+  private[graft] def withCells(ev: DataFrame, c: DataFrame,
+      clamp: Boolean): DataFrame = {
+    def clampB(b: org.apache.spark.sql.Column) =
+      if (clamp) greatest(lit(0L), least(lit((Grid - 1).toLong), b)) else b
+    ev.crossJoin(broadcast(c))
+      .withColumn("tb", clampB(bucketOf(col("tsc"), col("tmin"), col("tmax"))))
+      .withColumn("ub",
+        clampB(bucketOf(col("user_id"), col("umin"), col("umax"))))
+      .withColumn("zcell", zCell(col("tb"), col("ub")))
+      .select(col("event_id"), col("tsc"), col("user_id"),
+        col("event_type"), col("value"), col("zcell"))
+  }
+
+  /** Memoized z-partitioned write of `df` to `dir`, keyed on the source
+    * parquet's mtime (the [[Bucketed.writeOnceBucketed]] contract for
+    * path-level artifacts).
+    */
+  private def writeLayoutOnce(s: SparkSession, d: String, dir: String)(
+      df: => DataFrame): String = {
+    val srcM = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/events.parquet")).toMillis
     layoutWritten.synchronized {
       val prev = layoutWritten.get(dir)
       // Hadoop-FS existence check: the session's warehouse dir is a
@@ -95,27 +120,67 @@ object Layout {
         .exists(hp)
       if (!(layoutWritten.containsKey(dir) && prev == srcM && exists)) {
         layoutWrites.incrementAndGet()
-        val ev = Tables.events(s, d)
-          .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
-            col("user_id"), col("event_type"), col("value"))
-        val cuts = ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
-          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
-        cuts.coalesce(1).write.mode("overwrite").parquet(cutsDir(s, d))
-        val c = s.read.parquet(cutsDir(s, d))
-        val withCell = ev.crossJoin(broadcast(c))
-          .withColumn("tb", bucketOf(col("tsc"), col("tmin"), col("tmax")))
-          .withColumn("ub", bucketOf(col("user_id"), col("umin"), col("umax")))
-          .withColumn("zcell", zCell(col("tb"), col("ub")))
-          .select(col("event_id"), col("tsc"), col("user_id"),
-            col("event_type"), col("value"), col("zcell"))
         // repartition by zcell so each partition dir gets one file per
         // writing task that actually owns the cell (no 32x64 file blowup)
-        withCell.repartition(col("zcell"))
+        df.repartition(col("zcell"))
           .write.mode("overwrite").partitionBy("zcell").parquet(dir)
         layoutWritten.put(dir, srcM)
       }
     }
     dir
+  }
+
+  /** Build (once) the q140 layout: ALL events partitioned by zcell, with
+    * the bucket cuts persisted as a one-row sidecar.
+    */
+  private[graft] def zLayout(s: SparkSession, d: String): String = {
+    val dir = layoutDir(s, d)
+    writeLayoutOnce(s, d, dir) {
+      val ev = evProjected(s, d)
+      ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
+          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+        .coalesce(1).write.mode("overwrite").parquet(cutsDir(s, d))
+      withCells(ev, s.read.parquet(cutsDir(s, d)), clamp = false)
+    }
+  }
+
+  // ---- q142: incremental layout maintenance ------------------------------
+
+  private[graft] def baseDir(s: SparkSession, d: String): String =
+    layoutDir(s, d) + "_corpus"
+  private[graft] def baseCutsDir(s: SparkSession, d: String): String =
+    baseDir(s, d) + "_cuts"
+  private def deltaDir(s: SparkSession, d: String, k: Int): String =
+    layoutDir(s, d) + s"_delta$k"
+
+  /** Frozen corpus layout (event_id % 10 != 0) + its cuts sidecar. */
+  private[graft] def zBase(s: SparkSession, d: String): String = {
+    val dir = baseDir(s, d)
+    writeLayoutOnce(s, d, dir) {
+      val ev = evProjected(s, d).filter(col("event_id") % 10 =!= 0)
+      ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
+          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+        .coalesce(1).write.mode("overwrite").parquet(baseCutsDir(s, d))
+      withCells(ev, s.read.parquet(baseCutsDir(s, d)), clamp = false)
+    }
+  }
+
+  /** Fold batch `k` into the layout WITHOUT touching the corpus files:
+    * the batch is z-assigned under the FROZEN corpus cuts (values outside
+    * the frozen span clamp to edge buckets — see [[withCells]]) and lands
+    * as its own delta segment. The corpus layout is never rewritten; the
+    * un-reclustered delta tail is what a periodic re-layout (the
+    * Delta/Iceberg `OPTIMIZE ZORDER` cadence, q131's trigger shape)
+    * folds down.
+    */
+  private[graft] def zDelta(s: SparkSession, d: String, k: Int): String = {
+    zBase(s, d) // cuts must exist (and stay frozen) before any delta
+    writeLayoutOnce(s, d, deltaDir(s, d, k)) {
+      val b = evProjected(s, d).filter(col("event_id") % 10 === 0)
+        .filter(pmod(call_function("div", col("event_id"), lit(10L)),
+          lit(2L)) === k)
+      withCells(b, s.read.parquet(baseCutsDir(s, d)), clamp = true)
+    }
   }
 
   /** The q140 box bounds, derived from the cuts row: time in
@@ -161,6 +226,41 @@ object Layout {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // q142 — INCREMENTAL layout maintenance: the q140 technique kept
+    // current as data arrives, without re-clustering the corpus. Two
+    // batches fold in as delta segments z-assigned under the FROZEN
+    // corpus cuts (out-of-span values clamp to edge cells — sound, see
+    // [[withCells]]); the box query probes base + deltas with the SAME
+    // IN-list partition filter and serves the union. The oracle replays
+    // the box (bounds from the corpus span) over ALL raw events, so
+    // fold + serve == from-scratch is hash-proven. The corpus files are
+    // never rewritten — the delta tail is the growth a periodic
+    // re-layout folds down on the q131 cadence (the OPTIMIZE ZORDER
+    // rhythm every lakehouse runs); LayoutSpec pins the clamp hard case
+    // with a planted out-of-span batch.
+    "q142_zorder_incremental" -> ((s, d) => {
+      val base = zBase(s, d)
+      val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
+      val cut = s.read.parquet(baseCutsDir(s, d)).head()
+      val (tmin, tmax, umin, umax) =
+        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
+      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
+      def b(v: Long, mn: Long, mx: Long): Int =
+        ((v - mn) * Grid / (mx - mn + 1)).toInt
+      val cells = for {
+        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
+        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
+      } yield zId(tb, ub)
+      (base +: deltas)
+        .map(p => s.read.parquet(p).filter(col("zcell").isin(cells: _*)))
+        .reduce(_ unionByName _)
+        .filter(col("tsc").between(tlo, thi) &&
+          col("user_id").between(ulo, uhi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -168,6 +268,22 @@ object Layout {
     "q140_zorder_box" ->
       s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
          |    min(user_id) AS umin, max(user_id) AS umax FROM events),
+         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
+         |      tmin + (tmax - tmin + 1) // 2 AS thi,
+         |      umin + (umax - umin + 1) // 4 AS ulo,
+         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
+         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
+         |FROM events, box
+         |WHERE epoch_us(ts) BETWEEN tlo AND thi
+         |  AND user_id BETWEEN ulo AND uhi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q142: box bounds from the CORPUS span (the frozen cuts), predicate
+    // over ALL events — fold + serve must equal this from-scratch replay
+    "q142_zorder_incremental" ->
+      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events
+         |    WHERE event_id % 10 <> 0),
          |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
          |      tmin + (tmax - tmin + 1) // 2 AS thi,
          |      umin + (umax - umin + 1) // 4 AS ulo,

@@ -80,6 +80,54 @@ class LayoutSpec extends AnyFunSuite {
       s"box read $filesRead files (candidate cells $nCells of 64)")
   }
 
+  test("q142: clamp pins out-of-span rows to edge cells; in-span unchanged") {
+    import spark.implicits._
+    val cuts = Seq((0L, 799L, 0L, 799L)).toDF("tmin", "tmax", "umin", "umax")
+    val rows = Seq(
+      (1L, 10000L, 10000L, "a", 1.0), // beyond both maxes -> (7,7)
+      (2L, -50L, 3L, "a", 1.0), // before tmin -> (0, 0)
+      (3L, 100L, 100L, "a", 1.0), // in span -> (1, 1)
+      (4L, 799L, 0L, "a", 1.0) // at the edges -> (7, 0)
+    ).toDF("event_id", "tsc", "user_id", "event_type", "value")
+    val got = Layout.withCells(rows, cuts, clamp = true)
+      .select(col("event_id"), col("zcell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == Layout.zId(7, 7))
+    assert(got(2L) == Layout.zId(0, 0))
+    assert(got(3L) == Layout.zId(1, 1))
+    assert(got(4L) == Layout.zId(7, 0))
+  }
+
+  test("q142: fold + serve == box over all raw events; corpus files untouched") {
+    val viaLayout = SparkEntry.queries("q142_zorder_incremental")(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
+        col("user_id"), col("event_type"), col("value"))
+    val c = ev.filter(col("event_id") % 10 =!= 0)
+      .agg(min(col("tsc")), max(col("tsc")),
+        min(col("user_id")), max(col("user_id"))).head()
+    val (tlo, thi, ulo, uhi) =
+      Layout.boxOf(c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    val raw = ev.filter(col("tsc").between(tlo, thi) &&
+        col("user_id").between(ulo, uhi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+    assert(viaLayout.exceptAll(raw).isEmpty && raw.exceptAll(viaLayout).isEmpty)
+    // append-only contract: serving again must not rewrite the corpus
+    // layout (same file list, same mtimes)
+    def corpusFiles() = {
+      val dir = new java.io.File(
+        Layout.baseDir(spark, sf).stripPrefix("file:"))
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(dir).sortBy(_._1)
+    }
+    val before = corpusFiles()
+    SparkEntry.queries("q142_zorder_incremental")(spark, sf).count()
+    assert(corpusFiles() == before, "corpus layout was rewritten by a fold")
+  }
+
   test("q140: layout build is paid at most once across repeated serves") {
     val before = Layout.layoutWrites.get()
     SparkEntry.queries("q140_zorder_box")(spark, sf).count()
