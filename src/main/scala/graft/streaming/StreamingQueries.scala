@@ -378,6 +378,34 @@ object StreamingQueries {
       drain(s, agg, "q116_mem", "complete").orderBy(col("source"))
     }),
 
+    // q143 — CONTINUOUS distinct-count maintenance: q139's HLL register
+    // fold as a real Structured Streaming aggregation over three ordered
+    // micro-batch files (corpus tenth-split then two batch halves,
+    // maxFilesPerTrigger=1 — the q124 replay shape). The register table
+    // is a (max per (source, idx)) monoid, so the state store holds AT
+    // MOST sources x 4096 rows FOREVER — the streaming state for exact
+    // distinct counting would grow with the key universe, which is
+    // precisely what a 100-TB/day stream cannot afford. ONE aggregate
+    // definition shared with batch q138/q139 ([[graft.operators.Sketches
+    // .docRegisters]]), so streaming == batch == from-scratch is the
+    // same-expression parity proof q116 established for the manifest
+    // monoids; the oracle is the from-scratch register table over all
+    // documents.
+    "q143_stream_registers" -> ((s, d) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      val inDir = Files.createTempDirectory("graft_q143_in")
+      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 =!= 0), "b", 0)
+      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+        .filter(expr("(doc_id div 10) % 2 = 0")), "b", 1)
+      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+        .filter(expr("(doc_id div 10) % 2 = 1")), "b", 2)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val regs = graft.operators.Sketches.docRegisters(stream)
+      drain(s, regs, "q143_mem", "complete")
+        .orderBy(col("source"), col("idx"))
+    }),
+
     // Q46 — streaming deduplication: dropDuplicatesWithinWatermark keyed
     // on (user_id, event_type). The dedup state lives in the state store
     // keyed by the dedup columns — partitioned, RocksDB-backed, and
@@ -807,6 +835,11 @@ object StreamingQueries {
     // cold scan.
     "q116_stream_manifest" ->
       graft.operators.TextOps.oracleSql("q115_manifest"),
+    // q143: the three-micro-batch register fold must land on exactly the
+    // from-scratch register table over ALL documents — q139's oracle —
+    // so the state-store max-monoid fold is hash-proven per tier.
+    "q143_stream_registers" ->
+      graft.operators.Sketches.oracleSql("q139_incremental_distinct"),
     // q124: the three-fold streaming maintenance must land on exactly
     // the from-scratch closure over ALL documents — q120's oracle — so
     // cross-fold pairing and override chains are hash-proven per tier.
