@@ -23,14 +23,19 @@ package graft
   *    name-class heuristics cover queries with no recorded cost yet).
   *    Rows with recorded cost >= ExpensiveSec — the fold-machinery class
   *    (q124/q128/q130: sequential streaming maintenance folds whose fixed
-  *    per-fold cost dominates at bench sf) — run LAST and ONCE, each
+  *    per-fold cost dominates at bench sf) — run ONCE, directly after
+  *    pass 1 (COVERAGE BEATS REFINEMENT: the min-of-2/sentinel/pass-2
+  *    refinement passes yield to them on a contended box), each
   *    admitted only if `elapsed + slowFactor*cost < deadline - margin`
   *    where slowFactor is the measured-vs-recorded ratio of the cheap
   *    pass (the box's live contention estimate). A slow box therefore
   *    degrades to "most-expensive rows skipped (loudly), everything else
   *    measured" instead of round-10's reverse. Alphabetical order did the
   *    opposite: q100-q130 sorted directly after q09, so the 243 s of fold
-  *    rows ran FIRST and starved q13-q99 of the whole deadline;
+  *    rows ran FIRST and starved q13-q99 of the whole deadline. Pass 2
+  *    re-runs ONLY cold-class rows (pass-1 time > 3x recorded cost):
+  *    re-running warm rows doubles the wall for no information — uniform
+  *    contention is the sentinel ratio's job;
   *  - a wall-clock deadline (SPARK_GRAFT_BENCH_DEADLINE_SEC, default 780)
   *    stops issuing new queries before the driver's external timeout, and
   *    a shutdown hook emits the JSON line with whatever was measured even
@@ -319,7 +324,12 @@ object Bench {
     // pass 1 then covers the rest cold, which is the old behavior.
     locally {
       val sc = spark.sparkContext
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      // 16-way: codegen is CPU-bound and the box has 32 cores — the
+      // 8-way pool left the warmup wall at ~5 min for ~140 shapes, which
+      // pushed the expensive-row admission past its window even on a
+      // quiet box once the suite crossed 160 queries (measured: 162/166
+      // with the 4 fold rows skipped at elapsed=694 of 780).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       for (n <- cheap if !streaming(n)) pool.submit(new Runnable {
         override def run(): Unit = {
           sc.setJobGroup("bench-warmup", n, interruptOnCancel = true)
@@ -385,12 +395,31 @@ object Bench {
       results.put(n, if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
 
+    // EXPENSIVE rows (fold machinery) run IMMEDIATELY after pass 1:
+    // coverage beats refinement — on a contended box the refinement
+    // passes below (streaming min-of-2, sentinels, pass 2) would eat the
+    // window these rows need, and a missing row hurts the artifact more
+    // than a noisy one (the r11 dev run hit the admission gate at
+    // elapsed=726 with the refinement passes having consumed the slack).
+    // Once each, ascending cost, each admitted against its own predicted
+    // wall at the box's observed slow factor; skips are loud (stderr +
+    // admission_skipped in bench_detail.json).
+    for (n <- expensive.toSeq.sortBy(estCost)) {
+      val predicted = estCost(n) * slowFactorObserved
+      if (elapsed + predicted < deadlineSec - margin) timed(n)
+      else {
+        admissionSkipped.add(n)
+        System.err.println(f"[bench] $n SKIPPED by admission: elapsed=$elapsed%.0f" +
+          f" + predicted=$predicted%.0f s would cross deadline=$deadlineSec%.0f - $margin%.0f")
+      }
+    }
+
     // Cheap streaming rows' second run: min-of-2 for variance control, not
     // warmup (micro-batch + state-store machinery re-runs every time).
     // Re-running costs full price, so it is admitted only while the box
     // is keeping pace.
     for (n <- cheapAsc
-         if streaming(n) && elapsed < deadlineSec * 0.55 - margin) minRun(n)
+         if streaming(n) && elapsed < deadlineSec * 0.80 - margin) minRun(n)
 
     // Third run for the stream-stream join rows (exactly the q47/q79/q80
     // class BASELINE.md's gate protocol names — q62's stream-STATIC join
@@ -403,7 +432,7 @@ object Bench {
     // so THESE times (not cross-pass mins) are the same-load sentinel
     // ratio the compact line reports.
     for (n <- StreamSentinelSet.toSeq.sorted
-         if results.containsKey(n) && elapsed < deadlineSec * 0.60 - margin) {
+         if results.containsKey(n) && elapsed < deadlineSec * 0.85 - margin) {
       val t = run(n, SparkEntry.queries(n))
       if (t >= 0) sentinelTimes.put(n, t)
       passCounts.merge(n, 1, (a, b) => a + b)
@@ -412,29 +441,20 @@ object Bench {
         if (t1 < 0) t else if (t < 0) t1 else math.min(t1, t))
     }
 
-    // EXPENSIVE rows (fold machinery): once each, ascending cost, each
-    // admitted against its own predicted wall at the box's observed
-    // slow factor. On a box too slow to fit one, the skip is loud
-    // (stderr + admission_skipped in bench_detail.json) and cheaper
-    // rows after it still get their chance.
-    for (n <- expensive.toSeq.sortBy(estCost)) {
-      val predicted = estCost(n) * slowFactorObserved
-      if (elapsed + predicted < deadlineSec - margin) timed(n)
-      else {
-        admissionSkipped.add(n)
-        System.err.println(f"[bench] $n SKIPPED by admission: elapsed=$elapsed%.0f" +
-          f" + predicted=$predicted%.0f s would cross deadline=$deadlineSec%.0f - $margin%.0f")
-      }
+    // Pass 2 (warm, batch): ONLY the rows whose pass-1 reading looks
+    // cold-class — above 3x their recorded quiet cost (or no recorded
+    // cost yet) — in DESCENDING distortion order, admitted until 85% of
+    // the deadline. Rationale (round-8's slow box): a cold pass-1 row is
+    // a 10-38x phantom regression that one warm re-run fixes; but
+    // re-running the ~150 already-warm rows too (the pre-r11 behavior)
+    // doubles the suite's wall for ~0 information and starves the
+    // passes above on a contended box. Uniform contention is the
+    // sentinel ratio's job, not pass 2's.
+    val coldClass = cheap.filterNot(streaming).filter { n =>
+      val t1 = Option(results.get(n)).map(_.doubleValue).getOrElse(-1.0)
+      t1 < 0 || costTable.get(n).forall(c => t1 > 3.0 * c)
     }
-
-    // Pass 2 (warm, batch) in DESCENDING pass-1-cost order, admitted until
-    // 85% of the deadline. Rationale (the round-8 slow-box run): a
-    // contended box can spend the whole budget on pass 1, and a fractional
-    // gate that starves the warm pass ENTIRELY records cold numbers for
-    // every row — 10-38× phantom regressions. A warm run is ~10× cheaper
-    // than cold, so this pass fits in the deadline's tail; descending
-    // order corrects the most-distorted rows first if even that gets cut.
-    val coldOrder = cheap.filterNot(streaming)
+    val coldOrder = coldClass
       .sortBy(n => -Option(results.get(n)).map(_.doubleValue).getOrElse(0.0))
     for (n <- coldOrder if elapsed < deadlineSec * 0.85 - margin) minRun(n)
 

@@ -234,21 +234,26 @@ object Multimodal {
     var rate = -1L; var dataOff = -1; var dataLen = -1
     while (bb.remaining() >= 8 && (rate < 0 || dataOff < 0)) {
       val id = fourcc(); val sz = bb.getInt()
+      // fail loudly on a torn size field: a negative sz (or one past the
+      // buffer) would otherwise step the cursor backwards onto the same
+      // header and spin this loop forever instead of throwing
+      val next = bb.position() + sz.toLong + (sz & 1)
+      require(sz >= 0 && next <= p.length,
+        s"torn chunk '$id' size=$sz at ${bb.position() - 8}: doc ${r.doc_id}")
       id match {
         case "fmt " =>
+          require(sz >= 16, s"short fmt chunk ($sz): doc ${r.doc_id}")
           val tag = bb.getShort(); val ch = bb.getShort()
           rate = bb.getInt().toLong; bb.getInt() // byte rate
           bb.getShort() // block align
           val bits = bb.getShort()
           require(tag == 1 && ch == 1 && bits == 16,
             s"unsupported WAV (tag=$tag ch=$ch bits=$bits): doc ${r.doc_id}")
-          bb.position(bb.position() + (sz - 16) + (sz & 1))
         case "data" =>
           dataOff = bb.position(); dataLen = sz
-          bb.position(bb.position() + sz + (sz & 1))
         case _ => // skip unknown chunk (+ pad byte for odd sizes)
-          bb.position(bb.position() + sz + (sz & 1))
       }
+      bb.position(next.toInt)
     }
     require(rate > 0 && dataOff >= 0,
       s"missing fmt/data chunk: doc ${r.doc_id}")
@@ -349,7 +354,13 @@ object Multimodal {
     def walk(end: Int): Unit = {
       while (bb.position() + 8 <= end) {
         val id = fourcc(); val sz = bb.getInt()
-        val next = bb.position() + sz + (sz & 1)
+        val nextL = bb.position().toLong + sz.toLong + (sz & 1)
+        // fail loudly on a torn size field (see decodeWav): a negative or
+        // overflowing sz would re-read the same header forever, and a huge
+        // '00dc' sz would attempt a multi-GB frame allocation
+        require(sz >= 0 && nextL <= end,
+          s"torn chunk '$id' size=$sz at ${bb.position() - 8}: doc ${r.doc_id}")
+        val next = nextL.toInt
         id match {
           case "LIST" =>
             fourcc() // list subtype (hdrl/strl/movi) — children decide

@@ -129,21 +129,23 @@ object Sketches {
       .groupBy(col("source"), col("idx"))
       .agg(max(col("maxrho")).as("maxrho"))
 
-  /** CMS counter table over the corpus word-bigram stream: d independent
-    * portable hash rows (seeded by row index), w counters each. Counter =
-    * exact occurrence sum per (row, idx) — pure integers, so the whole
-    * sketch state hash-checks. One token-linear explode, one
-    * (d*w)-bounded hash agg with map-side combine.
+  /** CMS counter table over a word-bigram COUNT TABLE (g, cnt): d
+    * independent portable hash rows (seeded by row index), w counters
+    * each. Counter = exact occurrence sum per (row, idx) — pure integers,
+    * so the whole sketch state hash-checks. The cell explode runs over
+    * the VOCABULARY (4 structs per DISTINCT gram, counts summed), never
+    * the token stream — the count-table pattern that keeps the build
+    * vocabulary-sized at 100 TB (the q141b plan spec asserts it).
     */
-  private[graft] def cmsCounters(grams: DataFrame): DataFrame = {
+  private[graft] def cmsCounters(gramCounts: DataFrame): DataFrame = {
     val rows = (0 until CmsRows).map { r =>
       struct(lit(r.toLong).as("row"),
         pmod(Shared.hash60(concat(lit(s"cms$r:"), col("g"))),
           lit(CmsW.toLong)).as("idx"))
     }
-    grams.select(explode(array(rows: _*)).as("cell"))
+    gramCounts.select(col("cnt"), explode(array(rows: _*)).as("cell"))
       .groupBy(col("cell.row").as("row"), col("cell.idx").as("idx"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("cnt")).as("c"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -195,10 +197,13 @@ object Sketches {
     // property that makes frequency tables maintainable at 100 TB
     // without re-reading history.
     "q141_cms_frequency" -> ((s, d) => {
-      val grams = TextOps.bigramsOf(s, d)
-      val counters = cmsCounters(grams)
-      val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("g")).limit(25)
+      // ONE corpus pass: the gram count table feeds both the counters
+      // (explode 4 cells per DISTINCT gram — ~285x fewer rows than a
+      // per-occurrence explode at sf~1) and the exact top-25
+      val gc = TextOps.bigramsOf(s, d)
+        .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      val counters = cmsCounters(gc)
+      val top = gc.orderBy(col("cnt").desc, col("g")).limit(25)
       val probes = (0 until CmsRows).map { r =>
         struct(lit(r.toLong).as("row"),
           pmod(Shared.hash60(concat(lit(s"cms$r:"), col("g"))),

@@ -50,16 +50,9 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("zcell"),
       s"no partition filter on zcell in:\n$plan")
     df.collect() // populate metrics
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        scansOf(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        scansOf(q.plan)
-      case s: FileSourceScanExec => Seq(s)
-      case other => other.children.flatMap(scansOf)
+    val scans = TestSpark.planNodes(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec => s
     }
-    val scans = scansOf(df.queryExecution.executedPlan)
     assert(scans.nonEmpty)
     val filesRead = scans.map(_.metrics("numFiles").value).sum
     val totalFiles = scans.map(_.relation.location.inputFiles.length).sum

@@ -193,6 +193,18 @@ class OperatorSpec extends AnyFunSuite {
       operators.Multimodal.decodeWav(
         operators.MediaRow(99L, Array.fill[Byte](64)(0x2A), "audio/wav"))
     }
+    // a torn SIZE field (valid magics, negative chunk size) must throw,
+    // not spin the chunk walk forever on the same header
+    val tornSz = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tornSz.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(-8)
+      .putInt(0)
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeWav(
+        operators.MediaRow(98L, tornSz.array(), "audio/wav"))
+    }
   }
 
   test("q41f real AVI demux decodes PNG frames and checks the header count") {
@@ -235,6 +247,15 @@ class OperatorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       operators.Multimodal.decodeAvi(
         operators.MediaRow(5L, torn, "video/avi"))
+    }
+    // torn chunk SIZE (negative) inside the tree must throw, not loop
+    val tornSz = avi.payload.clone()
+    val bb2 = java.nio.ByteBuffer.wrap(tornSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(16, -8) // LIST hdrl declared size -> negative
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.decodeAvi(
+        operators.MediaRow(6L, tornSz, "video/avi"))
     }
   }
 

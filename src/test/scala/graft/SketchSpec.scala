@@ -85,13 +85,45 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 plan: register agg is partial+final with no Expand") {
+    val df = SparkEntry.queries("q138_hll_registers")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"), "register max must map-side combine")
+    assert(!p.contains("Expand"), "no input duplication for the registers")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q141b plan: cell explode is vocabulary-bounded, not token-bounded") {
+    val df = SparkEntry.queries("q141b_cms_width_sweep")(spark, sf)
+    df.collect()
+    val gens = TestSpark.planNodes(df.queryExecution.executedPlan).collect {
+      // only the (width x row) CELL explodes — the bigram explode that
+      // feeds the count table is inherently token-bounded and not at issue
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generatorOutput.exists(_.name == "cell") => g
+    }
+    assert(gens.nonEmpty, "expected the (width x row) cell explode")
+    val exploded = gens.map(_.metrics("numOutputRows").value).sum
+    val nd = operators.TextOps.bigramsOf(spark, sf)
+      .select(col("g")).distinct().count()
+    // 16 cells per DISTINCT gram (+ the 16x25 probe explode) — the
+    // vocabulary bound itself IS the claim: at 100 TB the 16x occurrence
+    // explode this pattern avoids would be per-token, and the gap widens
+    // with corpus size (at this fixture tier it is only ~1.9x; asserting
+    // against token mass here would make the test hostage to the
+    // fixture's vocabulary richness)
+    assert(exploded <= 16 * (nd + 25),
+      s"explode produced $exploded rows for $nd distinct grams")
+  }
+
   test("q141: counters are a sum-monoid — shard-wise build + merge == whole") {
     val grams = operators.TextOps.bigramsOf(spark, sf)
       .withColumn("h", operators.Shared.hash60(col("g")))
-    val whole = Sketches.cmsCounters(grams.drop("h"))
-    val merged = Sketches.cmsCounters(grams.filter(col("h") % 2 === 0).drop("h"))
-      .unionByName(Sketches.cmsCounters(
-        grams.filter(col("h") % 2 =!= 0).drop("h")))
+    def gcOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val whole = Sketches.cmsCounters(gcOf(grams))
+    val merged = Sketches.cmsCounters(gcOf(grams.filter(col("h") % 2 === 0)))
+      .unionByName(Sketches.cmsCounters(gcOf(grams.filter(col("h") % 2 =!= 0))))
       .groupBy(col("row"), col("idx"))
       .agg(sum(col("c")).as("c"))
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
