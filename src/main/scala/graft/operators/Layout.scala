@@ -183,6 +183,126 @@ object Layout {
     }
   }
 
+  // ---- q144/q145: re-layout trigger + crash-safe compaction ---------------
+  //
+  // q145 works on ITS OWN staged copies of base/deltas (the q131 lesson:
+  // q142's serving dirs must survive whatever order the suite runs in, so
+  // the destructive compaction never touches them).
+
+  private[graft] def mDir(s: SparkSession, d: String, leaf: String): String =
+    layoutDir(s, d) + "_m_" + leaf
+
+  /** Threshold: re-layout when the un-reclustered delta tail reaches 5%
+    * of the corpus rows. The real split's tail is ~11%, so the trigger
+    * fires on real data at every tier (the q131 convention: one family
+    * exercising each verdict path without synthetic help — the span
+    * family covers leave-staged).
+    */
+  private[graft] val RelayoutThresholdPct = 5L
+
+  /** Stage q145's own base/delta copies (write-once). */
+  private[graft] def stageRelayout(s: SparkSession, d: String): Unit = {
+    writeLayoutOnce(s, d, mDir(s, d, "base")) {
+      val ev = evProjected(s, d).filter(col("event_id") % 10 =!= 0)
+      ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
+          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+        .coalesce(1).write.mode("overwrite").parquet(mDir(s, d, "cuts"))
+      withCells(ev, s.read.parquet(mDir(s, d, "cuts")), clamp = false)
+    }
+    for (k <- 0 until 2)
+      writeLayoutOnce(s, d, mDir(s, d, s"delta$k")) {
+        val b = evProjected(s, d).filter(col("event_id") % 10 === 0)
+          .filter(pmod(call_function("div", col("event_id"), lit(10L)),
+            lit(2L)) === k)
+        withCells(b, s.read.parquet(mDir(s, d, "cuts")), clamp = true)
+      }
+  }
+
+  private def fsOf(s: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
+  }
+  private def dirExists(s: SparkSession, p: String): Boolean = {
+    val (fs, hp) = fsOf(s, p); fs.exists(hp)
+  }
+  private def deleteDir(s: SparkSession, p: String): Unit = {
+    val (fs, hp) = fsOf(s, p); if (fs.exists(hp)) fs.delete(hp, true)
+  }
+  private def renameDir(s: SparkSession, from: String, to: String): Unit = {
+    val (fs, f) = fsOf(s, from); fs.rename(f, new org.apache.hadoop.fs.Path(to))
+  }
+  /** Truncate a delta dir to an EMPTY but existing dir (so write-once
+    * memos see it and the status scan reads zero rows, not a missing
+    * path).
+    */
+  private def truncateDelta(s: SparkSession, p: String): Unit = {
+    val (fs, hp) = fsOf(s, p)
+    if (fs.exists(hp)) fs.listStatus(hp).foreach(st => fs.delete(st.getPath, true))
+    else fs.mkdirs(hp)
+  }
+
+  private[graft] def markerPath(s: SparkSession, d: String): String =
+    mDir(s, d, "RELAYOUT_PENDING")
+
+  /** Roll FORWARD a crashed re-layout swap (the redo-marker contract the
+    * bucketed stores use): the marker is created only after `_next` +
+    * `_next_cuts` are fully written, so any crash state with the marker
+    * present completes by (re-)doing delete-old, rename-next, truncate
+    * deltas, drop marker — each step idempotent.
+    */
+  private[graft] def recoverRelayout(s: SparkSession, d: String): Unit = {
+    val (fs, mk) = fsOf(s, markerPath(s, d))
+    if (!fs.exists(mk)) return
+    if (dirExists(s, mDir(s, d, "next"))) {
+      deleteDir(s, mDir(s, d, "base"))
+      renameDir(s, mDir(s, d, "next"), mDir(s, d, "base"))
+    }
+    if (dirExists(s, mDir(s, d, "next_cuts"))) {
+      deleteDir(s, mDir(s, d, "cuts"))
+      renameDir(s, mDir(s, d, "next_cuts"), mDir(s, d, "cuts"))
+    }
+    for (k <- 0 until 2) truncateDelta(s, mDir(s, d, s"delta$k"))
+    fs.delete(mk, false)
+  }
+
+  /** The re-layout ACTION: recluster base ∪ deltas under FRESH cuts
+    * (re-layout exists to adopt the new distribution), write the new
+    * segment beside the old, then swap through the redo marker. Exposed
+    * with a `haltBeforeSwap` seam so the crash spec can kill the driver
+    * at the worst window and prove roll-forward.
+    */
+  private[graft] def doRelayout(s: SparkSession, d: String,
+      haltBeforeSwap: Boolean = false): Unit = {
+    val all = (Seq(mDir(s, d, "base")) ++
+      (0 until 2).map(k => mDir(s, d, s"delta$k")))
+      .map(p => s.read.parquet(p).drop("zcell"))
+      .reduce(_ unionByName _)
+    all.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
+        min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
+      .coalesce(1).write.mode("overwrite").parquet(mDir(s, d, "next_cuts"))
+    withCells(all, s.read.parquet(mDir(s, d, "next_cuts")), clamp = false)
+      .repartition(col("zcell"))
+      .write.mode("overwrite").partitionBy("zcell")
+      .parquet(mDir(s, d, "next"))
+    val (fs, mk) = fsOf(s, markerPath(s, d))
+    fs.create(mk, true).close() // swap is now OWED — roll forward from here
+    if (haltBeforeSwap) return
+    recoverRelayout(s, d)
+  }
+
+  /** Row count of a parquet dir that may have been truncated to an empty
+    * (but existing) directory — `spark.read.parquet` cannot infer a schema
+    * from zero files, so presence is checked by a recursive file listing.
+    */
+  private def parquetRows(s: SparkSession, p: String): Long = {
+    val (fs, hp) = fsOf(s, p)
+    def hasParquet(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(dir) && fs.listStatus(dir).exists(st =>
+        if (st.isDirectory) hasParquet(st.getPath)
+        else st.getPath.getName.endsWith(".parquet"))
+    if (hasParquet(hp)) s.read.parquet(p).count() else 0L
+  }
+
   /** The q140 box bounds, derived from the cuts row: time in
     * [tmin + tspan/8, tmin + tspan/2], user in [umin + uspan/4,
     * umin + uspan/2] — integer span fractions both engines compute
@@ -261,6 +381,64 @@ object Layout {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // q144 — RE-LAYOUT TRIGGER as data (the q131 pattern for the layout
+    // family): one status row for the z-order store — corpus rows, the
+    // un-reclustered delta tail, the declared threshold, and an
+    // integer-exact verdict (delta_n·100 >= base_n·thr, no float
+    // boundary). Counts scan q142's SERVING artifacts (which nothing
+    // truncates — q145 compacts its own staged copies, so status never
+    // depends on intra-session query order). The real split's ~11% tail
+    // crosses the 5% threshold, so the due path runs on real data at
+    // every tier; the oracle recomputes both counts from the raw events.
+    "q144_layout_status" -> ((s, d) => {
+      val base = zBase(s, d)
+      val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
+      val bn = s.read.parquet(base).agg(count(lit(1)).as("base_n"))
+      val dn = deltas.map(p => s.read.parquet(p)).reduce(_ unionByName _)
+        .agg(count(lit(1)).as("delta_n"))
+      bn.crossJoin(dn)
+        .select(lit("events_zorder").as("family"), col("base_n"),
+          col("delta_n"),
+          lit(RelayoutThresholdPct).as("threshold_pct"),
+          (col("delta_n") * 100 >= col("base_n") * RelayoutThresholdPct)
+            .as("compact_due"))
+    }),
+
+    // q145 — the RE-LAYOUT action (OPTIMIZE ZORDER): recluster
+    // base ∪ delta tail under FRESH cuts (adopting the new distribution
+    // is the point of re-laying-out), write the new segment beside the
+    // old, swap through a redo marker (created only after `_next` is
+    // fully written — every crash state rolls FORWARD, spec-proven with
+    // a halt-before-swap seam), truncate the deltas, then serve the box
+    // from the compacted store alone. Fresh cuts span ALL events, so the
+    // box equals q140's and the oracle is the same raw replay —
+    // compaction must be invisible to results. Idempotent: a re-serve
+    // finds an empty tail and compacts nothing (spec-pinned).
+    "q145_zorder_relayout" -> ((s, d) => {
+      stageRelayout(s, d)
+      recoverRelayout(s, d) // roll forward any crashed previous swap
+      val tail = (0 until 2).map(k => parquetRows(s, mDir(s, d, s"delta$k")))
+        .sum
+      if (tail > 0) doRelayout(s, d)
+      val cut = s.read.parquet(mDir(s, d, "cuts")).head()
+      val (tmin, tmax, umin, umax) =
+        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
+      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
+      def b(v: Long, mn: Long, mx: Long): Int =
+        ((v - mn) * Grid / (mx - mn + 1)).toInt
+      val cells = for {
+        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
+        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
+      } yield zId(tb, ub)
+      s.read.parquet(mDir(s, d, "base"))
+        .filter(col("zcell").isin(cells: _*))
+        .filter(col("tsc").between(tlo, thi) &&
+          col("user_id").between(ulo, uhi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -284,6 +462,33 @@ object Layout {
       s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
          |    min(user_id) AS umin, max(user_id) AS umax FROM events
          |    WHERE event_id % 10 <> 0),
+         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
+         |      tmin + (tmax - tmin + 1) // 2 AS thi,
+         |      umin + (umax - umin + 1) // 4 AS ulo,
+         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
+         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
+         |FROM events, box
+         |WHERE epoch_us(ts) BETWEEN tlo AND thi
+         |  AND user_id BETWEEN ulo AND uhi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q144: both counts recomputed from the raw events; the verdict is
+    // the same integer arithmetic
+    "q144_layout_status" ->
+      s"""WITH b AS (SELECT COUNT(*) AS base_n FROM events
+         |           WHERE event_id % 10 <> 0),
+         |  dl AS (SELECT COUNT(*) AS delta_n FROM events
+         |         WHERE event_id % 10 = 0)
+         |SELECT 'events_zorder' AS family, base_n, delta_n,
+         |  CAST($RelayoutThresholdPct AS BIGINT) AS threshold_pct,
+         |  (delta_n * 100 >= base_n * $RelayoutThresholdPct) AS compact_due
+         |FROM b, dl""".stripMargin,
+
+    // q145: fresh cuts span ALL events, so the compacted serve must equal
+    // the q140 box replay over the raw table — compaction is invisible
+    "q145_zorder_relayout" ->
+      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
          |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
          |      tmin + (tmax - tmin + 1) // 2 AS thi,
          |      umin + (umax - umin + 1) // 4 AS ulo,

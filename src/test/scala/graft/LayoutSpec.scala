@@ -121,6 +121,74 @@ class LayoutSpec extends AnyFunSuite {
     assert(corpusFiles() == before, "corpus layout was rewritten by a fold")
   }
 
+  private def hfs(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+  private def rawBoxOverAll(): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("tsc"), col("user_id"),
+        col("event_type"), col("value"))
+    val c = ev.agg(min(col("tsc")), max(col("tsc")),
+      min(col("user_id")), max(col("user_id"))).head()
+    val (tlo, thi, ulo, uhi) =
+      Layout.boxOf(c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+    ev.filter(col("tsc").between(tlo, thi) &&
+        col("user_id").between(ulo, uhi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum(col("value")).as("sum_value"))
+  }
+
+  test("q145 crash: swap owed at the marker rolls FORWARD, serving identical") {
+    // fresh staged state (writeLayoutOnce rebuilds when the dir is gone)
+    for (leaf <- Seq("base", "cuts", "delta0", "delta1", "next", "next_cuts",
+        "RELAYOUT_PENDING")) {
+      val (fs, p) = hfs(Layout.mDir(spark, sf, leaf))
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    Layout.stageRelayout(spark, sf)
+    Layout.doRelayout(spark, sf, haltBeforeSwap = true)
+    val (fsM, mk) = hfs(Layout.markerPath(spark, sf))
+    assert(fsM.exists(mk), "marker must be owed after the halt")
+    // the serve path must recover (complete the swap) and land on the
+    // raw replay — the crash window is invisible to results
+    val served = SparkEntry.queries("q145_zorder_relayout")(spark, sf)
+    val raw = rawBoxOverAll()
+    assert(served.exceptAll(raw).isEmpty && raw.exceptAll(served).isEmpty)
+    assert(!fsM.exists(mk), "marker must be consumed by roll-forward")
+    val (fsN, nextP) = hfs(Layout.mDir(spark, sf, "next"))
+    assert(!fsN.exists(nextP), "next segment must have been swapped in")
+  }
+
+  test("q145: idempotent — a re-serve finds an empty tail, compacts nothing") {
+    def baseFiles() = {
+      val (fs, p) = hfs(Layout.mDir(spark, sf, "base"))
+      def walk(q: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+        fs.listStatus(q).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toString -> st.getModificationTime))
+      walk(p).sortBy(_._1)
+    }
+    val before = baseFiles()
+    val served = SparkEntry.queries("q145_zorder_relayout")(spark, sf)
+    val raw = rawBoxOverAll()
+    assert(served.exceptAll(raw).isEmpty && raw.exceptAll(served).isEmpty)
+    assert(baseFiles() == before, "re-serve must not rewrite the store")
+  }
+
+  test("q144: status reads q142's serving artifacts — q145's compaction is invisible to it") {
+    // q145 (previous tests) already compacted ITS copies; the status row
+    // must still reflect the raw split because it scans q142's dirs
+    val row = SparkEntry.queries("q144_layout_status")(spark, sf).head()
+    val ev = Tables.events(spark, sf)
+    val baseN = ev.filter(col("event_id") % 10 =!= 0).count()
+    val deltaN = ev.filter(col("event_id") % 10 === 0).count()
+    assert(row.getAs[Long]("base_n") == baseN)
+    assert(row.getAs[Long]("delta_n") == deltaN)
+    assert(row.getAs[Boolean]("compact_due") ==
+      (deltaN * 100 >= baseN * Layout.RelayoutThresholdPct))
+  }
+
   test("q140: layout build is paid at most once across repeated serves") {
     val before = Layout.layoutWrites.get()
     SparkEntry.queries("q140_zorder_box")(spark, sf).count()
