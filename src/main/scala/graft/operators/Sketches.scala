@@ -184,6 +184,35 @@ object Sketches {
         docRegisters(Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
         .orderBy(col("source"), col("idx"))),
 
+    // q146 — sketch SET OPERATIONS audit: per source pair, the register
+    // overlap the inclusion-exclusion distinct-intersection estimate is
+    // built from. Union registers merge EXACTLY (max-monoid, the q139
+    // law) but intersection is DERIVED — |A∩B| ≈ est(A) + est(B) −
+    // est(A∪B) — and its relative error blows up as the true
+    // intersection shrinks, which is precisely what a deployment must
+    // audit before trusting sketch overlaps (the q112/q117 posture).
+    // The hash-checked output is pure integers: per ordered pair,
+    // each side's register count and the count of SHARED register
+    // indices (the quantity the union merge saturates on); SketchSpec
+    // derives the estimates driver-side and compares them against q102's
+    // exact source overlaps. Register-sized work: the pair join runs on
+    // the (source, idx) register table, never on documents.
+    "q146_register_overlap" -> ((s, d) => {
+      val regs = docRegisters(Tables.documents(s, d))
+        .select(col("source"), col("idx"))
+      val counts = regs.groupBy(col("source")).agg(count(lit(1)).as("nr"))
+      val a = regs.toDF("sa", "idx")
+      val b = regs.toDF("sb", "idx")
+      val common = a.join(b, "idx").filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("r_common"))
+      common
+        .join(counts.toDF("sa", "ra"), "sa")
+        .join(counts.toDF("sb", "rb"), "sb")
+        .select(col("sa"), col("sb"), col("ra"), col("rb"), col("r_common"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // q141 — Count-Min frequency sketch with an exact-checkable readout:
     // the frequency twin of q138. The counter table (4 rows x 1024
     // counters of exact bigram-occurrence sums) is integer state the
@@ -273,6 +302,19 @@ object Sketches {
     "q139_incremental_distinct" ->
       s"""${sqlHllRegisters("source", "source", "text", "documents")}
          |ORDER BY source, idx""".stripMargin,
+
+    "q146_register_overlap" ->
+      s"""WITH h AS (SELECT source, ${Shared.sqlHash60("text")} AS h
+         |           FROM documents),
+         |  r AS (SELECT DISTINCT source, h % $HllM AS idx FROM h),
+         |  n AS (SELECT source, COUNT(*) AS nr FROM r GROUP BY source)
+         |SELECT a.source AS sa, b.source AS sb,
+         |  CAST(MIN(na.nr) AS BIGINT) AS ra, CAST(MIN(nb.nr) AS BIGINT) AS rb,
+         |  COUNT(*) AS r_common
+         |FROM r a JOIN r b ON a.idx = b.idx AND a.source < b.source
+         |JOIN n na ON na.source = a.source
+         |JOIN n nb ON nb.source = b.source
+         |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
 
     "q141_cms_frequency" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),

@@ -85,6 +85,52 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  /** Linear-counting estimate from an occupied-register count (the
+    * regime every q146 pair sits in at fixture fill levels).
+    */
+  private def lcEst(occupied: Long): Double = {
+    val m = 4096.0
+    m * math.log(m / (m - occupied))
+  }
+
+  test("q146: corpus audit reads the noise floor — no material cross-source overlap") {
+    val rows = SparkEntry.queries("q146_register_overlap")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // ground truth on this corpus: zero shared texts across sources
+    val byText = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).distinct()
+    val exactShared = byText.as("a").join(byText.as("b"),
+      col("a.text") === col("b.text") && col("a.source") < col("b.source"))
+      .count()
+    assert(exactShared == 0L, "fixture assumption: no cross-source dup texts")
+    // the sketch must agree at the resolution that matters: every
+    // inclusion-exclusion estimate sits at the hash-collision noise
+    // floor (a few), never at a material overlap
+    rows.foreach { case (sa, sb, ra, rb, rc) =>
+      val est = lcEst(ra) + lcEst(rb) - lcEst(ra + rb - rc)
+      assert(est < 5.0, s"pair $sa/$sb read a phantom overlap of $est")
+    }
+  }
+
+  test("q146: the estimator is accurate when the intersection is material") {
+    import spark.implicits._
+    // planted: A and B share 300 texts; each holds 500 more of its own
+    val docs = ((0 until 300).flatMap(i =>
+      Seq(("A", s"shared_$i"), ("B", s"shared_$i"))) ++
+      (0 until 500).map(i => ("A", s"only_a_$i")) ++
+      (0 until 500).map(i => ("B", s"only_b_$i")))
+      .toDF("source", "text")
+    val regs = Sketches.docRegisters(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ra = regs.count(_._1 == "A").toLong
+    val rb = regs.count(_._1 == "B").toLong
+    val union = regs.map(_._2).distinct.length.toLong
+    val est = lcEst(ra) + lcEst(rb) - lcEst(union)
+    assert(math.abs(est - 300.0) / 300.0 < 0.2,
+      s"planted overlap 300 estimated as $est")
+  }
+
   test("q138 plan: register agg is partial+final with no Expand") {
     val df = SparkEntry.queries("q138_hll_registers")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
