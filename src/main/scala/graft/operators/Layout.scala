@@ -155,14 +155,8 @@ object Layout {
 
   /** Frozen corpus layout (event_id % 10 != 0) + its cuts sidecar. */
   private[graft] def zBase(s: SparkSession, d: String): String = {
-    val dir = baseDir(s, d)
-    writeLayoutOnce(s, d, dir) {
-      val ev = evProjected(s, d).filter(col("event_id") % 10 =!= 0)
-      ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
-          min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
-        .coalesce(1).write.mode("overwrite").parquet(baseCutsDir(s, d))
-      withCells(ev, s.read.parquet(baseCutsDir(s, d)), clamp = false)
-    }
+    buildBaseStore(s, d, baseDir(s, d), baseCutsDir(s, d))
+    baseDir(s, d)
   }
 
   /** Fold batch `k` into the layout WITHOUT touching the corpus files:
@@ -175,12 +169,8 @@ object Layout {
     */
   private[graft] def zDelta(s: SparkSession, d: String, k: Int): String = {
     zBase(s, d) // cuts must exist (and stay frozen) before any delta
-    writeLayoutOnce(s, d, deltaDir(s, d, k)) {
-      val b = evProjected(s, d).filter(col("event_id") % 10 === 0)
-        .filter(pmod(call_function("div", col("event_id"), lit(10L)),
-          lit(2L)) === k)
-      withCells(b, s.read.parquet(baseCutsDir(s, d)), clamp = true)
-    }
+    buildDeltaStore(s, d, baseCutsDir(s, d), deltaDir(s, d, k), k)
+    deltaDir(s, d, k)
   }
 
   // ---- q144/q145: re-layout trigger + crash-safe compaction ---------------
@@ -200,22 +190,36 @@ object Layout {
     */
   private[graft] val RelayoutThresholdPct = 5L
 
-  /** Stage q145's own base/delta copies (write-once). */
-  private[graft] def stageRelayout(s: SparkSession, d: String): Unit = {
-    writeLayoutOnce(s, d, mDir(s, d, "base")) {
+  /** ONE definition of the corpus-store build — q142's serving dirs and
+    * q145's compactable copies differ only in target paths, and the three
+    * consumers (zBase, zDelta, stageRelayout) MUST stay byte-identical in
+    * projection/split/clamp or q144's trigger (which scans q142's dirs)
+    * drifts from the store q145 actually compacts.
+    */
+  private def buildBaseStore(s: SparkSession, d: String, base: String,
+      cuts: String): Unit =
+    writeLayoutOnce(s, d, base) {
       val ev = evProjected(s, d).filter(col("event_id") % 10 =!= 0)
       ev.agg(min(col("tsc")).as("tmin"), max(col("tsc")).as("tmax"),
           min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))
-        .coalesce(1).write.mode("overwrite").parquet(mDir(s, d, "cuts"))
-      withCells(ev, s.read.parquet(mDir(s, d, "cuts")), clamp = false)
+        .coalesce(1).write.mode("overwrite").parquet(cuts)
+      withCells(ev, s.read.parquet(cuts), clamp = false)
     }
+
+  private def buildDeltaStore(s: SparkSession, d: String, cuts: String,
+      deltaK: String, k: Int): Unit =
+    writeLayoutOnce(s, d, deltaK) {
+      val b = evProjected(s, d).filter(col("event_id") % 10 === 0)
+        .filter(pmod(call_function("div", col("event_id"), lit(10L)),
+          lit(2L)) === k)
+      withCells(b, s.read.parquet(cuts), clamp = true)
+    }
+
+  /** Stage q145's own base/delta copies (write-once). */
+  private[graft] def stageRelayout(s: SparkSession, d: String): Unit = {
+    buildBaseStore(s, d, mDir(s, d, "base"), mDir(s, d, "cuts"))
     for (k <- 0 until 2)
-      writeLayoutOnce(s, d, mDir(s, d, s"delta$k")) {
-        val b = evProjected(s, d).filter(col("event_id") % 10 === 0)
-          .filter(pmod(call_function("div", col("event_id"), lit(10L)),
-            lit(2L)) === k)
-        withCells(b, s.read.parquet(mDir(s, d, "cuts")), clamp = true)
-      }
+      buildDeltaStore(s, d, mDir(s, d, "cuts"), mDir(s, d, s"delta$k"), k)
   }
 
   private def fsOf(s: SparkSession, p: String) = {
@@ -225,11 +229,18 @@ object Layout {
   private def dirExists(s: SparkSession, p: String): Boolean = {
     val (fs, hp) = fsOf(s, p); fs.exists(hp)
   }
+  // Hadoop FileSystem signals failure by RETURNING FALSE, not throwing —
+  // an unchecked delete/rename inside the recovery path would proceed to
+  // truncate the deltas and drop the redo marker over a half-done swap,
+  // which is exactly the corruption the marker exists to prevent. Throw.
   private def deleteDir(s: SparkSession, p: String): Unit = {
-    val (fs, hp) = fsOf(s, p); if (fs.exists(hp)) fs.delete(hp, true)
+    val (fs, hp) = fsOf(s, p)
+    if (fs.exists(hp)) require(fs.delete(hp, true), s"delete failed: $p")
   }
   private def renameDir(s: SparkSession, from: String, to: String): Unit = {
-    val (fs, f) = fsOf(s, from); fs.rename(f, new org.apache.hadoop.fs.Path(to))
+    val (fs, f) = fsOf(s, from)
+    require(fs.rename(f, new org.apache.hadoop.fs.Path(to)),
+      s"rename failed: $from -> $to")
   }
   /** Truncate a delta dir to an EMPTY but existing dir (so write-once
     * memos see it and the status scan reads zero rows, not a missing
@@ -290,17 +301,18 @@ object Layout {
     recoverRelayout(s, d)
   }
 
-  /** Row count of a parquet dir that may have been truncated to an empty
-    * (but existing) directory — `spark.read.parquet` cannot infer a schema
-    * from zero files, so presence is checked by a recursive file listing.
+  /** Whether a (possibly truncated-to-empty) dir holds any parquet file —
+    * a pure driver-side listing; `spark.read.parquet` cannot even infer a
+    * schema from zero files, and a Spark count job just to compare
+    * against zero would waste two jobs on the hot serve path.
     */
-  private def parquetRows(s: SparkSession, p: String): Long = {
+  private def hasParquetFiles(s: SparkSession, p: String): Boolean = {
     val (fs, hp) = fsOf(s, p)
-    def hasParquet(dir: org.apache.hadoop.fs.Path): Boolean =
+    def walk(dir: org.apache.hadoop.fs.Path): Boolean =
       fs.exists(dir) && fs.listStatus(dir).exists(st =>
-        if (st.isDirectory) hasParquet(st.getPath)
+        if (st.isDirectory) walk(st.getPath)
         else st.getPath.getName.endsWith(".parquet"))
-    if (hasParquet(hp)) s.read.parquet(p).count() else 0L
+    walk(hp)
   }
 
   /** The q140 box bounds, derived from the cuts row: time in
@@ -316,6 +328,49 @@ object Layout {
       umin + uspan / 4, umin + uspan / 2)
   }
 
+  /** THE box serve every layout query shares: read the cuts row, derive
+    * the box + its candidate z-cells driver-side (an O(64) grid loop),
+    * scan each segment under the IN-list partition filter + the exact
+    * residual, aggregate. One definition — q140/q142/q145 must not drift
+    * in bucket or box arithmetic.
+    */
+  private def serveBox(s: SparkSession, dirs: Seq[String],
+      cuts: String): DataFrame = {
+    val cut = s.read.parquet(cuts).head()
+    val (tmin, tmax, umin, umax) =
+      (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
+    val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
+    def b(v: Long, mn: Long, mx: Long): Int =
+      ((v - mn) * Grid / (mx - mn + 1)).toInt
+    val cells = for {
+      tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
+      ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
+    } yield zId(tb, ub)
+    dirs.map(p => s.read.parquet(p).filter(col("zcell").isin(cells: _*)))
+      .reduce(_ unionByName _)
+      .filter(col("tsc").between(tlo, thi) &&
+        col("user_id").between(ulo, uhi))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Shared q140/q145 oracle: the box (bounds from ALL events) replayed
+    * over the raw table — any layout must be invisible to it.
+    */
+  private val sqlBoxOverAll: String =
+    s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+       |    min(user_id) AS umin, max(user_id) AS umax FROM events),
+       |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
+       |      tmin + (tmax - tmin + 1) // 2 AS thi,
+       |      umin + (umax - umin + 1) // 4 AS ulo,
+       |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
+       |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
+       |FROM events, box
+       |WHERE epoch_us(ts) BETWEEN tlo AND thi
+       |  AND user_id BETWEEN ulo AND uhi
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q140 — Z-ORDER box query: aggregate a 2-d (time x user) box over the
@@ -329,23 +384,7 @@ object Layout {
     // layout) and proves the layout build is paid once.
     "q140_zorder_box" -> ((s, d) => {
       val dir = zLayout(s, d)
-      val cut = s.read.parquet(cutsDir(s, d)).head()
-      val (tmin, tmax, umin, umax) =
-        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
-      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
-      def b(v: Long, mn: Long, mx: Long): Int =
-        ((v - mn) * Grid / (mx - mn + 1)).toInt
-      val cells = for {
-        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
-        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
-      } yield zId(tb, ub)
-      s.read.parquet(dir)
-        .filter(col("zcell").isin(cells: _*))
-        .filter(col("tsc").between(tlo, thi) &&
-          col("user_id").between(ulo, uhi))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
-        .orderBy(col("event_type"))
+      serveBox(s, Seq(dir), cutsDir(s, d))
     }),
 
     // q142 — INCREMENTAL layout maintenance: the q140 technique kept
@@ -363,24 +402,7 @@ object Layout {
     "q142_zorder_incremental" -> ((s, d) => {
       val base = zBase(s, d)
       val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
-      val cut = s.read.parquet(baseCutsDir(s, d)).head()
-      val (tmin, tmax, umin, umax) =
-        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
-      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
-      def b(v: Long, mn: Long, mx: Long): Int =
-        ((v - mn) * Grid / (mx - mn + 1)).toInt
-      val cells = for {
-        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
-        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
-      } yield zId(tb, ub)
-      (base +: deltas)
-        .map(p => s.read.parquet(p).filter(col("zcell").isin(cells: _*)))
-        .reduce(_ unionByName _)
-        .filter(col("tsc").between(tlo, thi) &&
-          col("user_id").between(ulo, uhi))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
-        .orderBy(col("event_type"))
+      serveBox(s, base +: deltas, baseCutsDir(s, d))
     }),
 
     // q144 — RE-LAYOUT TRIGGER as data (the q131 pattern for the layout
@@ -417,44 +439,24 @@ object Layout {
     // compaction must be invisible to results. Idempotent: a re-serve
     // finds an empty tail and compacts nothing (spec-pinned).
     "q145_zorder_relayout" -> ((s, d) => {
+      // Recovery FIRST (the Dedup.maintenanceTick rule): a marker
+      // stranded by a crashed previous session must replay its owed swap
+      // BEFORE staging — stage-then-recover would let a stale `_next`
+      // segment (built from an older source) overwrite freshly restaged
+      // stores. After a cross-session recovery over regenerated data the
+      // stage step's mtime memo then rebuilds, the tail is non-empty,
+      // and the re-layout below re-compacts from current data.
+      recoverRelayout(s, d)
       stageRelayout(s, d)
-      recoverRelayout(s, d) // roll forward any crashed previous swap
-      val tail = (0 until 2).map(k => parquetRows(s, mDir(s, d, s"delta$k")))
-        .sum
-      if (tail > 0) doRelayout(s, d)
-      val cut = s.read.parquet(mDir(s, d, "cuts")).head()
-      val (tmin, tmax, umin, umax) =
-        (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
-      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
-      def b(v: Long, mn: Long, mx: Long): Int =
-        ((v - mn) * Grid / (mx - mn + 1)).toInt
-      val cells = for {
-        tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
-        ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
-      } yield zId(tb, ub)
-      s.read.parquet(mDir(s, d, "base"))
-        .filter(col("zcell").isin(cells: _*))
-        .filter(col("tsc").between(tlo, thi) &&
-          col("user_id").between(ulo, uhi))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
-        .orderBy(col("event_type"))
+      val tail = (0 until 2)
+        .exists(k => hasParquetFiles(s, mDir(s, d, s"delta$k")))
+      if (tail) doRelayout(s, d)
+      serveBox(s, Seq(mDir(s, d, "base")), mDir(s, d, "cuts"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q140_zorder_box" ->
-      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
-         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
-         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
-         |      tmin + (tmax - tmin + 1) // 2 AS thi,
-         |      umin + (umax - umin + 1) // 4 AS ulo,
-         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
-         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
-         |FROM events, box
-         |WHERE epoch_us(ts) BETWEEN tlo AND thi
-         |  AND user_id BETWEEN ulo AND uhi
-         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q140_zorder_box" -> sqlBoxOverAll,
 
     // q142: box bounds from the CORPUS span (the frozen cuts), predicate
     // over ALL events — fold + serve must equal this from-scratch replay
@@ -486,17 +488,6 @@ object Layout {
 
     // q145: fresh cuts span ALL events, so the compacted serve must equal
     // the q140 box replay over the raw table — compaction is invisible
-    "q145_zorder_relayout" ->
-      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
-         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
-         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
-         |      tmin + (tmax - tmin + 1) // 2 AS thi,
-         |      umin + (umax - umin + 1) // 4 AS ulo,
-         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
-         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
-         |FROM events, box
-         |WHERE epoch_us(ts) BETWEEN tlo AND thi
-         |  AND user_id BETWEEN ulo AND uhi
-         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    "q145_zorder_relayout" -> sqlBoxOverAll
   )
 }

@@ -89,7 +89,7 @@ class SketchSpec extends AnyFunSuite {
     * regime every q146 pair sits in at fixture fill levels).
     */
   private def lcEst(occupied: Long): Double = {
-    val m = 4096.0
+    val m = Sketches.HllM.toDouble
     m * math.log(m / (m - occupied))
   }
 
