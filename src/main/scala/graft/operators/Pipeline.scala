@@ -466,6 +466,45 @@ object Pipeline {
         .orderBy(col("l_returnflag"))
     }),
 
+    // q147 — EXACT percentiles WITHOUT a per-group sort: the scale path
+    // for bounded-integer domains, completing the percentile triangle
+    // (q44 exact-by-sort; q44b sketch-approximate; q147 exact-by-
+    // counting). l_quantity has <= 50 distinct values, so its per-group
+    // distribution is an exact HISTOGRAM: one corpus-pass hash agg to
+    // (group, value, count) — map-side combined, shuffle bounded by
+    // groups x |domain| — then the k-th order statistics come from a
+    // running sum over that tiny table and type-7 interpolation is exact
+    // decimal arithmetic (h = (n-1)p/100 splits into k = h div 1 and an
+    // INTEGER frac, so both engines compute the identical double). q44's
+    // percentile() sorts every group's full row set; at 100 TB this
+    // pays one aggregate. Same trick as q98's calibration cutoffs.
+    "q147_histogram_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = h
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("flag")).orderBy(col("v"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+      val ks = w.select(col("flag"), col("n")).distinct()
+        .withColumn("p", explode(lit(Array(50L, 95L, 99L))))
+        .withColumn("k_lo", expr("((n - 1) * p) div 100") + 1)
+        .withColumn("frac", expr("((n - 1) * p) % 100"))
+      val xlo = ks.join(w, Seq("flag")).filter(col("cum") >= col("k_lo"))
+        .groupBy(col("flag"), col("p"), col("frac"))
+        .agg(min(col("v")).as("x1"))
+      val xhi = ks.join(w, Seq("flag")).filter(col("cum") >= col("k_lo") + 1)
+        .groupBy(col("flag"), col("p")).agg(min(col("v")).as("x2"))
+      xlo.join(xhi, Seq("flag", "p"), "left")
+        .select(col("flag"), col("p"),
+          round(col("x1") + col("frac") *
+            (coalesce(col("x2"), col("x1")) - col("x1")) / lit(100.0), 4)
+            .as("pv"))
+        .orderBy(col("flag"), col("p"))
+    }),
+
     // Q45 — histogram: fixed-width bucketing is pure float arithmetic
     // (identical IEEE division in both engines), then a hash aggregate.
     "q45_histogram" -> ((s, d) => {
@@ -1044,6 +1083,31 @@ object Pipeline {
         | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
         | COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q147: the identical histogram + order-statistic + type-7 formula,
+    // LEFT-joined so a k at the domain edge interpolates against itself
+    "q147_histogram_percentiles" ->
+      """WITH h AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v,
+        |        COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+        |  w AS (SELECT flag, v, c,
+        |      SUM(c) OVER (PARTITION BY flag ORDER BY v) AS cum,
+        |      SUM(c) OVER (PARTITION BY flag) AS n FROM h),
+        |  ks AS (SELECT flag, n, CAST(p.p AS BIGINT) AS p,
+        |      ((n - 1) * p.p) // 100 + 1 AS k_lo,
+        |      ((n - 1) * p.p) % 100 AS frac
+        |    FROM (SELECT DISTINCT flag, n FROM w) t
+        |    CROSS JOIN (SELECT unnest([50, 95, 99]) AS p) p),
+        |  xlo AS (SELECT k.flag, k.p, k.frac, MIN(w.v) AS x1
+        |    FROM ks k JOIN w ON w.flag = k.flag AND w.cum >= k.k_lo
+        |    GROUP BY 1, 2, 3),
+        |  xhi AS (SELECT k.flag, k.p, MIN(w.v) AS x2
+        |    FROM ks k JOIN w ON w.flag = k.flag AND w.cum >= k.k_lo + 1
+        |    GROUP BY 1, 2)
+        |SELECT xlo.flag, xlo.p,
+        |  CAST(ROUND(x1 + frac * (COALESCE(x2, x1) - x1) / 100.0, 4) AS DOUBLE)
+        |    AS pv
+        |FROM xlo LEFT JOIN xhi ON xlo.flag = xhi.flag AND xlo.p = xhi.p
+        |ORDER BY xlo.flag, xlo.p""".stripMargin,
 
     "q45_histogram" ->
       s"""SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

@@ -131,6 +131,36 @@ class SketchSpec extends AnyFunSuite {
       s"planted overlap 300 estimated as $est")
   }
 
+  test("q147: counting-sort percentiles equal percentile() exactly") {
+    val viaHist = SparkEntry.queries("q147_histogram_percentiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val viaSort = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+      .collect()
+    viaSort.foreach { r =>
+      val flag = r.getString(0)
+      assert(viaHist((flag, 50L)) == r.getDouble(1), s"$flag p50")
+      assert(viaHist((flag, 95L)) == r.getDouble(2), s"$flag p95")
+      assert(viaHist((flag, 99L)) == r.getDouble(3), s"$flag p99")
+    }
+    // the windows consume the HISTOGRAM by construction (they are
+    // defined over the (flag, v, c) aggregate); what makes that a scale
+    // win is the DOMAIN bound the design rests on — verify it holds on
+    // the data: the histogram is <= groups x 50 rows while the raw table
+    // is orders of magnitude larger
+    val histRows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .distinct().count()
+    val rawRows = Tables.lineitem(spark, sf).count()
+    assert(histRows <= 3 * 50 && histRows < rawRows,
+      s"histogram not domain-bounded: $histRows rows (raw=$rawRows)")
+  }
+
   test("q138 plan: register agg is partial+final with no Expand") {
     val df = SparkEntry.queries("q138_hll_registers")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
