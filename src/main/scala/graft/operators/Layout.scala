@@ -438,6 +438,48 @@ object Layout {
     // box equals q140's and the oracle is the same raw replay —
     // compaction must be invisible to results. Idempotent: a re-serve
     // finds an empty tail and compacts nothing (spec-pinned).
+    // q148 — GRID-RESOLUTION SWEEP: the z-order tuning curve (the
+    // q141b/q117/q137 honest-audit pattern applied to the layout knob).
+    // For each grid size {4x4, 8x8, 16x16}: how many cells the q140 box
+    // probes, how many rows those cells hold (what a scan READS), and
+    // how many actually match the box (what a scan KEEPS) — the
+    // read-amplification-vs-file-count trade a deployment measures
+    // before choosing DimBits. No physical layouts are written: the
+    // would-be-scanned mass is computable exactly from the bucket
+    // arithmetic (rows whose buckets fall in the box's bucket
+    // rectangle), so the whole curve is one events pass per grid and
+    // every column is an integer the oracle replays. At the shipping
+    // 8x8: ~23% of rows read for ~7% matched (sf0.1) — finer grids cut
+    // the gap at the price of more, smaller files.
+    "q148_zorder_grid_sweep" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("tsc"), col("user_id"))
+      val c = ev.agg(min(col("tsc")), max(col("tsc")),
+        min(col("user_id")), max(col("user_id"))).head()
+      val (tmin, tmax, umin, umax) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      val (tlo, thi, ulo, uhi) = boxOf(tmin, tmax, umin, umax)
+      def bk(v: Long, mn: Long, mx: Long, g: Long): Long =
+        (v - mn) * g / (mx - mn + 1)
+      def bg(v: Column, mn: Long, mx: Long, g: Long): Column =
+        call_function("div", (v - lit(mn)) * lit(g), lit(mx - mn + 1L))
+      val perGrid = Seq(4L, 8L, 16L).map { g =>
+        val nCells = (bk(thi, tmin, tmax, g) - bk(tlo, tmin, tmax, g) + 1) *
+          (bk(uhi, umin, umax, g) - bk(ulo, umin, umax, g) + 1)
+        val inRect = bg(col("tsc"), tmin, tmax, g)
+            .between(bk(tlo, tmin, tmax, g), bk(thi, tmin, tmax, g)) &&
+          bg(col("user_id"), umin, umax, g)
+            .between(bk(ulo, umin, umax, g), bk(uhi, umin, umax, g))
+        val inBox = col("tsc").between(tlo, thi) &&
+          col("user_id").between(ulo, uhi)
+        ev.agg(sum(when(inRect, 1L).otherwise(0L)).as("rows_read"),
+            sum(when(inBox, 1L).otherwise(0L)).as("rows_matched"))
+          .select(lit(g).as("grid"), lit(nCells).as("n_cells_probed"),
+            col("rows_read"), col("rows_matched"))
+      }
+      perGrid.reduce(_ unionByName _).orderBy(col("grid"))
+    }),
+
     "q145_zorder_relayout" -> ((s, d) => {
       // Recovery FIRST (the Dedup.maintenanceTick rule): a marker
       // stranded by a crashed previous session must replay its owed swap
@@ -488,6 +530,36 @@ object Layout {
 
     // q145: fresh cuts span ALL events, so the compacted serve must equal
     // the q140 box replay over the raw table — compaction is invisible
-    "q145_zorder_relayout" -> sqlBoxOverAll
+    "q145_zorder_relayout" -> sqlBoxOverAll,
+
+    // q148: bucket arithmetic, box bounds and both row tallies replayed
+    // per grid — the tuning curve itself is hash-checked
+    "q148_zorder_grid_sweep" ->
+      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events),
+         | box AS (SELECT tmin, tmax, umin, umax,
+         |    tmin + (tmax - tmin + 1) // 8 AS tlo,
+         |    tmin + (tmax - tmin + 1) // 2 AS thi,
+         |    umin + (umax - umin + 1) // 4 AS ulo,
+         |    umin + (umax - umin + 1) // 2 AS uhi FROM c),
+         | g AS (SELECT unnest([4, 8, 16]) AS g)
+         |SELECT CAST(g.g AS BIGINT) AS grid,
+         |  CAST((((thi - tmin) * g.g) // (tmax - tmin + 1)
+         |      - ((tlo - tmin) * g.g) // (tmax - tmin + 1) + 1) *
+         |    (((uhi - umin) * g.g) // (umax - umin + 1)
+         |      - ((ulo - umin) * g.g) // (umax - umin + 1) + 1) AS BIGINT)
+         |    AS n_cells_probed,
+         |  CAST(SUM(CASE WHEN ((epoch_us(ts) - tmin) * g.g) // (tmax - tmin + 1)
+         |        BETWEEN ((tlo - tmin) * g.g) // (tmax - tmin + 1)
+         |            AND ((thi - tmin) * g.g) // (tmax - tmin + 1)
+         |       AND ((user_id - umin) * g.g) // (umax - umin + 1)
+         |        BETWEEN ((ulo - umin) * g.g) // (umax - umin + 1)
+         |            AND ((uhi - umin) * g.g) // (umax - umin + 1)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS rows_read,
+         |  CAST(SUM(CASE WHEN epoch_us(ts) BETWEEN tlo AND thi
+         |        AND user_id BETWEEN ulo AND uhi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS rows_matched
+         |FROM events, box, g
+         |GROUP BY grid, n_cells_probed ORDER BY grid""".stripMargin
   )
 }
