@@ -184,6 +184,32 @@ object Sketches {
         docRegisters(Tables.documents(s, d).filter(col("doc_id") % 10 === 0)))
         .orderBy(col("source"), col("idx"))),
 
+    // q149 — HLL PRECISION SWEEP: the register-size knob's tuning curve
+    // (what q141b is for CMS width, q148 for the layout grid). For each
+    // p in {8, 10, 12}: the occupied-register count per group over the
+    // same keys — the integer state the estimate derives from, so the
+    // curve itself hash-checks; SketchSpec derives the estimates and
+    // asserts the error law (mean |est-exact|/exact shrinks as p grows,
+    // within the ~1.04/sqrt(2^p) analytic band's generosity). The p-bit
+    // index and the (61-p)-bit rho both derive from ONE hash60 per row —
+    // the sweep costs one scan + a (groups x 3 x 2^12)-bounded agg.
+    "q149_hll_precision_sweep" -> ((s, d) => {
+      val h = Shared.hash60(col("l_partkey").cast("string"))
+      val ps = Seq(8, 10, 12)
+      val cells = ps.map { p =>
+        struct(lit(p.toLong).as("p"),
+          pmod(h, lit((1L << p))).as("idx"))
+      }
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          explode(array(cells: _*)).as("cell"))
+        .select(col("flag"), col("cell.p").as("p"), col("cell.idx").as("idx"))
+        .distinct()
+        .groupBy(col("flag"), col("p"))
+        .agg(count(lit(1)).as("n_regs"))
+        .orderBy(col("flag"), col("p"))
+    }),
+
     // q146 — sketch SET OPERATIONS audit: per source pair, the register
     // overlap the inclusion-exclusion distinct-intersection estimate is
     // built from. Union registers merge EXACTLY (max-monoid, the q139
@@ -302,6 +328,15 @@ object Sketches {
     "q139_incremental_distinct" ->
       s"""${sqlHllRegisters("source", "source", "text", "documents")}
          |ORDER BY source, idx""".stripMargin,
+
+    "q149_hll_precision_sweep" ->
+      s"""WITH h AS (SELECT l_returnflag AS flag,
+         |    ${Shared.sqlHash60("CAST(l_partkey AS VARCHAR)")} AS h
+         |  FROM lineitem),
+         | p AS (SELECT unnest([8, 10, 12]) AS p)
+         |SELECT flag, CAST(p.p AS BIGINT) AS p,
+         |  CAST(COUNT(DISTINCT h % (1::BIGINT << p.p)) AS BIGINT) AS n_regs
+         |FROM h CROSS JOIN p GROUP BY flag, p ORDER BY flag, p""".stripMargin,
 
     "q146_register_overlap" ->
       s"""WITH h AS (SELECT source, ${Shared.sqlHash60("text")} AS h

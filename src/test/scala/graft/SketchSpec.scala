@@ -131,6 +131,26 @@ class SketchSpec extends AnyFunSuite {
       s"planted overlap 300 estimated as $est")
   }
 
+  test("q149: precision sweep — the error band tightens as p grows") {
+    val rows = SparkEntry.queries("q149_hll_precision_sweep")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (p <- Seq(8L, 10L, 12L)) {
+      val m = (1L << p).toDouble
+      val band = math.max(0.02, 4.0 / math.sqrt(m))
+      rows.filter(_._2 == p).foreach { case (flag, _, nRegs) =>
+        assert(nRegs < m, s"p=$p saturated — sweep tier too big for the test")
+        val est = m * math.log(m / (m - nRegs))
+        val nd = exact(flag).toDouble
+        assert(math.abs(est - nd) / nd < band,
+          s"p=$p flag=$flag est=$est exact=$nd band=$band")
+      }
+    }
+  }
+
   test("q147: counting-sort percentiles equal percentile() exactly") {
     val viaHist = SparkEntry.queries("q147_histogram_percentiles")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
