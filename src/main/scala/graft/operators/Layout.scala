@@ -315,6 +315,40 @@ object Layout {
     walk(hp)
   }
 
+  // ---- q150: continuous layout maintenance --------------------------------
+
+  private def streamDeltaDir(s: SparkSession, d: String, batchId: Long) =
+    layoutDir(s, d) + s"_s_delta$batchId"
+
+  /** foreachBatch body: land micro-batch `batchId` as its own z-assigned
+    * delta segment under the FROZEN corpus cuts. mode=overwrite keyed by
+    * the batch id makes REDELIVERY structurally idempotent: a replayed
+    * batch rewrites the same dir with byte-identical content (the split
+    * and the cut arithmetic are deterministic), so at-least-once delivery
+    * serves exactly-once results — the q136 argument, for the layout.
+    */
+  private[graft] def writeStreamDelta(s: SparkSession, d: String,
+      df: DataFrame, batchId: Long): Unit =
+    withCells(df, s.read.parquet(baseCutsDir(s, d)), clamp = true)
+      .repartition(col("zcell"))
+      .write.mode("overwrite").partitionBy("zcell")
+      .parquet(streamDeltaDir(s, d, batchId))
+
+  /** Serve the box over base + every accumulated stream-delta segment
+    * (FS-listed, so the reader needs no registry of how many folds ran).
+    */
+  private[graft] def serveStreamed(s: SparkSession, d: String): DataFrame = {
+    val (fs, hp) = fsOf(s, layoutDir(s, d))
+    val parent = hp.getParent
+    val leaf = hp.getName + "_s_delta"
+    val deltas =
+      if (fs.exists(parent))
+        fs.listStatus(parent).map(_.getPath)
+          .filter(_.getName.startsWith(leaf)).map(_.toString).toSeq
+      else Seq.empty
+    serveBox(s, baseDir(s, d) +: deltas.sorted, baseCutsDir(s, d))
+  }
+
   /** The q140 box bounds, derived from the cuts row: time in
     * [tmin + tspan/8, tmin + tspan/2], user in [umin + uspan/4,
     * umin + uspan/2] — integer span fractions both engines compute

@@ -649,6 +649,47 @@ object StreamingQueries {
     // results, the q124 argument. The oracle is the from-scratch q133
     // over ALL documents: cross-fold pairing, keeper migration, and the
     // override chain are hash-proven per tier.
+    // q150 — CONTINUOUS layout maintenance: q142's delta fold as a real
+    // Structured Streaming pipeline (two ordered micro-batch files,
+    // maxFilesPerTrigger=1, foreachBatch). Each micro-batch lands as its
+    // own z-assigned delta segment under the FROZEN corpus cuts
+    // ([[graft.operators.Layout.writeStreamDelta]]); mode=overwrite keyed
+    // by batch id makes redelivery structurally idempotent (byte-identical
+    // rewrite of the same dir), so at-least-once delivery serves
+    // exactly-once results — the q136 argument, for the layout family.
+    // Serving FS-lists the accumulated segments (no fold registry), and
+    // the oracle is q142's from-scratch box replay over ALL events, so
+    // continuous fold == batch fold == from-scratch is hash-proven.
+    // Compaction of the accumulated segments rides q145 on q144's
+    // trigger cadence.
+    "q150_stream_zorder" -> ((s, d) => {
+      import graft.operators.Layout
+      Layout.zBase(s, d) // frozen cuts must exist before any fold
+      val dir = Files.createTempDirectory("graft_q150")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
+          col("user_id"), col("event_type"), col("value"))
+      for (k <- 0 until 2)
+        writeReplayFile(inDir, ev.filter(col("event_id") % 10 === 0)
+          .filter(expr(s"(event_id div 10) % 2") === k), "b", k)
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            Layout.writeStreamDelta(s, d, b, id.longValue()))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Layout.serveStreamed(s, d)
+    }),
+
     "q136_stream_incremental_span_strip" -> ((s, d) => {
       import graft.Tables
       import graft.operators.Dedup
@@ -840,6 +881,10 @@ object StreamingQueries {
     // so the state-store max-monoid fold is hash-proven per tier.
     "q143_stream_registers" ->
       graft.operators.Sketches.oracleSql("q139_incremental_distinct"),
+    // q150: the continuous layout fold must serve exactly q142's
+    // from-scratch box replay over ALL raw events
+    "q150_stream_zorder" ->
+      graft.operators.Layout.oracleSql("q142_zorder_incremental"),
     // q124: the three-fold streaming maintenance must land on exactly
     // the from-scratch closure over ALL documents — q120's oracle — so
     // cross-fold pairing and override chains are hash-proven per tier.

@@ -189,6 +189,22 @@ class LayoutSpec extends AnyFunSuite {
       (deltaN * 100 >= baseN * Layout.RelayoutThresholdPct))
   }
 
+  test("q150: redelivered micro-batches rewrite byte-identical segments") {
+    // run the streaming fold once (builds base + stream deltas)
+    val first = SparkEntry.queries("q150_stream_zorder")(spark, sf)
+      .collect().toSeq
+    // redeliver batch 0 by hand: the foreachBatch body must overwrite
+    // the same segment with identical content, leaving serving unchanged
+    val b0 = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
+        col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") % 10 === 0)
+      .filter(expr("(event_id div 10) % 2") === 0)
+    operators.Layout.writeStreamDelta(spark, sf, b0, 0L)
+    val second = operators.Layout.serveStreamed(spark, sf).collect().toSeq
+    assert(first == second, "redelivery changed the served results")
+  }
+
   test("q140: layout build is paid at most once across repeated serves") {
     val before = Layout.layoutWrites.get()
     SparkEntry.queries("q140_zorder_box")(spark, sf).count()
