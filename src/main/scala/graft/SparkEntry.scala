@@ -24,7 +24,7 @@ object SparkEntry {
       operators.Ingest.queries ++ streaming.StreamingQueries.queries ++
       streaming.StatefulSession.queries ++ operators.Bucketed.queries ++
       operators.Sampling.queries ++ operators.Sketches.queries ++
-      operators.Layout.queries
+      operators.Layout.queries ++ operators.Retrieval.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -37,5 +37,5 @@ object SparkEntry {
       operators.Ingest.oracleSql ++ streaming.StreamingQueries.oracleSql ++
       streaming.StatefulSession.oracleSql ++ operators.Bucketed.oracleSql ++
       operators.Sampling.oracleSql ++ operators.Sketches.oracleSql ++
-      operators.Layout.oracleSql
+      operators.Layout.oracleSql ++ operators.Retrieval.oracleSql
 }

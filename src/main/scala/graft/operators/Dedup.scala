@@ -712,6 +712,72 @@ object Dedup {
       corpusDf: DataFrame): DataFrame =
     prefixOf(shingledOf(batchDocs), corpusDf)
 
+  // ---- q154: TOMBSTONE label maintenance (the deletion verb) --------------
+  //
+  // The maintenance suite's third verb. q120/q124 fold INSERTIONS,
+  // q126/q130 COMPACT accumulated state; q154 folds DELETIONS (takedown /
+  // right-to-be-forgotten at 100 TB: docs must leave every derived
+  // artifact without a corpus-scale rebuild). Deletion is strictly harder
+  // than insertion for cluster labels: removing a node removes its pair
+  // edges, and a cluster connected only THROUGH the deleted doc SPLITS —
+  // so the label-edge contraction trick of [[incrementalSubLabels]]
+  // (sound for merges: adding edges only ever unions components) is
+  // UNSOUND here, and the touched clusters' surviving pair sub-graphs
+  // must be re-derived. What keeps the fold delta-proportional:
+  //
+  //  1. clusters are closed under pairs (they are the components of the
+  //     pair graph), so a survivor's pair partners all live in its own
+  //     cluster — re-pairing SURVIVORS OF TOUCHED CLUSTERS finds exactly
+  //     the surviving edge set, and no survivor can newly pair with an
+  //     untouched doc (deletion never creates pairs);
+  //  2. the touched-cluster member set is semi-joined from the bucketed
+  //     labels artifact by the tombstone ids — broadcast-sized by the
+  //     deletion-batch assumption — so the corpus text column is read
+  //     only for those members;
+  //  3. untouched clusters carry over byte-identically (anti-join on
+  //     rep), and re-election of a deleted canonical falls out of the CC
+  //     re-run (rep = min surviving id), as does the split case (two
+  //     components, two new reps) and full-cluster evaporation
+  //     (survivors with no surviving pair leave the labels, matching the
+  //     labels contract: only docs in >= 1 pair are labeled).
+  //
+  // Oracle: the from-scratch q73 closure over `documents` minus the
+  // tombstone set — deletion maintenance must be INVISIBLE in the result.
+
+  /** Deterministic tombstone rule (doc_id % [[TombMod]] == [[TombRes]]):
+    * at sf0.01 it deletes members of 4 of the 23 dup clusters, including
+    * one cluster's canonical (re-election) and the middle of one
+    * 3-cluster (split/evaporation) — the three hard deletion cases.
+    */
+  private[graft] val TombMod = 11L
+  private[graft] val TombRes = 3L
+
+  private[graft] def tombstonesOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(TombMod)) === TombRes)
+      .select(col("doc_id"))
+
+  /** Fold a deletion set into a labels frame: carried untouched clusters
+    * ∪ re-derived labels of touched-cluster survivors. `docs` supplies
+    * the text column for re-pairing (read only for touched survivors).
+    */
+  private[graft] def tombstoneLabels(docs: DataFrame, labels: DataFrame,
+      tombs: DataFrame): DataFrame = {
+    val touchedReps = labels.join(tombs, Seq("doc_id"), "left_semi")
+      .select(col("rep")).distinct()
+    val carried = labels.join(touchedReps, Seq("rep"), "left_anti")
+      .select(col("doc_id"), col("rep"), col("cluster_size"))
+    val survivorIds = labels.join(touchedReps, Seq("rep"), "left_semi")
+      .join(tombs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    // touched survivors are a deletion-batch-bounded set: broadcast the
+    // ids into the corpus scan so only their text rows are read
+    val survDocs = docs.join(broadcast(survivorIds), Seq("doc_id"),
+      "left_semi")
+    carried.unionByName(
+      labelsOf(survDocs).select(col("doc_id"), col("rep"),
+        col("cluster_size")))
+  }
+
   /** The q120 corpus split: nine tenths are "yesterday's corpus" (frozen
     * index), the doc_id % 10 == 0 tenth plays the arriving batch — the
     * q89 convention.
@@ -1435,6 +1501,15 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q154 — tombstone fold: the deletion verb of label maintenance
+    // (see the q154 section above for why deletion cannot reuse the
+    // insertion fold's label-edge contraction).
+    "q154_tombstone_labels" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      tombstoneLabels(docs, labelsArtifact(s, d), tombstonesOf(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
     // the PPJoin positional filter (Xiao et al., WWW'08)
     "q32_neardup_jaccard" -> ((s, d) =>
@@ -1956,8 +2031,12 @@ object Dedup {
        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
-  private[graft] lazy val sqlPrefixPairs: String =
-    s"""s AS ($sqlShingles3),
+  /** [[sqlPrefixPairs]] over an arbitrary docs relation — the q154
+    * deletion oracle replays the full pair derivation over
+    * `documents` minus its tombstone set with this one fragment.
+    */
+  private[graft] def sqlPrefixPairsFrom(docsRel: String): String =
+    s"""s AS (${Shared.sqlShingles3From(docsRel)}),
        |  sz AS (SELECT doc_id, sh, len(sh) AS sz FROM s),
        |  ex AS (SELECT doc_id, sz, unnest(sh) AS sg FROM sz),
        |  dfreq AS (SELECT sg, count(*) AS df FROM ex GROUP BY sg),
@@ -1985,6 +2064,9 @@ object Dedup {
        |    WHERE ROUND(len(list_intersect(x.sh, y.sh))::DOUBLE /
        |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))),
        |        4) >= $JaccardT)""".stripMargin
+
+  private[graft] lazy val sqlPrefixPairs: String =
+    sqlPrefixPairsFrom("documents")
 
   /** Oracle fragment — dup-cluster labels `reps(doc_id, rep)` via the
     * recursive transitive closure over the pair graph; extends
@@ -2098,6 +2180,25 @@ object Dedup {
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q154: deletion maintenance must be invisible — the SAME closure
+      // derivation, over documents minus the tombstone set
+      "q154_tombstone_labels" -> {
+        val survivors =
+          s"(SELECT * FROM documents WHERE doc_id % $TombMod <> $TombRes)"
+        s"""WITH RECURSIVE ${sqlPrefixPairsFrom(survivors)},
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src)
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin
+      },
 
       // q126: fold + compaction-swap must BOTH be invisible — same
       // from-scratch closure as q120

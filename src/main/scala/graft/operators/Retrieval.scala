@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over `documents`: BM25 ranked top-k, in two
+  * physical shapes.
+  *
+  * q151 — self-contained BM25: tokenize → (doc, term) tf → term df →
+  * per-(query, doc) score → top-k per query. One corpus pass; the only
+  * wide stages are vocabulary-keyed (df) and match-keyed (the per-query
+  * accumulation) — never corpus-quadratic.
+  *
+  * q152 — STAGED BM25: the production shape. The inverted index is a
+  * write-once bucketed posting table (term, df, doc_id, tf, len) plus a
+  * one-row stats table; a query batch broadcasts into the posting scan,
+  * so serving cost is O(matched postings), never a corpus scan. Same
+  * rows as q151 by construction — staging is a physical-layout change —
+  * so the oracle is the identical SQL.
+  *
+  * Scoring is BM25 (k1 = 1.2, b = 0.75) with the Robertson RATIONAL idf
+  * `(N - df + 0.5)/(df + 0.5)` — i.e. the standard idf without the final
+  * `ln`. Rationale: this file inherits the operator suite's
+  * transcendental-free oracle contract (`ln` is the one sub-ulp
+  * divergence point between JVM and DuckDB libm); the rational form is a
+  * strictly monotone transform of the standard idf PER TERM, and the
+  * swap back is one `ln(1 + ·)` at the marked line. Per-term scores are
+  * fixed-pointed to 1e-4 (`score_e4` bigint) BEFORE the per-(query, doc)
+  * sum, so the aggregation is exact integer math with no
+  * float-summation-order dependence between engines.
+  *
+  * 100-TB posture: the posting table is bucketed by term, so repeated
+  * query batches never reshuffle it; df rides denormalized in the
+  * posting rows (the classic posting-list-header layout) so serving
+  * needs no second vocabulary join; the per-query top-k is a
+  * WindowGroupLimit over per-(query, doc) partial sums — shuffle volume
+  * is the matched-posting mass, bounded by Σ_t∈queries df(t), not the
+  * corpus.
+  */
+object Retrieval {
+
+  /** Fixed literal query batch (query_id, term) — terms drawn from the
+    * synthetic corpus vocabulary so every query has a non-trivial
+    * posting mass. A production caller supplies its own batch; the
+    * bound that matters (broadcast-sized, ≤ a few thousand terms) is a
+    * property of the batch, not the corpus.
+    */
+  private[graft] val QueryBatch: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "window", 2L -> "agg", 2L -> "order",
+    3L -> "table", 3L -> "scan", 3L -> "fast",
+    4L -> "filter", 4L -> "value",
+    5L -> "customer", 5L -> "query",
+    6L -> "batch", 6L -> "spark", 6L -> "data",
+    7L -> "merge", 7L -> "slow",
+    8L -> "key", 8L -> "column", 8L -> "row")
+
+  /** Top-k per query. */
+  private[graft] val BmTopK = 5
+
+  private def queryDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueryBatch.toDF("query_id", "term")
+  }
+
+  /** (doc_id, term, tf, len): term frequencies + document token length.
+    * `len` counts ALL tokens (repeats included) — the BM25 length
+    * normalizer — while tf is per distinct (doc, term).
+    */
+  private def tfOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("term"))
+    val len = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"))
+    tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(len, "doc_id")
+  }
+
+  /** Per-term fixed-point BM25 partial: expects columns
+    * n_docs, df, tf, len, avgdl. 0.25 = 1 − b; every operation and its
+    * associativity mirrors the oracle SQL token-for-token (IEEE doubles
+    * are deterministic given the same expression tree). The marked
+    * factor is where the standard `ln(1 + idf_r)` would reinstate
+    * textbook BM25 at the cost of oracle bit-exactness.
+    */
+  private def scoreE4: org.apache.spark.sql.Column =
+    round(
+      (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d)) * // idf_r (swap point for ln(1 + ·))
+        (col("tf") * lit(2.2d)) /
+        (col("tf") + lit(1.2d) *
+          (lit(0.25d) + lit(0.75d) * col("len") / col("avgdl"))) *
+        lit(10000.0d)).cast("long")
+
+  /** Rank matched (query, doc) score sums and keep the top [[BmTopK]]
+    * per query — integer-exact ordering (score_e4 desc, doc_id), so the
+    * cut is tie-unambiguous across engines.
+    */
+  private def topkOf(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_e4").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= BmTopK)
+      .select(col("query_id"), col("doc_id"), col("n_hit"),
+        col("score_e4"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+
+  // ---- staged inverted index (q152) ---------------------------------------
+
+  /** How many times the posting artifact was WRITTEN this JVM —
+    * RetrievalSpec asserts repeated serving builds the index once.
+    */
+  private[graft] val postingWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once posting table (term, df, doc_id, tf, len) bucketed by
+    * term: df denormalized into every posting row (posting-list-header
+    * layout) so serving joins ONLY queries × postings. Bucketing by term
+    * means later query batches probe bucket-locally — the corpus never
+    * reshuffles after the one index build.
+    */
+  private[graft] def postingArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "bm25_postings",
+      s"$d/documents.parquet", {
+        postingWrites.incrementAndGet()
+        val tf = tfOf(Tables.documents(s, d))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(dfreq, "term")
+          .select(col("term"), col("df"), col("doc_id"), col("tf"),
+            col("len"))
+      }, 8, Seq("term"))
+
+  /** Write-once one-row corpus stats (n_docs, sum_len). Bucketed table
+    * like every other staged artifact (single bucket — it is one row);
+    * avgdl is derived at serve time so the stored columns stay integer
+    * monoids (they fold under q123-style manifest merges if this index
+    * ever goes incremental).
+    */
+  private[graft] def statsArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "bm25_stats",
+      s"$d/documents.parquet",
+      tfOf(Tables.documents(s, d))
+        .select(col("doc_id"), col("len")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .withColumn("k", lit(0L))
+        .select(col("k"), col("n_docs"), col("sum_len")),
+      1, Seq("k"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q151 — self-contained BM25 top-k: tf/df/len from the corpus scan,
+    // query terms broadcast, integer-exact rank cut. The df agg and the
+    // (query, doc) partial-sum agg are the only shuffles; both are
+    // match-mass-sized, with map-side partial aggregation.
+    "q151_bm25_topk" -> ((s, d) => {
+      val tf = tfOf(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = tf.select(col("doc_id"), col("len")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+      val matched = broadcast(queryDf(s))
+        .join(tf, "term").join(dfreq, "term")
+        .crossJoin(broadcast(stats))
+      val scored = matched
+        .withColumn("s_e4", scoreE4)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("s_e4")).as("score_e4"))
+      topkOf(scored)
+    }),
+
+    // q152 — staged BM25 serving: broadcast query terms probe the
+    // write-once term-bucketed posting table (no corpus scan, no posting
+    // reshuffle); stats row broadcast for avgdl. Rows identical to q151.
+    "q152_bm25_staged" -> ((s, d) => {
+      val post = postingArtifact(s, d)
+      val stats = statsArtifact(s, d)
+        .select(col("n_docs"),
+          (col("sum_len").cast("double") / col("n_docs")).as("avgdl"))
+      val scored = broadcast(queryDf(s))
+        .join(post, "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("s_e4", scoreE4)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), sum(col("s_e4")).as("score_e4"))
+      topkOf(scored)
+    })
+  )
+
+  /** One BM25 oracle, shared verbatim by both physical shapes. */
+  private lazy val bm25Sql: String = {
+    val qvals = QueryBatch
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       | tok AS (SELECT doc_id,
+       |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       |   FROM documents),
+       | dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+       | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |        GROUP BY doc_id, term),
+       | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       | st AS (SELECT count(*) AS n_docs,
+       |     sum(len)::DOUBLE / count(*) AS avgdl FROM dl),
+       | sc AS (SELECT q.query_id, tf.doc_id,
+       |     CAST(ROUND(
+       |       (st.n_docs - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE) *
+       |       (tf.tf * 2.2::DOUBLE) /
+       |       (tf.tf + 1.2::DOUBLE *
+       |         (0.25::DOUBLE + 0.75::DOUBLE * dl.len / st.avgdl)) *
+       |       10000.0::DOUBLE) AS BIGINT) AS s_e4
+       |   FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+       |        JOIN dl ON dl.doc_id = tf.doc_id, st),
+       | acc AS (SELECT query_id, doc_id, count(*) AS n_hit,
+       |     CAST(sum(s_e4) AS BIGINT) AS score_e4
+       |   FROM sc GROUP BY query_id, doc_id),
+       | rk AS (SELECT query_id, doc_id, n_hit, score_e4,
+       |     row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score_e4 DESC, doc_id) AS rk
+       |   FROM acc)
+       |SELECT query_id, doc_id, n_hit, score_e4, rk FROM rk
+       |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q151_bm25_topk" -> bm25Sql,
+    "q152_bm25_staged" -> bm25Sql
+  )
+}

@@ -50,13 +50,20 @@ object Shared {
     */
   def shingles3(text: Column): Column = call_function("shingle_set", text)
 
+  /** DuckDB twin of [[shingles3]] over an arbitrary docs relation
+    * (a table name or a parenthesized subquery): a CTE body producing
+    * (doc_id, sh). Parameterized so deletion-scoped oracles (q154) can
+    * shingle `documents` minus a tombstone set with the SAME fragment.
+    */
+  def sqlShingles3From(rel: String): String =
+    s"""SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ')
+       |     FOR i IN generate_series(1, len(toks)-2)]) AS sh
+       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel)
+       |WHERE len(toks) >= 3""".stripMargin
+
   /** DuckDB twin of [[shingles3]]: a CTE body producing (doc_id, sh). */
-  val sqlShingles3: String =
-    """SELECT doc_id, list_distinct(
-      |    [array_to_string(toks[i:i+2], ' ')
-      |     FOR i IN generate_series(1, len(toks)-2)]) AS sh
-      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-      |WHERE len(toks) >= 3""".stripMargin
+  val sqlShingles3: String = sqlShingles3From("documents")
 
   /** Sequential left-fold sum of a double array — deterministic summation
     * order in both engines (Spark `aggregate`, DuckDB `list_sum`).

@@ -608,6 +608,79 @@ object Similarity {
     Bucketed.recoverPending(s, Bucketed.dbFor(d), "q122_codes_base",
       "q122_codes_delta", "q122_compact_pending", 8, Seq("cell"))
 
+  // ---- q155: ANN index TOMBSTONES (deletion serving + compaction) --------
+  //
+  // The deletion verb for the PQ index — the LSM shape: takedowns land in
+  // a small TOMBSTONE side table (never a base rewrite on arrival), the
+  // serving path anti-joins them out, and compaction folds them in on the
+  // maintenance cadence via the shared [[Bucketed.compactSwap]]. The
+  // codebook and cell assignment are NOT retrained on delete (the
+  // production behavior: a takedown must be prompt; geometry refresh
+  // rides q121's retrain cadence) — so the oracle is the full ADC replay
+  // with the deleted ids excluded from the coded scan only, queries and
+  // codebook untouched.
+  //
+  // Tombstone rows carry (cell, vec_id) — the id resolved to its cell at
+  // landing time (one delta-sized probe of the cell-bucketed base) — so
+  // both tables share the (cell) bucket layout: serving can take the
+  // anti-join bucket-locally when the tombstone set outgrows a broadcast,
+  // and [[Bucketed.compactSwap]]'s delta truncate keeps one key set.
+  // Crash window (rename committed, delta stale): anti-joining
+  // already-removed ids is a NO-OP, so q155 is in the latest-wins safety
+  // class — double-applied tombstones serve identically (spec'd).
+
+  private[graft] val q155BaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val q155TombWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q155's own copy of the full codes artifact (compaction rewrites it;
+    * the shared `pq_codes` stays pristine for q90c).
+    */
+  private[graft] def q155BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q155_codes_base",
+      s"$d/embeddings.parquet",
+      {
+        q155BaseWrites.incrementAndGet()
+        pqCodesOf(Tables.embeddings(s, d))
+      }, 8, Seq("cell"))
+
+  /** Landed tombstones (cell, vec_id): the q154 deletion rule applied to
+    * vectors. Built by resolving the arriving id set against the base —
+    * O(|tombstones|) rows, the base never rewritten on the landing path.
+    */
+  private[graft] def q155TombArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q155_tombs",
+      s"$d/embeddings.parquet",
+      {
+        q155TombWrites.incrementAndGet()
+        q155BaseArtifact(s, d)
+          .filter(pmod(col("vec_id"), lit(Dedup.TombMod)) === Dedup.TombRes)
+          .select(col("cell"), col("vec_id"))
+      }, 8, Seq("cell"))
+
+  /** Serving view: base minus landed tombstones. Broadcast is the
+    * deletion-batch regime; the shared (cell) bucketing is the fallback
+    * layout if takedowns accumulate past broadcast size before the next
+    * compaction.
+    */
+  private def q155ServeCodes(s: SparkSession, d: String): DataFrame =
+    q155BaseArtifact(s, d).join(
+      broadcast(q155TombArtifact(s, d)), Seq("cell", "vec_id"), "left_anti")
+
+  /** Tombstone compaction: rewrite base without the tombstoned rows,
+    * truncate the tombstone store — the redo-marker swap shared with
+    * q122/q126/q130.
+    */
+  private[graft] def q155Compact(s: SparkSession, d: String): Unit =
+    Bucketed.compactSwap(s, Bucketed.dbFor(d), "q155_codes_base",
+      "q155_tombs", "q155_compact_pending", q155ServeCodes(s, d),
+      8, Seq("cell"))
+
+  private[graft] def q155CompactRecover(s: SparkSession, d: String): Unit =
+    Bucketed.recoverPending(s, Bucketed.dbFor(d), "q155_codes_base",
+      "q155_tombs", "q155_compact_pending", 8, Seq("cell"))
+
   /** q90c's serving body over ANY staged codes frame (vec_id, nrm, cell,
     * c0..c7): broadcast-probe ADC scan over the codes (no vector column
     * below the [[PqRerank]] cut), bounded exact re-rank re-joining the
@@ -940,6 +1013,24 @@ object Similarity {
       q122CompactRecover(s, d) // roll forward an interrupted compaction
       ivfPqServeStaged(s, d,
         q122BaseArtifact(s, d).unionByName(q122DeltaArtifact(s, d)))
+    }),
+
+    // q155 — tombstoned ANN serving: q90c's staged scan over base minus
+    // the landed tombstone store (see the q155 section above). Deletion
+    // must be visible in the RESULT (deleted ids never served) while the
+    // base is never rewritten on the landing path.
+    "q155_ann_tombstone" -> ((s, d) => {
+      q155CompactRecover(s, d)
+      ivfPqServeStaged(s, d, q155ServeCodes(s, d))
+    }),
+
+    // q155b — tombstone COMPACTION closer: fold the tombstones into the
+    // base (redo-marker swap), then serve from the compacted base with
+    // the truncated store. Byte-identical to q155 — compaction is
+    // invisible — so the oracle is the same filtered replay.
+    "q155b_tombstone_compact" -> ((s, d) => {
+      q155Compact(s, d)
+      ivfPqServeStaged(s, d, q155ServeCodes(s, d))
     }),
 
     // Q64 — LSH-banded embedding near-dup WITHOUT a blocking key: the
@@ -1949,7 +2040,10 @@ object Similarity {
     // the staging changes physical layout, not semantics): per-query
     // cell + probe list + ADC CASE chains computed from qv with the same
     // exact literals and left-assoc association as the Spark-side adcq
-    val ivfPqBatchSql = {
+    // `codedWhere` filters the CODED SCAN only (q155's tombstone set);
+    // queries, norms, and the codebook see the full table — the
+    // no-retrain-on-delete contract.
+    def ivfPqBatchSqlWhere(codedWhere: String): String = {
       def qdSql(sub: Int, c: Int): String =
         (0 until 8).map { dd =>
           val l = pqCodebook(sub)(c)(dd)
@@ -1975,7 +2069,7 @@ object Similarity {
          | coded AS (SELECT vec_id, embedding, nrm,
          |    CAST($cellSql AS BIGINT) AS cell,
          |    $pqCodesSql
-         |   FROM e),
+         |   FROM e $codedWhere),
          | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
          |        c.nrm, c.cell, $adcqSql AS adc
          |   FROM probe p JOIN coded c
@@ -1994,6 +2088,9 @@ object Similarity {
          |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos
          |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
     }
+    val ivfPqBatchSql = ivfPqBatchSqlWhere("")
+    val ivfPqTombSql = ivfPqBatchSqlWhere(
+      s"WHERE vec_id % ${Dedup.TombMod} <> ${Dedup.TombRes}")
 
     Map(
       // same association as Spark: dot / (nrm_v * nrm_q), norms from the
@@ -2200,6 +2297,10 @@ object Similarity {
       // q122 serves base ∪ delta; the rows are provably those of the
       // from-scratch artifact, so the oracle is the identical full replay
       "q122_incremental_pq_codes" -> ivfPqBatchSql,
+      // q155/q155b: the coded scan excludes the tombstone set; compaction
+      // must be invisible, so both shapes share one filtered replay
+      "q155_ann_tombstone" -> ivfPqTombSql,
+      "q155b_tombstone_compact" -> ivfPqTombSql,
 
       "q63_centroids" ->
         s"""SELECT label, dim, COUNT(*) AS n,

@@ -71,6 +71,39 @@ object TextOps {
           % lit(ManifestModP)).as("fingerprint_sum"))
   }
 
+  /** q153: RETRACT a deleted-docs manifest from a base manifest — the
+    * deletion twin of [[mergeManifests]], exact because every q115
+    * column is not just a monoid but a GROUP: counts/sums subtract, xor
+    * is its own inverse, and the mod-p hash sum subtracts as
+    * `(b − g + p) mod p` (both operands < p = 2⁶¹−1, so `b + p < 2⁶³`
+    * — no overflow). This is the property that makes takedown cheap at
+    * 100 TB: the manifest of a deletion batch is aggregated over the
+    * BATCH alone and folded in O(|sources|), never re-scanning the
+    * corpus. (Contrast the non-invertible sketches: q138's HLL
+    * registers are max-monoids and cannot retract — their deletion
+    * story is the rebuild-on-compaction cadence, which is why manifest
+    * columns were chosen group-shaped from the start.) A source whose
+    * last doc is deleted leaves the manifest (n_docs = 0 filtered),
+    * matching the from-scratch aggregate over the survivors.
+    */
+  private[graft] def retractManifest(base: DataFrame,
+      gone: DataFrame): DataFrame = {
+    val b = base.columns.filter(_ != "source")
+      .foldLeft(base)((f, c) => f.withColumnRenamed(c, s"b_$c"))
+    val g = gone.columns.filter(_ != "source")
+      .foldLeft(gone)((f, c) => f.withColumnRenamed(c, s"g_$c"))
+    def z(c: String) = coalesce(col(c), lit(0L))
+    Shared.fullOuterOnNullable(b, g, "source")
+      .select(col("source"),
+        (z("b_n_docs") - z("g_n_docs")).as("n_docs"),
+        (z("b_n_tokens") - z("g_n_tokens")).as("n_tokens"),
+        (z("b_n_chars") - z("g_n_chars")).as("n_chars"),
+        z("b_fingerprint").bitwiseXOR(z("g_fingerprint")).as("fingerprint"),
+        ((z("b_fingerprint_sum") - z("g_fingerprint_sum")
+          + lit(ManifestModP)) % lit(ManifestModP)).as("fingerprint_sum"))
+      .filter(col("n_docs") > 0)
+  }
+
   /** How many times the q123 base manifest was aggregated this JVM. */
   private[graft] val q123BaseWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
@@ -846,6 +879,21 @@ object TextOps {
     "q115_manifest" -> ((s, d) =>
       manifestAgg(Tables.documents(s, d)).orderBy(col("source"))),
 
+    // q153 — manifest RETRACTION: the deletion verb of manifest
+    // maintenance (see [[retractManifest]]). The deletion batch shares
+    // the q154 tombstone rule, so the whole takedown cycle (labels +
+    // manifest) is driven by one deletion set. Base manifest = q115's
+    // corpus aggregate; gone = the same aggregate over the tombstoned
+    // docs only — O(|batch|) work, corpus never re-read.
+    "q153_manifest_retract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      retractManifest(
+        manifestAgg(docs),
+        manifestAgg(docs.filter(
+          pmod(col("doc_id"), lit(Dedup.TombMod)) === Dedup.TombRes)))
+        .orderBy(col("source"))
+    }),
+
     // q123 — INCREMENTAL manifest maintenance: the payoff of q115's
     // design choice. Because every manifest column is a commutative
     // monoid fold (counts add, xor xors, mod-p sums add mod p), folding
@@ -1200,6 +1248,21 @@ object TextOps {
            |  CAST(SUM(CAST(${Shared.sqlHash60("text")} AS HUGEINT))
            |    % $ManifestModP AS BIGINT) AS fingerprint_sum
            |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+      // q153 retracts by the group inverses; the result is provably the
+      // manifest of the SURVIVORS, so the oracle is q115's from-scratch
+      // replay over documents minus the tombstone set
+      "q153_manifest_retract" ->
+        s"""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+           |    AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  bit_xor(${Shared.sqlHash60("text")}) AS fingerprint,
+           |  CAST(SUM(CAST(${Shared.sqlHash60("text")} AS HUGEINT))
+           |    % $ManifestModP AS BIGINT) AS fingerprint_sum
+           |FROM documents
+           |WHERE doc_id % ${Dedup.TombMod} <> ${Dedup.TombRes}
+           |GROUP BY source ORDER BY source""".stripMargin,
 
       // q123 merges base+batch manifests by their monoids; the result is
       // provably the full-corpus manifest, so the oracle is q115's

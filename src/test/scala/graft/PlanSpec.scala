@@ -458,6 +458,41 @@ class PlanSpec extends AnyFunSuite {
       "expected the vector-store scan for the bounded exact re-rank")
   }
 
+  test("q152 staged BM25 serves from the posting table; documents never rescanned") {
+    // the whole point of the staged index: a query batch costs O(matched
+    // postings) — the corpus text is tokenized ONCE at index build, and
+    // serving reads only bm25_postings + the one-row stats table. The
+    // query side must come in as a broadcast (never a shuffle of the
+    // posting scan below the match agg).
+    val p = plan("q152_bm25_staged")
+    assert(p.linesIterator.exists(l =>
+      l.contains("bm25_postings") && l.contains("FileScan")),
+      s"no scan of the staged posting table:\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      "staged BM25 serving re-scanned the corpus text")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-batch join must broadcast into the posting scan")
+    assert(!p.contains("SortMergeJoin"),
+      "posting-side shuffle join found — the broadcast regime is the claim")
+  }
+
+  test("q155 tombstoned serving stays codes-only; tombstones broadcast anti-join") {
+    val p = plan("q155_ann_tombstone")
+    val scans = p.linesIterator
+      .filter(l => l.contains("q155_codes_base") && l.contains("FileScan"))
+      .toSeq
+    assert(scans.nonEmpty, s"no scan of q155_codes_base:\n${p.take(3000)}")
+    for (l <- scans)
+      assert(!l.contains("emb"),
+        s"tombstoned codes scan must be codes-only:\n$l")
+    // deletion is an anti-join against the (small) landed tombstone set —
+    // broadcast, so the base scan is never reshuffled to subtract ids
+    assert(p.contains("LeftAnti"),
+      "no anti-join found — tombstones not subtracted?")
+    assert(!p.contains("SortMergeJoin("),
+      "tombstone subtraction (or probe) fell back to a shuffle join")
+  }
+
   test("q122 serves codes-only from base AND delta, encode filter pushed") {
     // the maintained layout keeps q90c's serving shape: BOTH staged
     // tables are scanned codes-only (no vector column below the ADC

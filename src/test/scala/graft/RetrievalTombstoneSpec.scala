@@ -1,0 +1,210 @@
+package graft
+
+import graft.operators.{Dedup, Retrieval, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 additions: BM25 retrieval (q151/q152) and the DELETION verb
+  * of staged-store maintenance (q153 manifest retract, q154 label
+  * tombstones, q155 ANN tombstones).
+  *
+  * The deletion specs pin the three hard cases insertion folds never
+  * face: canonical re-election (the cluster's min-id member is deleted),
+  * cluster SPLIT (the only connecting doc is deleted — label-edge
+  * contraction would be unsound here, see the q154 section in Dedup),
+  * and evaporation (a survivor left with no surviving pair must leave
+  * the labels entirely).
+  */
+class RetrievalTombstoneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  test("q152 staged BM25 serves rows identical to self-contained q151") {
+    val a = Retrieval.queries("q151_bm25_topk")(spark, TestSpark.sf).collect()
+    val b = Retrieval.queries("q152_bm25_staged")(spark, TestSpark.sf).collect()
+    assert(a.nonEmpty, "BM25 fixture degenerate: no matches")
+    assert(a.toSeq === b.toSeq,
+      "staging changed BM25 semantics — index layout must be invisible")
+  }
+
+  test("bm25 posting index is built at most once across repeated serving") {
+    Retrieval.queries("q152_bm25_staged")(spark, TestSpark.sf).collect()
+    val w0 = Retrieval.postingWrites.get()
+    Retrieval.queries("q152_bm25_staged")(spark, TestSpark.sf).collect()
+    Retrieval.queries("q152_bm25_staged")(spark, TestSpark.sf).collect()
+    assert(Retrieval.postingWrites.get() === w0,
+      "warm BM25 serving re-built the posting table")
+  }
+
+  test("bm25 ranks an exact-match doc above a padded one (score sanity)") {
+    // two docs with the same tf for the query-1 terms; the longer doc
+    // must score LOWER (BM25 length normalization), pinning the
+    // formula's direction rather than just cross-engine equality
+    val docs2 = Seq(
+      (1L, "hash join", "s", 10L),
+      (2L, "hash join " + (1 to 50).map(i => s"pad$i").mkString(" "), "s", 300L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25b").toString
+    docs2.withColumn("lang", lit("en"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val r = Retrieval.queries("q151_bm25_topk")(spark, dir2)
+      .filter(col("query_id") === 1L)
+      .select(col("doc_id"), col("score_e4")).collect()
+      .map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) > r(2L),
+      s"length normalization inverted: short doc ${r(1L)} <= padded ${r(2L)}")
+  }
+
+  // ---- q154 tombstone labels ----------------------------------------------
+
+  /** Planted corpus exercising all deletion cases at once (3-shingle
+    * Jaccard, t = 0.6 — the q126Tier text-engineering trick):
+    *  - chain 1–2–3: qa~bridge~qb but qa!~qb (J ≈ 0.583) → deleting 2
+    *    SPLITS the cluster and both survivors EVAPORATE (no pairs left);
+    *  - triple 5,15,25: exact copies → deleting rep 5 forces
+    *    RE-ELECTION (rep 15, size 2);
+    *  - pair 7,17: untouched cluster, must carry byte-identically.
+    */
+  private def plantedDocs = {
+    val common = "the" +: (2 to 30).map(i => s"w$i")
+    val qa = (common ++ (31 to 40).map(i => s"w$i")).mkString(" ")
+    val qb = (common ++ (31 to 40).map(i => s"v$i")).mkString(" ")
+    val bridge = s"$qa $qb"
+    val trip = (1 to 40).map(i => s"t$i").mkString(" ")
+    val dup = (1 to 40).map(i => s"u$i").mkString(" ")
+    Seq((1L, qa), (2L, bridge), (3L, qb),
+      (5L, trip), (15L, trip), (25L, trip),
+      (7L, dup), (17L, dup))
+      .toDF("doc_id", "text")
+  }
+
+  test("q154 planted: split+evaporation, re-election, untouched carry") {
+    val docs = plantedDocs
+    val tombs = Seq(2L, 5L).toDF("doc_id")
+    val got = Dedup.tombstoneLabels(docs, Dedup.labelsOf(docs), tombs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (15L, 15L, 2L), (25L, 15L, 2L), // re-elected rep, size 3 → 2
+      (7L, 7L, 2L), (17L, 7L, 2L)),   // untouched cluster carried
+      s"unexpected labels after deletion: $got")
+    // and it equals the from-scratch labeling of the survivors
+    val scratch = Dedup.labelsOf(
+      docs.join(tombs, Seq("doc_id"), "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === scratch)
+  }
+
+  test("q154 == from-scratch labels over survivors on the sf0.001 tier") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val tombs = Dedup.tombstonesOf(docs)
+    val got = Dedup.queries("q154_tombstone_labels")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Dedup.labelsOf(docs.join(tombs, Seq("doc_id"), "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === scratch,
+      "tombstone fold visible in the result — must equal survivor relabel")
+  }
+
+  // ---- q153 manifest retraction --------------------------------------------
+
+  test("q153 retract is the exact group inverse of merge (incl. source evaporation)") {
+    def docsDf(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val base = docsDf(Seq((1L, "a b c", "s1"), (2L, "d e", "s1"),
+      (3L, "f g h i", "s2")))
+    val batch = docsDf(Seq((4L, "j k", "s2"), (5L, "l m n", "s3")))
+    val mBase = TextOps.manifestAgg(base)
+    val merged = TextOps.mergeManifests(mBase, TextOps.manifestAgg(batch))
+    // retract the batch back out: s3 must evaporate, s1/s2 return exactly
+    val back = TextOps.retractManifest(merged, TextOps.manifestAgg(batch))
+      .orderBy(col("source")).collect()
+    val orig = mBase.orderBy(col("source")).collect()
+    assert(back.toSeq === orig.toSeq,
+      "retract(merge(b, x), x) != b — manifest columns are not group-folding")
+  }
+
+  test("q153 == from-scratch manifest over survivors on the sf0.001 tier") {
+    val got = TextOps.queries("q153_manifest_retract")(spark, TestSpark.sf)
+      .collect()
+    val scratch = TextOps.manifestAgg(
+      Tables.documents(spark, TestSpark.sf)
+        .filter(pmod(col("doc_id"), lit(Dedup.TombMod)) =!= Dedup.TombRes))
+      .orderBy(col("source")).collect()
+    assert(got.toSeq === scratch.toSeq)
+  }
+
+  // ---- q155 ANN tombstones --------------------------------------------------
+
+  private def embTier(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q155").toString
+    spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q155 never serves a tombstoned id; deletion is visible vs unfiltered base") {
+    val dir = embTier()
+    val served = Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    assert(served.nonEmpty)
+    val servedIds = served.map(_.getAs[Long]("vec_id")).toSet
+    assert(servedIds.forall(v => v % Dedup.TombMod != Dedup.TombRes),
+      "a tombstoned vec_id was served")
+    // visibility: the unfiltered base serve must contain >= 1 tombstoned
+    // id (else this fixture wouldn't exercise the anti-join at all)
+    val unfiltered = Similarity.ivfPqServeStaged(spark, dir,
+      Similarity.q155BaseArtifact(spark, dir)).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(unfiltered.exists(v => v % Dedup.TombMod == Dedup.TombRes),
+      "fixture degenerate: no tombstoned id in the unfiltered top-k")
+  }
+
+  test("q155 compaction: serve-before == serve-after, store truncated, double-compact idempotent") {
+    val dir = embTier()
+    val before = Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    val nTombs = Similarity.q155TombArtifact(spark, dir).count()
+    assert(nTombs > 0, "fixture degenerate: empty tombstone store")
+    val after = Similarity.queries("q155b_tombstone_compact")(spark, dir)
+      .collect()
+    assert(after.toSeq === before.toSeq,
+      "compaction changed the served rows")
+    assert(Similarity.q155TombArtifact(spark, dir).count() === 0L,
+      "compaction must truncate the tombstone store")
+    // double compaction (idempotency): base minus nothing, same rows
+    Similarity.q155Compact(spark, dir)
+    val again = Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    assert(again.toSeq === before.toSeq)
+  }
+
+  test("q155 compaction crash: already-removed tombstones re-applied are a no-op") {
+    import operators.Bucketed
+    val dir = embTier()
+    val before = Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    val db = Bucketed.dbFor(dir)
+    val base = Similarity.q155BaseArtifact(spark, dir)
+    val tombs = Similarity.q155TombArtifact(spark, dir)
+    assert(tombs.count() > 0)
+    // worst window by hand: merged (base ∖ tombs) written, marker set,
+    // swap COMMITTED — death before the store truncate. The tombstones
+    // now point at rows already gone from the base.
+    Bucketed.rewriteBucketed(spark, db, "q155_codes_base_next",
+      base.join(tombs, Seq("cell", "vec_id"), "left_anti"), 8, Seq("cell"))
+    val marker = java.nio.file.Paths.get("/tmp/graft-warehouse",
+      s"$db.db", "q155_compact_pending")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    spark.sql(s"DROP TABLE IF EXISTS $db.q155_codes_base")
+    spark.sql(
+      s"ALTER TABLE $db.q155_codes_base_next RENAME TO $db.q155_codes_base")
+    val after = Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    assert(after.toSeq === before.toSeq,
+      "interrupted tombstone compaction changed serving")
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+    assert(Similarity.q155TombArtifact(spark, dir).count() === 0L,
+      "recovery must finish the store truncate")
+  }
+}
