@@ -1009,7 +1009,13 @@ object Dedup {
     // so it tolerates the deeper chain — and at ~12% per folded tenth
     // (SCALING.md q135) it sits genuinely UNDER threshold at every tier,
     // exercising the tick's leave-staged path on real data
-    "span_overrides" -> 25)
+    "span_overrides" -> 25,
+    // landed ANN takedowns (q155): a SUBTRACTIVE store — every
+    // accumulated tombstone is a broadcast row and a dead base row, so
+    // the tolerance is tighter than any append family; at the 1-in-11
+    // rule's ~9.1% it sits genuinely OVER threshold at every tier,
+    // exercising the tick's subtractive-merge path on real data
+    "tombstone_store" -> 5)
 
   /** One status row for one artifact family: both counts are distributed
     * aggregates (the cross join multiplies two 1-row frames).
@@ -1182,7 +1188,14 @@ object Dedup {
         // of a recomputed doc and only the newest may survive the merge
         // (q131's staged delta is single-fold, but the merge algebra
         // must match the store's documented contract, not the fixture)
-        (b: DataFrame, del: DataFrame) => latestSpanWins(b, del)))
+        (b: DataFrame, del: DataFrame) => latestSpanWins(b, del)),
+      // SUBTRACTIVE family (q155): compaction REMOVES the delta's rows
+      // from the base — the merge q155b proves crash-safe (anti-joining
+      // already-removed ids is a no-op, so the marker window is benign)
+      ("tombstone_store", thr("tombstone_store"), 8, Seq("cell"),
+        Similarity.pqCodesArtifact(s, d), q131TombDeltaArtifact(s, d),
+        (b: DataFrame, del: DataFrame) =>
+          b.join(del, Seq("cell", "vec_id"), "left_anti")))
   }
 
   // ---- q133/q135 shared span-strip stages ----------------------------------
@@ -1419,6 +1432,21 @@ object Dedup {
       s"$d/documents.parquet", delta, 8, Seq("doc_id"))
   }
 
+  /** The landed ANN tombstone store, staged under q131's own name (the
+    * q126 rule: q155b's compaction truncates ITS copy; the policy reads
+    * a pristine one). Derived from the untouched full codes artifact —
+    * q155's base gets rows REMOVED by its compaction, which would skew
+    * the policy's base count too.
+    */
+  private[graft] def q131TombDeltaArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q131_tombs_delta",
+      s"$d/embeddings.parquet",
+      Similarity.pqCodesArtifact(s, d)
+        .filter(pmod(col("vec_id"), lit(TombMod)) === TombRes)
+        .select(col("cell"), col("vec_id")),
+      8, Seq("cell"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q131 — the compaction trigger policy as data: per-artifact
     // accumulated-delta ratios against declared thresholds. Counts are
@@ -1437,7 +1465,9 @@ object Dedup {
         ("flag_store", Pipeline.q127DocflagsArtifact(s, d),
           q131FlagsDeltaArtifact(s, d), thr("flag_store")),
         ("span_overrides", q135BaseArtifact(s, d),
-          q131SpanDeltaArtifact(s, d), thr("span_overrides"))))
+          q131SpanDeltaArtifact(s, d), thr("span_overrides")),
+        ("tombstone_store", Similarity.pqCodesArtifact(s, d),
+          q131TombDeltaArtifact(s, d), thr("tombstone_store"))))
         .orderBy(col("artifact"))
     }),
     // q132 — the maintenance TICK (see [[maintenanceTick]]): consult the
@@ -2248,7 +2278,11 @@ $sqlSubgraphCtes
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0), 10
            |    UNION ALL SELECT 'span_overrides',
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
-           |      (SELECT n FROM sdel9), 25)
+           |      (SELECT n FROM sdel9), 25
+           |    UNION ALL SELECT 'tombstone_store',
+           |      (SELECT COUNT(*) FROM embeddings),
+           |      (SELECT COUNT(*) FROM embeddings
+           |       WHERE vec_id % $TombMod = $TombRes), 5)
            |SELECT artifact, CAST(base_n AS BIGINT) AS base_n,
            |  CAST(delta_n AS BIGINT) AS delta_n, threshold_pct,
            |  (CAST(delta_n AS BIGINT) * 100 >=
@@ -2256,12 +2290,15 @@ $sqlSubgraphCtes
            |FROM rows_ ORDER BY artifact""".stripMargin,
 
       // q132: q131's from-scratch counts, extended with the post-tick
-      // state. One merge formula covers all four families:
-      //   base_after = base + delta − overlap   (when due; else base)
-      // where overlap is nonzero only for the latest-wins labels store
-      // (subgraph nodes overriding corpus rows — docs in BOTH); the
-      // append-union stores are disjoint by construction. delta_after = 0
-      // exactly for the compacted families.
+      // state. Each row carries its own merged size `after_base` (used
+      // when due; else base stays):
+      //   latest-wins stores:  base + delta − overlap (docs in BOTH —
+      //                        subgraph nodes overriding corpus rows /
+      //                        recomputed span docs)
+      //   append-union stores: base + delta (disjoint by construction)
+      //   subtractive store:   base − delta (every tombstone is a live
+      //                        base row by construction — q155)
+      // delta_after = 0 exactly for the compacted families.
       "q132_maintenance_tick" ->
         s"""WITH RECURSIVE $sqlPrefixPairs,
 $sqlSubgraphCtes
@@ -2271,32 +2308,43 @@ $sqlSubgraphCtes
            |      (SELECT COUNT(*) FROM creps) AS base_n,
            |      (SELECT COUNT(*) FROM subnodes) AS delta_n,
            |      25 AS threshold_pct,
+           |      (SELECT COUNT(*) FROM creps) +
+           |      (SELECT COUNT(*) FROM subnodes) -
            |      (SELECT COUNT(*) FROM creps c
-           |       JOIN subnodes sn ON c.doc_id = sn.doc_id) AS inter_n
+           |       JOIN subnodes sn ON c.doc_id = sn.doc_id) AS after_base
            |    UNION ALL SELECT 'posting_store',
            |      (SELECT COALESCE(SUM(pn), 0) FROM psz
            |       WHERE doc_id % 10 <> 0),
            |      (SELECT COALESCE(SUM(pn), 0) FROM psz
-           |       WHERE doc_id % 10 = 0), 10, 0
+           |       WHERE doc_id % 10 = 0), 10,
+           |      (SELECT COALESCE(SUM(pn), 0) FROM psz)
            |    UNION ALL SELECT 'pq_codes',
            |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 0),
            |      (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0),
-           |      10, 0
+           |      10, (SELECT COUNT(*) FROM embeddings)
            |    UNION ALL SELECT 'flag_store',
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0),
-           |      10, 0
+           |      10, (SELECT COUNT(*) FROM documents)
            |    UNION ALL SELECT 'span_overrides',
            |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0),
            |      (SELECT n FROM sdel9), 25,
-           |      (SELECT COUNT(*) FROM stch9))
+           |      (SELECT COUNT(*) FROM documents WHERE doc_id % 10 <> 0) +
+           |      (SELECT n FROM sdel9) - (SELECT COUNT(*) FROM stch9)
+           |    UNION ALL SELECT 'tombstone_store',
+           |      (SELECT COUNT(*) FROM embeddings),
+           |      (SELECT COUNT(*) FROM embeddings
+           |       WHERE vec_id % $TombMod = $TombRes), 5,
+           |      (SELECT COUNT(*) FROM embeddings) -
+           |      (SELECT COUNT(*) FROM embeddings
+           |       WHERE vec_id % $TombMod = $TombRes))
            |SELECT artifact, CAST(base_n AS BIGINT) AS base_n,
            |  CAST(delta_n AS BIGINT) AS delta_n, threshold_pct,
            |  (CAST(delta_n AS BIGINT) * 100 >=
            |     CAST(base_n AS BIGINT) * threshold_pct) AS compact_due,
            |  CAST(CASE WHEN CAST(delta_n AS BIGINT) * 100 >=
            |              CAST(base_n AS BIGINT) * threshold_pct
-           |       THEN base_n + delta_n - inter_n
+           |       THEN after_base
            |       ELSE base_n END AS BIGINT) AS base_n_after,
            |  CAST(CASE WHEN CAST(delta_n AS BIGINT) * 100 >=
            |              CAST(base_n AS BIGINT) * threshold_pct

@@ -630,6 +630,87 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // q156 — CONTINUOUS tombstone maintenance: q154's deletion fold run
+    // as a real Structured Streaming pipeline — the takedown FEED shape
+    // (a deletion queue drained continuously, each batch folded into the
+    // label store without a corpus pass). Two ordered micro-batch files
+    // split the q154 tombstone set, so the final view must equal q154's
+    // one-shot fold — and the from-scratch closure over the survivors
+    // (the shared oracle): incremental deletion COMMUTES with batching
+    // because edge removal does.
+    //
+    // Per fold k over the CURRENT view (latest-wins of base + overrides
+    // with ver < k — the ver-filtered read that makes redelivery
+    // byte-identical, q124/q128's trick):
+    //   1. touched reps = clusters holding a batch tombstone;
+    //   2. survivors of those clusters re-paired FROM TEXT (labelsOf on
+    //      the broadcast-semi-joined doc set — the q154 body: label-edge
+    //      contraction is unsound under deletion, clusters can split);
+    //   3. append override rows ver = k: new labels for re-paired
+    //      survivors, and DROP rows (cluster_size = 0) for deleted +
+    //      evaporated members — a latest-wins store needs an explicit
+    //      "no longer labeled" verb, which size-0 provides and the
+    //      readout filters.
+    // The CASCADE hard case — fold 2 deleting the rep fold 1 just
+    // elected, forcing a second re-election of the same original
+    // cluster — is exercised by the rule split and spec'd on a planted
+    // corpus. Per-fold cost: touched clusters only (the q154 law:
+    // 1.2–1.8% of corpus at the measured tiers), never a relabel.
+    "q156_stream_tombstones" -> ((s, d) => {
+      import graft.Tables
+      import graft.operators.Dedup
+      val dir = Files.createTempDirectory("graft_q156")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val docs = Tables.documents(s, d)
+      val folds = 2
+      for (k <- 0 until folds)
+        writeReplayFile(inDir, Dedup.tombstonesOf(docs)
+          .filter(expr(s"(doc_id div ${Dedup.TombMod}) % $folds") === k),
+          "fold", k)
+      val base = Dedup.labelsArtifact(s, d)
+      val deltaDir = dir.resolve("labels_delta").toString
+      base.limit(0).withColumn("ver", lit(0L)).write.parquet(deltaDir)
+      def currentAt(ver: Long): DataFrame =
+        Dedup.latestWins(base,
+          s.read.parquet(deltaDir).filter(col("ver") < ver))
+          .filter(col("cluster_size") > 0)
+      def fold(t: DataFrame, ver: Long): Unit = {
+        val current = currentAt(ver)
+        val touchedReps = current.join(t, Seq("doc_id"), "left_semi")
+          .select(col("rep")).distinct()
+        val members = current.join(touchedReps, Seq("rep"), "left_semi")
+        val survivorIds = members.join(t, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+        val relabeled = Dedup.labelsOf(
+          docs.join(broadcast(survivorIds), Seq("doc_id"), "left_semi"))
+          .select(col("doc_id"), col("rep"), col("cluster_size"))
+        val dropped = members.select(col("doc_id"))
+          .join(relabeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("rep"),
+            lit(0L).as("cluster_size"))
+        relabeled.unionByName(dropped).withColumn("ver", lit(ver))
+          .write.mode("append").parquet(deltaDir)
+      }
+      val stream = s.readStream
+        .schema(Dedup.tombstonesOf(docs).schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            fold(b, id.longValue() + 1))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Dedup.latestWins(base, s.read.parquet(deltaDir))
+        .filter(col("cluster_size") > 0)
+        .select(col("doc_id"), col("rep"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q136 — CONTINUOUS span-strip maintenance: q135's fold as a real
     // Structured Streaming pipeline (three ordered micro-batch files,
     // maxFilesPerTrigger=1, foreachBatch — the q124 replay pattern).
@@ -890,6 +971,12 @@ object StreamingQueries {
     // cross-fold pairing and override chains are hash-proven per tier.
     "q124_stream_incremental_labels" ->
       graft.operators.Dedup.oracleSql("q120_incremental_labels"),
+    // q156: the continuously-drained takedown feed must land on exactly
+    // the from-scratch closure over the SURVIVORS — q154's oracle — so
+    // the cascade (fold 2 deleting fold 1's re-elected rep) and the
+    // drop-row chain are hash-proven per tier.
+    "q156_stream_tombstones" ->
+      graft.operators.Dedup.oracleSql("q154_tombstone_labels"),
     // q128: the continuously-maintained dashboard must land on exactly
     // the from-scratch q119 scorecard over ALL documents — cross-fold
     // corrections and monoid adds hash-proven per tier.

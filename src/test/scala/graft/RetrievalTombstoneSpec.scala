@@ -138,6 +138,52 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(got.toSeq === scratch.toSeq)
   }
 
+  // ---- q156 continuous tombstones -------------------------------------------
+
+  test("q156 cascade: fold 2 deletes fold 1's re-elected rep; split across folds") {
+    // tombstone rule: doc_id % 11 == 3; fold = (doc_id div 11) % 2.
+    //  - quad 3,14,40,51 (exact copies): 3 → fold 0 (re-elect rep 14),
+    //    14 → fold 1 (re-elect AGAIN → 40) — the cascade case: the
+    //    second fold deletes a rep that only exists in the override
+    //    store, never in the base labels;
+    //  - chain 1–25–30 (qa~bridge~qb, qa!~qb): 25 → fold 0 SPLITS the
+    //    chain and both ends evaporate;
+    //  - pair 7,18: untouched, carried byte-identically.
+    val common = "the" +: (2 to 30).map(i => s"w$i")
+    val qa = (common ++ (31 to 40).map(i => s"w$i")).mkString(" ")
+    val qb = (common ++ (31 to 40).map(i => s"v$i")).mkString(" ")
+    val bridge = s"$qa $qb"
+    val quad = (1 to 40).map(i => s"t$i").mkString(" ")
+    val dup = (1 to 40).map(i => s"u$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q156s").toString
+    Seq((1L, qa), (25L, bridge), (30L, qb),
+      (3L, quad), (14L, quad), (40L, quad), (51L, quad),
+      (7L, dup), (18L, dup))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // rule sanity: the planted ids land in the folds the case needs
+    assert(3L % 11 == 3 && (3L / 11) % 2 == 0)   // fold 0
+    assert(14L % 11 == 3 && (14L / 11) % 2 == 1) // fold 1
+    assert(25L % 11 == 3 && (25L / 11) % 2 == 0) // fold 0
+    val got = streaming.StreamingQueries
+      .queries("q156_stream_tombstones")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (40L, 40L, 2L), (51L, 40L, 2L), // twice-re-elected quad remainder
+      (7L, 7L, 2L), (18L, 7L, 2L)),   // untouched carry
+      s"unexpected continuous-tombstone labels: $got")
+    // and the stream lands exactly on the from-scratch survivor labels
+    val docs = Tables.documents(spark, dir)
+    val scratch = operators.Dedup.labelsOf(
+      docs.join(operators.Dedup.tombstonesOf(docs), Seq("doc_id"),
+        "left_anti"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === scratch)
+  }
+
   // ---- q155 ANN tombstones --------------------------------------------------
 
   private def embTier(): String = {
