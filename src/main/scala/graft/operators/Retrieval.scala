@@ -150,7 +150,158 @@ object Retrieval {
         .select(col("k"), col("n_docs"), col("sum_len")),
       1, Seq("k"))
 
+  // ---- incremental + deletion maintenance (q157/q158) ---------------------
+  //
+  // q152's serving layout denormalizes df into every posting row — one
+  // less join per query, the right call for a REBUILT index. But df is a
+  // CORPUS-GLOBAL statistic: one new document increments df for every
+  // term it contains, touching posting rows of OTHER documents — a
+  // denormalized index cannot take increments without a base rewrite.
+  // q157 is the increment-friendly layout: postings WITHOUT df
+  // (term, doc_id, tf, len, all per-doc facts that never change), plus a
+  // vocabulary-sized df table and the one-row stats — both pure count
+  // MONOIDS. An arriving batch appends O(|batch|) posting rows and
+  // merges df/stats by addition; serving joins df at query time
+  // (vocabulary-keyed, term-bucketed on both sides — co-located). The
+  // trade is explicit: one extra serve-time join buys O(batch)
+  // increments with EXACT df — no stale-idf window at all.
+  //
+  // q158 adds the deletion verb: postings of a tombstoned doc set are
+  // anti-joined out (broadcast, the q155 shape), and df/stats RETRACT by
+  // the group inverses (counts subtract — the q153 algebra). Both
+  // maintenance forms serve rows provably identical to the from-scratch
+  // index over the resulting corpus: the oracles are the same bm25Sql
+  // replay over (all docs) and (docs minus tombstones).
+
+  private[graft] val q157BaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The q120-convention corpus split: doc_id % 10 == 0 is the arriving
+    * batch, the rest the frozen base.
+    */
+  private def q157Corpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+  private def q157Batch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+
+  /** Normalized-layout index of an arbitrary doc frame:
+    * (postings without df, df table, one-row stats).
+    */
+  private def bm25IndexOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tf = tfOf(docs)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+      .withColumn("k", lit(0L)).select(col("k"), col("n_docs"),
+        col("sum_len"))
+    (tf.select(col("term"), col("doc_id"), col("tf"), col("len")),
+      dfreq, stats)
+  }
+
+  private def idx157(s: SparkSession, d: String, leaf: String,
+      docs: => DataFrame, counter: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val db = Bucketed.dbFor(d)
+    val src = s"$d/documents.parquet"
+    lazy val built = {
+      if (counter) q157BaseWrites.incrementAndGet()
+      bm25IndexOf(docs)
+    }
+    (Bucketed.writeOnceBucketed(s, db, s"q157_post_$leaf", src,
+        built._1, 8, Seq("term")),
+      Bucketed.writeOnceBucketed(s, db, s"q157_df_$leaf", src,
+        built._2, 8, Seq("term")),
+      Bucketed.writeOnceBucketed(s, db, s"q157_stats_$leaf", src,
+        built._3, 1, Seq("k")))
+  }
+
+  /** Merge two ONE-ROW stats tables by addition. Deliberately a
+    * crossJoin of the two scans, NOT `union.groupBy(k)`: Spark 4.1
+    * plans an aggregate keyed on the bucket column directly above a
+    * Union of two same-bucket-spec catalog tables WITHOUT the merge
+    * exchange (each table's partial lands in its own partition and the
+    * final agg runs per-partition — one key, two output rows; probed
+    * and pinned in RetrievalTombstoneSpec's hazard test). Joins over
+    * such unions DO get the exchange (EnsureRequirements treats the
+    * join's co-partitioning strictly), which is why the q122/q126/q130
+    * serving unions are safe — the hazard is bucket-key AGGREGATES
+    * above table unions, and every monoid merge in this file avoids
+    * the shape.
+    */
+  private def mergeStats(a: DataFrame, b: DataFrame,
+      sign: Int): DataFrame =
+    a.crossJoin(b.select(col("n_docs").as("b_n"),
+        col("sum_len").as("b_len")))
+      .select(col("k"),
+        (col("n_docs") + lit(sign.toLong) * col("b_n")).as("n_docs"),
+        (col("sum_len") + lit(sign.toLong) * col("b_len")).as("sum_len"))
+
+  /** Merge df tables by the count monoid (full outer on term, zeros
+    * fill) — or, negated, retract one from the other.
+    */
+  private def mergeDf(a: DataFrame, b: DataFrame,
+      sign: Int): DataFrame = {
+    val l = a.withColumnRenamed("df", "a_df")
+    val r = b.withColumnRenamed("df", "b_df")
+    l.join(r, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("a_df"), lit(0L)) +
+          lit(sign.toLong) * coalesce(col("b_df"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+  }
+
+  /** Serve BM25 from a normalized-layout index: queries broadcast into
+    * postings, df joined term-keyed at query time, stats broadcast.
+    */
+  private def serveNormalized(s: SparkSession, post: DataFrame,
+      dfreq: DataFrame, stats: DataFrame): DataFrame = {
+    val st = stats.select(col("n_docs"),
+      (col("sum_len").cast("double") / col("n_docs")).as("avgdl"))
+    val scored = broadcast(queryDf(s))
+      .join(post, "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(st))
+      .withColumn("s_e4", scoreE4)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("s_e4")).as("score_e4"))
+    topkOf(scored)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q157 — INCREMENTAL index maintenance (normalized-df layout; see
+    // the section comment): batch postings appended, df/stats merged by
+    // the count monoid — the base is never rescanned or rewritten, and
+    // serving df is EXACT, not stale-until-compaction.
+    "q157_bm25_incremental" -> ((s, d) => {
+      val (bPost, bDf, bStats) =
+        idx157(s, d, "base", q157Corpus(s, d), counter = true)
+      val (nPost, nDf, nStats) = idx157(s, d, "batch", q157Batch(s, d))
+      val post = bPost.unionByName(nPost)
+      val dfreq = mergeDf(bDf, nDf, 1)
+      serveNormalized(s, post, dfreq, mergeStats(bStats, nStats, 1))
+    }),
+
+    // q158 — index DELETION: tombstoned docs' postings anti-joined out
+    // (broadcast), df/stats retracted by the group inverses. Together
+    // with q157 the inverted index has the full verb set; the oracle is
+    // the from-scratch replay over the survivors.
+    "q158_bm25_tombstone" -> ((s, d) => {
+      val (bPost, bDf, bStats) =
+        idx157(s, d, "base", q157Corpus(s, d), counter = true)
+      val (nPost, nDf, nStats) = idx157(s, d, "batch", q157Batch(s, d))
+      val tombs = graft.operators.Dedup.tombstonesOf(Tables.documents(s, d))
+      // the deletion batch's own index terms — O(|tombstones|) work, the
+      // group-inverse side of the retraction (postings unused: the base
+      // side is anti-joined instead of recomputed)
+      val (_, tDf, tStats) = bm25IndexOf(Tables.documents(s, d)
+        .join(broadcast(tombs), Seq("doc_id"), "left_semi"))
+      val post = bPost.unionByName(nPost)
+        .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      val dfreq = mergeDf(mergeDf(bDf, nDf, 1), tDf, -1)
+      val stats = mergeStats(mergeStats(bStats, nStats, 1), tStats, -1)
+      serveNormalized(s, post, dfreq, stats)
+    }),
     // q151 — self-contained BM25 top-k: tf/df/len from the corpus scan,
     // query terms broadcast, integer-exact rank cut. The df agg and the
     // (query, doc) partial-sum agg are the only shuffles; both are
@@ -190,14 +341,17 @@ object Retrieval {
     })
   )
 
-  /** One BM25 oracle, shared verbatim by both physical shapes. */
-  private lazy val bm25Sql: String = {
+  /** One BM25 oracle over an arbitrary docs relation — shared verbatim
+    * by every physical shape (inline, staged, incrementally maintained)
+    * and, filtered, by the deletion form.
+    */
+  private def bm25SqlFrom(docsRel: String): String = {
     val qvals = QueryBatch
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     s"""WITH q(query_id, term) AS (VALUES $qvals),
        | tok AS (SELECT doc_id,
        |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-       |   FROM documents),
+       |   FROM $docsRel),
        | dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
        | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        |        GROUP BY doc_id, term),
@@ -224,8 +378,18 @@ object Retrieval {
        |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
   }
 
+  private lazy val bm25Sql: String = bm25SqlFrom("documents")
+
   def oracleSql: Map[String, String] = Map(
     "q151_bm25_topk" -> bm25Sql,
-    "q152_bm25_staged" -> bm25Sql
+    "q152_bm25_staged" -> bm25Sql,
+    // q157 serves provably the full-corpus index (append + monoid
+    // merges are exact), so its oracle is the identical replay
+    "q157_bm25_incremental" -> bm25Sql,
+    // q158: the same replay over the survivors — postings removed, df
+    // and stats retracted by group inverses
+    "q158_bm25_tombstone" -> bm25SqlFrom(
+      s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
+        s" <> ${Dedup.TombRes})")
   )
 }

@@ -138,6 +138,51 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(got.toSeq === scratch.toSeq)
   }
 
+  // ---- planner hazard: bucket-key aggregates above table unions -------------
+
+  test("HAZARD pinned: agg on the bucket key above a union of co-bucketed tables skips the merge exchange") {
+    // Spark 4.1 plans partial+final HashAggregate directly over a Union
+    // of two catalog tables bucketed identically on the group key — NO
+    // exchange between the partials and the final, so the same key
+    // surfaces once per side. Joins over the same union DO get the
+    // exchange (strict co-partitioning check), which is why the
+    // q122/q126/q130 serving unions are safe. This spec pins both
+    // facts; if a Spark upgrade changes either, it fails loudly and the
+    // mergeStats/mergeDf workarounds (Retrieval.scala) can be revisited.
+    val s = spark
+    val db = "hazard_probe"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def w(name: String, rows: Seq[(Long, Long)]): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $db.$name")
+      // the dir can survive a previous JVM whose in-memory catalog died
+      val loc = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir", "/tmp/graft-warehouse"),
+        s"$db.db"), name)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      rows.toDF("k", "v").write.format("parquet")
+        .bucketBy(8, "k").sortBy("k").saveAsTable(s"$db.$name")
+    }
+    w("a8", (0L until 100L).map(i => (i % 10, i)))
+    w("b8", (0L until 100L).map(i => (i % 10, i + 1000)))
+    val union = s.table(s"$db.a8").unionByName(s.table(s"$db.b8"))
+    val agg = union.groupBy(col("k")).agg(count(lit(1)).as("n")).collect()
+    assert(agg.map(_.getLong(0)).distinct.length === 10)
+    assert(agg.length === 20, // the hazard: 2 rows per key, one per side
+      s"union+agg produced ${agg.length} rows — Spark's planning of " +
+        "bucketed unions changed; revisit mergeStats/mergeDf workarounds")
+    // the workaround shape is exact: repartition breaks the bogus claim
+    val fixed = union.repartition(col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n")).collect()
+    assert(fixed.length === 10 && fixed.forall(_.getLong(1) === 20L))
+    // joins stay safe: the exchange IS inserted above the union side
+    w("c8", (0L until 10L).map(i => (i, i * 7)))
+    val j = union.hint("merge").join(s.table(s"$db.c8").hint("merge"),
+      Seq("k"))
+    assert(j.count() === 200L,
+      "join over a bucketed union lost rows — serving unions now unsafe")
+  }
+
   // ---- q156 continuous tombstones -------------------------------------------
 
   test("q156 cascade: fold 2 deletes fold 1's re-elected rep; split across folds") {
