@@ -1540,6 +1540,60 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q160 — TAKEDOWN AUDIT: the fsck a deployment runs after a deletion
+    // cycle. One row per maintained artifact family: rows served by its
+    // deletion-folded view, and the rows in that view still attributable
+    // to the tombstone set — which the fold contract says must be ZERO.
+    // All integers recomputed by the oracle from scratch (survivor
+    // closure size, survivor posting mass, survivor vec count, survivor
+    // doc mass), so the audit checks the FOLDS, not itself: a retraction
+    // that under-subtracts (manifest), a label row that survives its
+    // doc's deletion, a posting or code that escapes the anti-join —
+    // each lands in a hash mismatch here. At 100 TB this is the
+    // compliance query: O(store sizes), no corpus text rescan beyond
+    // what q154's fold already bounds.
+    "q160_takedown_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tombs = tombstonesOf(docs)
+      def isTomb(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(TombMod)) === TombRes
+      def audit(name: String, df: DataFrame,
+          id: org.apache.spark.sql.Column): DataFrame =
+        df.agg(count(lit(1)).as("rows_n"),
+          sum(when(isTomb(id), 1L).otherwise(0L)).as("tomb_rows_n"))
+          .select(lit(name).as("artifact"),
+            col("rows_n").cast("long").as("rows_n"),
+            coalesce(col("tomb_rows_n"), lit(0L)).cast("long")
+              .as("tomb_rows_n"))
+      val labels = audit("dup_labels",
+        tombstoneLabels(docs, labelsArtifact(s, d), tombs), col("doc_id"))
+      // manifest doc mass must equal the survivor count exactly — the
+      // group-inverse retraction is the thing being audited
+      val manifest = TextOps.retractManifest(
+          TextOps.manifestAgg(docs), TextOps.manifestAgg(
+            docs.join(broadcast(tombs), Seq("doc_id"), "left_semi")))
+        .agg(sum(col("n_docs")).as("rows_n"))
+        .crossJoin(docs.join(tombs, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("surv_n")))
+        .select(lit("manifest_docs").as("artifact"),
+          col("rows_n").cast("long").as("rows_n"),
+          (col("rows_n") - col("surv_n")).cast("long").as("tomb_rows_n"))
+      val postings = audit("bm25_postings", {
+        val (bPost, _, _) = Retrieval.idx157(s, d, "base",
+          docs.filter(col("doc_id") % 10 =!= 0))
+        val (nPost, _, _) = Retrieval.idx157(s, d, "batch",
+          docs.filter(col("doc_id") % 10 === 0))
+        bPost.unionByName(nPost)
+          .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      }, col("doc_id"))
+      Similarity.q155CompactRecover(s, d) // owed swap before counting
+      val codes = audit("pq_codes",
+        Similarity.q155ServeCodes(s, d), col("vec_id"))
+      labels.unionByName(manifest).unionByName(postings)
+        .unionByName(codes)
+        .orderBy(col("artifact"))
+    }),
+
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with
     // the PPJoin positional filter (Xiao et al., WWW'08)
     "q32_neardup_jaccard" -> ((s, d) =>
@@ -2228,6 +2282,52 @@ object Dedup {
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin
+      },
+
+      // q160: every count recomputed from the base tables — survivor
+      // closure size (and its tombstone intersection, computed not
+      // assumed), survivor doc mass, survivor posting mass, survivor
+      // vec count — so the audit audits the FOLDS, not itself
+      "q160_takedown_audit" -> {
+        val survivors =
+          s"(SELECT * FROM documents WHERE doc_id % $TombMod <> $TombRes)"
+        s"""WITH RECURSIVE ${sqlPrefixPairsFrom(survivors)},
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src),
+           |  stok AS (SELECT doc_id,
+           |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+           |        AS term
+           |    FROM documents WHERE doc_id % $TombMod <> $TombRes),
+           |  stf AS (SELECT doc_id, term FROM stok GROUP BY doc_id, term),
+           |  rows_ AS (
+           |    SELECT 'dup_labels' AS artifact,
+           |      (SELECT COUNT(*) FROM reps) AS rows_n,
+           |      (SELECT COUNT(*) FROM reps
+           |       WHERE doc_id % $TombMod = $TombRes) AS tomb_rows_n
+           |    UNION ALL SELECT 'manifest_docs',
+           |      (SELECT COUNT(*) FROM documents
+           |       WHERE doc_id % $TombMod <> $TombRes),
+           |      (SELECT COUNT(*) FROM documents
+           |        WHERE doc_id % $TombMod <> $TombRes) -
+           |      (SELECT COUNT(*) FROM documents
+           |        WHERE doc_id % $TombMod <> $TombRes)
+           |    UNION ALL SELECT 'bm25_postings',
+           |      (SELECT COUNT(*) FROM stf),
+           |      (SELECT COUNT(*) FROM stf
+           |       WHERE doc_id % $TombMod = $TombRes)
+           |    UNION ALL SELECT 'pq_codes',
+           |      (SELECT COUNT(*) FROM embeddings
+           |       WHERE vec_id % $TombMod <> $TombRes),
+           |      0)
+           |SELECT artifact, CAST(rows_n AS BIGINT) AS rows_n,
+           |  CAST(tomb_rows_n AS BIGINT) AS tomb_rows_n
+           |FROM rows_ ORDER BY artifact""".stripMargin
       },
 
       // q126: fold + compaction-swap must BOTH be invisible — same

@@ -187,7 +187,7 @@ object Retrieval {
   /** Normalized-layout index of an arbitrary doc frame:
     * (postings without df, df table, one-row stats).
     */
-  private def bm25IndexOf(docs: DataFrame)
+  private[graft] def bm25IndexOf(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val tf = tfOf(docs)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -199,7 +199,7 @@ object Retrieval {
       dfreq, stats)
   }
 
-  private def idx157(s: SparkSession, d: String, leaf: String,
+  private[graft] def idx157(s: SparkSession, d: String, leaf: String,
       docs: => DataFrame, counter: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     val db = Bucketed.dbFor(d)
@@ -229,7 +229,7 @@ object Retrieval {
     * above table unions, and every monoid merge in this file avoids
     * the shape.
     */
-  private def mergeStats(a: DataFrame, b: DataFrame,
+  private[graft] def mergeStats(a: DataFrame, b: DataFrame,
       sign: Int): DataFrame =
     a.crossJoin(b.select(col("n_docs").as("b_n"),
         col("sum_len").as("b_len")))
@@ -240,7 +240,7 @@ object Retrieval {
   /** Merge df tables by the count monoid (full outer on term, zeros
     * fill) — or, negated, retract one from the other.
     */
-  private def mergeDf(a: DataFrame, b: DataFrame,
+  private[graft] def mergeDf(a: DataFrame, b: DataFrame,
       sign: Int): DataFrame = {
     val l = a.withColumnRenamed("df", "a_df")
     val r = b.withColumnRenamed("df", "b_df")
@@ -254,7 +254,7 @@ object Retrieval {
   /** Serve BM25 from a normalized-layout index: queries broadcast into
     * postings, df joined term-keyed at query time, stats broadcast.
     */
-  private def serveNormalized(s: SparkSession, post: DataFrame,
+  private[graft] def serveNormalized(s: SparkSession, post: DataFrame,
       dfreq: DataFrame, stats: DataFrame): DataFrame = {
     val st = stats.select(col("n_docs"),
       (col("sum_len").cast("double") / col("n_docs")).as("avgdl"))

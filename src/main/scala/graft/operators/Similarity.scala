@@ -664,7 +664,7 @@ object Similarity {
     * layout if takedowns accumulate past broadcast size before the next
     * compaction.
     */
-  private def q155ServeCodes(s: SparkSession, d: String): DataFrame =
+  private[graft] def q155ServeCodes(s: SparkSession, d: String): DataFrame =
     q155BaseArtifact(s, d).join(
       broadcast(q155TombArtifact(s, d)), Seq("cell", "vec_id"), "left_anti")
 

@@ -771,6 +771,70 @@ object StreamingQueries {
       Layout.serveStreamed(s, d)
     }),
 
+    // q159 — CONTINUOUS inverted-index maintenance: q157's normalized-df
+    // fold as a Structured Streaming pipeline. Each micro-batch lands its
+    // OWN index shard — postings, vocabulary df, one-row stats — under a
+    // batch-id-keyed dir with mode=overwrite (the q150 redelivery shape:
+    // a re-run rewrites the same dir byte-identically, so at-least-once
+    // delivery yields exactly-once index state with no transactional
+    // sink). Readout merges: postings = base ∪ accumulated shards
+    // (append-disjoint by the corpus split); df = base df + Σ shard dfs
+    // (count monoid — the groupBy runs over plain parquet dirs, which
+    // carry NO bucketing claim, so the pinned bucketed-union aggregate
+    // hazard does not apply — noted because it is exactly the shape that
+    // bit q157's first cut); stats likewise. Serving df is EXACT after
+    // every fold — a streaming index with no stale-idf window. Oracle =
+    // the full-corpus bm25Sql replay, so fold-equals-rebuild is
+    // hash-proven per tier.
+    "q159_stream_postings" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val dir = Files.createTempDirectory("graft_q159")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val docs = graft.Tables.documents(s, d)
+      val folds = 2
+      for (k <- 0 until folds)
+        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      // frozen base = the q157 staged corpus index (nine tenths)
+      val (bPost, bDf, bStats) = Retrieval.idx157(s, d, "base",
+        docs.filter(col("doc_id") % 10 =!= 0))
+      val postDir = dir.resolve("post").toString
+      val dfDir = dir.resolve("df").toString
+      val statsDir = dir.resolve("stats").toString
+      def fold(b: DataFrame, id: Long): Unit = {
+        val (p, f, st) = Retrieval.bm25IndexOf(b)
+        p.write.mode("overwrite").parquet(s"$postDir/batch=$id")
+        f.write.mode("overwrite").parquet(s"$dfDir/batch=$id")
+        st.write.mode("overwrite").parquet(s"$statsDir/batch=$id")
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            fold(b, id.longValue()))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // shards aggregate ALONE (plain parquet dirs), then join-merge
+      // with the bucketed base — never a keyed agg over a union that
+      // includes a bucketed scan (the pinned hazard's shape)
+      val post = bPost.unionByName(s.read.parquet(s"$postDir/batch=*"))
+      val shardDf = s.read.parquet(s"$dfDir/batch=*")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val shardStats = s.read.parquet(s"$statsDir/batch=*")
+        .groupBy(col("k"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_len")).as("sum_len"))
+      Retrieval.serveNormalized(s, post,
+        Retrieval.mergeDf(bDf, shardDf, 1),
+        Retrieval.mergeStats(bStats, shardStats, 1))
+    }),
+
     "q136_stream_incremental_span_strip" -> ((s, d) => {
       import graft.Tables
       import graft.operators.Dedup
@@ -977,6 +1041,11 @@ object StreamingQueries {
     // drop-row chain are hash-proven per tier.
     "q156_stream_tombstones" ->
       graft.operators.Dedup.oracleSql("q154_tombstone_labels"),
+    // q159: the continuously-folded index must serve exactly the
+    // full-corpus BM25 replay — per-shard df/stats monoid adds and the
+    // batch-keyed overwrite redelivery are hash-proven per tier.
+    "q159_stream_postings" ->
+      graft.operators.Retrieval.oracleSql("q157_bm25_incremental"),
     // q128: the continuously-maintained dashboard must land on exactly
     // the from-scratch q119 scorecard over ALL documents — cross-fold
     // corrections and monoid adds hash-proven per tier.

@@ -229,6 +229,24 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(got === scratch)
   }
 
+  // ---- q160 takedown audit ---------------------------------------------------
+
+  test("q160 audits the folds, not itself: tomb rows zero post-fold, nonzero unfolded") {
+    val rows = operators.Dedup.queries("q160_takedown_audit")(
+      spark, TestSpark.sf).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[Long]("tomb_rows_n") === 0L),
+      s"takedown leak: ${rows.mkString(", ")}")
+    assert(rows.forall(_.getAs[Long]("rows_n") > 0L))
+    // the same counter over the UNFOLDED labels is nonzero — the audit
+    // measures the deletion fold, not a tautology of its own filter
+    val unfolded = operators.Dedup.labelsArtifact(spark, TestSpark.sf)
+      .filter(pmod(col("doc_id"), lit(operators.Dedup.TombMod))
+        === operators.Dedup.TombRes).count()
+    assert(unfolded > 0L,
+      "fixture degenerate: no tombstoned doc is labeled — the zero rows prove nothing")
+  }
+
   // ---- q155 ANN tombstones --------------------------------------------------
 
   private def embTier(): String = {
