@@ -369,7 +369,7 @@ object Layout {
     * in bucket or box arithmetic.
     */
   private def serveBox(s: SparkSession, dirs: Seq[String],
-      cuts: String): DataFrame = {
+      cuts: String, minus: Option[DataFrame] = None): DataFrame = {
     val cut = s.read.parquet(cuts).head()
     val (tmin, tmax, umin, umax) =
       (cut.getLong(0), cut.getLong(1), cut.getLong(2), cut.getLong(3))
@@ -380,10 +380,19 @@ object Layout {
       tb <- b(tlo, tmin, tmax) to b(thi, tmin, tmax)
       ub <- b(ulo, umin, umax) to b(uhi, umin, umax)
     } yield zId(tb, ub)
-    dirs.map(p => s.read.parquet(p).filter(col("zcell").isin(cells: _*)))
+    val boxed = dirs
+      .map(p => s.read.parquet(p).filter(col("zcell").isin(cells: _*)))
       .reduce(_ unionByName _)
       .filter(col("tsc").between(tlo, thi) &&
         col("user_id").between(ulo, uhi))
+    // q162's deletion verb: landed takedowns anti-joined below the agg,
+    // AFTER the partition pruning + residual (the tombstone set is tiny
+    // relative to the pruned scan — subtracting first would defeat the
+    // IN-list). The layout files are untouched on the landing path;
+    // physical drop rides the q144-triggered q145 re-layout, whose
+    // fresh recluster reads the tombstone-filtered view.
+    minus.map(t => boxed.join(broadcast(t), Seq("event_id"), "left_anti"))
+      .getOrElse(boxed)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), graft.Q.dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
@@ -437,6 +446,24 @@ object Layout {
       val base = zBase(s, d)
       val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
       serveBox(s, base +: deltas, baseCutsDir(s, d))
+    }),
+
+    // q162 — layout DELETION: the takedown verb for the z-order store.
+    // Tombstoned event ids land as a broadcast side set and are
+    // anti-joined out of the box serve BELOW the aggregation but AFTER
+    // the partition pruning (see [[serveBox]]) — the layout's files and
+    // frozen cuts are untouched on the landing path, exactly the
+    // q155/q158 LSM shape. Physical drop rides the q144 trigger →
+    // q145 re-layout cadence. Oracle: the identical box (bounds still
+    // from ALL events — the cuts are frozen) over the raw SURVIVORS,
+    // so the logical delete is hash-proven complete.
+    "q162_layout_tombstone" -> ((s, d) => {
+      val base = zBase(s, d)
+      val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
+      val tombs = Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(Dedup.TombMod)) === Dedup.TombRes)
+        .select(col("event_id"))
+      serveBox(s, base +: deltas, baseCutsDir(s, d), Some(tombs))
     }),
 
     // q144 — RE-LAYOUT TRIGGER as data (the q131 pattern for the layout
@@ -548,6 +575,23 @@ object Layout {
          |FROM events, box
          |WHERE epoch_us(ts) BETWEEN tlo AND thi
          |  AND user_id BETWEEN ulo AND uhi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q162: q142's replay (bounds from the frozen corpus span) over the
+    // raw SURVIVORS — the logical delete must be complete and exact
+    "q162_layout_tombstone" ->
+      s"""WITH c AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax,
+         |    min(user_id) AS umin, max(user_id) AS umax FROM events
+         |    WHERE event_id % 10 <> 0),
+         |  box AS (SELECT tmin + (tmax - tmin + 1) // 8 AS tlo,
+         |      tmin + (tmax - tmin + 1) // 2 AS thi,
+         |      umin + (umax - umin + 1) // 4 AS ulo,
+         |      umin + (umax - umin + 1) // 2 AS uhi FROM c)
+         |SELECT event_type, COUNT(*) AS n, ${graft.Q.sqlDsum("value")} AS sum_value
+         |FROM events, box
+         |WHERE epoch_us(ts) BETWEEN tlo AND thi
+         |  AND user_id BETWEEN ulo AND uhi
+         |  AND event_id % ${Dedup.TombMod} <> ${Dedup.TombRes}
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q144: both counts recomputed from the raw events; the verdict is

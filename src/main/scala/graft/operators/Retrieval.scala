@@ -268,7 +268,55 @@ object Retrieval {
     topkOf(scored)
   }
 
+  // ---- q161: phrase matching over a positional index -----------------------
+
+  /** Fixed phrase batch (mixed 2- and 3-term), drawn from measured
+    * corpus bigram/trigram frequencies so every phrase has matches at
+    * every tier.
+    */
+  private[graft] val PhraseBatch: Seq[(Long, String)] = Seq(
+    1L -> "table hash", 2L -> "customer join", 3L -> "merge order",
+    4L -> "filter small", 5L -> "slow hash batch", 6L -> "stream table hash")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q161 — PHRASE MATCH: exact consecutive-token phrases over a
+    // positional posting list, the second classic retrieval primitive
+    // (BM25 ranks bags of words; phrase/proximity needs positions). One
+    // pass, no per-phrase rescan: the phrase batch flattens to
+    // broadcast (phrase_id, term, offset, len) rows, every matched
+    // posting projects its ANCHOR (pos − offset), and an anchor with
+    // all `len` offsets present is one occurrence — a single postings
+    // scan + one (phrase, doc, anchor)-keyed count regardless of
+    // phrase count or length. Correct under repeated phrase terms too:
+    // for a fixed (doc, anchor) each offset contributes at most one row
+    // (document positions are unique), so count == len ⟺ every offset
+    // matched. At 100 TB the positional store stages like q152's
+    // postings (term-bucketed, positions as an extra column — ~2× the
+    // index bytes, the classic positional-index price); here it is
+    // derived inline and the shuffle is the matched-posting mass.
+    "q161_phrase_match" -> ((s, d) => {
+      import s.implicits._
+      val post = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), posexplode(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .toDF("doc_id", "pos", "term")
+      val pq = PhraseBatch.flatMap { case (id, p) =>
+        val ts = p.split(' ')
+        ts.zipWithIndex.map { case (t, i) =>
+          (id, t, i.toLong, ts.length.toLong)
+        }
+      }.toDF("phrase_id", "term", "off", "plen")
+      post.join(broadcast(pq), "term")
+        .groupBy(col("phrase_id"), col("doc_id"),
+          (col("pos") - col("off")).as("anchor"), col("plen"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") === col("plen"))
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+
     // q157 — INCREMENTAL index maintenance (normalized-df layout; see
     // the section comment): batch postings appended, df/stats merged by
     // the count monoid — the base is never rescanned or rewritten, and
@@ -390,6 +438,34 @@ object Retrieval {
     // and stats retracted by group inverses
     "q158_bm25_tombstone" -> bm25SqlFrom(
       s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
-        s" <> ${Dedup.TombRes})")
+        s" <> ${Dedup.TombRes})"),
+
+    // q161: the same anchor algebra in SQL — positions are 1-based in
+    // DuckDB vs 0-based in Spark, a constant shift that cancels in the
+    // anchor equality, so n_occ is engine-identical
+    "q161_phrase_match" -> {
+      val pqVals = PhraseBatch.flatMap { case (id, p) =>
+        val ts = p.split(' ')
+        ts.zipWithIndex.map { case (t, i) =>
+          s"($id, '$t', $i, ${ts.length})"
+        }
+      }.mkString(", ")
+      s"""WITH pq(phrase_id, term, off, plen) AS (VALUES $pqVals),
+         | tok AS (SELECT doc_id,
+         |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         |     generate_subscripts(
+         |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+         |   FROM documents),
+         | m AS (SELECT pq.phrase_id, tok.doc_id,
+         |     tok.pos - pq.off AS anchor, pq.plen
+         |   FROM tok JOIN pq USING (term)),
+         | a AS (SELECT phrase_id, doc_id, anchor, plen, count(*) AS c
+         |   FROM m GROUP BY phrase_id, doc_id, anchor, plen),
+         | occ AS (SELECT phrase_id, doc_id,
+         |     CAST(count(*) AS BIGINT) AS n_occ
+         |   FROM a WHERE c = plen GROUP BY phrase_id, doc_id)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id, n_occ
+         |FROM occ ORDER BY phrase_id, doc_id""".stripMargin
+    }
   )
 }

@@ -229,6 +229,42 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(got === scratch)
   }
 
+  // ---- q161 phrase match / q162 layout tombstone ------------------------------
+
+  test("q161 anchor algebra matches a brute-force substring count on planted docs") {
+    // doc 1: phrase 1 twice (incl. back-to-back overlap-free), phrase 5
+    // once spanning tokens 3-5; doc 2: near-miss (terms present, never
+    // consecutive) must NOT match
+    val dir = java.nio.file.Files.createTempDirectory("graft_q161").toString
+    Seq(
+      (1L, "table hash x table hash slow hash batch"),
+      (2L, "table x hash slow y hash z batch"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Retrieval.queries("q161_phrase_match")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 2L), (5L, 1L, 1L)),
+      s"phrase anchors wrong: $got")
+  }
+
+  test("q162 deletion is visible and the partition pruning survives the anti-join") {
+    val served = operators.Layout.queries("q162_layout_tombstone")(
+      spark, TestSpark.sf)
+    val withTombs = operators.Layout.queries("q142_zorder_incremental")(
+      spark, TestSpark.sf)
+    val a = served.collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = withTombs.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.toSeq !== b.toSeq,
+      "fixture degenerate: no tombstoned event in the box — deletion unexercised")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [zcell"),
+      s"IN-list partition pruning lost:\n${plan.take(2000)}")
+    assert(plan.contains("LeftAnti"), "tombstones not anti-joined")
+  }
+
   // ---- q160 takedown audit ---------------------------------------------------
 
   test("q160 audits the folds, not itself: tomb rows zero post-fold, nonzero unfolded") {
