@@ -38,6 +38,48 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       "warm BM25 serving re-built the posting table")
   }
 
+  test("rational idf reproduces ln-BM25's top-5 sets exactly (sf0.001 audit)") {
+    // The oracle contract forces the rational idf (no libm ln); this
+    // audit measures what that swap costs in RANKING terms against
+    // textbook ln-BM25, brute-forced in-memory: at sf0.001 the top-5
+    // SET agrees 40/40 across the 8 queries and the top-1 doc 7/8 (the
+    // one disagreement is an order flip inside an identical set). Same
+    // 40/40 at sf0.01/sf0.1, measured offline. Deterministic corpus →
+    // exact asserts; if testdata regenerates and these move, the new
+    // numbers are the audit, not a failure of the operator.
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = docs.map { case (d, t) =>
+      d -> "[a-z0-9]+".r.findAllIn(t).toSeq.groupBy(identity)
+        .map { case (w, ws) => w -> ws.length }
+    }
+    val dl = tf.map { case (d, m) => d -> m.values.sum }
+    val n = dl.size
+    val avgdl = dl.values.sum.toDouble / n
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size }
+    val qs = Retrieval.QueryBatch.groupBy(_._1)
+      .map { case (q, ts) => q -> ts.map(_._2) }
+    var overlap5 = 0; var top1 = 0
+    for ((_, terms) <- qs.toSeq.sortBy(_._1)) {
+      def score(d: Long, ln: Boolean): Double =
+        terms.collect { case t if tf(d).contains(t) =>
+          val idf0 = (n - dfm(t) + 0.5) / (dfm(t) + 0.5)
+          val idf = if (ln) math.log(1 + idf0) else idf0
+          val f = tf(d)(t).toDouble
+          idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+        }.sum
+      val cands = tf.keys.filter(d => terms.exists(tf(d).contains)).toSeq
+      val topR = cands.sortBy(d => (-score(d, ln = false), d)).take(5)
+      val topL = cands.sortBy(d => (-score(d, ln = true), d)).take(5)
+      overlap5 += topR.toSet.intersect(topL.toSet).size
+      if (topR.head == topL.head) top1 += 1
+    }
+    assert(overlap5 === 40, s"top-5 set agreement dropped to $overlap5/40")
+    assert(top1 >= 7, s"top-1 agreement dropped to $top1/8")
+  }
+
   test("bm25 ranks an exact-match doc above a padded one (score sanity)") {
     // two docs with the same tf for the query-1 terms; the longer doc
     // must score LOWER (BM25 length normalization), pinning the
