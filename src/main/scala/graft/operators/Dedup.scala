@@ -1356,6 +1356,87 @@ object Dedup {
       .select(col("wh"))
   }
 
+  // ---- q163: span-store DELETION -------------------------------------------
+  //
+  // The deletion verb for the span family — and the one place deletion
+  // REVERSES served text: q135's fold soundness rests on monotonicity
+  // (adds only flip hashes unique→cross or move keepers DOWN, so strips
+  // only grow), and deletion breaks exactly that — removing a doc can
+  // flip a hash cross→unique (the other holder's strip RETRACTS: its
+  // text re-serves unstripped) or delete a keeper (the new min-id
+  // survivor's strip retracts that hash's span while other holders keep
+  // stripping). So, like q154 vs q120, touched docs are recomputed FROM
+  // DEFINITION over the survivors; what keeps it delta-proportional is
+  // the same posting-store discovery as the insertion fold:
+  //   affected hashes ⊆ the deleted docs' own hashes (bucket-local
+  //   probe), changed = cross-ness flip ∨ keeper migration computed
+  //   from survivor aggregates, touched = surviving holders of changed
+  //   hashes — never a corpus window pass.
+  // Frozen state = full-tier twins of the q135 stores.
+
+  private[graft] def q163PostingsArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q163_postings",
+      s"$d/documents.parquet",
+      spanWindows(spanDocs(s, Tables.documents(s, d)))
+        .select(col("wh"), col("doc_id")).distinct(), 16, Seq("wh"))
+
+  private[graft] def q163ByDocArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q163_bydoc",
+      s"$d/documents.parquet",
+      spanWindows(spanDocs(s, Tables.documents(s, d))), 8, Seq("doc_id"))
+
+  private[graft] def q163BaseArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q163_base",
+      s"$d/documents.parquet",
+      queries("q133_span_strip")(s, d), 8, Seq("doc_id"))
+
+  /** The deletion fold body: (recomputed survivor rows, touched ids).
+    * All tombstone probes broadcast (deletion-batch-bounded); per-hash
+    * aggregates bucket-local on the wh-keyed posting store.
+    */
+  private[graft] def spanDeleteAgainst(s: SparkSession, docs: DataFrame,
+      tombs: DataFrame, postings: DataFrame,
+      bydoc: DataFrame): (DataFrame, DataFrame) = {
+    // hashes the deleted docs hold — the ONLY hashes whose state can move
+    val affected = postings.join(broadcast(tombs), Seq("doc_id"),
+      "left_semi").select(col("wh")).distinct()
+    val cAgg = postings.join(broadcast(affected), Seq("wh"), "left_semi")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
+        countDistinct(col("doc_id")).as("cn"))
+    val sAgg = postings.join(broadcast(affected), Seq("wh"), "left_semi")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("smin"),
+        countDistinct(col("doc_id")).as("sn"))
+    // changed = cross-ness flipped under the survivors, or the keeper
+    // migrated (old min deleted) while the hash stays held
+    val changed = cAgg.join(sAgg, Seq("wh"), "left_outer")
+      .filter(((col("cn") >= 2) =!=
+          (coalesce(col("sn"), lit(0L)) >= 2)) ||
+        (coalesce(col("sn"), lit(0L)) >= 1 &&
+          col("smin") =!= col("cmin")))
+      .select(col("wh"))
+    val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).distinct()
+    // recompute touched docs from definition over SURVIVOR state only
+    val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
+    val state = postings
+      .join(twins.select(col("wh")).distinct(), Seq("wh"), "left_semi")
+      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      .groupBy(col("wh")).agg(min(col("doc_id")).as("keeper"),
+        (countDistinct(col("doc_id")) >= 2).as("cross"))
+    val spans = twins.join(state, Seq("wh"))
+      .filter(col("cross") && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (DupSpanW - 1)).as("e"))
+    val tsd = spanDocs(s,
+      docs.join(broadcast(touched), Seq("doc_id"), "left_semi"))
+    (spanStripRows(tsd, spans), touched)
+  }
+
   /** [[q135Fold]] over EXPLICIT stores — q136's continuous form feeds it
     * the corpus stores ∪ the accumulated per-fold appends, so a fold-3
     * doc pairs with fold-1 docs through the appended postings (the q124
@@ -1537,6 +1618,22 @@ object Dedup {
     "q154_tombstone_labels" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       tombstoneLabels(docs, labelsArtifact(s, d), tombstonesOf(docs))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q163 — span-store DELETION: the retraction verb (see the q163
+    // section) — deleted docs leave, touched survivors re-serve with
+    // strips RECOMPUTED over survivor state (retraction included),
+    // untouched rows carry verbatim from the frozen base.
+    "q163_span_tombstone" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tombs = tombstonesOf(docs)
+      val (rec, touched) = spanDeleteAgainst(s, docs, tombs,
+        q163PostingsArtifact(s, d), q163ByDocArtifact(s, d))
+      q163BaseArtifact(s, d)
+        .join(broadcast(touched.unionByName(tombs).distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(rec)
         .orderBy(col("doc_id"))
     }),
 
@@ -2070,14 +2167,13 @@ object Dedup {
     * (the round-4 brute-force forms ran for hours there). Reserves CTE
     * names s/sz/ex/dfreq/prefix/cand/p.
     */
-  /** q133's from-scratch strip oracle — ALSO q135's and q136's
-    * verbatim: every incremental/continuous form must be invisible in
-    * the result.
+  /** [[sqlSpanStripOracle]] over an arbitrary docs relation — q163's
+    * deletion oracle replays the strip over the survivors.
     */
-  private[graft] lazy val sqlSpanStripOracle: String =
+  private[graft] def sqlSpanStripOracleFrom(docsRel: String): String =
     s"""WITH t AS (SELECT doc_id,
        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-       |  FROM documents),
+       |  FROM $docsRel),
        |  w AS (SELECT doc_id, i - 1 AS pos,
        |      md5(array_to_string(toks[i:i+${DupSpanW - 1}], ' ')) AS wh
        |    FROM t, LATERAL unnest(
@@ -2114,6 +2210,13 @@ object Dedup {
        |  md5(COALESCE(k.ktxt, '')) AS kept_md5
        |FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** q133's from-scratch strip oracle — ALSO q135's and q136's
+    * verbatim: every incremental/continuous form must be invisible in
+    * the result.
+    */
+  private[graft] lazy val sqlSpanStripOracle: String =
+    sqlSpanStripOracleFrom("documents")
 
   /** [[sqlPrefixPairs]] over an arbitrary docs relation — the q154
     * deletion oracle replays the full pair derivation over
@@ -2283,6 +2386,11 @@ object Dedup {
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin
       },
+
+      // q163: the from-scratch strip over the SURVIVORS — retraction
+      // (a survivor re-serving unstripped text) falls out of the replay
+      "q163_span_tombstone" -> sqlSpanStripOracleFrom(
+        s"(SELECT * FROM documents WHERE doc_id % $TombMod <> $TombRes)"),
 
       // q160: every count recomputed from the base tables — survivor
       // closure size (and its tombstone intersection, computed not

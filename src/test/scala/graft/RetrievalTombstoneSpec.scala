@@ -307,6 +307,54 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), "tombstones not anti-joined")
   }
 
+  // ---- q163 span-store deletion -----------------------------------------------
+
+  test("q163 retraction: deleted keeper un-strips the survivor; migration re-elects") {
+    // Each doc = a shared 20-token run + 5 unique filler tokens, so
+    // exactly the pos-0 window is cross-doc. Tombstone rule doc_id % 11
+    // == 3 deletes ids 3 and 14:
+    //  - run R in {3, 5}: keeper 3 DELETED → the hash flips cross→
+    //    unique and survivor 5's strip RETRACTS (full text re-serves);
+    //  - run Q in {14, 15, 16}: keeper 14 deleted → keeper MIGRATES to
+    //    15 (its strip retracts) while 16 keeps stripping;
+    //  - run S in {1, 2}: untouched, carried verbatim.
+    def doc(id: Long, run: String) =
+      (id, run + " " + (1 to 5).map(i => s"f${id}x$i").mkString(" "))
+    val r = (1 to 20).map(i => s"r$i").mkString(" ")
+    val q = (1 to 20).map(i => s"q$i").mkString(" ")
+    val s0 = (1 to 20).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q163").toString
+    Seq(doc(3L, r), doc(5L, r),
+      doc(14L, q), doc(15L, q), doc(16L, q),
+      doc(1L, s0), doc(2L, s0))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val full = operators.Dedup.queries("q163_span_tombstone")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3))).toSet
+    val stripped = full.map(x => x._1 -> x._3).toMap
+    assert(stripped.keySet === Set(1L, 2L, 5L, 15L, 16L),
+      s"wrong survivor set: ${stripped.keySet}")
+    assert(stripped(5L) === 0L, "cross→unique retraction failed: 5 still stripped")
+    assert(stripped(15L) === 0L, "keeper migration failed: new keeper 15 still stripped")
+    assert(stripped(16L) === 20L, "non-keeper 16 must keep stripping")
+    assert(stripped(1L) === 0L && stripped(2L) === 20L,
+      "untouched run S must carry verbatim")
+    // and the whole output equals the from-scratch strip over survivors
+    // (q133 replayed on a survivor-only tier copy)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q163b").toString
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+      .write.parquet(s"$dir2/documents.parquet")
+    val expect = operators.Dedup.queries("q133_span_strip")(spark, dir2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getString(3))).toSet
+    assert(full === expect)
+  }
+
   // ---- q160 takedown audit ---------------------------------------------------
 
   test("q160 audits the folds, not itself: tomb rows zero post-fold, nonzero unfolded") {
