@@ -1621,6 +1621,25 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q164 — label LIFECYCLE: the verbs composed. An insertion fold
+    // (q120's batch into the frozen corpus index) followed by a deletion
+    // fold (q154's tombstones over the JUST-FOLDED state — so deletions
+    // hit clusters that exist only in the insert fold's output, merged
+    // clusters included) must land on the from-scratch closure over
+    // (corpus ∪ batch) ∖ tombstones — which is q154's oracle, making
+    // "the verbs commute with batching" a hash fact rather than an
+    // algebra argument. This is the shape a production day actually
+    // runs: ingest fold, takedown fold, serve.
+    "q164_labels_lifecycle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val pairs = batchPairs(q120Corpus(s, d), batch,
+        q120DfArtifact(s, d), q120PrefixArtifact(s, d))
+      val inserted = incrementalLabels(q120LabelsArtifact(s, d), pairs)
+      tombstoneLabels(docs, inserted, tombstonesOf(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // q163 — span-store DELETION: the retraction verb (see the q163
     // section) — deleted docs leave, touched survivors re-serve with
     // strips RECOMPUTED over survivor state (retraction included),
@@ -1686,8 +1705,25 @@ object Dedup {
       Similarity.q155CompactRecover(s, d) // owed swap before counting
       val codes = audit("pq_codes",
         Similarity.q155ServeCodes(s, d), col("vec_id"))
+      // span store: q163's deletion-folded serving view (one row per
+      // surviving doc; tombstoned rows must have left with their docs)
+      val spans = audit("span_store",
+        queries("q163_span_tombstone")(s, d), col("doc_id"))
+      // z-order layout: the tombstone-filtered store across base + both
+      // deltas — the WHOLE store, not just one box, so an escaped event
+      // anywhere in any segment is caught
+      val layout = audit("events_zorder", {
+        val base = Layout.zBase(s, d)
+        val deltas = Seq(Layout.zDelta(s, d, 0), Layout.zDelta(s, d, 1))
+        val tombsE = Tables.events(s, d)
+          .filter(pmod(col("event_id"), lit(TombMod)) === TombRes)
+          .select(col("event_id"))
+        (base +: deltas).map(p => s.read.parquet(p))
+          .reduce(_ unionByName _)
+          .join(broadcast(tombsE), Seq("event_id"), "left_anti")
+      }, col("event_id"))
       labels.unionByName(manifest).unionByName(postings)
-        .unionByName(codes)
+        .unionByName(codes).unionByName(spans).unionByName(layout)
         .orderBy(col("artifact"))
     }),
 
@@ -2387,6 +2423,25 @@ object Dedup {
            |FROM reps ORDER BY doc_id""".stripMargin
       },
 
+      // q164: insert-fold ∘ delete-fold must equal the from-scratch
+      // survivor closure — q154's oracle verbatim
+      "q164_labels_lifecycle" -> {
+        val survivors =
+          s"(SELECT * FROM documents WHERE doc_id % $TombMod <> $TombRes)"
+        s"""WITH RECURSIVE ${sqlPrefixPairsFrom(survivors)},
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src)
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin
+      },
+
       // q163: the from-scratch strip over the SURVIVORS — retraction
       // (a survivor re-serving unstripped text) falls out of the replay
       "q163_span_tombstone" -> sqlSpanStripOracleFrom(
@@ -2432,6 +2487,14 @@ object Dedup {
            |    UNION ALL SELECT 'pq_codes',
            |      (SELECT COUNT(*) FROM embeddings
            |       WHERE vec_id % $TombMod <> $TombRes),
+           |      0
+           |    UNION ALL SELECT 'span_store',
+           |      (SELECT COUNT(*) FROM documents
+           |       WHERE doc_id % $TombMod <> $TombRes),
+           |      0
+           |    UNION ALL SELECT 'events_zorder',
+           |      (SELECT COUNT(*) FROM events
+           |       WHERE event_id % $TombMod <> $TombRes),
            |      0)
            |SELECT artifact, CAST(rows_n AS BIGINT) AS rows_n,
            |  CAST(tomb_rows_n AS BIGINT) AS tomb_rows_n

@@ -360,7 +360,7 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
   test("q160 audits the folds, not itself: tomb rows zero post-fold, nonzero unfolded") {
     val rows = operators.Dedup.queries("q160_takedown_audit")(
       spark, TestSpark.sf).collect()
-    assert(rows.length === 4)
+    assert(rows.length === 6)
     assert(rows.forall(_.getAs[Long]("tomb_rows_n") === 0L),
       s"takedown leak: ${rows.mkString(", ")}")
     assert(rows.forall(_.getAs[Long]("rows_n") > 0L))
