@@ -278,6 +278,12 @@ object Retrieval {
     1L -> "table hash", 2L -> "customer join", 3L -> "merge order",
     4L -> "filter small", 5L -> "slow hash batch", 6L -> "stream table hash")
 
+  /** q165's proximity window and term-pair batch (query_id, a, b). */
+  private[graft] val ProxK = 4L
+  private[graft] val ProximityBatch: Seq[(Long, String, String)] = Seq(
+    (1L, "hash", "join"), (2L, "table", "scan"),
+    (3L, "merge", "slow"), (4L, "customer", "query"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q161 — PHRASE MATCH: exact consecutive-token phrases over a
     // positional posting list, the second classic retrieval primitive
@@ -315,6 +321,49 @@ object Retrieval {
         .groupBy(col("phrase_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_occ"))
         .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+
+    // q165 — PROXIMITY retrieval: unordered co-occurrence within a
+    // k-token window, the third positional primitive (BM25 = bags,
+    // q161 = exact adjacency, q165 = nearness). Per 2-term query: the
+    // two terms' postings join PER DOC and a pair within distance
+    // [[ProxK]] scores; output is each query's matching docs with the
+    // exact MINIMUM distance and the within-window pair count —
+    // integers, rank-cut by (min_dist asc, n_pairs desc, doc_id). The
+    // per-doc position join is |pos(t1)|·|pos(t2)| — bounded by tf²,
+    // ~25 here and fine for content words; the honest 100-TB caveat is
+    // stop-word pairs, where the standard levers are tf caps or
+    // galloping intersection inside a custom kernel. Shuffle is the
+    // matched-posting mass keyed by (query, doc), same class as q151.
+    "q165_proximity" -> ((s, d) => {
+      import s.implicits._
+      val post = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), posexplode(
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .toDF("doc_id", "pos", "term")
+      val qa = ProximityBatch.map { case (id, a, _) => (id, a) }
+        .toDF("query_id", "term")
+      val qb = ProximityBatch.map { case (id, _, b) => (id, b) }
+        .toDF("query_id", "term")
+      val pa = post.join(broadcast(qa), "term")
+        .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
+      val pb = post.join(broadcast(qb), "term")
+        .select(col("query_id"), col("doc_id"), col("pos").as("pb"))
+      pa.join(pb, Seq("query_id", "doc_id"))
+        .withColumn("dist", abs(col("pa") - col("pb")))
+        .filter(col("dist") >= 1 && col("dist") <= ProxK)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(min(col("dist")).as("min_dist"),
+          count(lit(1)).as("n_pairs"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("min_dist"), col("n_pairs").desc,
+              col("doc_id"))).cast("long"))
+        .filter(col("rk") <= BmTopK)
+        .select(col("query_id"), col("doc_id"), col("min_dist"),
+          col("n_pairs"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
     }),
 
     // q157 — INCREMENTAL index maintenance (normalized-df layout; see
@@ -439,6 +488,38 @@ object Retrieval {
     "q158_bm25_tombstone" -> bm25SqlFrom(
       s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
         s" <> ${Dedup.TombRes})"),
+
+    // q165: the same per-doc position join; 1- vs 0-based positions
+    // cancel in the distance
+    "q165_proximity" -> {
+      val qvals = ProximityBatch
+        .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
+      s"""WITH q(query_id, ta, tb) AS (VALUES $qvals),
+         | tok AS (SELECT doc_id,
+         |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         |     generate_subscripts(
+         |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+         |   FROM documents),
+         | pa AS (SELECT q.query_id, tok.doc_id, tok.pos AS p1
+         |   FROM tok JOIN q ON tok.term = q.ta),
+         | pb AS (SELECT q.query_id, tok.doc_id, tok.pos AS p2
+         |   FROM tok JOIN q ON tok.term = q.tb),
+         | prs AS (SELECT pa.query_id, pa.doc_id, abs(p1 - p2) AS dist
+         |   FROM pa JOIN pb ON pa.query_id = pb.query_id
+         |     AND pa.doc_id = pb.doc_id
+         |   WHERE abs(p1 - p2) BETWEEN 1 AND $ProxK),
+         | agg AS (SELECT query_id, doc_id,
+         |     CAST(min(dist) AS BIGINT) AS min_dist,
+         |     count(*) AS n_pairs
+         |   FROM prs GROUP BY query_id, doc_id),
+         | rk AS (SELECT query_id, doc_id, min_dist, n_pairs,
+         |     row_number() OVER (PARTITION BY query_id
+         |       ORDER BY min_dist, n_pairs DESC, doc_id) AS rk
+         |   FROM agg)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, min_dist,
+         |  n_pairs, rk FROM rk
+         |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
+    },
 
     // q161: the same anchor algebra in SQL — positions are 1-based in
     // DuckDB vs 0-based in Spark, a constant shift that cancels in the
