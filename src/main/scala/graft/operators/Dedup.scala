@@ -1648,6 +1648,44 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q166 — TIME TRAVEL over the versioned label store: the ver column
+    // every fold already writes IS a snapshot mechanism, and this query
+    // proves it end-to-end. Two insertion folds land as ver-1/ver-2
+    // override deltas (fold 2 pairing against fold 1's docs through the
+    // accumulated prefix rows — the q124 machinery); the SERVE reads
+    // AS-OF ver 1: latestWins over the ver-filtered delta must equal
+    // the from-scratch closure over corpus ∪ fold-1 docs ALONE, i.e.
+    // rows appended later are provably invisible to an earlier
+    // snapshot — the lakehouse time-travel contract (Delta/Iceberg
+    // VERSION AS OF) on plain parquet + a ver predicate. Cost: two
+    // delta-bounded folds; the snapshot read itself adds only the
+    // pushed ver filter.
+    "q166_labels_timetravel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tenth = docs.filter(col("doc_id") % 10 === 0)
+      val fold0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
+      val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
+      val base = q120LabelsArtifact(s, d)
+      val dfreq = q120DfArtifact(s, d)
+      val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
+        q120PrefixArtifact(s, d))
+      val d1 = Shared.ckpt(
+        incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
+      val seen = q120Corpus(s, d).unionByName(fold0)
+      val prefixAll = q120PrefixArtifact(s, d)
+        .unionByName(prefixRowsOf(fold0, dfreq))
+      val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
+      val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
+        .withColumn("ver", lit(2L))
+      // the full delta chain is unioned in; the snapshot predicate must
+      // make ver 2 invisible — and Catalyst folds `2 <= 1` to false and
+      // PRUNES that branch entirely, which is the production property
+      // (a snapshot read pays nothing for later appends, the same
+      // pushdown a ver-partitioned store gets as partition pruning)
+      latestWins(base, d1.unionByName(d2).filter(col("ver") <= 1))
+        .orderBy(col("doc_id"))
+    }),
+
     // q163 — span-store DELETION: the retraction verb (see the q163
     // section) — deleted docs leave, touched survivors re-serve with
     // strips RECOMPUTED over survivor state (retraction included),
@@ -2418,6 +2456,26 @@ object Dedup {
         val survivors =
           s"(SELECT * FROM documents WHERE doc_id % $TombMod <> $TombRes)"
         s"""WITH RECURSIVE ${sqlPrefixPairsFrom(survivors)},
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src)
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin
+      },
+
+      // q166: the as-of-ver-1 snapshot must equal the from-scratch
+      // closure over corpus ∪ fold-1 docs ALONE — ver-2 rows provably
+      // invisible
+      "q166_labels_timetravel" -> {
+        val asOf1 = "(SELECT * FROM documents WHERE doc_id % 10 <> 0" +
+          " OR (doc_id // 10) % 2 = 0)"
+        s"""WITH RECURSIVE ${sqlPrefixPairsFrom(asOf1)},
            |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
            |        UNION ALL SELECT doc_b, doc_a FROM p),
            |  reach(src, r) AS (

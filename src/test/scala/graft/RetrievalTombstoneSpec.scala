@@ -355,6 +355,22 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(full === expect)
   }
 
+  // ---- q166 time travel --------------------------------------------------------
+
+  test("q166 snapshot read physically prunes the later fold's subtree") {
+    // the as-of-1 serve: fold-1's labels are a materialized checkpoint,
+    // and fold-2's entire pair+CC subtree must be GONE from the plan
+    // (Catalyst folds ver=2 <= 1 to false and prunes the union branch)
+    // — a snapshot read pays nothing for appends after its version.
+    val df = operators.Dedup.queries("q166_labels_timetravel")(
+      spark, TestSpark.sf)
+    assert(df.count() > 0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("q120_corpus_prefix"),
+      "fold-2 pair machinery survived the snapshot predicate:\n" +
+        p.take(2000))
+  }
+
   // ---- q160 takedown audit ---------------------------------------------------
 
   test("q160 audits the folds, not itself: tomb rows zero post-fold, nonzero unfolded") {
