@@ -278,6 +278,48 @@ object Retrieval {
     1L -> "table hash", 2L -> "customer join", 3L -> "merge order",
     4L -> "filter small", 5L -> "slow hash batch", 6L -> "stream table hash")
 
+  /** How many times the positional posting artifact was written. */
+  private[graft] val posPostingWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once POSITIONAL posting table (term, doc_id, pos), bucketed
+    * by term — the staged layout q161/q165 serve from in production
+    * (the ~2× index-bytes positional price, paid once at build). The
+    * corpus text is tokenized exactly once however many phrase or
+    * proximity batches run afterwards.
+    */
+  private[graft] def posPostingArtifact(s: SparkSession,
+      d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pos_postings",
+      s"$d/documents.parquet", {
+        posPostingWrites.incrementAndGet()
+        Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(regexp_extract_all(
+            lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+          .toDF("doc_id", "pos", "term")
+          .select(col("term"), col("doc_id"), col("pos"))
+      }, 8, Seq("term"))
+
+  /** The q161 anchor-count body over ANY positional posting frame. */
+  private def phraseMatchOver(s: SparkSession,
+      post: DataFrame): DataFrame = {
+    import s.implicits._
+    val pq = PhraseBatch.flatMap { case (id, p) =>
+      val ts = p.split(' ')
+      ts.zipWithIndex.map { case (t, i) =>
+        (id, t, i.toLong, ts.length.toLong)
+      }
+    }.toDF("phrase_id", "term", "off", "plen")
+    post.join(broadcast(pq), "term")
+      .groupBy(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"), col("plen"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
   /** q165's proximity window and term-pair batch (query_id, a, b). */
   private[graft] val ProxK = 4L
   private[graft] val ProximityBatch: Seq[(Long, String, String)] = Seq(
@@ -300,28 +342,21 @@ object Retrieval {
     // postings (term-bucketed, positions as an extra column — ~2× the
     // index bytes, the classic positional-index price); here it is
     // derived inline and the shuffle is the matched-posting mass.
-    "q161_phrase_match" -> ((s, d) => {
-      import s.implicits._
-      val post = Tables.documents(s, d)
+    "q161_phrase_match" -> ((s, d) =>
+      phraseMatchOver(s, Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), posexplode(
-          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-        .toDF("doc_id", "pos", "term")
-      val pq = PhraseBatch.flatMap { case (id, p) =>
-        val ts = p.split(' ')
-        ts.zipWithIndex.map { case (t, i) =>
-          (id, t, i.toLong, ts.length.toLong)
-        }
-      }.toDF("phrase_id", "term", "off", "plen")
-      post.join(broadcast(pq), "term")
-        .groupBy(col("phrase_id"), col("doc_id"),
-          (col("pos") - col("off")).as("anchor"), col("plen"))
-        .agg(count(lit(1)).as("c"))
-        .filter(col("c") === col("plen"))
-        .groupBy(col("phrase_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_occ"))
-        .orderBy(col("phrase_id"), col("doc_id"))
-    }),
+        .select(col("doc_id"), posexplode(regexp_extract_all(
+          lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .toDF("doc_id", "pos", "term"))),
+
+    // q161b — STAGED phrase matching: the same anchor algebra over the
+    // write-once term-bucketed positional posting table. Serving never
+    // touches documents.parquet (plan-asserted), so any number of
+    // phrase/proximity batches amortize one tokenize pass — the
+    // production positional-index shape. Rows identical to q161; one
+    // shared oracle.
+    "q161b_phrase_staged" -> ((s, d) =>
+      phraseMatchOver(s, posPostingArtifact(s, d))),
 
     // q165 — PROXIMITY retrieval: unordered co-occurrence within a
     // k-token window, the third positional primitive (BM25 = bags,
@@ -521,10 +556,15 @@ object Retrieval {
          |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
     },
 
-    // q161: the same anchor algebra in SQL — positions are 1-based in
-    // DuckDB vs 0-based in Spark, a constant shift that cancels in the
-    // anchor equality, so n_occ is engine-identical
-    "q161_phrase_match" -> {
+    // q161/q161b: the same anchor algebra in SQL — positions are
+    // 1-based in DuckDB vs 0-based in Spark, a constant shift that
+    // cancels in the anchor equality, so n_occ is engine-identical;
+    // the staged form is a physical-layout change, one shared replay
+    "q161b_phrase_staged" -> phraseSql,
+    "q161_phrase_match" -> phraseSql
+  )
+
+  private lazy val phraseSql: String = {
       val pqVals = PhraseBatch.flatMap { case (id, p) =>
         val ts = p.split(' ')
         ts.zipWithIndex.map { case (t, i) =>
@@ -547,6 +587,5 @@ object Retrieval {
          |   FROM a WHERE c = plen GROUP BY phrase_id, doc_id)
          |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id, n_occ
          |FROM occ ORDER BY phrase_id, doc_id""".stripMargin
-    }
-  )
+  }
 }

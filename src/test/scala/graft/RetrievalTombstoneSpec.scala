@@ -292,6 +292,24 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       s"phrase anchors wrong: $got")
   }
 
+  test("q161b staged phrase serving matches q161 and never rescans documents") {
+    val a = Retrieval.queries("q161_phrase_match")(spark, TestSpark.sf)
+      .collect()
+    val bDf = Retrieval.queries("q161b_phrase_staged")(spark, TestSpark.sf)
+    val b = bDf.collect()
+    assert(a.nonEmpty && a.toSeq === b.toSeq,
+      "positional staging changed phrase semantics")
+    val p = bDf.queryExecution.executedPlan.toString
+    assert(p.contains("pos_postings"),
+      s"no staged positional scan:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      "staged phrase serving re-tokenized the corpus")
+    val w0 = Retrieval.posPostingWrites.get()
+    Retrieval.queries("q161b_phrase_staged")(spark, TestSpark.sf).collect()
+    assert(Retrieval.posPostingWrites.get() === w0,
+      "warm phrase serving re-built the positional index")
+  }
+
   test("q162 deletion is visible and the partition pruning survives the anti-join") {
     val served = operators.Layout.queries("q162_layout_tombstone")(
       spark, TestSpark.sf)
