@@ -326,6 +326,34 @@ object Retrieval {
     (1L, "hash", "join"), (2L, "table", "scan"),
     (3L, "merge", "slow"), (4L, "customer", "query"))
 
+  /** The q165 within-k body over ANY positional posting frame. */
+  private def proximityOver(s: SparkSession,
+      post: DataFrame): DataFrame = {
+    import s.implicits._
+    val qa = ProximityBatch.map { case (id, a, _) => (id, a) }
+      .toDF("query_id", "term")
+    val qb = ProximityBatch.map { case (id, _, b) => (id, b) }
+      .toDF("query_id", "term")
+    val pa = post.join(broadcast(qa), "term")
+      .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
+    val pb = post.join(broadcast(qb), "term")
+      .select(col("query_id"), col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("query_id", "doc_id"))
+      .withColumn("dist", abs(col("pa") - col("pb")))
+      .filter(col("dist") >= 1 && col("dist") <= ProxK)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("dist")).as("min_dist"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("min_dist"), col("n_pairs").desc,
+            col("doc_id"))).cast("long"))
+      .filter(col("rk") <= BmTopK)
+      .select(col("query_id"), col("doc_id"), col("min_dist"),
+        col("n_pairs"), col("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q161 — PHRASE MATCH: exact consecutive-token phrases over a
     // positional posting list, the second classic retrieval primitive
@@ -370,36 +398,18 @@ object Retrieval {
     // stop-word pairs, where the standard levers are tf caps or
     // galloping intersection inside a custom kernel. Shuffle is the
     // matched-posting mass keyed by (query, doc), same class as q151.
-    "q165_proximity" -> ((s, d) => {
-      import s.implicits._
-      val post = Tables.documents(s, d)
+    "q165_proximity" -> ((s, d) =>
+      proximityOver(s, Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), posexplode(
-          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-        .toDF("doc_id", "pos", "term")
-      val qa = ProximityBatch.map { case (id, a, _) => (id, a) }
-        .toDF("query_id", "term")
-      val qb = ProximityBatch.map { case (id, _, b) => (id, b) }
-        .toDF("query_id", "term")
-      val pa = post.join(broadcast(qa), "term")
-        .select(col("query_id"), col("doc_id"), col("pos").as("pa"))
-      val pb = post.join(broadcast(qb), "term")
-        .select(col("query_id"), col("doc_id"), col("pos").as("pb"))
-      pa.join(pb, Seq("query_id", "doc_id"))
-        .withColumn("dist", abs(col("pa") - col("pb")))
-        .filter(col("dist") >= 1 && col("dist") <= ProxK)
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(min(col("dist")).as("min_dist"),
-          count(lit(1)).as("n_pairs"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("min_dist"), col("n_pairs").desc,
-              col("doc_id"))).cast("long"))
-        .filter(col("rk") <= BmTopK)
-        .select(col("query_id"), col("doc_id"), col("min_dist"),
-          col("n_pairs"), col("rk"))
-        .orderBy(col("query_id"), col("rk"))
-    }),
+        .select(col("doc_id"), posexplode(regexp_extract_all(
+          lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+        .toDF("doc_id", "pos", "term"))),
+
+    // q165b — staged proximity: the within-k body over the write-once
+    // positional table q161b shares — one tokenize pass serves every
+    // positional primitive. Rows identical to q165; one shared oracle.
+    "q165b_proximity_staged" -> ((s, d) =>
+      proximityOver(s, posPostingArtifact(s, d))),
 
     // q157 — INCREMENTAL index maintenance (normalized-df layout; see
     // the section comment): batch postings appended, df/stats merged by
@@ -524,37 +534,11 @@ object Retrieval {
       s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
         s" <> ${Dedup.TombRes})"),
 
-    // q165: the same per-doc position join; 1- vs 0-based positions
-    // cancel in the distance
-    "q165_proximity" -> {
-      val qvals = ProximityBatch
-        .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
-      s"""WITH q(query_id, ta, tb) AS (VALUES $qvals),
-         | tok AS (SELECT doc_id,
-         |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-         |     generate_subscripts(
-         |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-         |   FROM documents),
-         | pa AS (SELECT q.query_id, tok.doc_id, tok.pos AS p1
-         |   FROM tok JOIN q ON tok.term = q.ta),
-         | pb AS (SELECT q.query_id, tok.doc_id, tok.pos AS p2
-         |   FROM tok JOIN q ON tok.term = q.tb),
-         | prs AS (SELECT pa.query_id, pa.doc_id, abs(p1 - p2) AS dist
-         |   FROM pa JOIN pb ON pa.query_id = pb.query_id
-         |     AND pa.doc_id = pb.doc_id
-         |   WHERE abs(p1 - p2) BETWEEN 1 AND $ProxK),
-         | agg AS (SELECT query_id, doc_id,
-         |     CAST(min(dist) AS BIGINT) AS min_dist,
-         |     count(*) AS n_pairs
-         |   FROM prs GROUP BY query_id, doc_id),
-         | rk AS (SELECT query_id, doc_id, min_dist, n_pairs,
-         |     row_number() OVER (PARTITION BY query_id
-         |       ORDER BY min_dist, n_pairs DESC, doc_id) AS rk
-         |   FROM agg)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, min_dist,
-         |  n_pairs, rk FROM rk
-         |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
-    },
+    // q165/q165b: the same per-doc position join; 1- vs 0-based
+    // positions cancel in the distance; the staged form shares the
+    // replay (physical layout only)
+    "q165b_proximity_staged" -> proximitySql,
+    "q165_proximity" -> proximitySql,
 
     // q161/q161b: the same anchor algebra in SQL — positions are
     // 1-based in DuckDB vs 0-based in Spark, a constant shift that
@@ -563,6 +547,36 @@ object Retrieval {
     "q161b_phrase_staged" -> phraseSql,
     "q161_phrase_match" -> phraseSql
   )
+
+  private lazy val proximitySql: String = {
+    val qvals = ProximityBatch
+      .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
+    s"""WITH q(query_id, ta, tb) AS (VALUES $qvals),
+       | tok AS (SELECT doc_id,
+       |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |     generate_subscripts(
+       |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |   FROM documents),
+       | pa AS (SELECT q.query_id, tok.doc_id, tok.pos AS p1
+       |   FROM tok JOIN q ON tok.term = q.ta),
+       | pb AS (SELECT q.query_id, tok.doc_id, tok.pos AS p2
+       |   FROM tok JOIN q ON tok.term = q.tb),
+       | prs AS (SELECT pa.query_id, pa.doc_id, abs(p1 - p2) AS dist
+       |   FROM pa JOIN pb ON pa.query_id = pb.query_id
+       |     AND pa.doc_id = pb.doc_id
+       |   WHERE abs(p1 - p2) BETWEEN 1 AND $ProxK),
+       | agg AS (SELECT query_id, doc_id,
+       |     CAST(min(dist) AS BIGINT) AS min_dist,
+       |     count(*) AS n_pairs
+       |   FROM prs GROUP BY query_id, doc_id),
+       | rk AS (SELECT query_id, doc_id, min_dist, n_pairs,
+       |     row_number() OVER (PARTITION BY query_id
+       |       ORDER BY min_dist, n_pairs DESC, doc_id) AS rk
+       |   FROM agg)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, min_dist,
+       |  n_pairs, rk FROM rk
+       |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
+  }
 
   private lazy val phraseSql: String = {
       val pqVals = PhraseBatch.flatMap { case (id, p) =>
