@@ -249,6 +249,124 @@ object Bucketed {
       }
     }
 
+  // ---- retention vacuum over a versioned override store -------------------
+
+  /** [[compactSwap]] generalized from "truncate the delta" to "retain the
+    * suffix": fold override rows with `ver` ≤ `horizon` into the base
+    * (the caller supplies the latest-wins-as-of-horizon `merged` frame)
+    * and KEEP the rows above the horizon — the retention GC a versioned
+    * store needs so the override chain's length is bounded by the
+    * retention window, never by total folded mass. The redo marker
+    * CARRIES the horizon as its content, so a crash between the base
+    * swap and the delta rewrite replays the exact filter; the one-row
+    * `meta` table records the store's as-of floor durably (serving reads
+    * it to fail loudly on a snapshot request older than the horizon).
+    * Crash safety class: latest-wins — a suffix row re-applied over an
+    * already-folded base serves identical rows (spec'd in CompactSpec's
+    * q167 crash test).
+    */
+  private[graft] def vacuumSwap(s: SparkSession, db: String, base: String,
+      delta: String, marker: String, meta: String, merged: => DataFrame,
+      horizon: Long, verCol: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    withArtifactLock(db, base) {
+      withArtifactLock(db, delta) {
+        withFsLease(s, db, base) {
+          vacuumRecoverLocked(s, db, base, delta, marker, meta, verCol,
+            buckets, keys)
+          val m = merged // builds any missing artifact inputs (re-entrant)
+          rewriteBucketed(s, db, s"${base}_next", m, buckets, keys)
+          // the retained suffix must materialize BEFORE the delta table
+          // is dropped out from under the frame that reads it
+          val keep = Shared.ckpt(
+            s.table(s"$db.$delta").filter(col(verCol) > horizon))
+          val mk = warehousePath(s, db, marker)
+          val fs = fsOf(s, mk)
+          fs.mkdirs(mk.getParent)
+          val out = fs.create(mk, true)
+          out.write(horizon.toString.getBytes("UTF-8"))
+          out.close()
+          s.sql(s"DROP TABLE IF EXISTS $db.$base")
+          s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+          rewriteBucketed(s, db, delta, keep, buckets, keys)
+          writeMeta(s, db, meta, horizon)
+          fs.delete(mk, false)
+        }
+      }
+    }
+
+  private def writeMeta(s: SparkSession, db: String, meta: String,
+      horizon: Long): Unit = {
+    import s.implicits._
+    rewriteBucketed(s, db, meta,
+      Seq((0L, horizon)).toDF("k", "horizon"), 1, Seq("k"))
+  }
+
+  /** The store's durable as-of floor (0 until the first vacuum). */
+  private[graft] def vacuumHorizon(s: SparkSession, db: String,
+      meta: String): Long =
+    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.$meta"))
+      s.table(s"$db.$meta").select(max(col("horizon"))).head().getLong(0)
+    else 0L
+
+  /** Roll an interrupted [[vacuumSwap]] forward (idempotent; no-op
+    * without the marker). Run by the vacuum and by every serving path.
+    */
+  private[graft] def vacuumRecover(s: SparkSession, db: String,
+      base: String, delta: String, marker: String, meta: String,
+      verCol: String, buckets: Int, keys: Seq[String]): Unit =
+    withArtifactLock(db, base) {
+      withArtifactLock(db, delta) {
+        vacuumRecoverLocked(s, db, base, delta, marker, meta, verCol,
+          buckets, keys)
+      }
+    }
+
+  private def vacuumRecoverLocked(s: SparkSession, db: String,
+      base: String, delta: String, marker: String, meta: String,
+      verCol: String, buckets: Int, keys: Seq[String]): Unit = {
+    val mk = warehousePath(s, db, marker)
+    val fs = fsOf(s, mk)
+    if (!fs.exists(mk)) return
+    val horizon = {
+      val in = fs.open(mk)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      new String(bytes.toByteArray, "UTF-8").trim.toLong
+    }
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.${base}_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.$base")
+        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+      }
+      if (s.catalog.tableExists(s"$db.$delta")) {
+        val keep = Shared.ckpt(
+          s.table(s"$db.$delta").filter(col(verCol) > horizon))
+        rewriteBucketed(s, db, delta, keep, buckets, keys)
+      }
+    } else {
+      // fresh process over an in-memory catalog: replay at the FS level
+      // (the recoverLocked shape), reading the delta dir directly
+      val baseDir = warehousePath(s, db, base)
+      val nextDir = warehousePath(s, db, s"${base}_next")
+      val deltaDir = warehousePath(s, db, delta)
+      if (fs.exists(nextDir)) {
+        if (fs.exists(baseDir)) fs.delete(baseDir, true)
+        fs.rename(nextDir, baseDir)
+      }
+      if (fs.exists(deltaDir)) {
+        val keep = Shared.ckpt(s.read.parquet(deltaDir.toString)
+          .filter(col(verCol) > horizon))
+        rewriteBucketed(s, db, delta, keep, buckets, keys)
+      }
+    }
+    writeMeta(s, db, meta, horizon)
+    fs.delete(mk, false)
+  }
+
   /** Roll an interrupted [[compactSwap]] forward (idempotent; no-op
     * without the marker). Run by both the compaction and serving paths.
     */

@@ -910,6 +910,108 @@ object Dedup {
     latestWins(q126BaseArtifact(s, d), q126DeltaArtifact(s, d))
   }
 
+  // ---- q167: RETENTION VACUUM over the versioned label store --------------
+  //
+  // q166 proved the ver column is a snapshot mechanism; without GC the
+  // override chain grows with total folded mass forever — the one
+  // unbounded store left after the compaction family. q167 adds the
+  // retention verb: fold every delta row with ver ≤ horizon into the
+  // base (latest-wins as-of-horizon) and RETAIN only the suffix, via
+  // [[Bucketed.vacuumSwap]] (redo marker carries the horizon; one-row
+  // q167_meta records the as-of floor durably). Contracts:
+  //  - serving at LATEST is unchanged by the vacuum (latest-wins is
+  //    associative over the fold: base⊕d1⊕d2 = (base⊕d1)⊕d2);
+  //  - as-of v ≥ horizon still serves exactly (base-as-of-horizon ⊕
+  //    suffix ≤ v);
+  //  - as-of v < horizon FAILS LOUDLY ([[q167AsOf]]) — vacuumed versions
+  //    are unrecoverable by design, the Delta/Iceberg VACUUM contract.
+  // Chain-length law (SCALING.md): post-vacuum delta mass = the
+  // retention suffix only, bounded by the window, never total history.
+
+  /** The q167 retention horizon: vers ≤ 1 fold into the base. */
+  private[graft] val Q167Horizon = 1L
+
+  /** q167's own copy of the corpus labels (the vacuum rewrites it; the
+    * shared q120 artifact stays pristine — the q126 namespacing rule).
+    */
+  private[graft] def q167BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q167_labels_base",
+      s"$d/documents.parquet", q120LabelsArtifact(s, d), 8, Seq("doc_id"))
+
+  /** Spec counter: how many times the q167 delta chain was STAGED. */
+  private[graft] val q167DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The staged override chain — the q166 two-fold arc written once as a
+    * ver-columned delta table (ver 1 = first tenth-half fold, ver 2 =
+    * second, fold 2 pairing against fold 1's docs through the
+    * accumulated prefix rows — the q124 machinery).
+    */
+  private[graft] def q167DeltaArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q167_labels_delta",
+      s"$d/documents.parquet", {
+        q167DeltaWrites.incrementAndGet()
+        val docs = Tables.documents(s, d)
+        val tenth = docs.filter(col("doc_id") % 10 === 0)
+        val fold0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
+        val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
+        val base = q120LabelsArtifact(s, d)
+        val dfreq = q120DfArtifact(s, d)
+        val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
+          q120PrefixArtifact(s, d))
+        val d1 = Shared.ckpt(
+          incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
+        val seen = q120Corpus(s, d).unionByName(fold0)
+        val prefixAll = q120PrefixArtifact(s, d)
+          .unionByName(prefixRowsOf(fold0, dfreq))
+        val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
+        val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
+          .withColumn("ver", lit(2L))
+        d1.unionByName(d2)
+      }, 8, Seq("doc_id"))
+
+  private[graft] def q167Recover(s: SparkSession, d: String): Unit =
+    Bucketed.vacuumRecover(s, Bucketed.dbFor(d), "q167_labels_base",
+      "q167_labels_delta", "q167_vacuum_pending", "q167_meta", "ver",
+      8, Seq("doc_id"))
+
+  /** Run the vacuum at `horizon`: base ← latest-wins(base, vers ≤
+    * horizon), delta ← suffix, meta ← horizon — crash-safe via the
+    * horizon-carrying redo marker.
+    */
+  private[graft] def q167Vacuum(s: SparkSession, d: String,
+      horizon: Long): Unit =
+    Bucketed.vacuumSwap(s, Bucketed.dbFor(d), "q167_labels_base",
+      "q167_labels_delta", "q167_vacuum_pending", "q167_meta",
+      latestWins(q167BaseArtifact(s, d),
+        q167DeltaArtifact(s, d).filter(col("ver") <= horizon)),
+      horizon, "ver", 8, Seq("doc_id"))
+
+  private[graft] def q167HorizonOf(s: SparkSession, d: String): Long =
+    Bucketed.vacuumHorizon(s, Bucketed.dbFor(d), "q167_meta")
+
+  /** Snapshot read AS-OF `v`. Below the vacuum horizon the store cannot
+    * reconstruct the state (the folded prefix is gone) — fail loudly
+    * instead of serving a silently-wrong newer snapshot.
+    */
+  private[graft] def q167AsOf(s: SparkSession, d: String, v: Long): DataFrame = {
+    q167Recover(s, d)
+    val h = q167HorizonOf(s, d)
+    require(v >= h,
+      s"as-of $v predates the q167 vacuum horizon $h — vacuumed versions " +
+        "are unrecoverable")
+    latestWins(q167BaseArtifact(s, d),
+      q167DeltaArtifact(s, d).filter(col("ver") <= v))
+  }
+
+  /** Serve at latest: recover, then latest-wins over base ∪ whatever of
+    * the chain retention kept.
+    */
+  private[graft] def q167Serve(s: SparkSession, d: String): DataFrame = {
+    q167Recover(s, d)
+    latestWins(q167BaseArtifact(s, d), q167DeltaArtifact(s, d))
+  }
+
   // ---- q130: posting-store COMPACTION ------------------------------------
   //
   // q124's honest scale caveat (SCALING.md): the accumulated batch posting
@@ -1686,6 +1788,21 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q167 — RETENTION VACUUM (see the q167 section comment): stage the
+    // two-fold versioned chain, vacuum vers ≤ [[Q167Horizon]] into the
+    // base, serve at latest. The correctness gate covers the whole arc —
+    // rows must equal the from-scratch closure over the FULL corpus
+    // whether the vacuum ran this session, a previous one, or crashed
+    // mid-swap (the serve path rolls it forward first). Chain GC is the
+    // point: post-vacuum the delta holds only the retention suffix.
+    "q167_labels_vacuum" -> ((s, d) => {
+      q167Recover(s, d)
+      if (q167DeltaArtifact(s, d).filter(col("ver") <= Q167Horizon)
+          .limit(1).count() > 0)
+        q167Vacuum(s, d, Q167Horizon)
+      q167Serve(s, d).orderBy(col("doc_id"))
+    }),
+
     // q163 — span-store DELETION: the retraction verb (see the q163
     // section) — deleted docs leave, touched survivors re-serve with
     // strips RECOMPUTED over survivor state (retraction included),
@@ -2445,6 +2562,15 @@ object Dedup {
       // the oracle is the from-scratch q73 recursive closure over the
       // FULL corpus (old nine tenths + new tenth), nothing incremental
       "q120_incremental_labels" ->
+        s"""WITH RECURSIVE $sqlRepsCte
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q167: the vacuum must be invisible at latest — the same
+      // from-scratch full-corpus closure as q120 (the two-ver fold arc
+      // lands on the identical final state)
+      "q167_labels_vacuum" ->
         s"""WITH RECURSIVE $sqlRepsCte
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size

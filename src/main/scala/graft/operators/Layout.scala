@@ -154,6 +154,19 @@ object Layout {
     layoutDir(s, d) + s"_delta$k"
 
   /** Frozen corpus layout (event_id % 10 != 0) + its cuts sidecar. */
+  /** q162's landed event tombstones (event_id) — write-once staged side
+    * table (the q155_tombs shape): takedowns land O(|tombstones|) rows
+    * once, and every box serve broadcasts THIS instead of re-deriving
+    * the set from a raw events scan.
+    */
+  private[graft] def q162TombArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q162_tombs",
+      s"$d/events.parquet",
+      Tables.events(s, d)
+        .filter(pmod(col("event_id"), lit(Dedup.TombMod)) === Dedup.TombRes)
+        .select(col("event_id")),
+      8, Seq("event_id"))
+
   private[graft] def zBase(s: SparkSession, d: String): String = {
     buildBaseStore(s, d, baseDir(s, d), baseCutsDir(s, d))
     baseDir(s, d)
@@ -449,21 +462,23 @@ object Layout {
     }),
 
     // q162 — layout DELETION: the takedown verb for the z-order store.
-    // Tombstoned event ids land as a broadcast side set and are
-    // anti-joined out of the box serve BELOW the aggregation but AFTER
-    // the partition pruning (see [[serveBox]]) — the layout's files and
-    // frozen cuts are untouched on the landing path, exactly the
-    // q155/q158 LSM shape. Physical drop rides the q144 trigger →
-    // q145 re-layout cadence. Oracle: the identical box (bounds still
-    // from ALL events — the cuts are frozen) over the raw SURVIVORS,
-    // so the logical delete is hash-proven complete.
+    // Tombstoned event ids LAND ONCE as a write-once side table (the
+    // q155_tombs shape — O(|tombstones|) rows staged at takedown time)
+    // and are broadcast-anti-joined out of the box serve BELOW the
+    // aggregation but AFTER the partition pruning (see [[serveBox]]) —
+    // the layout's files and frozen cuts are untouched on the landing
+    // path, and the SERVE path probes only the staged side set, never
+    // rescanning the raw events table (round-11 advice: the inline
+    // filter made every serve pay a source scan the landed-set model
+    // claims to avoid). Physical drop rides the q144 trigger → q145
+    // re-layout cadence. Oracle: the identical box (bounds still from
+    // ALL events — the cuts are frozen) over the raw SURVIVORS, so the
+    // logical delete is hash-proven complete.
     "q162_layout_tombstone" -> ((s, d) => {
       val base = zBase(s, d)
       val deltas = Seq(zDelta(s, d, 0), zDelta(s, d, 1))
-      val tombs = Tables.events(s, d)
-        .filter(pmod(col("event_id"), lit(Dedup.TombMod)) === Dedup.TombRes)
-        .select(col("event_id"))
-      serveBox(s, base +: deltas, baseCutsDir(s, d), Some(tombs))
+      serveBox(s, base +: deltas, baseCutsDir(s, d),
+        Some(q162TombArtifact(s, d)))
     }),
 
     // q144 — RE-LAYOUT TRIGGER as data (the q131 pattern for the layout

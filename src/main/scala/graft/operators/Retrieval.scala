@@ -95,6 +95,28 @@ object Retrieval {
           (lit(0.25d) + lit(0.75d) * col("len") / col("avgdl"))) *
         lit(10000.0d)).cast("long")
 
+  /** q151b's textbook scorer: [[scoreE4]] with the marked factor swapped
+    * to `ln(1 + idf_r)` — i.e. the standard Robertson idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)` production BM25 consumers
+    * expect. `ln` is the one sub-ulp JVM-vs-DuckDB libm divergence point
+    * the operator suite's oracle contract excludes, so this row is
+    * `no_oracle` by design (the q12b class); its correctness gate is the
+    * RetrievalSpec tolerance contract instead — per-query top-k SETS
+    * match the rational form (the per-term transform is strictly
+    * monotone, so per-term ranks are identical; cross-term sums can in
+    * principle reorder, which is exactly what the spec measures and
+    * bounds, promoting SCALING.md's round-12 brute-force audit — 40/40
+    * set agreement at three tiers — to a permanent gate).
+    */
+  private def scoreE4Ln: org.apache.spark.sql.Column =
+    round(
+      log(lit(1.0d) +
+        (col("n_docs") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))) *
+        (col("tf") * lit(2.2d)) /
+        (col("tf") + lit(1.2d) *
+          (lit(0.25d) + lit(0.75d) * col("len") / col("avgdl"))) *
+        lit(10000.0d)).cast("long")
+
   /** Rank matched (query, doc) score sums and keep the top [[BmTopK]]
     * per query — integer-exact ordering (score_e4 desc, doc_id), so the
     * cut is tie-unambiguous across engines.
@@ -217,7 +239,7 @@ object Retrieval {
   }
 
   /** Merge two ONE-ROW stats tables by addition. Deliberately a
-    * crossJoin of the two scans, NOT `union.groupBy(k)`: Spark 4.1
+    * full-outer join on the key, NOT `union.groupBy(k)`: Spark 4.1
     * plans an aggregate keyed on the bucket column directly above a
     * Union of two same-bucket-spec catalog tables WITHOUT the merge
     * exchange (each table's partial lands in its own partition and the
@@ -227,15 +249,21 @@ object Retrieval {
     * join's co-partitioning strictly), which is why the q122/q126/q130
     * serving unions are safe — the hazard is bucket-key AGGREGATES
     * above table unions, and every monoid merge in this file avoids
-    * the shape.
+    * the shape. Full-outer with zero fill (mergeDf's shape, replacing
+    * the round-12 crossJoin): an EMPTY side — an empty batch split, an
+    * empty q159 shard glob — contributes zeros instead of annihilating
+    * the merge into zero rows and silently serving nothing.
     */
   private[graft] def mergeStats(a: DataFrame, b: DataFrame,
       sign: Int): DataFrame =
-    a.crossJoin(b.select(col("n_docs").as("b_n"),
-        col("sum_len").as("b_len")))
+    a.select(col("k"), col("n_docs").as("a_n"), col("sum_len").as("a_len"))
+      .join(b.select(col("k"), col("n_docs").as("b_n"),
+        col("sum_len").as("b_len")), Seq("k"), "full_outer")
       .select(col("k"),
-        (col("n_docs") + lit(sign.toLong) * col("b_n")).as("n_docs"),
-        (col("sum_len") + lit(sign.toLong) * col("b_len")).as("sum_len"))
+        (coalesce(col("a_n"), lit(0L)) +
+          lit(sign.toLong) * coalesce(col("b_n"), lit(0L))).as("n_docs"),
+        (coalesce(col("a_len"), lit(0L)) +
+          lit(sign.toLong) * coalesce(col("b_len"), lit(0L))).as("sum_len"))
 
   /** Merge df tables by the count monoid (full outer on term, zeros
     * fill) — or, negated, retract one from the other.
@@ -448,22 +476,13 @@ object Retrieval {
     // query terms broadcast, integer-exact rank cut. The df agg and the
     // (query, doc) partial-sum agg are the only shuffles; both are
     // match-mass-sized, with map-side partial aggregation.
-    "q151_bm25_topk" -> ((s, d) => {
-      val tf = tfOf(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val stats = tf.select(col("doc_id"), col("len")).distinct()
-        .agg(count(lit(1)).as("n_docs"),
-          (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
-      val matched = broadcast(queryDf(s))
-        .join(tf, "term").join(dfreq, "term")
-        .crossJoin(broadcast(stats))
-      val scored = matched
-        .withColumn("s_e4", scoreE4)
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(count(lit(1)).as("n_hit"), sum(col("s_e4")).as("score_e4"))
-      topkOf(scored)
-    }),
+    "q151_bm25_topk" -> ((s, d) => bm25SelfContained(s, d, scoreE4)),
+
+    // q151b — TEXTBOOK BM25 (ln idf): identical pipeline with the marked
+    // idf factor swapped to ln(1 + idf_r). no_oracle by design (`ln` is
+    // outside the suite's transcendental-free oracle contract); gated by
+    // RetrievalSpec's permanent set-agreement tolerance vs q151.
+    "q151b_bm25_ln" -> ((s, d) => bm25SelfContained(s, d, scoreE4Ln)),
 
     // q152 — staged BM25 serving: broadcast query terms probe the
     // write-once term-bucketed posting table (no corpus scan, no posting
@@ -482,6 +501,29 @@ object Retrieval {
       topkOf(scored)
     })
   )
+
+  /** The q151 self-contained body, scorer-parameterized so q151 (rational
+    * idf, oracle-exact) and q151b (textbook ln idf, tolerance-gated)
+    * share one pipeline: tf/df/len from the corpus scan, query terms
+    * broadcast, integer-exact rank cut.
+    */
+  private def bm25SelfContained(s: SparkSession, d: String,
+      scorer: org.apache.spark.sql.Column): DataFrame = {
+    val tf = tfOf(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.select(col("doc_id"), col("len")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
+    val matched = broadcast(queryDf(s))
+      .join(tf, "term").join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+    val scored = matched
+      .withColumn("s_e4", scorer)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("s_e4")).as("score_e4"))
+    topkOf(scored)
+  }
 
   /** One BM25 oracle over an arbitrary docs relation — shared verbatim
     * by every physical shape (inline, staged, incrementally maintained)

@@ -669,11 +669,18 @@ object StreamingQueries {
           .filter(expr(s"(doc_id div ${Dedup.TombMod}) % $folds") === k),
           "fold", k)
       val base = Dedup.labelsArtifact(s, d)
+      // ver-keyed fold dirs with mode=overwrite (the q159/q150
+      // redelivery shape): a redelivered micro-batch REWRITES its own
+      // dir byte-identically instead of appending beside a partial
+      // earlier attempt, so at-least-once delivery yields exactly-once
+      // override state structurally — latest-wins never has to mask
+      // duplicate or partial ver rows (round-11 advice).
       val deltaDir = dir.resolve("labels_delta").toString
-      base.limit(0).withColumn("ver", lit(0L)).write.parquet(deltaDir)
+      base.limit(0).withColumn("ver", lit(0L))
+        .write.parquet(s"$deltaDir/ver=0")
+      def deltaAll(): DataFrame = s.read.parquet(s"$deltaDir/ver=*")
       def currentAt(ver: Long): DataFrame =
-        Dedup.latestWins(base,
-          s.read.parquet(deltaDir).filter(col("ver") < ver))
+        Dedup.latestWins(base, deltaAll().filter(col("ver") < ver))
           .filter(col("cluster_size") > 0)
       def fold(t: DataFrame, ver: Long): Unit = {
         val current = currentAt(ver)
@@ -690,7 +697,7 @@ object StreamingQueries {
           .select(col("doc_id"), col("doc_id").as("rep"),
             lit(0L).as("cluster_size"))
         relabeled.unionByName(dropped).withColumn("ver", lit(ver))
-          .write.mode("append").parquet(deltaDir)
+          .write.mode("overwrite").parquet(s"$deltaDir/ver=$ver")
       }
       val stream = s.readStream
         .schema(Dedup.tombstonesOf(docs).schema)
@@ -705,7 +712,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      Dedup.latestWins(base, s.read.parquet(deltaDir))
+      Dedup.latestWins(base, deltaAll())
         .filter(col("cluster_size") > 0)
         .select(col("doc_id"), col("rep"), col("cluster_size"))
         .orderBy(col("doc_id"))

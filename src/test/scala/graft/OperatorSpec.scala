@@ -975,6 +975,77 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.toSeq === kept.toSeq)
   }
 
+  test("q36b trained IVF: exhaustive on shipped tiers, >=8/10 clustered at a ~10% probe") {
+    // Three measured regimes (round-12; fixed seed, deterministic):
+    //  1. the SHIPPED uniform tiers (500/500/2000 vectors) train <= 8
+    //     leaves, so the 9-leaf probe is exhaustive — recall 10/10, but
+    //     trivially; asserted to pin the end-to-end plumbing;
+    //  2. planted 20.4k clustered corpora (16 random Gaussian clusters +
+    //     one around the query; sigma 0.25 tight / 0.5 loose), 85 trained
+    //     leaves, probe 9 ~ 10% of mass: measured 10/10 at BOTH sigmas
+    //     (q36's fixed grid: 10/10 and 9/10) — the regime real embedding
+    //     corpora live in, floored at 8/10;
+    //  3. planted 20k UNIFORM: measured 3/10 (q36: 2/10) — uniform
+    //     high-dim data defeats ANY cell quantizer at a fixed probe
+    //     budget (neighbors scatter across cell borders); disclosed in
+    //     SCALING.md, asserted only >= q36's grid so the trained path
+    //     never regresses below the untrained one.
+    import spark.implicits._
+    val qv = operators.Pipeline.queryVec
+    val qn = operators.Pipeline.queryVecNorm
+    def recallOn(dir: String): (Int, Int) = {
+      val stored = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      val exact = stored.map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        val dt = vd.zip(qv).map { case (a, b) => a * b }.sum
+        (id, dt / (math.sqrt(vd.map(x => x * x).sum) * qn))
+      }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      val got = SparkEntry.queries("q36b_ann_ivf_trained")(spark, dir)
+        .select("vec_id").as[Long].collect().toSet
+      val got36 = SparkEntry.queries("q36_ann_ivf")(spark, dir)
+        .select("vec_id").as[Long].collect().toSet
+      (exact.intersect(got).size, exact.intersect(got36).size)
+    }
+    // 1. shipped tier — exhaustive-probe regime
+    val (shipped, _) = recallOn(sf)
+    assert(shipped === 10, s"q36b shipped-tier recall $shipped/10")
+    val dim = 64
+    // 2. clustered at scale — a REAL probe subset (85 leaves, 9 probed)
+    for (sigma <- Seq(0.25, 0.5)) {
+      val rnd = new scala.util.Random(2026)
+      val centroids =
+        Seq.fill(16)(Seq.fill(dim)(rnd.nextGaussian())) :+ qv
+      val rows = for {
+        (c, j) <- centroids.zipWithIndex
+        m <- 0 until 1200
+      } yield (j * 10000L + m,
+        c.map(x => (x + sigma * rnd.nextGaussian()).toFloat), j)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q36b").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val nLeaves = operators.Similarity.cellsArtifact(spark, dir)
+        .select("cid").distinct().count()
+      assert(nLeaves > operators.Similarity.TrainedProbeBudget * 2,
+        s"fixture degenerate: $nLeaves leaves - probe not a real subset")
+      val (r, r36) = recallOn(dir)
+      info(s"q36b clustered recall at sigma=$sigma: $r/10 (q36: $r36/10, $nLeaves leaves)")
+      assert(r >= 8, s"q36b recall $r/10 below 8/10 at sigma=$sigma")
+    }
+    // 3. uniform at scale — the disclosed no-free-lunch regime
+    val rnd = new scala.util.Random(2026)
+    val urows = (0 until 20000).map { i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat), i % 10)
+    }
+    val udir = java.nio.file.Files.createTempDirectory("graft_q36bu").toString
+    urows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$udir/embeddings.parquet")
+    val (ru, ru36) = recallOn(udir)
+    info(s"q36b planted-uniform recall: $ru/10 (q36: $ru36/10)")
+    assert(ru >= ru36,
+      s"trained cells ($ru/10) regressed below the untrained grid ($ru36/10)")
+  }
+
   test("q36 IVF recall on clustered embeddings meets the 60% floor") {
     // The synthetic testdata is uniform — the worst case for any cell
     // quantizer (measured 2/10 there, documented in Similarity.scala).

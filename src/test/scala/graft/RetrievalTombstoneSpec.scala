@@ -80,6 +80,58 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(top1 >= 7, s"top-1 agreement dropped to $top1/8")
   }
 
+  test("q151b textbook-ln BM25 reproduces the rational form's top-5 sets (permanent gate)") {
+    // q151b is no_oracle by design (ln is outside the transcendental-free
+    // oracle contract) — THIS assert is its correctness gate, promoting
+    // the brute-force audit above from a measurement to a permanent
+    // contract on the registered query itself: per-query top-5 SETS and
+    // per-(query, doc) n_hit must agree with the rational form (the
+    // per-term idf transform is strictly monotone; only cross-term sums
+    // could reorder, and on this corpus they don't).
+    val r = Retrieval.queries("q151_bm25_topk")(spark, TestSpark.sf).collect()
+    val l = Retrieval.queries("q151b_bm25_ln")(spark, TestSpark.sf).collect()
+    assert(l.nonEmpty && l.length === r.length)
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+    val sr = sets(r); val sl = sets(l)
+    assert(sr.keySet === sl.keySet, "query id sets diverged")
+    val agree = sr.keys.toSeq.map(q => sr(q).intersect(sl(q)).size).sum
+    val total = sr.values.toSeq.map(_.size).sum
+    assert(agree === total,
+      s"ln-idf top-5 set agreement dropped to $agree/$total")
+    // n_hit (matched-term count per kept (query, doc)) is scorer-free
+    def hits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val hr = hits(r); val hl = hits(l)
+    hl.foreach { case (k, v) =>
+      assert(hr.get(k).forall(_ === v), s"n_hit diverged at $k")
+    }
+  }
+
+  test("q157 base index artifacts are built at most once across repeated serving") {
+    Retrieval.queries("q157_bm25_incremental")(spark, TestSpark.sf).collect()
+    val w0 = Retrieval.q157BaseWrites.get()
+    Retrieval.queries("q157_bm25_incremental")(spark, TestSpark.sf).collect()
+    Retrieval.queries("q158_bm25_tombstone")(spark, TestSpark.sf).collect()
+    assert(Retrieval.q157BaseWrites.get() === w0,
+      "warm incremental/tombstone serving re-built the q157 base index")
+  }
+
+  test("mergeStats survives an empty side (zero-fill, not annihilation)") {
+    // an empty batch split / empty q159 shard glob must contribute
+    // zeros, not erase the merge into zero rows and serve nothing
+    val one = Seq((0L, 10L, 100L)).toDF("k", "n_docs", "sum_len")
+    val none = one.filter(col("k") < 0)
+    val ab = Retrieval.mergeStats(one, none, 1).collect()
+    assert(ab.length === 1 && ab(0).getLong(1) === 10L &&
+      ab(0).getLong(2) === 100L, s"empty delta annihilated stats: ${ab.toSeq}")
+    val ba = Retrieval.mergeStats(none, one, 1).collect()
+    assert(ba.length === 1 && ba(0).getLong(1) === 10L,
+      s"empty base annihilated stats: ${ba.toSeq}")
+  }
+
   test("bm25 ranks an exact-match doc above a padded one (score sanity)") {
     // two docs with the same tf for the query-1 terms; the longer doc
     // must score LOWER (BM25 length normalization), pinning the
@@ -323,6 +375,12 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [zcell"),
       s"IN-list partition pruning lost:\n${plan.take(2000)}")
     assert(plan.contains("LeftAnti"), "tombstones not anti-joined")
+    // landed-set model: the serve probes the staged q162_tombs side
+    // table, never re-deriving the set from a raw events scan
+    assert(plan.contains("q162_tombs"),
+      s"staged tombstone side table not in the serve plan:\n${plan.take(2000)}")
+    assert(!plan.contains("events.parquet"),
+      "q162 serving rescanned the raw events table for its tombstone set")
   }
 
   // ---- q163 span-store deletion -----------------------------------------------
@@ -430,6 +488,19 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       .map(_.getAs[Long]("vec_id"))
     assert(unfiltered.exists(v => v % Dedup.TombMod == Dedup.TombRes),
       "fixture degenerate: no tombstoned id in the unfiltered top-k")
+  }
+
+  test("q155 base + tombstone artifacts are built at most once across repeated serving") {
+    val dir = embTier()
+    Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    val b0 = Similarity.q155BaseWrites.get()
+    val t0 = Similarity.q155TombWrites.get()
+    Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    Similarity.queries("q155_ann_tombstone")(spark, dir).collect()
+    assert(Similarity.q155BaseWrites.get() === b0,
+      "warm tombstone serving re-coded the base")
+    assert(Similarity.q155TombWrites.get() === t0,
+      "warm tombstone serving re-landed the tombstones")
   }
 
   test("q155 compaction: serve-before == serve-after, store truncated, double-compact idempotent") {
