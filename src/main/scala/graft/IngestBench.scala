@@ -28,10 +28,108 @@ import org.apache.spark.sql.streaming.Trigger
   * SPARK_GRAFT_INGEST_SENDERS (concurrent TCP connections, default 8).
   */
 object IngestBench {
+
+  /** Self-pacing concurrent TCP senders against `port`; returns
+    * (sent, sendSec). Shared by the e2e query mode and the accept-only
+    * probe so both measure against identical offered load.
+    */
+  private def runSenders(port: Int, rate: Long, seconds: Int,
+      senders: Int): (Long, Double) = {
+    val sent = new AtomicLong(0)
+    val senderError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t0 = System.nanoTime()
+    val deadline = t0 + seconds.toLong * 1000000000L
+    val perSender = rate / senders
+    val threads = (1 to senders).map { id =>
+      new Thread(() => try {
+        val sock = new Socket("127.0.0.1", port)
+        val w = new BufferedWriter(
+          new OutputStreamWriter(sock.getOutputStream, "UTF-8"), 1 << 16)
+        val line = s"<34>1 sustained ingest bench sender $id " +
+          "payload 0123456789 abcdefghijklmnopqrstuvwxyz end"
+        var i = 0L
+        while (System.nanoTime() < deadline) {
+          val target = // self-pacing: catch up to elapsed*rate
+            ((System.nanoTime() - t0) / 1e9 * perSender).toLong
+          while (i < target && System.nanoTime() < deadline) {
+            w.write(line); w.write('\n'); i += 1
+          }
+          w.flush()
+          Thread.sleep(2)
+        }
+        w.flush(); sock.close()
+        sent.addAndGet(i)
+      } catch { // surface, never under-report silently
+        case e: Throwable => senderError.compareAndSet(null, e)
+      }, s"ingest-sender-$id")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (senderError.get() != null) throw senderError.get()
+    (sent.get(), (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Accept-only probe (SPARK_GRAFT_INGEST_MODE=accept): drive the
+    * MicroBatchStream DIRECTLY — senders against the listener, a tight
+    * plan/commit loop standing in for an infinitely fast pipeline — so
+    * the printed rate is the socket->buffer acceptance ceiling alone,
+    * isolating the `listeners` fan-out from query-side encode/sink cost.
+    */
+  private def acceptOnly(rate: Long, seconds: Int, senders: Int,
+      listeners: Int): Unit = {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("tcp.port", "-1"); opts.put("udp.port", "0")
+    opts.put("tcp.host", "127.0.0.1")
+    opts.put("maxBufferedRows", "4000000")
+    opts.put("listeners", listeners.toString)
+    val stream = new sources.SyslogMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val port = sources.SyslogState.lastTcpPort
+    val drained = new AtomicLong(0)
+    @volatile var stopDrain = false
+    val drainer = new Thread(() => {
+      var cur = stream.initialOffset()
+      val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(1 << 20)
+      val factory = stream.createReaderFactory()
+      while (!stopDrain) {
+        val end = stream.latestOffset(cur, lim)
+        if (end.json() != cur.json()) {
+          val parts = stream.planInputPartitions(cur, end)
+          var n = 0L
+          parts.foreach { p =>
+            val r = factory.createReader(p)
+            while (r.next()) n += 1
+          }
+          stream.commit(end)
+          drained.addAndGet(n)
+          cur = end
+        } else Thread.sleep(1)
+      }
+    }, "accept-drainer")
+    drainer.start()
+    val t0 = System.nanoTime()
+    val (sent, sendSec) = runSenders(port, rate, seconds, senders)
+    val settleDeadline = System.nanoTime() + 30000000000L
+    while (drained.get() < sent && System.nanoTime() < settleDeadline)
+      Thread.sleep(10)
+    val sec = (System.nanoTime() - t0) / 1e9
+    stopDrain = true; drainer.join(2000); stream.stop()
+    require(drained.get() == sent,
+      s"accept probe lost rows: sent $sent drained ${drained.get()}")
+    println(s"""{"metric":"ingest_accept_rows_per_sec","value":${(sent / sec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"listeners":$listeners,"sent":$sent,"send_sec":$sendSec}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val rate = sys.env.getOrElse("SPARK_GRAFT_INGEST_RATE", "200000").toLong
     val seconds = sys.env.getOrElse("SPARK_GRAFT_INGEST_SECONDS", "30").toInt
     val senders = sys.env.getOrElse("SPARK_GRAFT_INGEST_SENDERS", "8").toInt
+    if (sys.env.getOrElse("SPARK_GRAFT_INGEST_MODE", "e2e") == "accept") {
+      acceptOnly(rate, seconds, senders,
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_LISTENERS", "1").toInt)
+      return
+    }
 
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,6 +145,10 @@ object IngestBench {
       // requires raising the cap in step
       .option("maxRowsPerBatch",
         sys.env.getOrElse("SPARK_GRAFT_INGEST_MAX_BATCH", "1000000"))
+      // acceptance fan-out: N buffer segments / N offset lanes (the
+      // round-11 verdict's scale-out knob; see SyslogSource)
+      .option("listeners",
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_LISTENERS", "1"))
       .load()
     // SPARK_GRAFT_INGEST_PARTITION_BY=hour adds the hive-style landing
     // partition (--sink.partition.by in the CLI): encoded rows land in
@@ -75,7 +177,10 @@ object IngestBench {
     // the drain folds the landing files into hive hour partitions. The
     // measured combined rate is the honest end-to-end cost of the layout
     // that both sustains ingest AND gives downstream queries pruning.
-    val out = partitionBy match {
+    // SPARK_GRAFT_INGEST_ENCODE=raw skips the Avro transform (projects
+    // the raw message only) — splits codec cost from engine machinery
+    val encode = sys.env.getOrElse("SPARK_GRAFT_INGEST_ENCODE", "avro")
+    val out = if (encode == "raw") src.select(col("message")) else partitionBy match {
       case "hour" =>
         enriched.select(avroVal,
           date_format(timestamp_millis(col("timestamp")), "yyyy-MM-dd-HH")
@@ -128,39 +233,8 @@ object IngestBench {
     }
     val port = sources.SyslogState.lastTcpPort
 
-    val sent = new AtomicLong(0)
-    val senderError =
-      new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val t0 = System.nanoTime()
-    val deadline = t0 + seconds.toLong * 1000000000L
-    val perSender = rate / senders
-    val threads = (1 to senders).map { id =>
-      new Thread(() => try {
-        val sock = new Socket("127.0.0.1", port)
-        val w = new BufferedWriter(
-          new OutputStreamWriter(sock.getOutputStream, "UTF-8"), 1 << 16)
-        val line = s"<34>1 sustained ingest bench sender $id " +
-          "payload 0123456789 abcdefghijklmnopqrstuvwxyz end"
-        var i = 0L
-        while (System.nanoTime() < deadline) {
-          val target = // self-pacing: catch up to elapsed*rate
-            ((System.nanoTime() - t0) / 1e9 * perSender).toLong
-          while (i < target && System.nanoTime() < deadline) {
-            w.write(line); w.write('\n'); i += 1
-          }
-          w.flush()
-          Thread.sleep(2)
-        }
-        w.flush(); sock.close()
-        sent.addAndGet(i)
-      } catch { // surface, never under-report silently
-        case e: Throwable => senderError.compareAndSet(null, e)
-      }, s"ingest-sender-$id")
-    }
-    threads.foreach(_.start())
-    threads.foreach(_.join())
-    if (senderError.get() != null) throw senderError.get()
-    val sendSec = (System.nanoTime() - t0) / 1e9
+    val (sentN, sendSec) = runSenders(port, rate, seconds, senders)
+    val t0 = System.nanoTime() - (sendSec * 1e9).toLong
 
     query.processAllAvailable() // drain: source buffer -> sink, to zero
     val drainSec = (System.nanoTime() - t0) / 1e9
@@ -175,7 +249,7 @@ object IngestBench {
         }
         cur
       } else spark.read.parquet(outDir).count()
-    println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":${sent.get},"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
+    println(s"""{"metric":"ingest_sustained_rows_per_sec","value":${(received / drainSec).round},"unit":"rows/sec","offered_rate":$rate,"senders":$senders,"sent":$sentN,"received":$received,"send_sec":$sendSec,"drain_sec":$drainSec}""")
     if (partitionBy == "land-compact") {
       val compactDir = outDir + "_compacted"
       val c0 = System.nanoTime()

@@ -28,12 +28,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (syslog_producer.go:66-76);
   *  - timestamp = receive time, epoch millis (syslog_producer.go:180).
   *
-  * Documented deviations (both improvements):
+  * Documented deviations (all improvements):
   *  - each TCP connection is served on its own thread — the reference
   *    scans a connection inside the accept loop, so one long-lived sender
   *    blocks all others (syslog_producer.go:138-143);
   *  - UDP datagrams are framed per-datagram (the reference wraps the UDP
-  *    socket in one bufio.Scanner, which can merge datagrams, SURVEY §3.3).
+  *    socket in one bufio.Scanner, which can merge datagrams, SURVEY §3.3);
+  *  - acceptance fans out (option `listeners`, default 1): the buffer is
+  *    sharded into independently-locked segments — connections pin
+  *    round-robin, UDP readers multiply — and each segment is its own
+  *    offset lane surfacing as its own input partitions, removing the
+  *    single-buffer lock that capped e2e ingest at ~807k rows/s
+  *    (BASELINE.md round 11). The reference's single Go channel has the
+  *    same ceiling; at cluster scale this is N listener endpoints → N
+  *    source partitions.
   *
   * Delivery: the buffer is volatile memory, offsets are buffer indices;
   * replay is possible within the uncommitted window — and with a NAMED
@@ -47,8 +55,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference's bounded-channel behavior.
   *
   * Options: tcp.port, udp.port (0 = disabled; -1 = ephemeral, for tests),
-  * tcp.host/udp.host, maxBufferedRows. `graft.sources.SyslogState` exposes
-  * bound ports for tests.
+  * tcp.host/udp.host, maxBufferedRows (total across segments), listeners.
+  * `graft.sources.SyslogState` exposes bound ports for tests.
   */
 class SyslogSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-syslog"
@@ -111,7 +119,26 @@ object SyslogState {
   * to the receiving endpoint, not to whichever consumer is currently
   * attached.
   */
+/** JVM-global registry for ZERO-COPY local transport: partitions carry a
+  * (receiverId, segment, range) reference instead of their rows, and the
+  * reader resolves the rows through this map at task start. In local
+  * mode (the shipping shape) driver and executors share the JVM, so the
+  * per-batch task binaries stop carrying the row payload — measured 2.6×
+  * e2e (BASELINE.md round 12); on a real cluster the receiver would live
+  * in an executor-side service and the same reference scheme applies
+  * node-locally, while `local.transport=false` falls back to inline rows.
+  */
+private[sources] object SyslogLocalTransport {
+  private[sources] val receivers =
+    new java.util.concurrent.ConcurrentHashMap[String, SyslogReceiver]()
+}
+
 private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
+
+  /** Identity for [[SyslogLocalTransport]] lookups. */
+  private[sources] val transportId: String =
+    java.util.UUID.randomUUID().toString
+  SyslogLocalTransport.receivers.put(transportId, this)
 
   val hostname: String = // server's own hostname, captured once
     try java.net.InetAddress.getLocalHost.getHostName
@@ -119,9 +146,90 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
 
   private val maxBuffered = options.getInt("maxBufferedRows", 100000)
   private val readBufBytes = options.getInt("tcp.readBuffer", 1 << 16)
-  private val buffer = new ArrayBuffer[SyslogRecord]()
-  private var base = 0L // offset of buffer(0)
-  private val lock = new Object
+
+  /** Acceptance fan-out (option `listeners`, default 1): the buffer is
+    * SHARDED into this many independently-locked segments. Each TCP
+    * connection is pinned round-robin to one segment (per-connection
+    * line order preserved — there was never a cross-connection order),
+    * and `listeners` UDP reader threads share the datagram socket, one
+    * segment each. Round 11 measured the single buffer's per-arrival
+    * lock as the e2e ingest ceiling (807k rows/s however many cores the
+    * query side had, BASELINE.md): with N segments, N senders contend on
+    * NOTHING, and each segment surfaces as its own offset lane → its own
+    * input partitions, so the micro-batch read side scales with the
+    * acceptance side. This is the local[32] image of the real scale-out
+    * (N listener endpoints / N receiver buffers → N source partitions).
+    */
+  private[sources] val numSegments = math.max(1, options.getInt("listeners", 1))
+
+  /** One independently-locked buffer shard: offsets are LOCAL to the
+    * segment (the stream's offset is the vector of segment offsets).
+    */
+  private[sources] final class Segment(val maxRows: Int) {
+    private[SyslogReceiver] val buffer = new ArrayBuffer[SyslogRecord]()
+    private[SyslogReceiver] var base = 0L // offset of buffer(0)
+    private[SyslogReceiver] val lock = new Object
+
+    /** Insert a batch of lines under ONE lock acquisition; returns how
+      * many were inserted. Per-line locking capped acceptance at ~285k
+      * lines/s with 8 senders (BASELINE.md round-4 measurement) — the
+      * lock, not the codec, was the ingest ceiling. Blocking mode waits
+      * for space and inserts in chunks (receive time stamped per chunk,
+      * after any wait, like the per-line path did); non-blocking mode
+      * (UDP) inserts what fits and reports the rest as dropped.
+      */
+    def enqueueBatch(lines: scala.collection.IndexedSeq[String],
+        blockWhenFull: Boolean): Int =
+      lock.synchronized {
+        var inserted = 0
+        while (inserted < lines.length) {
+          if (buffer.size >= maxRows) {
+            if (!blockWhenFull) return inserted // UDP: drop the remainder
+            lock.wait(100) // TCP: block the reader -> sender backpressure
+          } else {
+            val take = math.min(maxRows - buffer.size,
+              lines.length - inserted)
+            val ts = System.currentTimeMillis()
+            var i = 0
+            while (i < take) {
+              buffer += SyslogRecord(lines(inserted + i), ts)
+              i += 1
+            }
+            inserted += take
+          }
+        }
+        inserted
+      }
+
+    /** Next offset to be assigned (base + buffered rows). */
+    def available: Long = lock.synchronized(base + buffer.size)
+
+    /** Rows [s, e) — still present for any uncommitted range. */
+    def slice(s: Long, e: Long): Array[SyslogRecord] = lock.synchronized {
+      val from = math.max(0L, s - base).toInt
+      val to = math.max(0L, e - base).toInt
+      buffer.slice(from, to).toArray
+    }
+
+    /** Retention trim on commit: committed rows can never be replanned. */
+    def commitUpTo(e: Long): Unit = lock.synchronized {
+      val drop = math.max(0L, e - base).toInt
+      if (drop > 0) {
+        buffer.remove(0, math.min(drop, buffer.size))
+        base = math.max(base, e)
+        lock.notifyAll()
+      }
+    }
+  }
+
+  /** The shards; total capacity stays `maxBufferedRows` at any fan-out. */
+  private[sources] val segments: Array[Segment] =
+    Array.fill(numSegments)(new Segment(
+      math.max(1, maxBuffered / numSegments)))
+
+  private val rrConn = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def nextSegment(): Segment =
+    segments(Math.floorMod(rrConn.getAndIncrement(), numSegments))
 
   /** Datagrams discarded because the buffer was full — the metric a
     * production deployment alerts on (TCP senders are blocked instead
@@ -130,37 +238,6 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     */
   val udpDropped = new java.util.concurrent.atomic.AtomicLong(0)
   SyslogState.lastUdpDropped = udpDropped
-
-  /** Insert a batch of lines under ONE lock acquisition; returns how
-    * many were inserted. Per-line locking capped acceptance at ~285k
-    * lines/s with 8 senders (BASELINE.md round-4 measurement) — the
-    * lock, not the codec, was the ingest ceiling. Blocking mode waits
-    * for space and inserts in chunks (receive time stamped per chunk,
-    * after any wait, like the per-line path did); non-blocking mode
-    * (UDP) inserts what fits and reports the rest as dropped.
-    */
-  private def enqueueBatch(lines: scala.collection.IndexedSeq[String],
-      blockWhenFull: Boolean): Int =
-    lock.synchronized {
-      var inserted = 0
-      while (inserted < lines.length) {
-        if (buffer.size >= maxBuffered) {
-          if (!blockWhenFull) return inserted // UDP: drop the remainder
-          lock.wait(100) // TCP: block the reader -> sender backpressure
-        } else {
-          val take = math.min(maxBuffered - buffer.size,
-            lines.length - inserted)
-          val ts = System.currentTimeMillis()
-          var i = 0
-          while (i < take) {
-            buffer += SyslogRecord(lines(inserted + i), ts)
-            i += 1
-          }
-          inserted += take
-        }
-      }
-      inserted
-    }
 
   // --- listeners -----------------------------------------------------
   @volatile private var closed = false
@@ -175,7 +252,8 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
       while (!closed) {
         try {
           val sock = tcpServer.accept()
-          val t = new Thread(() => serveTcp(sock), "graft-syslog-conn")
+          val seg = nextSegment() // pin the connection to one shard
+          val t = new Thread(() => serveTcp(sock, seg), "graft-syslog-conn")
           t.setDaemon(true)
           t.start()
         } catch { case _: Exception => /* socket closed */ }
@@ -195,7 +273,7 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     * strip one trailing '\r', emit empty records for empty lines; a
     * partial line at a chunk boundary is carried into the next chunk.
     */
-  private def serveTcp(sock: Socket): Unit = {
+  private def serveTcp(sock: Socket, seg: Segment): Unit = {
     val in = sock.getInputStream
     val buf = new Array[Byte](readBufBytes)
     val batch = new ArrayBuffer[String](2048)
@@ -230,11 +308,11 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
           System.arraycopy(buf, start, rem, carry.length, n - start)
           carry = rem
         }
-        if (batch.nonEmpty) enqueueBatch(batch, blockWhenFull = true)
+        if (batch.nonEmpty) seg.enqueueBatch(batch, blockWhenFull = true)
         n = in.read(buf)
       }
       if (carry.length > 0) // unterminated final line at EOF, like ScanLines
-        enqueueBatch(ArrayBuffer(lineOf(carry, 0, carry.length)),
+        seg.enqueueBatch(ArrayBuffer(lineOf(carry, 0, carry.length)),
           blockWhenFull = true)
     } catch { case _: Exception => } finally sock.close()
   }
@@ -243,28 +321,34 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     udpSocket = new DatagramSocket(
       new InetSocketAddress(host, if (port == -1) 0 else port))
     SyslogState.lastUdpPort = udpSocket.getLocalPort
-    val t = new Thread(() => {
-      val buf = new Array[Byte](65536)
-      while (!closed) {
-        try {
-          val pkt = new DatagramPacket(buf, buf.length)
-          udpSocket.receive(pkt)
-          val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
-            StandardCharsets.UTF_8)
-          // per-datagram framing; split multi-line datagrams on '\n'
-          val lines = text.split("\n", -1).filter(_.nonEmpty)
-          if (lines.nonEmpty) {
-            val inserted = enqueueBatch(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(lines),
-              blockWhenFull = false)
-            if (inserted < lines.length)
-              udpDropped.addAndGet(lines.length - inserted)
-          }
-        } catch { case _: Exception => }
-      }
-    }, "graft-syslog-udp")
-    t.setDaemon(true)
-    t.start()
+    // `listeners` reader threads share the one socket (DatagramSocket
+    // dispatches each datagram to exactly one blocked receive()), each
+    // feeding its own segment — receive, decode, and enqueue all fan out
+    for (k <- 0 until numSegments) {
+      val seg = segments(k)
+      val t = new Thread(() => {
+        val buf = new Array[Byte](65536)
+        while (!closed) {
+          try {
+            val pkt = new DatagramPacket(buf, buf.length)
+            udpSocket.receive(pkt)
+            val text = new String(pkt.getData, pkt.getOffset, pkt.getLength,
+              StandardCharsets.UTF_8)
+            // per-datagram framing; split multi-line datagrams on '\n'
+            val lines = text.split("\n", -1).filter(_.nonEmpty)
+            if (lines.nonEmpty) {
+              val inserted = seg.enqueueBatch(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(lines),
+                blockWhenFull = false)
+              if (inserted < lines.length)
+                udpDropped.addAndGet(lines.length - inserted)
+            }
+          } catch { case _: Exception => }
+        }
+      }, s"graft-syslog-udp-$k")
+      t.setDaemon(true)
+      t.start()
+    }
   }
 
   locally {
@@ -280,28 +364,18 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     */
   def tcpPort: Int = if (tcpServer != null) tcpServer.getLocalPort else -1
 
-  /** Next offset to be assigned (base + buffered rows). */
-  def available: Long = lock.synchronized(base + buffer.size)
+  /** Total buffer capacity across segments (admission headroom math). */
+  def totalCapacity: Long = segments.map(_.maxRows.toLong).sum
 
-  /** Rows [s, e) — still present for any uncommitted range. */
-  def slice(s: Long, e: Long): Array[SyslogRecord] = lock.synchronized {
-    val from = math.max(0L, s - base).toInt
-    val to = math.max(0L, e - base).toInt
-    buffer.slice(from, to).toArray
-  }
+  /** Per-segment next offsets (the stream's offset vector). */
+  def availableVec: Array[Long] = segments.map(_.available)
 
-  /** Retention trim on commit: committed rows can never be replanned. */
-  def commitUpTo(e: Long): Unit = lock.synchronized {
-    val drop = math.max(0L, e - base).toInt
-    if (drop > 0) {
-      buffer.remove(0, math.min(drop, buffer.size))
-      base = math.max(base, e)
-      lock.notifyAll()
-    }
-  }
+  /** Total buffered-plus-committed rows across segments (tests). */
+  def available: Long = availableVec.sum
 
   def close(): Unit = {
     closed = true
+    SyslogLocalTransport.receivers.remove(transportId)
     if (tcpServer != null) try tcpServer.close() catch { case _: Exception => }
     if (udpSocket != null) try udpSocket.close() catch { case _: Exception => }
   }
@@ -357,14 +431,30 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   val udpDropped: java.util.concurrent.atomic.AtomicLong = receiver.udpDropped
 
   // --- MicroBatchStream ----------------------------------------------
-  private case class SyslogOffset(v: Long) extends Offset {
-    override def json(): String = v.toString
+  // The offset is a VECTOR of per-segment offsets (comma-joined JSON):
+  // each acceptance shard is its own independent offset lane, so the
+  // fan-out never needs a global sequence. With listeners=1 the wire
+  // format degenerates to the old single number, so existing
+  // checkpoints deserialize unchanged.
+  private case class SyslogOffset(v: Array[Long]) extends Offset {
+    override def json(): String = v.mkString(",")
   }
 
-  override def initialOffset(): Offset = SyslogOffset(0L)
+  private val nSeg = receiver.numSegments
+
+  /** Pad/truncate a deserialized vector to the current segment count —
+    * an old checkpoint (or a restart with a different `listeners`) maps
+    * prefix-wise, extra lanes restart at 0 (at-most-once across JVM
+    * restarts is already the documented contract).
+    */
+  private def vecOf(parts: Array[Long]): Array[Long] =
+    if (parts.length == nSeg) parts
+    else parts.take(nSeg).padTo(nSeg, 0L)
+
+  override def initialOffset(): Offset = SyslogOffset(Array.fill(nSeg)(0L))
   override def deserializeOffset(json: String): Offset =
-    SyslogOffset(json.trim.toLong)
-  override def latestOffset(): Offset = SyslogOffset(receiver.available)
+    SyslogOffset(vecOf(json.trim.split(",").map(_.trim.toLong)))
+  override def latestOffset(): Offset = SyslogOffset(receiver.availableVec)
 
   // Admission control: cap rows per micro-batch (maxRowsPerBatch,
   // default 1M) so an ingest burst becomes a sequence of bounded
@@ -374,46 +464,104 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   private val maxPerBatch = options.getLong("maxRowsPerBatch", 1000000L)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val avail = receiver.available
-    val s = start.asInstanceOf[SyslogOffset].v
-    val cap = limit match {
-      case mr: ReadMaxRows => s + mr.maxRows()
-      case _ => avail
+    val avail = receiver.availableVec
+    val s = vecOf(start.asInstanceOf[SyslogOffset].v)
+    val out = new Array[Long](nSeg)
+    // Progress guarantee under the engine's DEFERRED source commit:
+    // Spark calls commit(batch n) only when batch n+1 is constructed, and
+    // batch n+1 needs NEW offsets. A batch that plans the ENTIRE buffer
+    // while senders are blocked on a full buffer therefore livelocks —
+    // no space frees until commit, no commit until new data, no new data
+    // until space frees (reproduced with maxRowsPerBatch >= buffer
+    // capacity). Capping a batch at half the buffer keeps unplanned rows
+    // visible, so the next trigger always constructs, which fires the
+    // deferred commit, which trims the buffer and unblocks acceptance.
+    val halfCap = math.max(1L, receiver.totalCapacity / 2)
+    var remaining = limit match {
+      case mr: ReadMaxRows => math.min(mr.maxRows(), halfCap)
+      case _ => halfCap
     }
-    SyslogOffset(math.min(avail, cap))
+    // FAIR allocation: an equal per-lane quota first, then leftovers
+    // greedily. A purely greedy scan starved the tail lanes whenever the
+    // cap bound — their senders sat in backpressure while the head lanes
+    // cycled (measured 9× e2e collapse at listeners=4) — and starved
+    // lanes also defer THEIR buffer trims, compounding the stall.
+    val quota = math.max(1L, remaining / nSeg)
+    var i = 0
+    while (i < nSeg) {
+      val take = math.min(math.min(math.max(0L, avail(i) - s(i)), quota),
+        remaining)
+      out(i) = s(i) + take
+      remaining -= take
+      i += 1
+    }
+    i = 0
+    while (i < nSeg && remaining > 0) { // second pass: leftovers
+      val take = math.min(math.max(0L, avail(i) - out(i)), remaining)
+      out(i) += take
+      remaining -= take
+      i += 1
+    }
+    SyslogOffset(out)
   }
 
+  private val localTransport =
+    options.getBoolean("local.transport", true)
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[SyslogOffset].v
-    val e = end.asInstanceOf[SyslogOffset].v
-    val rows = receiver.slice(s, e)
-    if (rows.isEmpty) Array.empty
-    else {
-      // Chunk the slice: one partition per micro-batch serializes the
-      // whole transform/encode/write pipeline onto a single core; 64k
-      // chunks let a large batch use every core of the stage.
-      rows.grouped(65536).map(SyslogPartition(_, receiver.hostname)).toArray
-    }
+    val s = vecOf(start.asInstanceOf[SyslogOffset].v)
+    val e = vecOf(end.asInstanceOf[SyslogOffset].v)
+    // Per segment: slice its own lane, then chunk — one partition per
+    // micro-batch would serialize the whole transform/encode/write
+    // pipeline onto a single core; 64k chunks let a large batch use
+    // every core of the stage, and the per-segment split means the read
+    // side scales with the acceptance fan-out. With local transport
+    // (default) the partition is a RANGE REFERENCE — the rows never ride
+    // the task binary (see [[SyslogLocalTransport]]).
+    if (localTransport) {
+      (0 until nSeg).iterator.flatMap { i =>
+        (s(i) until e(i) by 65536L).map { o =>
+          SyslogLocalPartition(receiver.transportId, i, o,
+            math.min(o + 65536L, e(i)), receiver.hostname)
+        }
+      }.toArray
+    } else (0 until nSeg).iterator.flatMap { i =>
+      val rows = receiver.segments(i).slice(s(i), e(i))
+      if (rows.isEmpty) Iterator.empty
+      else rows.grouped(65536).map(SyslogPartition(_, receiver.hostname))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val p = partition.asInstanceOf[SyslogPartition]
+      val (rows, hostname) = partition match {
+        case lp: SyslogLocalPartition =>
+          val recv = SyslogLocalTransport.receivers.get(lp.recvId)
+          if (recv == null) throw new IllegalStateException(
+            "graft-syslog local.transport=true requires the receiver and " +
+              "executors to share one JVM (local mode); on a cluster set " +
+              "local.transport=false")
+          (recv.segments(lp.seg).slice(lp.from, lp.until), lp.hostname)
+        case p: SyslogPartition => (p.rows, p.hostname)
+      }
       new PartitionReader[InternalRow] {
         private var i = -1
-        override def next(): Boolean = { i += 1; i < p.rows.length }
+        override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow = {
-          val r = p.rows(i)
+          val r = rows(i)
           InternalRow(UTF8String.fromString(r.line),
-            UTF8String.fromString(p.hostname),
+            UTF8String.fromString(hostname),
             r.tsMillis * 1000L) // micros for TimestampType
         }
         override def close(): Unit = ()
       }
     }
 
-  override def commit(end: Offset): Unit =
-    receiver.commitUpTo(end.asInstanceOf[SyslogOffset].v)
+  override def commit(end: Offset): Unit = {
+    val e = vecOf(end.asInstanceOf[SyslogOffset].v)
+    var i = 0
+    while (i < nSeg) { receiver.segments(i).commitUpTo(e(i)); i += 1 }
+  }
 
   override def stop(): Unit =
     // a NAMED receiver outlives the query (checkpoint recovery replays
@@ -421,6 +569,15 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     if (receiverName.isEmpty) receiver.close()
 }
 
-/** Serializable slice of the driver-side buffer shipped to the executor. */
+/** Serializable slice of the driver-side buffer shipped to the executor
+  * (the `local.transport=false` cluster fallback).
+  */
 private[sources] final case class SyslogPartition(
   rows: Array[SyslogRecord], hostname: String) extends InputPartition
+
+/** Zero-copy range reference resolved through [[SyslogLocalTransport]] at
+  * task start — the task binary carries ~100 bytes, not the rows.
+  */
+private[sources] final case class SyslogLocalPartition(
+  recvId: String, seg: Int, from: Long, until: Long,
+  hostname: String) extends InputPartition

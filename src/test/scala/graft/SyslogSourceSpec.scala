@@ -91,6 +91,60 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
     }
   }
 
+  test("listeners=4: sharded acceptance delivers every line exactly once across lanes") {
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("tcp.port", "-1"); opts.put("udp.port", "0")
+    opts.put("tcp.host", "127.0.0.1")
+    opts.put("maxBufferedRows", "100000")
+    opts.put("listeners", "4")
+    val s = new sources.SyslogMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    try {
+      val port = sources.SyslogState.lastTcpPort
+      assert(port > 0)
+      // 8 concurrent tagged senders — round-robin pins 2 per segment
+      val threads = (0 until 8).map { k =>
+        new Thread(() => {
+          val sock = new Socket("127.0.0.1", port)
+          val w = new PrintWriter(sock.getOutputStream)
+          (0 until 1000).foreach(i => w.print(s"s$k-$i\n"))
+          w.flush(); sock.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      eventually(timeout(Span(10, Seconds))) {
+        assert(s.latestOffset().json().split(",").map(_.toLong).sum === 8000L)
+      }
+      val lanes = s.latestOffset().json().split(",").map(_.toLong)
+      assert(lanes.length === 4, s"offset must carry 4 lanes: ${lanes.toSeq}")
+      assert(lanes.forall(_ > 0),
+        s"round-robin left a lane empty: ${lanes.toSeq}")
+      val end = s.latestOffset()
+      val parts = s.planInputPartitions(s.initialOffset(), end)
+      val factory = s.createReaderFactory()
+      val lines = parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (r.next()) out += r.get().getUTF8String(0).toString
+        out
+      }
+      assert(lines.length === 8000, "rows lost or duplicated across lanes")
+      assert(lines.toSet.size === 8000)
+      // per-connection order survives the sharding: each sender's lines
+      // appear in send order (they all live in one lane, enqueued by one
+      // reader thread)
+      for (k <- 0 until 8) {
+        val mine = lines.filter(_.startsWith(s"s$k-"))
+          .map(_.split("-")(1).toInt)
+        assert(mine.toSeq === mine.sorted.toSeq,
+          s"sender $k's lines reordered")
+      }
+      // commit trims every lane; the committed range can't be replanned
+      s.commit(end)
+      assert(s.planInputPartitions(end, s.latestOffset()).isEmpty)
+    } finally s.stop()
+  }
+
   test("a long-lived TCP connection never blocks other senders") {
     // the reference scans one connection inside its accept loop
     // (syslog_producer.go:138-143), so sender A parks sender B until A
