@@ -119,6 +119,29 @@ object BpeBench {
     val s16 = minRun(v16.select(
       sum(call_function("bpe_count_trained", col("w"))).as("t")))
 
+    // distributed trainer at the same vocabulary (round-12): target
+    // sized by env (default 2048 — rounds = target/batch super-steps,
+    // each one distributed agg + one distributed map; the full 50k is
+    // ~780 rounds of the same cost, linear extrapolation). Fidelity =
+    // served token mass vs the driver-trained table over the 200k words.
+    val distTarget =
+      sys.env.getOrElse("SPARK_GRAFT_BPE_DIST_TARGET", "2048").toInt
+    val distBatch =
+      sys.env.getOrElse("SPARK_GRAFT_BPE_DIST_BATCH", "64").toInt
+    val vocabDf = synth.toDF("w").withColumn("n", lit(1L))
+      .repartition(32).persist()
+    vocabDf.count()
+    val (distMerges, tDist) = time(
+      functions.Bpe.trainDistributed(vocabDf, distTarget, distBatch))
+    val exactPrefix = functions.Bpe.train(synth.map((_, 1L)), distTarget)
+    val rkD = functions.Bpe.rankMapOf(distMerges)
+    val rkE = functions.Bpe.rankMapOf(exactPrefix)
+    var massD = 0L; var massE = 0L
+    synth.foreach { w =>
+      massD += functions.Bpe.tokenizeWith(w, rkD).length
+      massE += functions.Bpe.tokenizeWith(w, rkE).length
+    }
+
     // pure-kernel cost law, driver-side (no plan/shuffle/codegen noise):
     // ns/word at fixed code-point lengths; the seam-rescan quadratic
     // shows as the len-to-len cost ratio
@@ -156,7 +179,12 @@ object BpeBench {
         s""""len16_words_per_s":${r(lawN / s16)},""" +
         s""""quad_ratio_len16_over_len8":${r(s16 / s8)}},""" +
         s""""kernel_ns_per_word":{${kernelNs.map { case (l, ns) =>
-          s""""len$l":${r(ns)}""" }.mkString(",")}}}""")
+          s""""len$l":${r(ns)}""" }.mkString(",")}},""" +
+        s""""distributed":{"target":$distTarget,"batch":$distBatch,""" +
+        s""""merges":${distMerges.size},"train_sec":${r(tDist)},""" +
+        s""""rounds":${(distTarget + distBatch - 1) / distBatch},""" +
+        s""""token_mass":$massD,"exact_token_mass":$massE,""" +
+        s""""mass_ratio":${r(massD.toDouble / massE)}}}""")
     System.out.flush()
     spark.stop()
   }

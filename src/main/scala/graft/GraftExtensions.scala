@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, BloomMightContain, BpeCount, BpeCountTrained, Fnv1a32, KafkaMessageSetDecode, ProtoLogLineEncode, ShingleSet, SortedIntersectCount, SubArgmin, VecDot}
+import graft.functions.{AvroLogLineDecode, AvroLogLineEncode, BloomMightContain, BpeCount, BpeCountTrained, CodePointSeed, Fnv1a32, KafkaMessageSetDecode, ProtoLogLineEncode, ShingleSet, SortedIntersectCount, SubArgmin, VecDot}
 
 /** SparkSessionExtensions entry point: registers the ingest wire-format
   * expressions as SQL functions. Activated either programmatically
@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bpe_count_trained"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BpeCountTrained(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_seed"),
+      new ExpressionInfo(classOf[CodePointSeed].getName, "bpe_seed"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CodePointSeed(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("kafka_message_set_decode"),
       new ExpressionInfo(classOf[KafkaMessageSetDecode].getName,

@@ -378,6 +378,130 @@ object Bpe {
   def countTrained(word: UTF8String): Long =
     countInterned(word.toString, trainedTables.interned)
 
+  /** Seed-token array for the distributed trainer: one element per
+    * Unicode CODE POINT (the [[tokenizeWith]] seeding contract — charAt
+    * would split a supplementary-plane char into two unpaired
+    * surrogates). Codegen entry for [[CodePointSeed]].
+    */
+  def seedArray(w: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = w.toString.codePoints().toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cps.map(cp => UTF8String.fromString(new String(Character.toChars(cp)))
+        .asInstanceOf[Any]))
+  }
+
+  /** DISTRIBUTED BPE trainer — the count-table formulation at corpus
+    * scale (round-11 verdict #1's second half). The driver-side
+    * [[train]] is vocabulary-bounded (the corpus never leaves the
+    * cluster: extraction is a distributed groupBy count), which is the
+    * right shape while the DISTINCT-WORD table fits one heap; this
+    * trainer removes that bound too. Super-step form:
+    *
+    *   1. adjacent-pair counts: one distributed explode + sum over the
+    *      current tokenization state (weighted by word count) — the
+    *      count table, recomputed per round;
+    *   2. the top candidates come to the driver (a bounded
+    *      control-plane read, [[graft.operators.Dedup]]'s q131 class),
+    *      and up to `batch` MUTUALLY NON-INTERFERING pairs are accepted
+    *      per round — no accepted pair's token or concatenation equals
+    *      another's token or concatenation, so their left-to-right
+    *      applications commute and one distributed map applies them all;
+    *   3. the merged state replaces the words frame (lineage cut per
+    *      round) and the loop continues until `target` or saturation.
+    *
+    * Fidelity: with batch = 1 this IS sequential greedy — same counts,
+    * same (count desc, length-prefixed-pair-key asc) tie rule as the
+    * heap trainer, so the merge lists match exactly (spec-pinned).
+    * Batched rounds deviate where a merge would have changed a later
+    * pick inside the same round; the deviation is measured (TextKernel
+    * spec + SCALING.md) as served-token-count agreement, not assumed.
+    * A pair that RE-FORMS after its rule was emitted is re-applied but
+    * never re-emitted (the [[train]] dup-rule guard). Cost per round:
+    * one vocab-mass explode+agg and one vocab-mass map — rounds =
+    * target/batch, every step distributed; the driver holds only the
+    * candidate heads and the merge list.
+    */
+  def trainDistributed(vocab: org.apache.spark.sql.DataFrame, target: Int,
+      batch: Int = 64): Vector[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    var words = vocab
+      .select(call_function("bpe_seed", col("w")).as("toks"),
+        col("n").cast("long").as("n"))
+      .filter(size(col("toks")) > 1)
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(String, String)]
+    val emitted = new java.util.HashSet[String]()
+    var n = 0
+    var exhausted = false
+    while (n < target && !exhausted) {
+      // guard every round, not just the seed: merges collapse words to
+      // one token, and Spark's sequence(0, -1) is a DESCENDING [0, -1],
+      // not empty (the q134 hazard)
+      val top = words.filter(size(col("toks")) > 1)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2)," +
+            " i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"),
+          col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .filter(col("c") >= 2)
+        // the heap trainer's exact tie rule: count desc, then the
+        // length-prefixed pair key ascending
+        .withColumn("k", concat(length(col("a")).cast("string"), lit("|"),
+          col("a"), col("b")))
+        .orderBy(col("c").desc, col("k"))
+        .limit(math.max(batch * 8, 64))
+        .select(col("a"), col("b")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // non-interfering subset: tokens AND concats pairwise disjoint,
+        // so one left-to-right pass applies every accepted pair
+        val used = new java.util.HashSet[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        var i = 0
+        while (i < top.length && accepted.length < batch &&
+            n + accepted.count { case (a, b) =>
+              !emitted.contains(pairKey(a, b)) } < target) {
+          val (a, b) = top(i)
+          val ab = a + b
+          if (!used.contains(a) && !used.contains(b) && !used.contains(ab)) {
+            accepted += ((a, b))
+            used.add(a); used.add(b); used.add(ab)
+          }
+          i += 1
+        }
+        if (accepted.isEmpty) exhausted = true
+        else {
+          accepted.foreach { case (a, b) =>
+            if (emitted.add(pairKey(a, b))) { // re-formed pairs re-apply,
+              merges += ((a, b))              // never re-emit
+              n += 1
+            }
+          }
+          val kvs: Seq[Column] = accepted.toSeq.flatMap { case (a, b) =>
+            Seq(lit(a.length + "|" + a + b), lit(a + b))
+          }
+          val mcol = map(kvs: _*)
+          val applied = aggregate(col("toks"),
+            array().cast("array<string>"),
+            (acc, x) => {
+              val lastT = element_at(acc, -1)
+              val out = element_at(mcol, concat(
+                length(lastT).cast("string"), lit("|"), lastT, x))
+              when(size(acc) > 0 && out.isNotNull,
+                concat(slice(acc, lit(1), size(acc) - 1), array(out)))
+                .otherwise(concat(acc, array(x)))
+            })
+          words = words.select(applied.as("toks"), col("n"))
+            .localCheckpoint(true)
+        }
+      }
+    }
+    merges.result()
+  }
+
   /** Greedy BPE trainer (Sennrich et al. '16, arXiv:1508.07909 — the
     * public algorithm): repeatedly merge the most frequent adjacent
     * token pair across the (count-weighted) vocabulary. Deterministic:
@@ -491,6 +615,27 @@ object Bpe {
     }
     merges.result()
   }
+}
+
+/** string (one word) → array of code-point seed tokens — the
+  * distributed trainer's seeding kernel ([[Bpe.seedArray]]).
+  */
+case class CodePointSeed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_seed expects string, got $other")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Bpe.seedArray(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe.seedArray($c);")
+  override def prettyName: String = "bpe_seed"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** string (one word) → BPE token count under the INSTALLED trained

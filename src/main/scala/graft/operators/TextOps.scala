@@ -535,6 +535,34 @@ object TextOps {
         .orderBy(col("cnt").desc, col("l"), col("r"))
     }),
 
+    // q168 — FULLY distributed tokenizer training: q134 built the
+    // distributed half (vocabulary + seed pair counts) and handed the
+    // merge loop to the driver; q168 closes the loop as the super-step
+    // batched-greedy trainer ([[graft.functions.Bpe.trainDistributed]]):
+    // per round, ONE distributed pair-count agg over the current
+    // tokenization state and ONE distributed merge map, with only the
+    // bounded candidate heads on the driver — so training no longer
+    // requires the distinct-word table to fit one heap (the 100-TB
+    // vocabulary regime: URLs/code identifiers push distinct words into
+    // the billions). batch=1 is spec-pinned EQUAL to the sequential
+    // greedy trainer; the corpus saturates (~89 merges) inside one
+    // batch, so this query's table matches the driver trainer's and the
+    // served counts are deterministic. no_oracle by design (a batched
+    // training loop has no SQL replay — the q12b class); the gate is
+    // TextKernelSpec's equality + agreement asserts.
+    "q168_bpe_train_distributed" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val merges = graft.functions.Bpe.trainDistributed(vocab, 50000)
+      graft.functions.Bpe.installTrained(merges)
+      vocab.select(col("w"),
+          call_function("bpe_count_trained", col("w")).as("n_tokens"),
+          col("n"))
+        .orderBy(col("w"))
+    }),
+
     // q39b — token counts made TOKENIZER-EXACT: per-doc subword counts
     // under the fixed BPE merge table ([[graft.functions.Bpe]]) beside
     // the whitespace count q39 reports. The count-table pattern keeps it

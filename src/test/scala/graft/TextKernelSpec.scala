@@ -248,4 +248,53 @@ class TextKernelSpec extends AnyFunSuite {
       Bpe.train(synth, 500) === t1.take(500),
       "a smaller target must be a prefix of the larger table")
   }
+
+  test("distributed bpe trainer: batch=1 == sequential greedy; batched agreement measured") {
+    import graft.functions.Bpe
+    def vocabDf(v: Seq[(String, Long)]) = v.toDF("w", "n")
+    // 1. batch=1 IS sequential greedy — exact merge-list equality, both
+    //    on the hand corpus and a 300-word synthetic one
+    val hand = Seq(("aaab", 3L), ("ab", 2L))
+    assert(Bpe.trainDistributed(vocabDf(hand), 10, batch = 1) ===
+      Bpe.train(hand, 10))
+    val synth = graft.BpeBench.syntheticVocab(300).map((_, 1L))
+    val exact = Bpe.train(synth, 120)
+    assert(Bpe.trainDistributed(vocabDf(synth), 120, batch = 1) === exact,
+      "batch=1 distributed trainer diverged from the heap trainer")
+    // 2. determinism of the batched form
+    val b8a = Bpe.trainDistributed(vocabDf(synth), 120, batch = 8)
+    assert(Bpe.trainDistributed(vocabDf(synth), 120, batch = 8) === b8a)
+    // 3. batched fidelity is MEASURED, not assumed: served token mass
+    //    under the batch=8 table within 2% of the exact table's
+    def tokenMass(m: Vector[(String, String)]): Long = {
+      val rk = Bpe.rankMapOf(m)
+      synth.map { case (w, n) => Bpe.tokenizeWith(w, rk).length * n }.sum
+    }
+    val exactMass = tokenMass(exact)
+    val batchMass = tokenMass(b8a)
+    info(s"token mass: exact=$exactMass batch8=$batchMass " +
+      f"(ratio ${batchMass.toDouble / exactMass}%.4f)")
+    assert(math.abs(batchMass - exactMass).toDouble / exactMass < 0.02,
+      s"batched training drifted: $batchMass vs $exactMass")
+    // 4. the corpus-tier registered query arc: q168 trains distributed
+    //    on the real documents and serves counts through the installed
+    //    kernel; counts must equal the driver-trained table's (the
+    //    corpus saturates well below one batch, so the lists agree)
+    try {
+      val q = SparkEntry.queries("q168_bpe_train_distributed")(
+        spark, TestSpark.sf)
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.nonEmpty)
+      val corpusVocab = Tables.documents(spark, TestSpark.sf)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      val rk = Bpe.rankMapOf(Bpe.train(corpusVocab, 50000))
+      corpusVocab.foreach { case (w, _) =>
+        assert(got(w) === Bpe.tokenizeWith(w, rk).length.toLong,
+          s"q168 count for '$w' diverged from the driver-trained table")
+      }
+    } finally Bpe.installTrained(Bpe.Merges) // restore fixture default
+  }
 }
