@@ -120,10 +120,27 @@ object Bench {
     // the safe direction. Under-estimating a real compaction fold ran
     // it through pass 1 + three warm passes (~4x full price).
     else if (n.contains("compact")) 25.0
+    // q167-class: stages a two-fold chain then swaps — the q166 cost class
+    else if (n.contains("vacuum")) 25.0
     else if (n.contains("incremental")) 8.0
     else if (n.contains("stream")) 5.0
     else 1.5
   })
+
+  /** Rows whose measured seconds are STATE-MACHINE STAGING cost —
+    * multi-tick maintenance folds, compactions, deletion/retraction
+    * verbs, lifecycle/time-travel arcs — as opposed to query serving.
+    * Matched by the verb in the query name (the registry's naming
+    * convention is the classifier); the `maintenance_s`/`serving_s`
+    * subtotals in both result lines let a reader separate "how fast does
+    * the engine answer queries" from "what does keeping the staged
+    * stores current cost", which BASELINE.md explains once (round 12 —
+    * the top-10 rows were ~50% of total and all maintenance).
+    */
+  private val MaintenancePattern =
+    ("incremental|compact|tombstone|maintenance|lifecycle|timetravel|" +
+      "takedown|vacuum|retract|leaf_split|relayout|stream_postings|" +
+      "stream_zorder").r
 
   /** Print the ONE result line. Idempotent: called from the normal path and
     * from the shutdown hook (driver kill), whichever comes first.
@@ -137,10 +154,16 @@ object Bench {
     // measured and reported per row) — not query cost, so not in `total`.
     val qRows = rs.filterNot(_._1.startsWith("artifact:"))
     val total = qRows.collect { case (_, v) if v >= 0 => v }.sum
+    val maintS = qRows.collect { case (k, v)
+      if v >= 0 && MaintenancePattern.findFirstIn(k).isDefined => v }.sum
+    val servS = total - maintS
+    val split =
+      s""""maintenance_s":${math.rint(maintS * 1000) / 1000},""" +
+        s""""serving_s":${math.rint(servS * 1000) / 1000},"""
     val nFailed = qRows.count(_._2 < 0)
     val nSkipped = nQueries - qRows.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$split"queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     emittedLine = line
     // COMPACT twin of the line above: same schema, but `queries` carries
     // only the 10 slowest rows (plus a `queries_measured` count). Rounds
@@ -183,7 +206,7 @@ object Bench {
     }
     val slowF = math.rint(slowFactorObserved * 100) / 100
     compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"queries_measured":${qRows.size},"slow_factor":$slowF$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$split"queries":$slow,"queries_measured":${qRows.size},"slow_factor":$slowF$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     println(line)
     println(compactLine)
     System.out.flush()

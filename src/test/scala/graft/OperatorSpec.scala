@@ -140,6 +140,49 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q41g real JPEG decode: golden vectors, tolerance envelope, determinism") {
+    import operators.{MediaRow, Multimodal}
+    // golden vectors (the q31 pattern): the decoded checksums of three
+    // pinned payloads under the JDK baseline codec, frozen round-12.
+    // Lossy DCT output is implementation-defined, so THIS is the
+    // bit-exact layer — codec drift (a JDK swap, a subsampling change)
+    // lands here even when it stays inside the tolerance verdict.
+    val goldens = Seq(
+      ("the quick brown fox jumps over the lazy dog", 1L,
+        (16L, 1L, 61L, 4091L, 90558L)),
+      ("a" * 100, 2L, (16L, 3L, 42L, 9774L, 502044L)),
+      ("hash join table scan merge order filter", 3L,
+        (16L, 1L, 46L, 3699L, 74915L)))
+    for ((txt, id, (w, h, err, s, ws)) <- goldens) {
+      val r = MediaRow(id, txt.getBytes("UTF-8"), "image/jpeg")
+      val jpg = Multimodal.encodeJpeg(r)
+      assert(jpg.payload.take(2).map(_ & 0xFF).toSeq === Seq(0xFF, 0xD8),
+        "missing JPEG SOI marker")
+      val dec = Multimodal.decodeJpeg(r, jpg)
+      assert((dec.width, dec.height, dec.max_err, dec.px_sum, dec.px_wsum)
+        === ((w, h, err, s, ws)),
+        s"golden $id drifted: $dec — the JDK JPEG codec changed; " +
+          "re-freeze the vectors ONLY after confirming the new output " +
+          "is a correct decode")
+      assert(dec.within_tol)
+      // determinism: encode+decode twice, identical
+      val again = Multimodal.decodeJpeg(r, Multimodal.encodeJpeg(r))
+      assert(again === dec)
+    }
+    // tolerance envelope holds corpus-wide (the oracle's within_tol
+    // contract), and the registered query serves it
+    val rows = SparkEntry.queries("q41g_jpeg_decode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")),
+      "a corpus doc blew the JPEG tolerance envelope")
+    // a real codec rejects garbage rather than checksumming it
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeJpeg(
+        MediaRow(99L, Array.fill[Byte](8)(0x2A), "image/jpeg"),
+        MediaRow(99L, Array.fill[Byte](64)(0x2A), "image/jpeg"))
+    }
+  }
+
   test("q41e real WAV decode round-trips PCM checksums byte-exactly") {
     def expect(bytes: Array[Byte]): (Long, Long, Long, Long) = {
       val n = math.min(bytes.length, operators.Multimodal.WavCapBytes)
