@@ -436,7 +436,12 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
   // fan-out never needs a global sequence. With listeners=1 the wire
   // format degenerates to the old single number, so existing
   // checkpoints deserialize unchanged.
-  private case class SyslogOffset(v: Array[Long]) extends Offset {
+  // Vector, NOT Array: the engine's new-data check compares Offset
+  // instances for equality, and a case class over an Array compares by
+  // REFERENCE — every fresh latestOffset() instance would read as "new
+  // data" and schedule an empty micro-batch per trigger. Vector gives
+  // element-wise equality.
+  private case class SyslogOffset(v: Vector[Long]) extends Offset {
     override def json(): String = v.mkString(",")
   }
 
@@ -447,14 +452,15 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     * prefix-wise, extra lanes restart at 0 (at-most-once across JVM
     * restarts is already the documented contract).
     */
-  private def vecOf(parts: Array[Long]): Array[Long] =
+  private def vecOf(parts: Vector[Long]): Vector[Long] =
     if (parts.length == nSeg) parts
     else parts.take(nSeg).padTo(nSeg, 0L)
 
-  override def initialOffset(): Offset = SyslogOffset(Array.fill(nSeg)(0L))
+  override def initialOffset(): Offset = SyslogOffset(Vector.fill(nSeg)(0L))
   override def deserializeOffset(json: String): Offset =
-    SyslogOffset(vecOf(json.trim.split(",").map(_.trim.toLong)))
-  override def latestOffset(): Offset = SyslogOffset(receiver.availableVec)
+    SyslogOffset(vecOf(json.trim.split(",").map(_.trim.toLong).toVector))
+  override def latestOffset(): Offset =
+    SyslogOffset(receiver.availableVec.toVector)
 
   // Admission control: cap rows per micro-batch (maxRowsPerBatch,
   // default 1M) so an ingest burst becomes a sequence of bounded
@@ -502,7 +508,7 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
       remaining -= take
       i += 1
     }
-    SyslogOffset(out)
+    SyslogOffset(out.toVector)
   }
 
   private val localTransport =
