@@ -139,7 +139,8 @@ object IngestBench {
     val src = spark.readStream.format("graft-syslog")
       .option("tcp.port", "-1").option("udp.port", "0")
       .option("tcp.host", "127.0.0.1")
-      .option("maxBufferedRows", "2000000")
+      .option("maxBufferedRows",
+        sys.env.getOrElse("SPARK_GRAFT_INGEST_BUFFER", "2000000"))
       // admission cap interacts with the trigger: throughput can never
       // exceed maxRowsPerBatch / triggerInterval, so raising the trigger
       // requires raising the cap in step
