@@ -475,6 +475,45 @@ object TextOps {
     // = 0.31375 and Spark/DuckDB double chains disagree by 1 ulp around
     // it, flipping the 4th decimal. Integer math cannot disagree.
     // score = (2·stop + uniq + min(n,100)/100) / 4 over denominator 400n.
+    // q169 — LM SURPRISAL filter: the CCNet/Gopher-class language-model
+    // quality gate (docs whose token transitions are improbable under a
+    // corpus-trained LM are boilerplate/garbled/foreign — the standard
+    // pretraining-corpus filter beside the q38 heuristics). The LM is a
+    // corpus-trained bigram model; the statistic is the mean RECIPROCAL
+    // transition probability 1/p(w2|w1) = cp(w1)/cb(w1,w2) — a RATIONAL
+    // surprisal (log-perplexity's monotone cousin: rank-equivalent per
+    // transition), chosen because the suite's oracle contract excludes
+    // transcendentals — fixed-pointed per DISTINCT bigram (round 1e4,
+    // the scoreE4 pattern) before the integer per-doc sum, so both
+    // engines aggregate exact integers in any order. 100-TB posture:
+    // the LM is the bigram count table (vocabulary²-bounded, in
+    // practice corpus-vocabulary-sized), built with map-side-combined
+    // aggs and joined back vocabulary-keyed — the count-table pattern;
+    // no corpus-quadratic stage, no driver state. High mean_e4 = keep
+    // for inspection / drop for training, the caller's threshold.
+    "q169_lm_surprisal" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      val big = toks.filter(size(col("ws")) > 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2)," +
+            " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+      val lm = cb.join(cp, "w1")
+        .withColumn("r_e4",
+          round(col("cp").cast("double") / col("cb") * 10000).cast("long"))
+      big.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("r_e4")).as("surprisal_e4"))
+        .withColumn("mean_e4", expr("surprisal_e4 div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q38_quality_score" -> ((s, d) => {
       val toks = split(col("text"), " ")
       Tables.documents(s, d)
@@ -1109,6 +1148,29 @@ object TextOps {
       // exact integer half-up rounding, mirroring the Spark side — see
       // the q38 comment in `queries` (double rounding flips at half-way
       // cases like score=0.31375, first seen at sf0.1)
+      // q169: the corpus-bigram LM + per-distinct-bigram fixed-point
+      // reciprocal probability, replayed with the identical expression
+      // tree (cp::DOUBLE / cb * 10000, ROUND half-up) — integer sums
+      // thereafter, order-free
+      "q169_lm_surprisal" ->
+        """WITH tok AS (SELECT doc_id,
+          |     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          |   FROM documents),
+          | bp AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+          |     FOR i IN generate_series(1, len(ws) - 1)]) AS p
+          |   FROM tok WHERE len(ws) > 1),
+          | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+          | cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+          | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+          | lm AS (SELECT cb.w1, cb.w2,
+          |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4
+          |   FROM cb JOIN cp ON cb.w1 = cp.w1)
+          |SELECT big.doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(lm.r_e4) AS BIGINT) AS surprisal_e4,
+          |  CAST(sum(lm.r_e4) // count(*) AS BIGINT) AS mean_e4
+          |FROM big JOIN lm ON big.w1 = lm.w1 AND big.w2 = lm.w2
+          |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+
       "q38_quality_score" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            |           FROM documents),

@@ -140,6 +140,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q169 LM surprisal: the rare continuation scores high, the common one low") {
+    import spark.implicits._
+    // corpus LM: prefix 'the' continues to 'cat' 99 times, 'zebra' once.
+    // Reciprocal transition probability: the zebra doc must score
+    // cp/cb = 100/1 -> mean_e4 1,000,000; the cat docs 100/99 -> 10,101.
+    // This pins the DIRECTION of the statistic (a quality filter that
+    // ranked common text as surprising would pass any hash oracle built
+    // from its own definition).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169").toString
+    ((1 to 99).map(i => (i.toLong, "the cat")) :+ (100L, "the zebra"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q169_lm_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(100L) === 1000000L,
+      s"rare-continuation doc scored ${got(100L)}, expected 1000000")
+    assert(got(1L) === 10101L,
+      s"common-continuation doc scored ${got(1L)}, expected 10101")
+    assert(got(100L) > got(1L) * 50)
+  }
+
   test("q41g real JPEG decode: golden vectors, tolerance envelope, determinism") {
     import operators.{MediaRow, Multimodal}
     // golden vectors (the q31 pattern): the decoded checksums of three
