@@ -444,6 +444,48 @@ object TextOps {
       .orderBy(col("source"), col("cum_tokens"))
   }
 
+  // ---- q169/q169b: bigram-LM surprisal filter -----------------------------
+
+  /** Adjacent-bigram rows (doc_id, w1, w2) under the retrieval-family
+    * tokenizer — shared by the self-scored q169 and the staged q169b.
+    */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2)," +
+          " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** OOV surprisal cap (e4 fixed point): an unseen transition's
+    * reciprocal probability is unbounded; 10,000× (1e8 in e4) sits above
+    * any seen transition's score while keeping per-doc sums in range.
+    */
+  private[graft] val Q169OovE4 = 100000000L
+
+  /** Spec counter: q169b's reference LM must train once per tier. */
+  private[graft] val q169LmWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The frozen reference LM: corpus (nine tenths) bigram counts with
+    * the prefix total denormalized per row, write-once, w1-bucketed.
+    */
+  private[graft] def q169LmArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q169_lm",
+      s"$d/documents.parquet", {
+        q169LmWrites.incrementAndGet()
+        val big = bigramsOf(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        val cb = big.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
+        cb.join(cp, "w1").select(col("w1"), col("w2"), col("cb"), col("cp"))
+      }, 8, Seq("w1"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q37 — language ID: marker-word scores, argmax with fixed tie order
     "q37_lang_id" -> ((s, d) => {
@@ -475,6 +517,36 @@ object TextOps {
     // = 0.31375 and Spark/DuckDB double chains disagree by 1 ulp around
     // it, flipping the 4th decimal. Integer math cannot disagree.
     // score = (2·stop + uniq + min(n,100)/100) / 4 over denominator 400n.
+    // q169b — the STAGED LM filter (the production deployment shape):
+    // the bigram LM trains ONCE on the frozen corpus (nine tenths, the
+    // q120/q157 split convention) into a write-once w1-bucketed table
+    // with the prefix total denormalized onto every row (the q152
+    // posting-header layout — serving needs no second vocabulary join),
+    // and the ARRIVING tenth scores against that frozen reference — the
+    // shape a filtering pipeline actually runs (score new crawl against
+    // last month's LM), which q169's self-scored form cannot express.
+    // The new semantics OOV forces into the open: a transition the
+    // reference never saw has reciprocal probability ∞ — capped at
+    // [[Q169OovE4]] (10,000× in e4 fixed point, above any seen
+    // transition's score) and counted per doc (n_oov is itself the
+    // classic quality signal). Oracle replays the split, the left join,
+    // and the cap exactly.
+    "q169b_lm_filter_staged" -> ((s, d) => {
+      val lm = q169LmArtifact(s, d)
+        .withColumn("r_e4",
+          round(col("cp").cast("double") / col("cb") * 10000).cast("long"))
+        .select(col("w1"), col("w2"), col("r_e4"))
+      bigramsOf(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+        .join(lm, Seq("w1", "w2"), "left")
+        .withColumn("r", coalesce(col("r_e4"), lit(Q169OovE4)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("r_e4").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("r")).as("surprisal_e4"))
+        .withColumn("mean_e4", expr("surprisal_e4 div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q169 — LM SURPRISAL filter: the CCNet/Gopher-class language-model
     // quality gate (docs whose token transitions are improbable under a
     // corpus-trained LM are boilerplate/garbled/foreign — the standard
@@ -492,15 +564,7 @@ object TextOps {
     // no corpus-quadratic stage, no driver state. High mean_e4 = keep
     // for inspection / drop for training, the caller's threshold.
     "q169_lm_surprisal" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
-      val big = toks.filter(size(col("ws")) > 1)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws) - 2)," +
-            " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val big = bigramsOf(Tables.documents(s, d))
       val cb = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
       val cp = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cp"))
       val lm = cb.join(cp, "w1")
@@ -1148,6 +1212,34 @@ object TextOps {
       // exact integer half-up rounding, mirroring the Spark side — see
       // the q38 comment in `queries` (double rounding flips at half-way
       // cases like score=0.31375, first seen at sf0.1)
+      // q169b: the frozen-reference replay — LM from the nine tenths,
+      // batch = the tenth, LEFT join + the OOV cap
+      "q169b_lm_filter_staged" ->
+        s"""WITH tok AS (SELECT doc_id,
+          |     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          |   FROM documents),
+          | bp AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+          |     FOR i IN generate_series(1, len(ws) - 1)]) AS p
+          |   FROM tok WHERE len(ws) > 1),
+          | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+          | cb AS (SELECT w1, w2, count(*) AS cb FROM big
+          |   WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+          | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+          | lm AS (SELECT cb.w1, cb.w2,
+          |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4
+          |   FROM cb JOIN cp ON cb.w1 = cp.w1),
+          | sc AS (SELECT b.doc_id, lm.r_e4,
+          |     COALESCE(lm.r_e4, $Q169OovE4) AS r
+          |   FROM big b LEFT JOIN lm
+          |     ON b.w1 = lm.w1 AND b.w2 = lm.w2
+          |   WHERE b.doc_id % 10 = 0)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(CASE WHEN r_e4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_oov,
+          |  CAST(sum(r) AS BIGINT) AS surprisal_e4,
+          |  CAST(sum(r) // count(*) AS BIGINT) AS mean_e4
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
       // q169: the corpus-bigram LM + per-distinct-bigram fixed-point
       // reciprocal probability, replayed with the identical expression
       // tree (cp::DOUBLE / cb * 10000, ROUND half-up) — integer sums

@@ -164,6 +164,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(100L) > got(1L) * 50)
   }
 
+  test("q169b staged LM filter: OOV capped and counted; reference trains once") {
+    import spark.implicits._
+    // corpus (doc_id % 10 != 0): nine 'the cat' docs train the LM.
+    // batch doc 10 'the zebra' hits an UNSEEN transition -> the OOV cap
+    // and n_oov = 1; batch doc 20 'the cat' scores the seen 9/9 ratio.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169b").toString
+    ((1 to 9).map(i => (i.toLong, "the cat")) ++
+      Seq((10L, "the zebra"), (20L, "the cat")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q169b_lm_filter_staged")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got(10L) === ((1L, operators.TextOps.Q169OovE4)),
+      s"unseen transition not capped/counted: ${got(10L)}")
+    assert(got(20L) === ((0L, 10000L)),
+      s"seen transition scored wrong: ${got(20L)}")
+    // the reference LM is staged once across repeated serving
+    val w0 = operators.TextOps.q169LmWrites.get()
+    SparkEntry.queries("q169b_lm_filter_staged")(spark, dir).collect()
+    SparkEntry.queries("q169b_lm_filter_staged")(spark, dir).collect()
+    assert(operators.TextOps.q169LmWrites.get() === w0,
+      "warm LM-filter serving re-trained the reference")
+  }
+
   test("q41g real JPEG decode: golden vectors, tolerance envelope, determinism") {
     import operators.{MediaRow, Multimodal}
     // golden vectors (the q31 pattern): the decoded checksums of three
