@@ -354,6 +354,37 @@ object Retrieval {
     (1L, "hash", "join"), (2L, "table", "scan"),
     (3L, "merge", "slow"), (4L, "customer", "query"))
 
+  /** q165c's per-(term, doc) position cap — the standard positional-
+    * index truncation: the pair join is bounded at cap² per (query,
+    * doc) REGARDLESS of tf, which is the stop-word defense q165's
+    * Scaladoc promises. 8 keeps every content-word list intact on this
+    * corpus while the spec plants a binding case.
+    */
+  private[graft] val PosCap = 8
+
+  /** Spec counter: the capped positional artifact builds once. */
+  private[graft] val cappedPosWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once CAPPED positional posting table: the first [[PosCap]]
+    * positions of each (term, doc) list, truncated at INDEX BUILD (paid
+    * once — a serve-time window over the full table would re-shuffle
+    * the corpus per query batch). The rank filter is the LocalTopKPerKey
+    * shape, so the build's shuffle carries ≤ cap rows per (term, doc)
+    * from the map side.
+    */
+  private[graft] def cappedPosArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pos_postings_capped",
+      s"$d/documents.parquet", {
+        cappedPosWrites.incrementAndGet()
+        posPostingArtifact(s, d)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("term"), col("doc_id"))
+              .orderBy(col("pos"))))
+          .filter(col("rk") <= PosCap)
+          .select(col("term"), col("doc_id"), col("pos"))
+      }, 8, Seq("term"))
+
   /** The q165 within-k body over ANY positional posting frame. */
   private def proximityOver(s: SparkSession,
       post: DataFrame): DataFrame = {
@@ -438,6 +469,20 @@ object Retrieval {
     // positional primitive. Rows identical to q165; one shared oracle.
     "q165b_proximity_staged" -> ((s, d) =>
       proximityOver(s, posPostingArtifact(s, d))),
+
+    // q165c — CAPPED proximity: the stop-word defense as a real lever,
+    // not a Scaladoc caveat. Serving runs the identical within-k body
+    // over the build-time-truncated positional table ([[cappedPosArtifact]]),
+    // so the per-doc pair join is ≤ [[PosCap]]² however long the
+    // document or common the term — the bound that keeps
+    // stop-word × stop-word queries from going tf² at 100 TB. The
+    // DEFINED semantics is "proximity over each list's first PosCap
+    // positions" (the classic truncated-index contract — early
+    // positions carry the signal); the oracle replays exactly that, and
+    // the spec plants a binding case to show where truncation changes
+    // the answer vs q165.
+    "q165c_proximity_capped" -> ((s, d) =>
+      proximityOver(s, cappedPosArtifact(s, d))),
 
     // q157 — INCREMENTAL index maintenance (normalized-df layout; see
     // the section comment): batch postings appended, df/stats merged by
@@ -581,6 +626,7 @@ object Retrieval {
     // replay (physical layout only)
     "q165b_proximity_staged" -> proximitySql,
     "q165_proximity" -> proximitySql,
+    "q165c_proximity_capped" -> proximityCappedSql,
 
     // q161/q161b: the same anchor algebra in SQL — positions are
     // 1-based in DuckDB vs 0-based in Spark, a constant shift that
@@ -590,15 +636,14 @@ object Retrieval {
     "q161_phrase_match" -> phraseSql
   )
 
-  private lazy val proximitySql: String = {
+  /** The shared proximity replay over a parameterized positional CTE
+    * (`tok(doc_id, term, pos)` must be defined by `tokCtes`).
+    */
+  private def proximitySqlOver(tokCtes: String): String = {
     val qvals = ProximityBatch
       .map { case (id, a, b) => s"($id, '$a', '$b')" }.mkString(", ")
     s"""WITH q(query_id, ta, tb) AS (VALUES $qvals),
-       | tok AS (SELECT doc_id,
-       |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-       |     generate_subscripts(
-       |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-       |   FROM documents),
+       | $tokCtes,
        | pa AS (SELECT q.query_id, tok.doc_id, tok.pos AS p1
        |   FROM tok JOIN q ON tok.term = q.ta),
        | pb AS (SELECT q.query_id, tok.doc_id, tok.pos AS p2
@@ -619,6 +664,31 @@ object Retrieval {
        |  n_pairs, rk FROM rk
        |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
   }
+
+  private val fullTokCte: String =
+    """tok AS (SELECT doc_id,
+      |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+      |     generate_subscripts(
+      |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      |   FROM documents)""".stripMargin
+
+  private lazy val proximitySql: String = proximitySqlOver(fullTokCte)
+
+  /** q165c: the same replay with each (term, doc) list truncated to its
+    * first [[PosCap]] positions — the capped index's defined contract.
+    */
+  private lazy val proximityCappedSql: String = proximitySqlOver(
+    s"""tok0 AS (SELECT doc_id,
+       |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |     generate_subscripts(
+       |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |   FROM documents),
+       | tokr AS (SELECT doc_id, term, pos,
+       |     row_number() OVER (PARTITION BY term, doc_id ORDER BY pos)
+       |       AS prk
+       |   FROM tok0),
+       | tok AS (SELECT doc_id, term, pos FROM tokr WHERE prk <= $PosCap)"""
+      .stripMargin)
 
   private lazy val phraseSql: String = {
       val pqVals = PhraseBatch.flatMap { case (id, p) =>

@@ -362,6 +362,36 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       "warm phrase serving re-built the positional index")
   }
 
+  test("q165c cap binds: a beyond-cap proximity pair is excluded; in-cap matches carry") {
+    // doc 1: 19x 'hash' then 'join' — uncapped proximity finds the
+    // dist-1 pair, but the capped index keeps only hash positions 0-7,
+    // min distance 12 > ProxK -> doc 1 must VANISH from q165c. doc 2:
+    // 'hash join' sits inside the cap and must match in both.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q165c").toString
+    Seq(
+      (1L, (1 to 19).map(_ => "hash").mkString(" ") + " join"),
+      (2L, "hash join"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def docsOf(q: String) = Retrieval.queries(q)(spark, dir)
+      .filter(col("query_id") === 1L)
+      .collect().map(_.getLong(1)).toSet
+    val uncapped = docsOf("q165_proximity")
+    val capped = docsOf("q165c_proximity_capped")
+    assert(uncapped === Set(1L, 2L), s"uncapped missed a planted pair: $uncapped")
+    assert(capped === Set(2L),
+      s"cap did not bind (or cut an in-cap match): $capped")
+    // the capped artifact is built once across repeated serving
+    Retrieval.queries("q165c_proximity_capped")(spark, TestSpark.sf).collect()
+    val w0 = Retrieval.cappedPosWrites.get()
+    Retrieval.queries("q165c_proximity_capped")(spark, TestSpark.sf).collect()
+    assert(Retrieval.cappedPosWrites.get() === w0,
+      "warm capped-proximity serving re-built the truncated index")
+  }
+
   test("q162 deletion is visible and the partition pruning survives the anti-join") {
     val served = operators.Layout.queries("q162_layout_tombstone")(
       spark, TestSpark.sf)
