@@ -476,6 +476,39 @@ class PlanSpec extends AnyFunSuite {
       "posting-side shuffle join found — the broadcast regime is the claim")
   }
 
+  test("q165c capped proximity serves from the truncated table; corpus never re-windowed") {
+    // the cap is paid at index build: serving reads pos_postings_capped
+    // and must contain neither a corpus text scan nor the build's
+    // (term, doc)-keyed window
+    val p = plan("q165c_proximity_capped")
+    assert(p.linesIterator.exists(l =>
+      l.contains("pos_postings_capped") && l.contains("FileScan")),
+      s"no scan of the capped positional table:\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      "capped proximity serving re-tokenized the corpus")
+    // the per-query rank cut is a legitimate serve window; the BUILD's
+    // (term, doc)-partitioned truncation window must not re-run
+    assert(!p.linesIterator.exists(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition(term#")),
+      "the (term, doc) truncation window ran at serve time")
+  }
+
+  test("q169b staged LM filter joins the frozen reference; corpus LM never re-counted") {
+    // serving scans the batch tenth + the staged q169_lm table; the
+    // corpus side's bigram aggregation must NOT appear (it ran once at
+    // the write-once build)
+    val p = plan("q169b_lm_filter_staged")
+    assert(p.linesIterator.exists(l =>
+      l.contains("q169_lm") && l.contains("FileScan")),
+      s"no scan of the staged LM table:\n${p.take(3000)}")
+    // exactly one documents scan (the arriving batch) — a second one
+    // would be the corpus LM being re-derived at serve time
+    val docScans = p.linesIterator.count(l =>
+      l.contains("documents.parquet") && l.contains("FileScan"))
+    assert(docScans <= 1,
+      s"$docScans corpus scans — the reference LM must come from the artifact")
+  }
+
   test("q155 tombstoned serving stays codes-only; tombstones broadcast anti-join") {
     val p = plan("q155_ann_tombstone")
     val scans = p.linesIterator
