@@ -486,6 +486,26 @@ object TextOps {
         cb.join(cp, "w1").select(col("w1"), col("w2"), col("cb"), col("cp"))
       }, 8, Seq("w1"))
 
+  /** The q169b serve body over ANY (w1, w2, cb, cp) reference frame —
+    * shared by the staged serve and the q169c retracted serve.
+    */
+  private def lmServe(s: SparkSession, d: String,
+      reference: DataFrame): DataFrame = {
+    val lm = reference
+      .withColumn("r_e4",
+        round(col("cp").cast("double") / col("cb") * 10000).cast("long"))
+      .select(col("w1"), col("w2"), col("r_e4"))
+    bigramsOf(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      .join(lm, Seq("w1", "w2"), "left")
+      .withColumn("r", coalesce(col("r_e4"), lit(Q169OovE4)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("r_e4").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("r")).as("surprisal_e4"))
+      .withColumn("mean_e4", expr("surprisal_e4 div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q37 — language ID: marker-word scores, argmax with fixed tie order
     "q37_lang_id" -> ((s, d) => {
@@ -531,20 +551,37 @@ object TextOps {
     // transition's score) and counted per doc (n_oov is itself the
     // classic quality signal). Oracle replays the split, the left join,
     // and the cap exactly.
-    "q169b_lm_filter_staged" -> ((s, d) => {
-      val lm = q169LmArtifact(s, d)
-        .withColumn("r_e4",
-          round(col("cp").cast("double") / col("cb") * 10000).cast("long"))
-        .select(col("w1"), col("w2"), col("r_e4"))
-      bigramsOf(Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
-        .join(lm, Seq("w1", "w2"), "left")
-        .withColumn("r", coalesce(col("r_e4"), lit(Q169OovE4)))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("r_e4").isNull, 1L).otherwise(0L)).as("n_oov"),
-          sum(col("r")).as("surprisal_e4"))
-        .withColumn("mean_e4", expr("surprisal_e4 div n_bigrams"))
-        .orderBy(col("doc_id"))
+    "q169b_lm_filter_staged" -> ((s, d) =>
+      lmServe(s, d, q169LmArtifact(s, d))),
+
+    // q169c — LM DELETION: the retraction verb for the 7th staged
+    // family. Bigram counts are a group (the q153 manifest algebra), so
+    // a takedown retracts EXACTLY: the tombstoned corpus docs' bigram
+    // counts (O(|tombstones|) work — the base is never rescanned)
+    // subtract from cb AND from the denormalized prefix total cp, rows
+    // hitting zero drop, and the batch re-scores against the retracted
+    // reference. The oracle is the from-scratch replay over the
+    // SURVIVING corpus — retraction == retrain, hash-proven. Audit
+    // note: unlike the doc-keyed stores q160 sweeps (labels, postings,
+    // codes), an aggregated count store has no per-row doc attribution
+    // to count — the takedown invariant IS this count equality, which
+    // the oracle checks stronger than any row filter could.
+    "q169c_lm_tombstone" -> ((s, d) => {
+      val tombs = Dedup.tombstonesOf(Tables.documents(s, d))
+      val tBig = bigramsOf(Tables.documents(s, d)
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(tombs), Seq("doc_id"), "left_semi"))
+      val tcb = tBig.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tcb"))
+      val tcp = tcb.groupBy(col("w1")).agg(sum(col("tcb")).as("tcp"))
+      val retracted = q169LmArtifact(s, d)
+        .join(tcb, Seq("w1", "w2"), "left")
+        .join(tcp, Seq("w1"), "left")
+        .select(col("w1"), col("w2"),
+          (col("cb") - coalesce(col("tcb"), lit(0L))).as("cb"),
+          (col("cp") - coalesce(col("tcp"), lit(0L))).as("cp"))
+        .filter(col("cb") > 0)
+      lmServe(s, d, retracted)
     }),
 
     // q169 — LM SURPRISAL filter: the CCNet/Gopher-class language-model
@@ -1224,6 +1261,36 @@ object TextOps {
           | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
           | cb AS (SELECT w1, w2, count(*) AS cb FROM big
           |   WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+          | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+          | lm AS (SELECT cb.w1, cb.w2,
+          |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4
+          |   FROM cb JOIN cp ON cb.w1 = cp.w1),
+          | sc AS (SELECT b.doc_id, lm.r_e4,
+          |     COALESCE(lm.r_e4, $Q169OovE4) AS r
+          |   FROM big b LEFT JOIN lm
+          |     ON b.w1 = lm.w1 AND b.w2 = lm.w2
+          |   WHERE b.doc_id % 10 = 0)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(CASE WHEN r_e4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_oov,
+          |  CAST(sum(r) AS BIGINT) AS surprisal_e4,
+          |  CAST(sum(r) // count(*) AS BIGINT) AS mean_e4
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q169c: retraction == retrain — the identical replay with the
+      // tombstoned docs excluded from the reference LM's counts
+      "q169c_lm_tombstone" ->
+        s"""WITH tok AS (SELECT doc_id,
+          |     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          |   FROM documents),
+          | bp AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+          |     FOR i IN generate_series(1, len(ws) - 1)]) AS p
+          |   FROM tok WHERE len(ws) > 1),
+          | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+          | cb AS (SELECT w1, w2, count(*) AS cb FROM big
+          |   WHERE doc_id % 10 <> 0
+          |     AND doc_id % ${Dedup.TombMod} <> ${Dedup.TombRes}
+          |   GROUP BY w1, w2),
           | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
           | lm AS (SELECT cb.w1, cb.w2,
           |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4

@@ -192,6 +192,34 @@ class OperatorSpec extends AnyFunSuite {
       "warm LM-filter serving re-trained the reference")
   }
 
+  test("q169c LM retraction: visible on the tier, exact on a planted mix") {
+    import spark.implicits._
+    // tier-level visibility: the deletion fold must CHANGE some batch
+    // score vs the unretracted q169b (else the fixture proves nothing)
+    val before = SparkEntry.queries("q169b_lm_filter_staged")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val after = SparkEntry.queries("q169c_lm_tombstone")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(before !== after,
+      "fixture degenerate: retraction invisible in every batch score")
+    // planted exactness: corpus = 6x 'the cat' (ids 1-6) + 2x 'the dog'
+    // (7, 8); id 3 is tombstoned (3 % 11 == 3). Batch doc 20 'the cat':
+    // before cp/cb = 8/6 -> 13333; after the group inverse 7/5 -> 14000.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169c").toString
+    ((1 to 6).map(i => (i.toLong, "the cat")) ++
+      Seq((7L, "the dog"), (8L, "the dog"), (20L, "the cat")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def mean(q: String) = SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap.apply(20L)
+    assert(mean("q169b_lm_filter_staged") === 13333L)
+    assert(mean("q169c_lm_tombstone") === 14000L,
+      "retracted score is not the exact group inverse of the reference")
+  }
+
   test("q41g real JPEG decode: golden vectors, tolerance envelope, determinism") {
     import operators.{MediaRow, Multimodal}
     // golden vectors (the q31 pattern): the decoded checksums of three
