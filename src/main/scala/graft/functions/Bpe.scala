@@ -447,7 +447,12 @@ object Bpe {
         .agg(sum(col("n")).as("c"))
         .filter(col("c") >= 2)
         // the heap trainer's exact tie rule: count desc, then the
-        // length-prefixed pair key ascending
+        // length-prefixed pair key ascending. Spark's length() counts
+        // code points and its string order is UTF-8-binary, vs the heap
+        // trainer's UTF-16 units + compareTo — identical on ASCII,
+        // which is the documented scope of the batch=1 exact-equality
+        // contract; non-ASCII vocabularies still train correctly, with
+        // tie order defined by THIS key
         .withColumn("k", concat(length(col("a")).cast("string"), lit("|"),
           col("a"), col("b")))
         .orderBy(col("c").desc, col("k"))
@@ -480,8 +485,16 @@ object Bpe {
               n += 1
             }
           }
+          // key lengths in CODE POINTS: the fold computes its lookup
+          // key with Spark's length() (code points), so the build side
+          // must match — Scala String.length counts UTF-16 units and a
+          // supplementary-plane token would make every lookup miss, the
+          // merge never apply, and the loop spin on a pair that never
+          // drains (round-12 review; regression-spec'd on an emoji
+          // vocabulary)
           val kvs: Seq[Column] = accepted.toSeq.flatMap { case (a, b) =>
-            Seq(lit(a.length + "|" + a + b), lit(a + b))
+            Seq(lit(a.codePointCount(0, a.length) + "|" + a + b),
+              lit(a + b))
           }
           val mcol = map(kvs: _*)
           val applied = aggregate(col("toks"),
@@ -494,7 +507,11 @@ object Bpe {
                 concat(slice(acc, lit(1), size(acc) - 1), array(out)))
                 .otherwise(concat(acc, array(x)))
             })
+          // drop words collapsed to one token: they can never pair
+          // again, and carrying them re-maps + re-checkpoints dead rows
+          // every remaining round
           words = words.select(applied.as("toks"), col("n"))
+            .filter(size(col("toks")) > 1)
             .localCheckpoint(true)
         }
       }

@@ -235,19 +235,80 @@ object Bucketed {
           val m = merged // builds any missing artifact inputs (re-entrant)
           val deltaSchema = s.table(s"$db.$delta").schema
           rewriteBucketed(s, db, s"${base}_next", m, buckets, keys)
-          val mk = warehousePath(s, db, marker)
-          val fs = fsOf(s, mk)
-          fs.mkdirs(mk.getParent)
-          fs.create(mk, true).close()
-          s.sql(s"DROP TABLE IF EXISTS $db.$base")
-          s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+          createMarker(s, db, marker, "")
+          promoteNext(s, db, base)
           rewriteBucketed(s, db, delta, s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaSchema),
             buckets, keys)
-          fs.delete(mk, false)
+          deleteMarker(s, db, marker)
         }
       }
     }
+
+  // ---- shared swap primitives (compactSwap + vacuumSwap) ------------------
+  //
+  // ONE copy of the steps both state machines share, so a hardening fix
+  // lands in both protocols (round-12 review): the catalog-or-FS base
+  // promotion and the marker create/read. What legitimately differs —
+  // the delta-reset policy (truncate-all vs keep-the-suffix) and the
+  // vacuum's meta write — stays in each caller.
+
+  /** Finish a base swap: `_next` promoted over `base` at the catalog
+    * level when the db is known, at the FS level otherwise (fresh
+    * process over an in-memory catalog). Idempotent; no-op without a
+    * `_next`.
+    */
+  private def promoteNext(s: SparkSession, db: String, base: String): Unit =
+    if (s.catalog.databaseExists(db)) {
+      if (s.catalog.tableExists(s"$db.${base}_next")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.$base")
+        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+      }
+    } else {
+      val baseDir = warehousePath(s, db, base)
+      val nextDir = warehousePath(s, db, s"${base}_next")
+      val fs = fsOf(s, nextDir)
+      if (fs.exists(nextDir)) {
+        if (fs.exists(baseDir)) fs.delete(baseDir, true)
+        fs.rename(nextDir, baseDir)
+      }
+    }
+
+  /** Create the redo marker with `content` (the intent record both
+    * recoveries key on; vacuum stores the horizon in it).
+    */
+  private def createMarker(s: SparkSession, db: String, marker: String,
+      content: String): Unit = {
+    val mk = warehousePath(s, db, marker)
+    val fs = fsOf(s, mk)
+    fs.mkdirs(mk.getParent)
+    val out = fs.create(mk, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Marker content if present (None = no pending work). */
+  private def readMarker(s: SparkSession, db: String,
+      marker: String): Option[String] = {
+    val mk = warehousePath(s, db, marker)
+    val fs = fsOf(s, mk)
+    if (!fs.exists(mk)) None
+    else {
+      val in = fs.open(mk)
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(new String(bytes.toByteArray, "UTF-8").trim)
+    }
+  }
+
+  private def deleteMarker(s: SparkSession, db: String,
+      marker: String): Unit = {
+    val mk = warehousePath(s, db, marker)
+    fsOf(s, mk).delete(mk, false)
+  }
 
   // ---- retention vacuum over a versioned override store -------------------
 
@@ -262,7 +323,7 @@ object Bucketed {
     * `meta` table records the store's as-of floor durably (serving reads
     * it to fail loudly on a snapshot request older than the horizon).
     * Crash safety class: latest-wins — a suffix row re-applied over an
-    * already-folded base serves identical rows (spec'd in CompactSpec's
+    * already-folded base serves identical rows (spec'd in VacuumSpec's
     * q167 crash test).
     */
   private[graft] def vacuumSwap(s: SparkSession, db: String, base: String,
@@ -280,17 +341,11 @@ object Bucketed {
           // is dropped out from under the frame that reads it
           val keep = Shared.ckpt(
             s.table(s"$db.$delta").filter(col(verCol) > horizon))
-          val mk = warehousePath(s, db, marker)
-          val fs = fsOf(s, mk)
-          fs.mkdirs(mk.getParent)
-          val out = fs.create(mk, true)
-          out.write(horizon.toString.getBytes("UTF-8"))
-          out.close()
-          s.sql(s"DROP TABLE IF EXISTS $db.$base")
-          s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
+          createMarker(s, db, marker, horizon.toString)
+          promoteNext(s, db, base)
           rewriteBucketed(s, db, delta, keep, buckets, keys)
           writeMeta(s, db, meta, horizon)
-          fs.delete(mk, false)
+          deleteMarker(s, db, marker)
         }
       }
     }
@@ -324,48 +379,28 @@ object Bucketed {
 
   private def vacuumRecoverLocked(s: SparkSession, db: String,
       base: String, delta: String, marker: String, meta: String,
-      verCol: String, buckets: Int, keys: Seq[String]): Unit = {
-    val mk = warehousePath(s, db, marker)
-    val fs = fsOf(s, mk)
-    if (!fs.exists(mk)) return
-    val horizon = {
-      val in = fs.open(mk)
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64)
-      var n = in.read(buf)
-      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      new String(bytes.toByteArray, "UTF-8").trim.toLong
-    }
-    if (s.catalog.databaseExists(db)) {
-      if (s.catalog.tableExists(s"$db.${base}_next")) {
-        s.sql(s"DROP TABLE IF EXISTS $db.$base")
-        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
-      }
-      if (s.catalog.tableExists(s"$db.$delta")) {
-        val keep = Shared.ckpt(
-          s.table(s"$db.$delta").filter(col(verCol) > horizon))
-        rewriteBucketed(s, db, delta, keep, buckets, keys)
-      }
-    } else {
-      // fresh process over an in-memory catalog: replay at the FS level
-      // (the recoverLocked shape), reading the delta dir directly
-      val baseDir = warehousePath(s, db, base)
-      val nextDir = warehousePath(s, db, s"${base}_next")
+      verCol: String, buckets: Int, keys: Seq[String]): Unit =
+    readMarker(s, db, marker).foreach { content =>
+      val horizon = content.toLong
+      val hadCatalog = s.catalog.databaseExists(db)
+      promoteNext(s, db, base)
+      // delta-reset policy (the vacuum half that differs from compact):
+      // keep the suffix above the marker's horizon, reading through the
+      // catalog when the db is known, the warehouse dir otherwise
       val deltaDir = warehousePath(s, db, delta)
-      if (fs.exists(nextDir)) {
-        if (fs.exists(baseDir)) fs.delete(baseDir, true)
-        fs.rename(nextDir, baseDir)
-      }
-      if (fs.exists(deltaDir)) {
-        val keep = Shared.ckpt(s.read.parquet(deltaDir.toString)
-          .filter(col(verCol) > horizon))
+      val src =
+        if (hadCatalog && s.catalog.tableExists(s"$db.$delta"))
+          Some(s.table(s"$db.$delta"))
+        else if (!hadCatalog && fsOf(s, deltaDir).exists(deltaDir))
+          Some(s.read.parquet(deltaDir.toString))
+        else None
+      src.foreach { df =>
+        val keep = Shared.ckpt(df.filter(col(verCol) > horizon))
         rewriteBucketed(s, db, delta, keep, buckets, keys)
       }
+      writeMeta(s, db, meta, horizon)
+      deleteMarker(s, db, marker)
     }
-    writeMeta(s, db, meta, horizon)
-    fs.delete(mk, false)
-  }
 
   /** Roll an interrupted [[compactSwap]] forward (idempotent; no-op
     * without the marker). Run by both the compaction and serving paths.
@@ -396,34 +431,24 @@ object Bucketed {
     */
   private def recoverLocked(s: SparkSession, db: String, base: String,
       delta: String, marker: String, buckets: Int,
-      keys: Seq[String]): Unit = {
-    val mk = warehousePath(s, db, marker)
-    val fs = fsOf(s, mk)
-    if (!fs.exists(mk)) return
-    if (s.catalog.databaseExists(db)) {
-      if (s.catalog.tableExists(s"$db.${base}_next")) {
-        s.sql(s"DROP TABLE IF EXISTS $db.$base")
-        s.sql(s"ALTER TABLE $db.${base}_next RENAME TO $db.$base")
-      }
-      if (s.catalog.tableExists(s"$db.$delta")) {
+      keys: Seq[String]): Unit =
+    readMarker(s, db, marker).foreach { _ =>
+      val hadCatalog = s.catalog.databaseExists(db)
+      promoteNext(s, db, base)
+      // delta-reset policy (the compact half): truncate everything
+      if (hadCatalog && s.catalog.tableExists(s"$db.$delta")) {
         val schema = s.table(s"$db.$delta").schema
         rewriteBucketed(s, db, delta, s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
           buckets, keys)
+      } else if (!hadCatalog) {
+        val deltaDir = warehousePath(s, db, delta)
+        val fs = fsOf(s, deltaDir)
+        if (fs.exists(deltaDir))
+          fs.listStatus(deltaDir).foreach(st => fs.delete(st.getPath, true))
       }
-    } else {
-      val baseDir = warehousePath(s, db, base)
-      val nextDir = warehousePath(s, db, s"${base}_next")
-      val deltaDir = warehousePath(s, db, delta)
-      if (fs.exists(nextDir)) {
-        if (fs.exists(baseDir)) fs.delete(baseDir, true)
-        fs.rename(nextDir, baseDir)
-      }
-      if (fs.exists(deltaDir))
-        fs.listStatus(deltaDir).foreach(st => fs.delete(st.getPath, true))
+      deleteMarker(s, db, marker)
     }
-    fs.delete(mk, false)
-  }
 
   /** Memoized [[rewriteBucketed]]: builds `db.name` from `df` at most once
     * per (session, source state); `df` is by-name and only evaluated when a

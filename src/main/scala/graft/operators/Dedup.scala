@@ -942,31 +942,43 @@ object Dedup {
   private[graft] val q167DeltaWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** The two-fold versioned chain q166 AND q167 build on: the tenth
+    * splits into ver-1/ver-2 insertion folds (fold 2 pairing against
+    * fold 1's docs through the accumulated prefix rows — the q124
+    * machinery). Returns (d1 with ver=1 — checkpointed, the caller
+    * reads it twice — and d2 with ver=2). ONE derivation shared by both
+    * consumers so the fold arc cannot drift between them (round-12
+    * review).
+    */
+  private[graft] def verChainFolds(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    val fold0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
+    val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
+    val base = q120LabelsArtifact(s, d)
+    val dfreq = q120DfArtifact(s, d)
+    val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
+      q120PrefixArtifact(s, d))
+    val d1 = Shared.ckpt(
+      incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
+    val seen = q120Corpus(s, d).unionByName(fold0)
+    val prefixAll = q120PrefixArtifact(s, d)
+      .unionByName(prefixRowsOf(fold0, dfreq))
+    val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
+    val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
+      .withColumn("ver", lit(2L))
+    (d1, d2)
+  }
+
   /** The staged override chain — the q166 two-fold arc written once as a
-    * ver-columned delta table (ver 1 = first tenth-half fold, ver 2 =
-    * second, fold 2 pairing against fold 1's docs through the
-    * accumulated prefix rows — the q124 machinery).
+    * ver-columned delta table ([[verChainFolds]]).
     */
   private[graft] def q167DeltaArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q167_labels_delta",
       s"$d/documents.parquet", {
         q167DeltaWrites.incrementAndGet()
-        val docs = Tables.documents(s, d)
-        val tenth = docs.filter(col("doc_id") % 10 === 0)
-        val fold0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
-        val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
-        val base = q120LabelsArtifact(s, d)
-        val dfreq = q120DfArtifact(s, d)
-        val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
-          q120PrefixArtifact(s, d))
-        val d1 = Shared.ckpt(
-          incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
-        val seen = q120Corpus(s, d).unionByName(fold0)
-        val prefixAll = q120PrefixArtifact(s, d)
-          .unionByName(prefixRowsOf(fold0, dfreq))
-        val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
-        val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
-          .withColumn("ver", lit(2L))
+        val (d1, d2) = verChainFolds(s, d)
         d1.unionByName(d2)
       }, 8, Seq("doc_id"))
 
@@ -1763,22 +1775,8 @@ object Dedup {
     // delta-bounded folds; the snapshot read itself adds only the
     // pushed ver filter.
     "q166_labels_timetravel" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tenth = docs.filter(col("doc_id") % 10 === 0)
-      val fold0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
-      val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
       val base = q120LabelsArtifact(s, d)
-      val dfreq = q120DfArtifact(s, d)
-      val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
-        q120PrefixArtifact(s, d))
-      val d1 = Shared.ckpt(
-        incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
-      val seen = q120Corpus(s, d).unionByName(fold0)
-      val prefixAll = q120PrefixArtifact(s, d)
-        .unionByName(prefixRowsOf(fold0, dfreq))
-      val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
-      val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
-        .withColumn("ver", lit(2L))
+      val (d1, d2) = verChainFolds(s, d)
       // the full delta chain is unioned in; the snapshot predicate must
       // make ver 2 invisible — and Catalyst folds `2 <= 1` to false and
       // PRUNES that branch entirely, which is the production property

@@ -138,7 +138,6 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
   /** Identity for [[SyslogLocalTransport]] lookups. */
   private[sources] val transportId: String =
     java.util.UUID.randomUUID().toString
-  SyslogLocalTransport.receivers.put(transportId, this)
 
   val hostname: String = // server's own hostname, captured once
     try java.net.InetAddress.getLocalHost.getHostName
@@ -356,6 +355,11 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     val udpPort = options.getInt("udp.port", 5141)
     if (tcpPort != 0) startTcp(options.getOrDefault("tcp.host", "0.0.0.0"), tcpPort)
     if (udpPort != 0) startUdp(options.getOrDefault("udp.host", "0.0.0.0"), udpPort)
+    // publish LAST: a concurrent registry reader must never observe a
+    // partially-constructed receiver (unsafe this-escape — round-12
+    // review); the ConcurrentHashMap put is the release fence for every
+    // field assigned above
+    SyslogLocalTransport.receivers.put(transportId, this)
   }
 
   /** This receiver's bound TCP port (-1 if TCP disabled) — per-instance,
@@ -475,37 +479,42 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     val out = new Array[Long](nSeg)
     // Progress guarantee under the engine's DEFERRED source commit:
     // Spark calls commit(batch n) only when batch n+1 is constructed, and
-    // batch n+1 needs NEW offsets. A batch that plans the ENTIRE buffer
-    // while senders are blocked on a full buffer therefore livelocks —
+    // batch n+1 needs NEW offsets. A batch that plans an ENTIRE buffer
+    // lane while its senders are blocked on it therefore livelocks —
     // no space frees until commit, no commit until new data, no new data
     // until space frees (reproduced with maxRowsPerBatch >= buffer
-    // capacity). Capping a batch at half the buffer keeps unplanned rows
-    // visible, so the next trigger always constructs, which fires the
-    // deferred commit, which trims the buffer and unblocks acceptance.
-    val halfCap = math.max(1L, receiver.totalCapacity / 2)
+    // capacity; re-reproduced PER LANE when the first fix capped only
+    // the global total and the leftover pass could still drain one
+    // skewed lane completely — round-12 review). The cap is therefore
+    // PER LANE: a batch never plans more than half of any segment's
+    // capacity, so a full lane always keeps unplanned rows visible, the
+    // next trigger constructs, the deferred commit fires, and the lane
+    // trims.
     var remaining = limit match {
-      case mr: ReadMaxRows => math.min(mr.maxRows(), halfCap)
-      case _ => halfCap
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => Long.MaxValue
     }
-    // FAIR allocation: an equal per-lane quota first, then leftovers
-    // greedily. A purely greedy scan starved the tail lanes whenever the
-    // cap bound — their senders sat in backpressure while the head lanes
-    // cycled (measured 9× e2e collapse at listeners=4) — and starved
+    val laneMax = Array.tabulate(nSeg)(i =>
+      math.max(1L, receiver.segments(i).maxRows / 2))
+    // FAIR allocation: an equal per-lane quota first, then leftovers —
+    // a purely greedy scan starved the tail lanes whenever the cap
+    // bound (measured 9× e2e collapse at listeners=4), and starved
     // lanes also defer THEIR buffer trims, compounding the stall.
     val quota = math.max(1L, remaining / nSeg)
     var i = 0
     while (i < nSeg) {
-      val take = math.min(math.min(math.max(0L, avail(i) - s(i)), quota),
-        remaining)
+      val take = Seq(math.max(0L, avail(i) - s(i)), quota, laneMax(i),
+        remaining).min
       out(i) = s(i) + take
       remaining -= take
       i += 1
     }
     i = 0
     while (i < nSeg && remaining > 0) { // second pass: leftovers
-      val take = math.min(math.max(0L, avail(i) - out(i)), remaining)
-      out(i) += take
-      remaining -= take
+      val take = Seq(math.max(0L, avail(i) - out(i)),
+        laneMax(i) - (out(i) - s(i)), remaining).min
+      out(i) += math.max(0L, take)
+      remaining -= math.max(0L, take)
       i += 1
     }
     SyslogOffset(out.toVector)

@@ -145,6 +145,58 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
     } finally s.stop()
   }
 
+  test("a single skewed lane never livelocks the deferred-commit cycle (per-lane half cap)") {
+    // round-12 review regression: with listeners=4 and ONE connection,
+    // all traffic lands in one segment; a batch that plans that entire
+    // lane would freeze the stream (commit of batch n is deferred to
+    // batch n+1's construction, which needs new offsets, which need the
+    // trim commit performs). The per-lane half cap must leave unplanned
+    // rows visible so the drive below always progresses to a full drain.
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("tcp.port", "-1"); opts.put("udp.port", "0")
+    opts.put("tcp.host", "127.0.0.1")
+    opts.put("maxBufferedRows", "4000") // 1000/segment, halfCap 500
+    opts.put("listeners", "4")
+    val s = new sources.SyslogMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    try {
+      val port = sources.SyslogState.lastTcpPort
+      val total = 5000 // 5x one segment's capacity through one connection
+      val sender = new Thread(() => {
+        val sock = new Socket("127.0.0.1", port)
+        val w = new PrintWriter(sock.getOutputStream)
+        (0 until total).foreach(i => w.print(s"line-$i\n"))
+        w.flush(); sock.close()
+      })
+      sender.start()
+      // deferred-commit drive: plan against CURRENT offsets, but commit
+      // batch n only when constructing batch n+1 — the engine's timing
+      var drained = 0L
+      var pendingCommit: Option[org.apache.spark.sql.connector.read.streaming.Offset] = None
+      var cur = s.initialOffset()
+      val lim = org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxRows(1 << 20)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      val factory = s.createReaderFactory()
+      while (drained < total && System.nanoTime() < deadline) {
+        val end = s.latestOffset(cur, lim)
+        if (end.json() != cur.json()) {
+          pendingCommit.foreach(s.commit) // the DEFERRED commit fires here
+          val parts = s.planInputPartitions(cur, end)
+          parts.foreach { p =>
+            val r = factory.createReader(p)
+            while (r.next()) drained += 1
+          }
+          pendingCommit = Some(end)
+          cur = end
+        } else Thread.sleep(5)
+      }
+      sender.join(2000)
+      assert(drained === total,
+        s"livelock: drained $drained of $total through the skewed lane")
+    } finally s.stop()
+  }
+
   test("a long-lived TCP connection never blocks other senders") {
     // the reference scans one connection inside its accept loop
     // (syslog_producer.go:138-143), so sender A parks sender B until A

@@ -276,6 +276,18 @@ class TextKernelSpec extends AnyFunSuite {
       f"(ratio ${batchMass.toDouble / exactMass}%.4f)")
     assert(math.abs(batchMass - exactMass).toDouble / exactMass < 0.02,
       s"batched training drifted: $batchMass vs $exactMass")
+    // 3b. supplementary-plane regression (round-12 review): the apply
+    //     map's keys are built in CODE POINTS to match the fold's
+    //     Spark-side length(); with UTF-16 lengths the emoji pair's
+    //     merge never applied and the loop spun on an undrainable pair.
+    //     Terminates, applies, and matches the heap trainer's table.
+    val emoji = Seq(("🙂x🙂x", 3L), ("🙂x", 2L))
+    val distEmoji = Bpe.trainDistributed(vocabDf(emoji), 10, batch = 1)
+    assert(distEmoji.nonEmpty && distEmoji.head === ("🙂", "x"),
+      s"emoji pair not merged: $distEmoji")
+    assert(distEmoji === Bpe.train(emoji, 10),
+      "non-BMP distributed table diverged from the heap trainer")
+
     // 4. the corpus-tier registered query arc: q168 trains distributed
     //    on the real documents and serves counts through the installed
     //    kernel; counts must equal the driver-trained table's (the
