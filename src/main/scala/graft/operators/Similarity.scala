@@ -936,6 +936,60 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // q112b — the recall audit POINTED AT THE HEADLINE PATH: q112
+    // audits the untrained sign grid, but q36b made the TRAINED
+    // two-level cells the serving default, so the continuous audit must
+    // measure what serving actually returns. Per batch query: its
+    // quantized vector ranks ALL fine centroids in the q97 integer
+    // metric (centroid table × batch — tiny, broadcast), the 9 nearest
+    // cids gate the assignment table, exact cosine ranks the candidates,
+    // and recall@10 compares against the shared brute-force baseline
+    // (q85's shape). Same determinism contract as q112 (rounded cosine,
+    // vec_id ties; integer d2 with cid tie-break on the probe cut).
+    // At 100 TB both sides keep q112's scale shape; the probed side
+    // additionally prunes to ~9·LeafTarget candidate rows per query.
+    "q112b_trained_recall_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = annAuditFrame(s, d)
+      val q = annAuditBatch(e)
+      val exact = annExactTopK(e, q)
+      val qq = q.select(col("q_id"), posexplode(quantized(col("qv"))))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("qvq"))
+      val probes = qq.join(centroidsArtifact(s, d), "dim")
+        .withColumn("dv", col("qvq") - col("c"))
+        .groupBy(col("q_id"), col("cell"), col("sid"))
+        .agg(sum(col("dv") * col("dv")).as("d2q"))
+        .withColumn("cid", col("cell") * lit(SubKCap) + col("sid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("d2q"), col("cid"))))
+        .filter(col("rn") <= TrainedProbeBudget)
+        .select(col("q_id").as("pq_id"), col("cid"))
+      val cand = cellsArtifact(s, d).join(broadcast(probes), "cid")
+        .select(col("pq_id"), col("vec_id"))
+      val ivf = cand
+        .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qnrm"))),
+          col("pq_id") === col("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rk") <= AnnRecallK)
+        .select(col("q_id").as("iq_id"), col("vec_id").as("ivec_id"))
+      exact.join(ivf,
+          col("q_id") === col("iq_id") && col("vec_id") === col("ivec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("ivec_id")).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 4))
+        .orderBy(col("q_id"))
+    }),
+
     // q117 — ANN PROBE-WIDTH SWEEP: q112's audit swept across hamming
     // radius 0 / 1 / 2 probe sets (1, 9, 37 of 256 cells) — the tuning
     // curve an index operator reads to set probe width: recall@10 as a
@@ -1969,6 +2023,58 @@ object Similarity {
     val m = oracleSqlBase
     m ++ Map(
       "q121_online_leaf_split" -> q121Sql,
+      // q112b: the trained-path audit replay — exact side identical to
+      // q112's, probed side = per-query 9 nearest fine centroids in the
+      // integer metric gating the trained assignment
+      "q112b_trained_recall_audit" ->
+        s"""WITH $trainedAssignCtes,
+           | e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT vec_id, embedding, nrm FROM e0 WHERE nrm > 0),
+           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
+           |       FROM e WHERE vec_id % 500 = 0
+           |       ORDER BY vec_id LIMIT $AnnBatchSize),
+           | ex AS (SELECT q.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e, q WHERE e.vec_id <> q.q_id),
+           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+           | qq2 AS (SELECT q.q_id, CAST(g.i AS BIGINT) AS dim,
+           |    CAST(floor(CAST(q.qv[g.i] AS DOUBLE) * 1000) AS BIGINT)
+           |      + 1000 AS v
+           |  FROM q, generate_series(1, 64) AS g(i)),
+           | cd AS (SELECT qq2.q_id, c.cell, c.sid,
+           |    SUM((qq2.v - c.c) * (qq2.v - c.c)) AS d2q
+           |  FROM c2 c JOIN qq2 ON qq2.dim = c.dim
+           |  GROUP BY qq2.q_id, c.cell, c.sid),
+           | pr AS (SELECT q_id, cid FROM (
+           |    SELECT q_id, CAST(cell * $SubKCap + sid AS BIGINT) AS cid,
+           |      d2q,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY d2q, CAST(cell * $SubKCap + sid AS BIGINT))
+           |        AS rn
+           |    FROM cd) WHERE rn <= $TrainedProbeBudget),
+           | iv AS (SELECT pr.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY pr.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM pr JOIN a3 ON a3.cid = pr.cid
+           |     JOIN e ON e.vec_id = a3.vec_id
+           |     JOIN q ON q.q_id = pr.q_id
+           |   WHERE e.vec_id <> pr.q_id),
+           | ivt AS (SELECT q_id, vec_id FROM iv WHERE rk <= $AnnRecallK)
+           |SELECT x.q_id, COUNT(*) AS n_exact,
+           |  COUNT(i.vec_id) AS n_hit,
+           |  ROUND(COUNT(i.vec_id)::DOUBLE / COUNT(*), 4) AS recall
+           |FROM ext x LEFT JOIN ivt i
+           |  ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+           |GROUP BY x.q_id ORDER BY x.q_id""".stripMargin,
+
       // q36b: the full trained-assignment replay, then the 9 globally
       // nearest fine centroids to the integer-quantized query (exact
       // integer d2, cid tiebreak — both engines cut identically), exact
