@@ -142,6 +142,26 @@ object Bench {
       "takedown|vacuum|retract|leaf_split|relayout|stream_postings|" +
       "stream_zorder").r
 
+  /** Explicit classification overrides for names the verb pattern gets
+    * wrong (round-12 ADVICE): these rows' seconds are dominated by
+    * SERVING full query results over already-deleted state (tombstones
+    * anti-joined at read), not by landing the deletions — counting them
+    * as maintenance understates serving_s. The override set is the
+    * explicit registry tag; the verb pattern stays the default only for
+    * names not listed here.
+    */
+  private val ServingOverride = Set(
+    "q155_ann_tombstone", "q158_bm25_tombstone", "q162_layout_tombstone",
+    "q163_span_tombstone", "q165d_proximity_tombstone",
+    "q169c_lm_tombstone")
+
+  /** Maintenance rows whose names dodge the verb pattern. */
+  private val MaintenanceOverride = Set("q161d_stream_pos_postings")
+
+  private def isMaintenance(n: String): Boolean =
+    MaintenanceOverride(n) ||
+      (!ServingOverride(n) && MaintenancePattern.findFirstIn(n).isDefined)
+
   /** Print the ONE result line. Idempotent: called from the normal path and
     * from the shutdown hook (driver kill), whichever comes first.
     */
@@ -155,7 +175,7 @@ object Bench {
     val qRows = rs.filterNot(_._1.startsWith("artifact:"))
     val total = qRows.collect { case (_, v) if v >= 0 => v }.sum
     val maintS = qRows.collect { case (k, v)
-      if v >= 0 && MaintenancePattern.findFirstIn(k).isDefined => v }.sum
+      if v >= 0 && isMaintenance(k) => v }.sum
     val servS = total - maintS
     val split =
       s""""maintenance_s":${math.rint(maintS * 1000) / 1000},""" +
@@ -217,14 +237,21 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // Per-row provenance: {name: {sec, p1, runs, warmed, burst, est}}.
-      // `burst` = first timed sample >= 3x the final min — a cold/
-      // contended first reading, not a plan property.
+      // Per-row provenance: {name: {sec, p1, runs, warmed, burst, est,
+      // regress}}. `burst` = first timed sample >= 3x the final min — a
+      // cold/contended first reading, not a plan property. `regress` =
+      // the row was RE-RUN (runs >= 2, so the reading is not a
+      // once-measured contention sample) and its min still exceeds 2x
+      // the recorded quiet cost — the self-certified signature of a real
+      // regression, as opposed to the 31 once-measured >2x rows the
+      // round-12 artifact could not adjudicate by itself.
       val detail = results.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
         val p1 = Option(pass1Times.get(k)).getOrElse(v)
         val runs: Int = Option(passCounts.get(k)).map(_.intValue).getOrElse(1)
         val burst = v > 0 && runs >= 2 && p1 / v >= 3.0
-        s""""$k":{"sec":$v,"p1":$p1,"runs":$runs,"warmed":${warmedShapes.contains(k)},"burst":$burst,"est":${estCost(k)}}"""
+        val regress = v > 0 && runs >= 2 &&
+          costTable.get(k).exists(c => v > 2.0 * c)
+        s""""$k":{"sec":$v,"p1":$p1,"runs":$runs,"warmed":${warmedShapes.contains(k)},"burst":$burst,"regress":$regress,"est":${estCost(k)}}"""
       }.mkString("{", ",", "}")
       val skippedNames = {
         import scala.jdk.CollectionConverters._
@@ -250,6 +277,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
     val t0 = System.nanoTime()
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "780").toDouble
@@ -437,6 +465,24 @@ object Bench {
       }
     }
 
+    // SELF-CERTIFY pass (round 13, after the round-12 artifact left 31
+    // once-measured rows above 2x their recorded cost on a slow_factor-
+    // 1.49 box): BEFORE any refinement, re-run every non-streaming row
+    // whose measured/recorded ratio exceeds the 2x gate — cheapest
+    // recorded cost first, min-of-passes — so a contention spike on the
+    // first sample can never leave a `runs: 1` reading above the gate.
+    // A row that stays >2x after this pass has been re-measured and is
+    // flagged `regress` in bench_detail.json (a real regression, not box
+    // noise). Admission per row: its own recorded cost at the observed
+    // slow factor must fit the remaining window.
+    def overGate(n: String): Boolean =
+      costTable.get(n).exists(c =>
+        Option(results.get(n)).exists(v => v > 2.0 * c))
+    for (n <- names.filterNot(streaming).filter(overGate).sortBy(estCost)) {
+      val predicted = estCost(n) * slowFactorObserved
+      if (elapsed + predicted < deadlineSec - margin) minRun(n)
+    }
+
     // Cheap streaming rows' second run: min-of-2 for variance control, not
     // warmup (micro-batch + state-store machinery re-runs every time).
     // Re-running costs full price, so it is admitted only while the box
@@ -473,20 +519,41 @@ object Bench {
     // doubles the suite's wall for ~0 information and starves the
     // passes above on a contended box. Uniform contention is the
     // sentinel ratio's job, not pass 2's.
-    val coldClass = cheap.filterNot(streaming).filter { n =>
+    // 2.0x aligns pass 2 with the bench gate (round 13): a row the
+    // self-certify pass re-ran but which still reads above the gate gets
+    // a third/fourth sample here on a box with budget left, so the
+    // `regress` flag rests on the min of several attempts.
+    val coldClass = names.filterNot(streaming).filter { n =>
       val t1 = Option(results.get(n)).map(_.doubleValue).getOrElse(-1.0)
-      t1 < 0 || costTable.get(n).forall(c => t1 > 3.0 * c)
+      t1 < 0 || costTable.get(n).forall(c => t1 > 2.0 * c)
     }
     val coldOrder = coldClass
       .sortBy(n => -Option(results.get(n)).map(_.doubleValue).getOrElse(0.0))
-    for (n <- coldOrder if elapsed < deadlineSec * 0.85 - margin) minRun(n)
+    // Per-row admission for the refinement passes: the budget fraction
+    // caps the pass, the predicted row cost keeps a fold-class row (now
+    // eligible for refinement since coldClass spans `names`) from being
+    // launched with less window than it needs.
+    def admits(n: String, cap: Double): Boolean =
+      elapsed + estCost(n) * slowFactorObserved < deadlineSec * cap - margin
+    for (n <- coldOrder if admits(n, 0.85)) minRun(n)
 
     // Passes 3..4 (warm, batch): min-of-N against the shared box's 3-15×
     // pass-to-pass CPU swings; fast-box refinement only.
     val passBudget = Map(3 -> 0.90, 4 -> 0.95)
     for (pass <- 3 to 4;
          n <- coldOrder
-         if elapsed < deadlineSec * passBudget(pass) - margin) minRun(n)
+         if admits(n, passBudget(pass))) minRun(n)
+
+    // Final re-offer for rows the expensive-row admission gate skipped
+    // (round-12: q128b): the gate fired on a mid-run contention estimate;
+    // if the refinement passes left window, measuring the row once now
+    // still beats an admission_skipped artifact hole.
+    for (n <- admissionSkipped.asScala.toSeq.sortBy(estCost)
+         if !results.containsKey(n) &&
+           elapsed + estCost(n) * slowFactorObserved < deadlineSec - margin) {
+      timed(n)
+      admissionSkipped.remove(n)
+    }
 
     emit()
     spark.stop()

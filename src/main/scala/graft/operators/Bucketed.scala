@@ -357,12 +357,17 @@ object Bucketed {
       Seq((0L, horizon)).toDF("k", "horizon"), 1, Seq("k"))
   }
 
-  /** The store's durable as-of floor (0 until the first vacuum). */
+  /** The store's durable as-of floor (0 until the first vacuum). An
+    * EMPTY meta table (crash mid-rewrite, external truncation) is the
+    * same floor as a missing one: max() over zero rows is NULL, which
+    * must read as 0, not throw.
+    */
   private[graft] def vacuumHorizon(s: SparkSession, db: String,
       meta: String): Long =
-    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.$meta"))
-      s.table(s"$db.$meta").select(max(col("horizon"))).head().getLong(0)
-    else 0L
+    if (s.catalog.databaseExists(db) && s.catalog.tableExists(s"$db.$meta")) {
+      val row = s.table(s"$db.$meta").select(max(col("horizon"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    } else 0L
 
   /** Roll an interrupted [[vacuumSwap]] forward (idempotent; no-op
     * without the marker). Run by the vacuum and by every serving path.

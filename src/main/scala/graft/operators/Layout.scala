@@ -153,7 +153,6 @@ object Layout {
   private def deltaDir(s: SparkSession, d: String, k: Int): String =
     layoutDir(s, d) + s"_delta$k"
 
-  /** Frozen corpus layout (event_id % 10 != 0) + its cuts sidecar. */
   /** q162's landed event tombstones (event_id) — write-once staged side
     * table (the q155_tombs shape): takedowns land O(|tombstones|) rows
     * once, and every box serve broadcasts THIS instead of re-deriving
@@ -167,6 +166,7 @@ object Layout {
         .select(col("event_id")),
       8, Seq("event_id"))
 
+  /** Frozen corpus layout (event_id % 10 != 0) + its cuts sidecar. */
   private[graft] def zBase(s: SparkSession, d: String): String = {
     buildBaseStore(s, d, baseDir(s, d), baseCutsDir(s, d))
     baseDir(s, d)

@@ -221,10 +221,16 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     }
   }
 
-  /** The shards; total capacity stays `maxBufferedRows` at any fan-out. */
+  /** The shards; total capacity stays `maxBufferedRows` at any fan-out,
+    * except that each segment holds AT LEAST 2 rows: the per-lane
+    * livelock guard plans at most half a lane, and a 1-row lane makes
+    * "half" equal the whole lane (laneMax = max(1, 1/2) = 1 = capacity),
+    * re-opening the deferred-commit livelock the guard exists to close.
+    * Capacity >= 2 keeps laneMax (= capacity/2) strictly below capacity.
+    */
   private[sources] val segments: Array[Segment] =
     Array.fill(numSegments)(new Segment(
-      math.max(1, maxBuffered / numSegments)))
+      math.max(2, maxBuffered / numSegments)))
 
   private val rrConn = new java.util.concurrent.atomic.AtomicInteger(0)
   private def nextSegment(): Segment =
@@ -520,8 +526,16 @@ class SyslogMicroBatchStream(options: CaseInsensitiveStringMap)
     SyslogOffset(out.toVector)
   }
 
-  private val localTransport =
-    options.getBoolean("local.transport", true)
+  /** Zero-copy range-reference transport requires the receiver and the
+    * executors to share one JVM, so the DEFAULT follows the master URL:
+    * true under local[*] (the zero-copy fast path), false on a cluster
+    * (rows ride the task binary — the documented fallback) — a cluster
+    * deployment must not fail at reader creation because a local-mode
+    * default leaked through. Explicit `local.transport` always wins.
+    */
+  private val localTransport = options.getBoolean("local.transport",
+    scala.util.Try(org.apache.spark.sql.SparkSession.active
+      .sparkContext.isLocal).getOrElse(true))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = vecOf(start.asInstanceOf[SyslogOffset].v)
