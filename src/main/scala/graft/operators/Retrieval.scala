@@ -310,6 +310,18 @@ object Retrieval {
   private[graft] val posPostingWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Positional postings (term, doc_id, pos) of an arbitrary doc frame —
+    * pure per-doc facts: a document's rows depend on nothing outside the
+    * document, which is what makes the positional store's maintenance
+    * verbs (q161c/q165d/q161d) plain appends and anti-joins with
+    * fold-equals-rebuild exact by construction.
+    */
+  private[graft] def posPostingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(regexp_extract_all(
+        lower(col("text")), lit("[a-z0-9]+"), lit(0))))
+      .toDF("doc_id", "pos", "term")
+      .select(col("term"), col("doc_id"), col("pos"))
+
   /** Write-once POSITIONAL posting table (term, doc_id, pos), bucketed
     * by term — the staged layout q161/q165 serve from in production
     * (the ~2× index-bytes positional price, paid once at build). The
@@ -321,15 +333,66 @@ object Retrieval {
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "pos_postings",
       s"$d/documents.parquet", {
         posPostingWrites.incrementAndGet()
-        Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(regexp_extract_all(
-            lower(col("text")), lit("[a-z0-9]+"), lit(0))))
-          .toDF("doc_id", "pos", "term")
-          .select(col("term"), col("doc_id"), col("pos"))
+        posPostingsOf(Tables.documents(s, d))
       }, 8, Seq("term"))
 
+  // ---- positional-store maintenance verbs (q161c / q165d / q161d) ---------
+  //
+  // The write-once table above serves a FROZEN corpus; a daily-ingest
+  // corpus needs the verb set every other staged family already carries
+  // (SURVEY §8.1). Because positional postings are per-doc facts with NO
+  // corpus-global statistic (the df that forces q157's normalized layout
+  // has no analogue here — anchors and pair distances read only the
+  // matched rows), the verbs are the simplest in the suite:
+  //   - q161c INSERT: an arriving batch appends O(|batch postings|) rows
+  //     into its own term-bucketed leaf; serving unions base ∪ batch
+  //     (bucket-co-located, no re-tokenize, no base rewrite);
+  //   - q165d DELETE: tombstoned docs' postings broadcast-anti-joined
+  //     out at serve (the q155/q158 shape); nothing retracts because
+  //     nothing is corpus-global;
+  //   - q161d CONTINUOUS (StreamingQueries): each micro-batch lands its
+  //     own postings shard under a batch-id dir with mode=overwrite —
+  //     the q159/q150 redelivery shape, at-least-once delivery folding
+  //     to exactly-once index state.
+  // Every verb serves rows provably identical to a from-scratch index
+  // over the resulting corpus, so the oracles are the q161/q165 replays
+  // (full corpus for insert/continuous, survivors for delete).
+
+  /** Spec counter: the incremental base leaf builds once across verbs. */
+  private[graft] val posBaseWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Write-once positional-posting leaf of one corpus split (q157's
+    * convention: doc_id % 10 == 0 arrives, the rest is the frozen base).
+    * One physical store shared by every positional verb — q161c/q165d/
+    * q161d all maintain THESE tables, not private copies.
+    */
+  private[graft] def posIdx(s: SparkSession, d: String, leaf: String,
+      docs: => DataFrame, counter: Boolean = false): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), s"q161c_pos_$leaf",
+      s"$d/documents.parquet", {
+        if (counter) posBaseWrites.incrementAndGet()
+        posPostingsOf(docs)
+      }, 8, Seq("term"))
+
+  /** The maintained positional frame: frozen base ∪ arriving batch. */
+  private[graft] def posMaintained(s: SparkSession, d: String): DataFrame =
+    posIdx(s, d, "base", q157Corpus(s, d), counter = true)
+      .unionByName(posIdx(s, d, "batch", q157Batch(s, d)))
+
+  /** q165d's landed doc tombstones — write-once staged side table (the
+    * q162_tombs shape): O(|tombstones|) rows land once; serving
+    * broadcasts this instead of re-deriving the id set from a
+    * documents scan.
+    */
+  private[graft] def posTombArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q165d_tombs",
+      s"$d/documents.parquet",
+      Dedup.tombstonesOf(Tables.documents(s, d)).select(col("doc_id")),
+      8, Seq("doc_id"))
+
   /** The q161 anchor-count body over ANY positional posting frame. */
-  private def phraseMatchOver(s: SparkSession,
+  private[graft] def phraseMatchOver(s: SparkSession,
       post: DataFrame): DataFrame = {
     import s.implicits._
     val pq = PhraseBatch.flatMap { case (id, p) =>
@@ -484,6 +547,29 @@ object Retrieval {
     "q165c_proximity_capped" -> ((s, d) =>
       proximityOver(s, cappedPosArtifact(s, d))),
 
+    // q161c — INCREMENTAL positional maintenance: the arriving tenth's
+    // postings land as their own term-bucketed leaf (O(|batch|) rows,
+    // the base never rescanned or rewritten — positional postings are
+    // per-doc facts, so the fold is a pure append with exact semantics,
+    // not even q157's monoid merge). Phrase serving over base ∪ batch is
+    // row-identical to the from-scratch index: one shared q161 oracle.
+    "q161c_phrase_incremental" -> ((s, d) =>
+      phraseMatchOver(s, posMaintained(s, d))),
+
+    // q165d — positional-store DELETION: tombstoned docs' postings
+    // broadcast-anti-joined out of the maintained store at serve (the
+    // q155/q158 shape; nothing retracts — no corpus-global statistic
+    // exists in this layout). The tombstone id set is itself a staged
+    // side table (the q162_tombs landed-set model): takedowns land
+    // O(|tombstones|) rows once and every serve broadcasts THAT, never
+    // re-deriving the set from a corpus scan. With q161c and q161d the
+    // positional store carries the full insert/delete/continuous verb
+    // set every other staged family has. Oracle: the proximity replay
+    // over the survivors.
+    "q165d_proximity_tombstone" -> ((s, d) =>
+      proximityOver(s, posMaintained(s, d).join(
+        broadcast(posTombArtifact(s, d)), Seq("doc_id"), "left_anti"))),
+
     // q157 — INCREMENTAL index maintenance (normalized-df layout; see
     // the section comment): batch postings appended, df/stats merged by
     // the count monoid — the base is never rescanned or rewritten, and
@@ -633,7 +719,15 @@ object Retrieval {
     // cancels in the anchor equality, so n_occ is engine-identical;
     // the staged form is a physical-layout change, one shared replay
     "q161b_phrase_staged" -> phraseSql,
-    "q161_phrase_match" -> phraseSql
+    "q161_phrase_match" -> phraseSql,
+    // q161c: append + union serves exactly the full-corpus positional
+    // index (per-doc facts — fold-equals-rebuild is definitional), so
+    // the oracle is the identical full replay
+    "q161c_phrase_incremental" -> phraseSql,
+    // q165d: the proximity replay over the tombstone survivors
+    "q165d_proximity_tombstone" -> proximitySqlOver(tokCteFrom(
+      s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
+        s" <> ${Dedup.TombRes})"))
   )
 
   /** The shared proximity replay over a parameterized positional CTE
@@ -665,12 +759,14 @@ object Retrieval {
        |WHERE rk <= $BmTopK ORDER BY query_id, rk""".stripMargin
   }
 
-  private val fullTokCte: String =
-    """tok AS (SELECT doc_id,
-      |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-      |     generate_subscripts(
-      |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-      |   FROM documents)""".stripMargin
+  private def tokCteFrom(docsRel: String): String =
+    s"""tok AS (SELECT doc_id,
+       |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |     generate_subscripts(
+       |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+       |   FROM $docsRel)""".stripMargin
+
+  private val fullTokCte: String = tokCteFrom("documents")
 
   private lazy val proximitySql: String = proximitySqlOver(fullTokCte)
 

@@ -842,6 +842,48 @@ object StreamingQueries {
         Retrieval.mergeStats(bStats, shardStats, 1))
     }),
 
+    // q161d — CONTINUOUS positional-index maintenance: q161c's append
+    // fold as a Structured Streaming pipeline, completing the positional
+    // store's verb set (insert q161c / delete q165d / continuous here).
+    // Each micro-batch tokenizes ONLY its own documents and lands the
+    // postings under a batch-id-keyed dir with mode=overwrite (the
+    // q159/q150 redelivery shape: a re-run rewrites the same dir
+    // byte-identically, so at-least-once delivery folds to exactly-once
+    // index state with no transactional sink). Positional postings are
+    // per-doc facts — no df, no stats — so readout is a plain union of
+    // base ∪ shards and fold-equals-rebuild is exact by construction:
+    // the oracle is the full-corpus q161 replay, hash-proven per tier.
+    "q161d_stream_pos_postings" -> ((s, d) => {
+      import graft.operators.Retrieval
+      val dir = Files.createTempDirectory("graft_q161d")
+      val inDir = dir.resolve("in")
+      Files.createDirectories(inDir)
+      val docs = graft.Tables.documents(s, d)
+      val folds = 2
+      for (k <- 0 until folds)
+        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
+          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      // frozen base = the same physical store q161c/q165d maintain
+      val base = Retrieval.posIdx(s, d, "base",
+        docs.filter(col("doc_id") % 10 =!= 0))
+      val postDir = dir.resolve("pos").toString
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      try {
+        val q = stream.writeStream
+          .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+            Retrieval.posPostingsOf(b).write.mode("overwrite")
+              .parquet(s"$postDir/batch=$id"))
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Retrieval.phraseMatchOver(s,
+        base.unionByName(s.read.parquet(s"$postDir/batch=*")))
+    }),
+
     "q136_stream_incremental_span_strip" -> ((s, d) => {
       import graft.Tables
       import graft.operators.Dedup
@@ -1053,6 +1095,11 @@ object StreamingQueries {
     // batch-keyed overwrite redelivery are hash-proven per tier.
     "q159_stream_postings" ->
       graft.operators.Retrieval.oracleSql("q157_bm25_incremental"),
+    // q161d: base ∪ streamed shards serves exactly the full-corpus
+    // positional index — per-doc facts, so the only thing the fold can
+    // get wrong is coverage, which the hash proves per tier.
+    "q161d_stream_pos_postings" ->
+      graft.operators.Retrieval.oracleSql("q161_phrase_match"),
     // q128: the continuously-maintained dashboard must land on exactly
     // the from-scratch q119 scorecard over ALL documents — cross-fold
     // corrections and monoid adds hash-proven per tier.

@@ -392,6 +392,63 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       "warm capped-proximity serving re-built the truncated index")
   }
 
+  // ---- positional-store maintenance verbs (q161c / q165d / q161d) --------
+
+  test("q161c incremental positional fold serves exactly the from-scratch index, never re-tokenizing") {
+    val a = Retrieval.queries("q161_phrase_match")(spark, TestSpark.sf)
+      .collect()
+    val bDf = Retrieval.queries("q161c_phrase_incremental")(
+      spark, TestSpark.sf)
+    val b = bDf.collect()
+    assert(a.nonEmpty && a.toSeq === b.toSeq,
+      "incremental positional fold diverged from the from-scratch index")
+    val p = bDf.queryExecution.executedPlan.toString
+    assert(p.contains("q161c_pos_base") && p.contains("q161c_pos_batch"),
+      s"maintained store not in the serve plan:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      "incremental phrase serving re-tokenized the corpus")
+    // write-once across verbs: q165d's warm serve shares the same store
+    val w0 = Retrieval.posBaseWrites.get()
+    Retrieval.queries("q161c_phrase_incremental")(spark, TestSpark.sf)
+      .collect()
+    Retrieval.queries("q165d_proximity_tombstone")(spark, TestSpark.sf)
+      .collect()
+    assert(Retrieval.posBaseWrites.get() === w0,
+      "warm positional maintenance serving re-built the base leaf")
+  }
+
+  test("q165d deletion is visible, anti-joined from the staged tomb table, no corpus rescan") {
+    val full = Retrieval.queries("q165b_proximity_staged")(
+      spark, TestSpark.sf).collect()
+    val delDf = Retrieval.queries("q165d_proximity_tombstone")(
+      spark, TestSpark.sf)
+    val del = delDf.collect()
+    assert(full.nonEmpty, "proximity fixture degenerate: no matches")
+    assert(full.toSeq !== del.toSeq,
+      "fixture degenerate: no tombstoned doc in any proximity result — " +
+        "deletion unexercised")
+    // no survivor row names a tombstoned doc
+    del.foreach { r =>
+      assert(r.getLong(1) % Dedup.TombMod !== Dedup.TombRes,
+        s"tombstoned doc served: ${r.getLong(1)}")
+    }
+    val p = delDf.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "tombstones not anti-joined")
+    assert(p.contains("q165d_tombs"),
+      s"staged tombstone side table not in the serve plan:\n${p.take(2000)}")
+    assert(!p.contains("documents.parquet"),
+      "q165d serving rescanned the corpus for its tombstone set")
+  }
+
+  test("q161d continuous positional fold lands on the from-scratch index") {
+    val a = Retrieval.queries("q161_phrase_match")(spark, TestSpark.sf)
+      .collect()
+    val b = streaming.StreamingQueries.queries("q161d_stream_pos_postings")(
+      spark, TestSpark.sf).collect()
+    assert(a.nonEmpty && a.toSeq === b.toSeq,
+      "streamed positional fold diverged from the from-scratch index")
+  }
+
   test("q162 deletion is visible and the partition pruning survives the anti-join") {
     val served = operators.Layout.queries("q162_layout_tombstone")(
       spark, TestSpark.sf)
