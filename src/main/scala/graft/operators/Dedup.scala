@@ -1024,6 +1024,101 @@ object Dedup {
     latestWins(q167BaseArtifact(s, d), q167DeltaArtifact(s, d))
   }
 
+  // ---- q170: RETENTION VACUUM over the span-override chain ----------------
+  //
+  // q167 bounded the LABELS ver chain; the span-strip override chain
+  // (q135/q136) still grew with fold history under only its full-truncate
+  // compaction closer (the q131/q132 cadence). Same [[Bucketed.vacuumSwap]]
+  // primitive, second call site: fold span override rows with ver ≤
+  // horizon into the base (latest-span-wins as-of-horizon), RETAIN the
+  // suffix, record the as-of floor durably in q170_meta, and fail loudly
+  // on snapshot reads below it. Identical contracts to q167 — serving at
+  // latest unchanged (latest-wins is associative over the fold), chain
+  // length bounded by the retention window, crash-safe via the
+  // horizon-carrying redo marker.
+
+  /** The q170 retention horizon: span override vers ≤ 1 fold away. */
+  private[graft] val Q170Horizon = 1L
+
+  /** q170's own copy of the span base (the vacuum rewrites it; q135_base
+    * stays pristine — the q126 namespacing rule).
+    */
+  private[graft] def q170BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q170_span_base",
+      s"$d/documents.parquet", q135BaseArtifact(s, d), 8, Seq("doc_id"))
+
+  /** Spec counter: how many times the q170 delta chain was STAGED. */
+  private[graft] val q170DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The two-fold versioned SPAN chain ([[verChainFolds]]' analogue):
+    * the arriving tenth splits into ver-1/ver-2 folds, fold 2 pairing
+    * against fold 1's docs through the accumulated postings/window rows
+    * — q136's exact fold body in batch form, so the chain the vacuum
+    * truncates is the chain the continuous form actually grows.
+    */
+  private[graft] def spanVerChainFolds(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    val f0 = tenth.filter(expr("(doc_id div 10) % 2 = 0"))
+    val f1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
+    val basePost = q135PostingsArtifact(s, d)
+    val baseByd = q135ByDocArtifact(s, d)
+    val d1 = Shared.ckpt(spanFoldAgainst(s, docs, f0, basePost, baseByd)._1
+      .withColumn("ver", lit(1L)))
+    // fold-0's store increments (ckpt'd: the union side must NOT claim
+    // the base tables' bucketing — the pinned bucketed-union hazard)
+    val bw0 = Shared.ckpt(spanWindows(spanDocs(s, f0)))
+    val d2 = spanFoldAgainst(s, docs, f1,
+      basePost.unionByName(bw0.select(col("wh"), col("doc_id")).distinct()),
+      baseByd.unionByName(bw0))._1
+      .withColumn("ver", lit(2L))
+    d1.unionByName(d2)
+  }
+
+  /** The staged span override chain (ver 1 ∪ ver 2), write-once. */
+  private[graft] def q170DeltaArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q170_span_delta",
+      s"$d/documents.parquet", {
+        q170DeltaWrites.incrementAndGet()
+        spanVerChainFolds(s, d)
+      }, 8, Seq("doc_id"))
+
+  private[graft] def q170Recover(s: SparkSession, d: String): Unit =
+    Bucketed.vacuumRecover(s, Bucketed.dbFor(d), "q170_span_base",
+      "q170_span_delta", "q170_vacuum_pending", "q170_meta", "ver",
+      8, Seq("doc_id"))
+
+  private[graft] def q170Vacuum(s: SparkSession, d: String,
+      horizon: Long): Unit =
+    Bucketed.vacuumSwap(s, Bucketed.dbFor(d), "q170_span_base",
+      "q170_span_delta", "q170_vacuum_pending", "q170_meta",
+      latestSpanWins(q170BaseArtifact(s, d),
+        q170DeltaArtifact(s, d).filter(col("ver") <= horizon)),
+      horizon, "ver", 8, Seq("doc_id"))
+
+  private[graft] def q170HorizonOf(s: SparkSession, d: String): Long =
+    Bucketed.vacuumHorizon(s, Bucketed.dbFor(d), "q170_meta")
+
+  /** Snapshot read AS-OF `v` — loud failure below the vacuum floor
+    * (vacuumed span versions are unrecoverable by design).
+    */
+  private[graft] def q170AsOf(s: SparkSession, d: String, v: Long): DataFrame = {
+    q170Recover(s, d)
+    val h = q170HorizonOf(s, d)
+    require(v >= h,
+      s"as-of $v predates the q170 vacuum horizon $h — vacuumed versions " +
+        "are unrecoverable")
+    latestSpanWins(q170BaseArtifact(s, d),
+      q170DeltaArtifact(s, d).filter(col("ver") <= v))
+  }
+
+  private[graft] def q170Serve(s: SparkSession, d: String): DataFrame = {
+    q170Recover(s, d)
+    latestSpanWins(q170BaseArtifact(s, d), q170DeltaArtifact(s, d))
+  }
+
   // ---- q130: posting-store COMPACTION ------------------------------------
   //
   // q124's honest scale caveat (SCALING.md): the accumulated batch posting
@@ -1801,6 +1896,21 @@ object Dedup {
       q167Serve(s, d).orderBy(col("doc_id"))
     }),
 
+    // q170 — span-chain RETENTION VACUUM (see the q170 section comment):
+    // q167's arc on the span-override store — stage the two-fold ver
+    // chain, vacuum vers ≤ [[Q170Horizon]] into the base, retain the
+    // suffix, serve at latest. Oracle = the from-scratch q133 strip over
+    // the FULL corpus (both folds cover the tenth), so the fold chain,
+    // the swap, and any mid-swap crash replay are all hash-proven
+    // invisible at latest.
+    "q170_span_vacuum" -> ((s, d) => {
+      q170Recover(s, d)
+      if (q170DeltaArtifact(s, d).filter(col("ver") <= Q170Horizon)
+          .limit(1).count() > 0)
+        q170Vacuum(s, d, Q170Horizon)
+      q170Serve(s, d).orderBy(col("doc_id"))
+    }),
+
     // q163 — span-store DELETION: the retraction verb (see the q163
     // section) — deleted docs leave, touched survivors re-serve with
     // strips RECOMPUTED over survivor state (retraction included),
@@ -2573,6 +2683,11 @@ object Dedup {
            |SELECT doc_id, rep,
            |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
            |FROM reps ORDER BY doc_id""".stripMargin,
+
+      // q170: the span vacuum must be invisible at latest — the same
+      // from-scratch full-corpus strip as q133 (the two-ver fold arc
+      // lands on the identical final state)
+      "q170_span_vacuum" -> sqlSpanStrip,
 
       // q154: deletion maintenance must be invisible — the SAME closure
       // derivation, over documents minus the tombstone set

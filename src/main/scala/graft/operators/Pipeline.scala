@@ -306,6 +306,154 @@ object Pipeline {
       }: _*)
   }
 
+  /** q128's exact fold arc replayed in batch form: the tenth splits into
+    * `folds` ordered sub-batches; each fold pairs against corpus ∪
+    * accumulated postings (q124's labels machinery), merges its batch
+    * aggregate + label corrections into the previous fold's scorecard,
+    * and appends ver-stamped scorecard / label / flag rows. Returns
+    * (scorecard ver chain incl. ver 0 = frozen base, accumulated flag
+    * delta rows). ONE derivation shared by q128b's compaction and
+    * q171's retention vacuum, so the fold arc cannot drift between the
+    * two closers (the verChainFolds rule).
+    */
+  private[graft] def scVerChain(s: SparkSession, d: String, folds: Int)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val baseLabels = Dedup.q120LabelsArtifact(s, d)
+    val corpusDf = Dedup.q120DfArtifact(s, d)
+    val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
+    val corpus = Dedup.q120Corpus(s, d)
+    val corpusFlags = q127DocflagsArtifact(s, d)
+    val scBase0 = q127BaseArtifact(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_scchain")
+    val labelsDir = dir.resolve("labels_delta").toString
+    val prefixDir = dir.resolve("prefix_delta").toString
+    val seenDir = dir.resolve("seen").toString
+    val flagsDir = dir.resolve("flags_delta").toString
+    val scDir = dir.resolve("scorecard").toString
+    baseLabels.limit(0).withColumn("ver", lit(0L)).write.parquet(labelsDir)
+    corpusPrefix.limit(0).write.parquet(prefixDir)
+    docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+    corpusFlags.limit(0).withColumn("ver", lit(0L)).write.parquet(flagsDir)
+    scBase0.withColumn("ver", lit(0L)).write.parquet(scDir)
+    def latestSc(upTo: Long): DataFrame =
+      s.read.parquet(scDir).filter(col("ver") <= upTo)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("ver").desc)))
+        .filter(col("_rn") === 1).drop("_rn", "ver")
+    for (k <- 0 until folds) {
+      val ver = k.toLong
+      val b = docs.filter(col("doc_id") % 10 === 0)
+        .filter(expr(s"(doc_id div 10) % $folds") === k)
+      val seenDocs = corpus.unionByName(
+        docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
+      val prefixAll = corpusPrefix.unionByName(s.read.parquet(prefixDir))
+      val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+      val current = Dedup.latestWins(baseLabels,
+        s.read.parquet(labelsDir).filter(col("ver") < ver))
+      val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+      val allFlags = corpusFlags.unionByName(
+        s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
+          .dropDuplicates("doc_id"))
+      q127MergeOf(latestSc(ver), q127BatchAgg(b, sub),
+          q127Corrections(sub, allFlags, current))
+        .withColumn("ver", lit(ver + 1))
+        .write.mode("append").parquet(scDir)
+      sub.withColumn("ver", lit(ver))
+        .write.mode("append").parquet(labelsDir)
+      Dedup.prefixRowsOf(b, corpusDf).write.mode("append").parquet(prefixDir)
+      b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+      docflagsOf(b).withColumn("ver", lit(ver))
+        .write.mode("append").parquet(flagsDir)
+    }
+    (s.read.parquet(scDir), s.read.parquet(flagsDir))
+  }
+
+  // ---- q171: RETENTION VACUUM over the scorecard ver chain -----------------
+  //
+  // The third vacuumSwap call site (labels q167, spans q170): the
+  // versioned scorecard chain q128 grows gets the retention verb — fold
+  // vers ≤ horizon into the base (latest-wins per source as-of-horizon),
+  // retain the suffix, record the as-of floor durably, fail loudly on
+  // snapshot reads below it. q128b's compaction remains the
+  // truncate-everything closer; q171 is the bounded-history variant a
+  // dashboard with a lookback window actually runs.
+
+  /** The q171 retention horizon: scorecard vers ≤ 2 fold away (the
+    * three-fold chain keeps ver 3 as its retention suffix).
+    */
+  private[graft] val Q171Horizon = 2L
+
+  /** Spec counter: how many times the q171 delta chain was STAGED. */
+  private[graft] val q171DeltaWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q171's own copy of the frozen scorecard base (the vacuum rewrites
+    * it; q127's stays pristine — the q126 namespacing rule).
+    */
+  private[graft] def q171BaseArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q171_sc_base",
+      s"$d/documents.parquet", q127BaseArtifact(s, d), 1, Seq("source"))
+
+  /** The staged scorecard override chain (vers 1..3), write-once. */
+  private[graft] def q171DeltaArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q171_sc_delta",
+      s"$d/documents.parquet", {
+        q171DeltaWrites.incrementAndGet()
+        scVerChain(s, d, folds = 3)._1.filter(col("ver") > 0)
+      }, 1, Seq("source"))
+
+  /** Latest-wins serving view for the versioned scorecard rows — the
+    * latestSpanWins shape on the source key: base minus any overridden
+    * source, plus each delta source's newest row. Join-shaped (never a
+    * window above a union that includes a bucketed scan — the pinned
+    * Spark 4.1 hazard q128b's compact body documents).
+    */
+  private[graft] def latestScWins(base: DataFrame,
+      delta: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = delta
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("ver").desc)))
+      .filter(col("_rn") === 1).drop("_rn", "ver")
+    base.join(broadcast(delta.select(col("source")).distinct()),
+        Seq("source"), "left_anti")
+      .unionByName(latest)
+  }
+
+  private[graft] def q171Recover(s: SparkSession, d: String): Unit =
+    Bucketed.vacuumRecover(s, Bucketed.dbFor(d), "q171_sc_base",
+      "q171_sc_delta", "q171_vacuum_pending", "q171_meta", "ver",
+      1, Seq("source"))
+
+  private[graft] def q171Vacuum(s: SparkSession, d: String,
+      horizon: Long): Unit =
+    Bucketed.vacuumSwap(s, Bucketed.dbFor(d), "q171_sc_base",
+      "q171_sc_delta", "q171_vacuum_pending", "q171_meta",
+      latestScWins(q171BaseArtifact(s, d),
+        q171DeltaArtifact(s, d).filter(col("ver") <= horizon)),
+      horizon, "ver", 1, Seq("source"))
+
+  private[graft] def q171HorizonOf(s: SparkSession, d: String): Long =
+    Bucketed.vacuumHorizon(s, Bucketed.dbFor(d), "q171_meta")
+
+  /** Snapshot read AS-OF `v` — loud failure below the vacuum floor. */
+  private[graft] def q171AsOf(s: SparkSession, d: String, v: Long): DataFrame = {
+    q171Recover(s, d)
+    val h = q171HorizonOf(s, d)
+    require(v >= h,
+      s"as-of $v predates the q171 vacuum horizon $h — vacuumed versions " +
+        "are unrecoverable")
+    latestScWins(q171BaseArtifact(s, d),
+      q171DeltaArtifact(s, d).filter(col("ver") <= v))
+  }
+
+  private[graft] def q171Serve(s: SparkSession, d: String): DataFrame = {
+    q171Recover(s, d)
+    latestScWins(q171BaseArtifact(s, d), q171DeltaArtifact(s, d))
+  }
+
   /** Greedy sequence packing of (source, doc_id, tokens) rows into
     * 2048-token context windows by doc_id order — the q78 body, shared
     * with the composed corpus build (q93). The per-source running sum is
@@ -744,6 +892,23 @@ object Pipeline {
         .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
         .orderBy(col("source"))),
 
+    // q171 — scorecard-chain RETENTION VACUUM (see the q171 section
+    // comment): stage the three-fold ver chain (q128's exact fold arc,
+    // shared derivation with q128b), vacuum vers ≤ [[Q171Horizon]] into
+    // the base, retain the suffix, serve at latest. Oracle = from-scratch
+    // q119 over ALL documents — the newest ver per source IS the fully
+    // folded scorecard, so fold chain + swap + crash replay are
+    // hash-proven invisible at latest.
+    "q171_scorecard_vacuum" -> ((s, d) => {
+      q171Recover(s, d)
+      if (q171DeltaArtifact(s, d).filter(col("ver") <= Q171Horizon)
+          .limit(1).count() > 0)
+        q171Vacuum(s, d, Q171Horizon)
+      q171Serve(s, d)
+        .withColumn("keep_rate", round(col("n_train") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    }),
+
     // q128b — the COMPACTION CLOSERS for q128's two still-growing stores
     // (round-10 verdict #5): the accumulated per-doc flag rows and the
     // versioned scorecard chain. The fold chain is q128's exact per-fold
@@ -762,60 +927,14 @@ object Pipeline {
     // invisible at every tier.
     "q128b_scorecard_compact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val folds = 3
-      val baseLabels = Dedup.q120LabelsArtifact(s, d)
-      val corpusDf = Dedup.q120DfArtifact(s, d)
-      val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
-      val corpus = Dedup.q120Corpus(s, d)
       val corpusFlags = q127DocflagsArtifact(s, d)
       val scBase0 = q127BaseArtifact(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_q128b")
-      val labelsDir = dir.resolve("labels_delta").toString
-      val prefixDir = dir.resolve("prefix_delta").toString
-      val seenDir = dir.resolve("seen").toString
-      val flagsDir = dir.resolve("flags_delta").toString
-      val scDir = dir.resolve("scorecard").toString
-      baseLabels.limit(0).withColumn("ver", lit(0L)).write.parquet(labelsDir)
-      corpusPrefix.limit(0).write.parquet(prefixDir)
-      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
-      corpusFlags.limit(0).withColumn("ver", lit(0L)).write.parquet(flagsDir)
-      scBase0.withColumn("ver", lit(0L)).write.parquet(scDir)
-      def latestSc(upTo: Long): DataFrame =
-        s.read.parquet(scDir).filter(col("ver") <= upTo)
-          .withColumn("_rn", row_number().over(
-            Window.partitionBy(col("source")).orderBy(col("ver").desc)))
-          .filter(col("_rn") === 1).drop("_rn", "ver")
-      for (k <- 0 until folds) {
-        val ver = k.toLong
-        val b = docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k)
-        val seenDocs = corpus.unionByName(
-          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
-        val prefixAll = corpusPrefix.unionByName(s.read.parquet(prefixDir))
-        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
-        val current = Dedup.latestWins(baseLabels,
-          s.read.parquet(labelsDir).filter(col("ver") < ver))
-        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
-        val allFlags = corpusFlags.unionByName(
-          s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
-            .dropDuplicates("doc_id"))
-        q127MergeOf(latestSc(ver), q127BatchAgg(b, sub),
-            q127Corrections(sub, allFlags, current))
-          .withColumn("ver", lit(ver + 1))
-          .write.mode("append").parquet(scDir)
-        sub.withColumn("ver", lit(ver))
-          .write.mode("append").parquet(labelsDir)
-        Dedup.prefixRowsOf(b, corpusDf).write.mode("append").parquet(prefixDir)
-        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
-        docflagsOf(b).withColumn("ver", lit(ver))
-          .write.mode("append").parquet(flagsDir)
-      }
+      val (scChain, flagsChain) = scVerChain(s, d, folds = 3)
       val db = Bucketed.dbFor(d)
       Bucketed.rewriteBucketed(s, db, "q128b_flags_base",
         corpusFlags.withColumn("ver", lit(0L)), 8, Seq("doc_id"))
       Bucketed.rewriteBucketed(s, db, "q128b_flags_delta",
-        s.read.parquet(flagsDir), 8, Seq("doc_id"))
+        flagsChain, 8, Seq("doc_id"))
       Bucketed.compactSwap(s, db, "q128b_flags_base", "q128b_flags_delta",
         "q128b_flags_pending",
         s.table(s"$db.q128b_flags_base").unionByName(
@@ -824,7 +943,7 @@ object Pipeline {
       Bucketed.rewriteBucketed(s, db, "q128b_sc_base",
         scBase0.withColumn("ver", lit(0L)), 1, Seq("source"))
       Bucketed.rewriteBucketed(s, db, "q128b_sc_delta",
-        s.read.parquet(scDir).filter(col("ver") > 0), 1, Seq("source"))
+        scChain.filter(col("ver") > 0), 1, Seq("source"))
       Bucketed.compactSwap(s, db, "q128b_sc_base", "q128b_sc_delta",
         "q128b_sc_pending",
         // explicit repartition before the window: the union of two
@@ -1288,6 +1407,9 @@ object Pipeline {
     // q128b: fold chain + flag-store and scorecard compaction swaps must
     // all be invisible — from-scratch q119 over all documents
     "q128b_scorecard_compact" -> sqlQ119,
+    // q171: the scorecard vacuum must be invisible at latest — newest
+    // ver per source is the fully folded q119 scorecard
+    "q171_scorecard_vacuum" -> sqlQ119,
 
     // q94 = q93's gates + the 13-shingle decontamination anti-join,
     // recomposed from the same shared fragments

@@ -566,6 +566,43 @@ object TextOps {
     // codes), an aggregated count store has no per-row doc attribution
     // to count — the takedown invariant IS this count equality, which
     // the oracle checks stronger than any row filter could.
+    // q169d — LM INSERTION fold: the arriving tenth's bigram counts fold
+    // INTO the frozen reference in O(|batch| + |LM|) — bigram counts are
+    // a group (the q123/q153 manifest algebra), so the fold is two
+    // full-outer count merges with zero fill: cb adds per (w1, w2), and
+    // the denormalized prefix total cp re-joins from the w1-keyed merge
+    // of the base's distinct (w1, cp) rows with the batch's prefix
+    // increments (a batch bigram under an EXISTING w1 must raise cp on
+    // every base row of that prefix, which a row-keyed merge alone
+    // cannot see). The corpus is never rescanned; the LM table is
+    // vocabulary-bounded (the q169 scale argument), so the fold is
+    // vocabulary-sized, not corpus-sized. Completes insert/compact/
+    // delete symmetry for the 7th staged family (q169b train-once /
+    // q169c retract / fold-forward here). Oracle: from-scratch LM over
+    // corpus ∪ batch = ALL documents, scoring the tenth — fold ==
+    // retrain, hash-proven. (OOV cannot fire post-fold — every batch
+    // transition is now in the LM — and the oracle's n_oov = 0 column
+    // proves that too.)
+    "q169d_lm_incremental" -> ((s, d) => {
+      val base = q169LmArtifact(s, d)
+      val bBig = bigramsOf(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0))
+      val bcb = bBig.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bcb"))
+      val bcp = bcb.groupBy(col("w1")).agg(sum(col("bcb")).as("bcp"))
+      val cb2 = base.select(col("w1"), col("w2"), col("cb"))
+        .join(bcb, Seq("w1", "w2"), "full_outer")
+        .select(col("w1"), col("w2"),
+          (coalesce(col("cb"), lit(0L)) +
+            coalesce(col("bcb"), lit(0L))).as("cb"))
+      val cp2 = base.select(col("w1"), col("cp")).distinct()
+        .join(bcp, Seq("w1"), "full_outer")
+        .select(col("w1"),
+          (coalesce(col("cp"), lit(0L)) +
+            coalesce(col("bcp"), lit(0L))).as("cp"))
+      lmServe(s, d, cb2.join(cp2, "w1"))
+    }),
+
     "q169c_lm_tombstone" -> ((s, d) => {
       val tombs = Dedup.tombstonesOf(Tables.documents(s, d))
       val tBig = bigramsOf(Tables.documents(s, d)
@@ -1261,6 +1298,35 @@ object TextOps {
           | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
           | cb AS (SELECT w1, w2, count(*) AS cb FROM big
           |   WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+          | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
+          | lm AS (SELECT cb.w1, cb.w2,
+          |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4
+          |   FROM cb JOIN cp ON cb.w1 = cp.w1),
+          | sc AS (SELECT b.doc_id, lm.r_e4,
+          |     COALESCE(lm.r_e4, $Q169OovE4) AS r
+          |   FROM big b LEFT JOIN lm
+          |     ON b.w1 = lm.w1 AND b.w2 = lm.w2
+          |   WHERE b.doc_id % 10 = 0)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(CASE WHEN r_e4 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_oov,
+          |  CAST(sum(r) AS BIGINT) AS surprisal_e4,
+          |  CAST(sum(r) // count(*) AS BIGINT) AS mean_e4
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q169d: fold == retrain — the identical replay with the LM
+      // trained over corpus ∪ batch = ALL documents (no split filter on
+      // cb); n_oov is identically zero, which the hash proves too
+      "q169d_lm_incremental" ->
+        s"""WITH tok AS (SELECT doc_id,
+          |     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          |   FROM documents),
+          | bp AS (SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i + 1]}
+          |     FOR i IN generate_series(1, len(ws) - 1)]) AS p
+          |   FROM tok WHERE len(ws) > 1),
+          | big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+          | cb AS (SELECT w1, w2, count(*) AS cb FROM big
+          |   GROUP BY w1, w2),
           | cp AS (SELECT w1, sum(cb) AS cp FROM cb GROUP BY w1),
           | lm AS (SELECT cb.w1, cb.w2,
           |     CAST(ROUND(cp.cp::DOUBLE / cb.cb * 10000) AS BIGINT) AS r_e4

@@ -192,6 +192,36 @@ class OperatorSpec extends AnyFunSuite {
       "warm LM-filter serving re-trained the reference")
   }
 
+  test("q169d LM insertion fold: fold == retrain, OOV closes, base not retrained") {
+    import spark.implicits._
+    // corpus (ids 1-9) trains 'the'->'cat' 9x; batch docs 10 'the zebra'
+    // and 20 'the cat'. After folding the batch in: cb(the,cat) = 10,
+    // cb(the,zebra) = 1, cp(the) = 11 — doc 10 scores 11/1 -> 110000
+    // with n_oov = 0 (the fold CLOSED the OOV q169b reports), doc 20
+    // scores round(11/10 * 1e4) = 11000. Exactly the from-scratch LM
+    // over corpus ∪ batch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_q169d").toString
+    ((1 to 9).map(i => (i.toLong, "the cat")) ++
+      Seq((10L, "the zebra"), (20L, "the cat")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q169d_lm_incremental")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got(10L) === ((0L, 110000L)),
+      s"folded-in transition still OOV or mis-scored: ${got(10L)}")
+    assert(got(20L) === ((0L, 11000L)),
+      s"existing-prefix cp not raised by the fold: ${got(20L)}")
+    // the fold READS the staged reference; it must not retrain it
+    val w0 = operators.TextOps.q169LmWrites.get()
+    SparkEntry.queries("q169d_lm_incremental")(spark, dir).collect()
+    assert(operators.TextOps.q169LmWrites.get() === w0,
+      "warm incremental LM fold re-trained the frozen reference")
+  }
+
   test("q169c LM retraction: visible on the tier, exact on a planted mix") {
     import spark.implicits._
     // tier-level visibility: the deletion fold must CHANGE some batch

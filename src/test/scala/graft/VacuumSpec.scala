@@ -1,11 +1,11 @@
 package graft
 
-import graft.operators.{Bucketed, Dedup}
+import graft.operators.{Bucketed, Dedup, Pipeline}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q167 — retention vacuum over the versioned label store: the GC verb
-  * that bounds the override chain. Contracts spec'd here:
+/** q167/q170/q171 — retention vacuum over the three versioned override
+  * chains (labels / span strips / scorecard). Contracts spec'd here:
   *  - serving at LATEST is invisible to the vacuum;
   *  - the chain physically truncates to the retention suffix;
   *  - as-of ≥ horizon serves the identical snapshot before and after;
@@ -73,6 +73,108 @@ class VacuumSpec extends AnyFunSuite {
     SparkEntry.queries("q167_labels_vacuum")(spark, dir).collect()
     assert(Dedup.q167DeltaWrites.get() === w0,
       "warm q167 serving re-derived the fold chain")
+  }
+
+  // ---- q170: the span-override chain --------------------------------------
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+
+  test("q170 span vacuum: latest unchanged, chain truncated, as-of floor enforced") {
+    val dir = docsTier()
+    val before = spanRows(Dedup.q170Serve(spark, dir))
+    val asOf1Before = spanRows(Dedup.q170AsOf(spark, dir, 1L))
+    val chain0 = Dedup.q170DeltaArtifact(spark, dir).count()
+    val folded = Dedup.q170DeltaArtifact(spark, dir)
+      .filter(col("ver") <= Dedup.Q170Horizon).count()
+    assert(folded > 0, "fixture degenerate: no ver-1 span rows to vacuum")
+    SparkEntry.queries("q170_span_vacuum")(spark, dir).collect()
+    assert(spanRows(Dedup.q170Serve(spark, dir)) === before,
+      "span vacuum changed the latest-serve rows")
+    assert(Dedup.q170DeltaArtifact(spark, dir).count() === chain0 - folded,
+      "span chain did not truncate to the retention suffix")
+    assert(Dedup.q170HorizonOf(spark, dir) === Dedup.Q170Horizon)
+    assert(spanRows(Dedup.q170AsOf(spark, dir, 1L)) === asOf1Before,
+      "as-of-horizon span snapshot changed across the vacuum")
+    assert(spanRows(Dedup.q170AsOf(spark, dir, 2L)) === before)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.q170AsOf(spark, dir, 0L)
+    }
+    assert(ex.getMessage.contains("horizon"))
+  }
+
+  test("q170 chain is staged once across repeated serving") {
+    val dir = docsTier()
+    Dedup.q170Serve(spark, dir).collect()
+    val w0 = Dedup.q170DeltaWrites.get()
+    Dedup.q170Serve(spark, dir).collect()
+    SparkEntry.queries("q170_span_vacuum")(spark, dir).collect()
+    assert(Dedup.q170DeltaWrites.get() === w0,
+      "warm q170 serving re-derived the span fold chain")
+  }
+
+  // ---- q171: the scorecard ver chain ---------------------------------------
+
+  private def scRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+
+  test("q171 scorecard vacuum: latest unchanged, chain truncated, as-of floor enforced") {
+    val dir = docsTier()
+    val before = scRows(Pipeline.q171Serve(spark, dir))
+    val asOf2Before = scRows(Pipeline.q171AsOf(spark, dir, 2L))
+    val chain0 = Pipeline.q171DeltaArtifact(spark, dir).count()
+    val folded = Pipeline.q171DeltaArtifact(spark, dir)
+      .filter(col("ver") <= Pipeline.Q171Horizon).count()
+    assert(folded > 0, "fixture degenerate: no pre-horizon scorecard rows")
+    SparkEntry.queries("q171_scorecard_vacuum")(spark, dir).collect()
+    assert(scRows(Pipeline.q171Serve(spark, dir)) === before,
+      "scorecard vacuum changed the latest-serve rows")
+    assert(Pipeline.q171DeltaArtifact(spark, dir).count() ===
+      chain0 - folded,
+      "scorecard chain did not truncate to the retention suffix")
+    assert(Pipeline.q171HorizonOf(spark, dir) === Pipeline.Q171Horizon)
+    assert(scRows(Pipeline.q171AsOf(spark, dir, 2L)) === asOf2Before,
+      "as-of-horizon scorecard snapshot changed across the vacuum")
+    assert(scRows(Pipeline.q171AsOf(spark, dir, 3L)) === before)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.q171AsOf(spark, dir, 1L)
+    }
+    assert(ex.getMessage.contains("horizon"))
+  }
+
+  test("q171 vacuum crash: the marker rolls the 1-bucket source-keyed store forward") {
+    val dir = docsTier()
+    val before = scRows(Pipeline.q171Serve(spark, dir))
+    val db = Bucketed.dbFor(dir)
+    // worst window on the OTHER store shape (1 bucket, string key):
+    // merged base written and swapped, marker present — death before
+    // the delta rewrite and the meta write
+    val merged = Pipeline.latestScWins(Pipeline.q171BaseArtifact(spark, dir),
+      Pipeline.q171DeltaArtifact(spark, dir)
+        .filter(col("ver") <= Pipeline.Q171Horizon))
+    Bucketed.rewriteBucketed(spark, db, "q171_sc_base_next", merged,
+      1, Seq("source"))
+    val marker = java.nio.file.Paths.get("/tmp/graft-warehouse",
+      s"$db.db", "q171_vacuum_pending")
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker,
+      Pipeline.Q171Horizon.toString.getBytes("UTF-8"))
+    spark.sql(s"DROP TABLE IF EXISTS $db.q171_sc_base")
+    spark.sql(
+      s"ALTER TABLE $db.q171_sc_base_next RENAME TO $db.q171_sc_base")
+    // crash here; the serve path must finish the owed work
+    val after = scRows(Pipeline.q171Serve(spark, dir))
+    assert(after === before, "interrupted scorecard vacuum changed serving")
+    assert(!java.nio.file.Files.exists(marker), "marker not cleared")
+    assert(Pipeline.q171DeltaArtifact(spark, dir)
+      .filter(col("ver") <= Pipeline.Q171Horizon).count() === 0L,
+      "recovery must finish the chain truncate")
+    assert(Pipeline.q171HorizonOf(spark, dir) === Pipeline.Q171Horizon,
+      "recovery must record the as-of floor")
   }
 
   test("q167 vacuum crash: the horizon-carrying marker rolls forward on serve") {
