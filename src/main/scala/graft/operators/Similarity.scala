@@ -864,28 +864,26 @@ object Similarity {
     // the probe set prunes partitions at the scan (the q90c layout).
     // Measured recall on the uniform tier: OperatorSpec floors 8/10
     // (vs q36's 2/10) and SCALING.md carries the sf0.1 row.
-    "q36b_ann_ivf_trained" -> ((s, d) => {
-      val qv = typedLit(Pipeline.queryVec)
-      val qq = typedLit(quantQueryVec)
-      val probe = centroidsArtifact(s, d)
-        .withColumn("dv", element_at(qq, col("dim").cast("int")) - col("c"))
-        .groupBy(col("cell"), col("sid"))
-        .agg(sum(col("dv") * col("dv")).as("d2q"))
-        .select((col("cell") * lit(SubKCap) + col("sid")).as("cid"),
-          col("d2q"))
-        .orderBy(col("d2q"), col("cid")).limit(TrainedProbeBudget)
-        .select(col("cid"))
-      val cand = cellsArtifact(s, d).join(broadcast(probe), "cid")
-        .select(col("vec_id"), col("cid"))
-      cand.join(Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("emb")), "vec_id")
-        .withColumn("cos", round(dot(col("emb"), qv) /
-          (sqrt(dot(col("emb"), col("emb"))) *
-            lit(Pipeline.queryVecNorm)), 4))
-        .select(col("vec_id"), col("cid"), col("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+    "q36b_ann_ivf_trained" -> ((s, d) =>
+      trainedIvfServe(s, d, TrainedProbeBudget, widthCol = false)),
+
+    // q36c — AUTO-TUNED probe width: the operator's "what do I turn"
+    // answered with the engine's own measurements. The q112b audit runs
+    // once per corpus as a write-once CURVE artifact — mean recall@10
+    // of the trained path at each probe width in [[Q36cWidths]] — and
+    // serving picks the SMALLEST width whose measured recall meets the
+    // declarative target ([[Q36cTargetE4]]), falling back to the widest
+    // (uniform-regime honesty: if no width reaches the target, serve
+    // the best the index can do and say so via the probe_width column).
+    // Width-as-data: the chosen width rides every result row, and the
+    // oracle replays curve + pick + serve end-to-end, so a hash match
+    // proves the SELECTION, not just the serve. The curve lookup is a
+    // ≤|Q36cWidths|-row control frame (bounded by construction), not a
+    // data path. At 100 TB the curve re-measures on the audit cadence
+    // (q112b's argument) and serving stays ~width·LeafTarget candidates.
+    "q36c_ann_ivf_autotuned" -> ((s, d) => {
+      val w = q36cPickWidth(s, d)
+      trainedIvfServe(s, d, w.toInt, widthCol = true, width = w)
     }),
 
     // q112 — ANN recall AUDIT: measure, don't guess. For the q85 fixed
@@ -1689,6 +1687,131 @@ object Similarity {
     s.table(s"${Bucketed.dbFor(d)}.sem_codebook")
   }
 
+  // ---- q36c: auto-tuned probe width ---------------------------------------
+
+  /** q36c's probe-width domain — trained-cid budgets, NESTED by the
+    * integer-d2 rank (width w probes exactly the w nearest fine
+    * centroids), so the curve is monotone non-decreasing by
+    * construction and "smallest width meeting the target" is
+    * well-defined.
+    */
+  private[graft] val Q36cWidths: Seq[Long] = Seq(1L, 3L, 9L, 27L, 81L)
+
+  /** The declarative recall target (e4): probe until measured mean
+    * recall@10 ≥ 0.90.
+    */
+  private[graft] val Q36cTargetE4 = 9000L
+
+  /** Spec counter: the curve is measured once per corpus. */
+  private[graft] val q36cCurveWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The measured trained-path recall CURVE (width, mean_recall_e4):
+    * q112b's audit swept across [[Q36cWidths]] in ONE pass (the q117
+    * cumulative-set shape — probe ranks carry a width literal per row,
+    * each width ranks its own candidate pool), folded to the
+    * per-width mean in exact integer arithmetic (per-query recall_e4 =
+    * (10⁴·n_hit) div n_exact, mean = Σ div n — no float summation
+    * order anywhere). Write-once: the curve is index metadata, priced
+    * like the index.
+    */
+  private[graft] def q36cCurveArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q36c_curve",
+      s"$d/embeddings.parquet", {
+        q36cCurveWrites.incrementAndGet()
+        import org.apache.spark.sql.expressions.Window
+        val e = annAuditFrame(s, d)
+        val q = annAuditBatch(e)
+        val exact = annExactTopK(e, q)
+        val qq = q.select(col("q_id"), posexplode(quantized(col("qv"))))
+          .select(col("q_id"), (col("pos") + 1).cast("long").as("dim"),
+            col("col").as("qvq"))
+        val ranked = qq.join(centroidsArtifact(s, d), "dim")
+          .withColumn("dv", col("qvq") - col("c"))
+          .groupBy(col("q_id"), col("cell"), col("sid"))
+          .agg(sum(col("dv") * col("dv")).as("d2q"))
+          .withColumn("cid", col("cell") * lit(SubKCap) + col("sid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("d2q"), col("cid"))))
+          .filter(col("rn") <= Q36cWidths.max)
+        val probes = ranked
+          .select(col("q_id"), col("cid"), col("rn"),
+            explode(array(Q36cWidths.map(lit(_)): _*)).as("width"))
+          .filter(col("rn") <= col("width"))
+          .select(col("q_id").as("pq_id"), col("width"), col("cid"))
+        val cand = cellsArtifact(s, d).join(broadcast(probes), "cid")
+          .select(col("pq_id"), col("width"), col("vec_id"))
+        val ivf = cand
+          .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .join(broadcast(q.select(col("q_id"), col("qv"), col("qnrm"))),
+            col("pq_id") === col("q_id"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", round(
+            dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id"), col("width"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= AnnRecallK)
+          .select(col("q_id").as("iq_id"), col("width").as("iwidth"),
+            col("vec_id").as("ivec_id"))
+        exact
+          .select(col("q_id"), col("vec_id"),
+            explode(array(Q36cWidths.map(lit(_)): _*)).as("width"))
+          .join(ivf,
+            col("q_id") === col("iq_id") &&
+              col("width") === col("iwidth") &&
+              col("vec_id") === col("ivec_id"), "left")
+          .groupBy(col("q_id"), col("width"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("ivec_id")).as("n_hit"))
+          .withColumn("recall_e4", expr("(10000 * n_hit) div n_exact"))
+          .groupBy(col("width"))
+          .agg(expr("sum(recall_e4) div count(1)").as("mean_recall_e4"))
+      }, 1, Seq("width"))
+
+  /** The curve lookup: smallest width whose measured mean recall meets
+    * [[Q36cTargetE4]]; the widest width when none does. The collect is
+    * a ≤|[[Q36cWidths]]|-row control frame.
+    */
+  private[graft] def q36cPickWidth(s: SparkSession, d: String): Long = {
+    val curve = q36cCurveArtifact(s, d)
+      .select(col("width"), col("mean_recall_e4")).collect()
+    curve.filter(_.getLong(1) >= Q36cTargetE4).map(_.getLong(0))
+      .sorted.headOption.getOrElse(Q36cWidths.max)
+  }
+
+  /** The q36b serve body at an arbitrary probe budget — shared by the
+    * fixed-budget headline (q36b) and the curve-tuned q36c.
+    */
+  private def trainedIvfServe(s: SparkSession, d: String, budget: Int,
+      widthCol: Boolean, width: Long = 0L): DataFrame = {
+    val qv = typedLit(Pipeline.queryVec)
+    val qq = typedLit(quantQueryVec)
+    val probe = centroidsArtifact(s, d)
+      .withColumn("dv", element_at(qq, col("dim").cast("int")) - col("c"))
+      .groupBy(col("cell"), col("sid"))
+      .agg(sum(col("dv") * col("dv")).as("d2q"))
+      .select((col("cell") * lit(SubKCap) + col("sid")).as("cid"),
+        col("d2q"))
+      .orderBy(col("d2q"), col("cid")).limit(budget)
+      .select(col("cid"))
+    val cand = cellsArtifact(s, d).join(broadcast(probe), "cid")
+      .select(col("vec_id"), col("cid"))
+    val scored = cand.join(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb")), "vec_id")
+      .withColumn("cos", round(dot(col("emb"), qv) /
+        (sqrt(dot(col("emb"), col("emb"))) *
+          lit(Pipeline.queryVecNorm)), 4))
+    val out =
+      if (widthCol)
+        scored.select(col("vec_id"), col("cid"), col("cos"),
+          lit(width).as("probe_width"))
+      else scored.select(col("vec_id"), col("cid"), col("cos"))
+    out.orderBy(col("cos").desc, col("vec_id")).limit(10)
+  }
+
   // ---- q121: ONLINE leaf split/retrain -----------------------------------
   //
   // The staged semantic index above is write-once-then-full-rebuild; a
@@ -2102,6 +2225,97 @@ object Similarity {
            |       * ${Pipeline.queryVecNorm}), 4) AS cos
            |FROM a3 JOIN probe USING (cid)
            |  JOIN embeddings e ON e.vec_id = a3.vec_id, q
+           |ORDER BY cos DESC, a3.vec_id LIMIT 10""".stripMargin
+      },
+      // q36c: the COMPLETE replay — trained assignment, the q112b audit
+      // swept across the width domain, the integer-exact per-width mean
+      // recall curve, the smallest-width-meeting-target pick (widest
+      // fallback), then the q36b serve cut at the picked width. A hash
+      // match proves the width SELECTION as well as the serve.
+      "q36c_ann_ivf_autotuned" -> {
+        val qqVals = quantQueryVec.zipWithIndex
+          .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+        val qvList = Pipeline.queryVec.mkString("[", ", ", "]")
+        val wVals = Q36cWidths.map(w => s"($w)").mkString(", ")
+        s"""WITH $trainedAssignCtes,
+           | e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT vec_id, embedding, nrm FROM e0 WHERE nrm > 0),
+           | q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm
+           |       FROM e WHERE vec_id % 500 = 0
+           |       ORDER BY vec_id LIMIT $AnnBatchSize),
+           | ex AS (SELECT q.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e, q WHERE e.vec_id <> q.q_id),
+           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+           | qq2 AS (SELECT q.q_id, CAST(g.i AS BIGINT) AS dim,
+           |    CAST(floor(CAST(q.qv[g.i] AS DOUBLE) * 1000) AS BIGINT)
+           |      + 1000 AS v
+           |  FROM q, generate_series(1, 64) AS g(i)),
+           | cd AS (SELECT qq2.q_id, c.cell, c.sid,
+           |    SUM((qq2.v - c.c) * (qq2.v - c.c)) AS d2q
+           |  FROM c2 c JOIN qq2 ON qq2.dim = c.dim
+           |  GROUP BY qq2.q_id, c.cell, c.sid),
+           | rp AS (SELECT q_id, CAST(cell * $SubKCap + sid AS BIGINT)
+           |      AS cid,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY d2q, CAST(cell * $SubKCap + sid AS BIGINT))
+           |      AS rn
+           |   FROM cd),
+           | wdom(width) AS (VALUES $wVals),
+           | probes AS (SELECT rp.q_id, wdom.width, rp.cid
+           |   FROM rp, wdom WHERE rp.rn <= wdom.width),
+           | iv AS (SELECT p.q_id, p.width, e.vec_id,
+           |    row_number() OVER (PARTITION BY p.q_id, p.width ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM probes p JOIN a3 ON a3.cid = p.cid
+           |     JOIN e ON e.vec_id = a3.vec_id
+           |     JOIN q ON q.q_id = p.q_id
+           |   WHERE e.vec_id <> p.q_id),
+           | ivt AS (SELECT q_id, width, vec_id FROM iv
+           |         WHERE rk <= $AnnRecallK),
+           | exw AS (SELECT ext.q_id, ext.vec_id, w.width FROM ext,
+           |         wdom w),
+           | rc AS (SELECT x.q_id, x.width, COUNT(*) AS n_exact,
+           |     COUNT(i.vec_id) AS n_hit
+           |   FROM exw x LEFT JOIN ivt i
+           |     ON x.q_id = i.q_id AND x.width = i.width
+           |        AND x.vec_id = i.vec_id
+           |   GROUP BY x.q_id, x.width),
+           | curve AS (SELECT width,
+           |     CAST(SUM((10000 * n_hit) // n_exact) // COUNT(*)
+           |       AS BIGINT) AS mre4
+           |   FROM rc GROUP BY width),
+           | pick AS (SELECT CAST(COALESCE(
+           |     MIN(width) FILTER (WHERE mre4 >= $Q36cTargetE4),
+           |     ${Q36cWidths.max}) AS BIGINT) AS w FROM curve),
+           | qq(dim, v) AS (VALUES $qqVals),
+           | cds AS (SELECT c.cell, c.sid,
+           |     SUM((qq.v - c.c) * (qq.v - c.c)) AS d2q
+           |   FROM c2 c JOIN qq ON qq.dim = c.dim
+           |   GROUP BY c.cell, c.sid),
+           | pserve AS (SELECT cid FROM (
+           |     SELECT CAST(cell * $SubKCap + sid AS BIGINT) AS cid,
+           |       row_number() OVER (ORDER BY d2q,
+           |         CAST(cell * $SubKCap + sid AS BIGINT)) AS rn
+           |     FROM cds) WHERE rn <= (SELECT w FROM pick)),
+           | qvv AS (SELECT $qvList::DOUBLE[] AS qv)
+           |SELECT a3.vec_id, a3.cid,
+           |  ROUND(list_sum(list_transform(list_zip(em.embedding, qvv.qv),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE))
+           |    / (sqrt(list_sum(list_transform(em.embedding,
+           |         x -> x::DOUBLE * x::DOUBLE)))
+           |       * ${Pipeline.queryVecNorm}), 4) AS cos,
+           |  (SELECT w FROM pick) AS probe_width
+           |FROM a3 JOIN pserve USING (cid)
+           |  JOIN embeddings em ON em.vec_id = a3.vec_id, qvv
            |ORDER BY cos DESC, a3.vec_id LIMIT 10""".stripMargin
       },
       // staged twins: identical output contract, so identical oracles

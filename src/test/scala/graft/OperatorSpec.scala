@@ -1199,6 +1199,61 @@ class OperatorSpec extends AnyFunSuite {
       s"trained cells ($ru/10) regressed below the untrained grid ($ru36/10)")
   }
 
+  test("q36c auto-tune: curve monotone, pick minimal, target met on the clustered tier") {
+    import spark.implicits._
+    import operators.Similarity
+    def curveOf(dir: String): Seq[(Long, Long)] =
+      Similarity.q36cCurveArtifact(spark, dir).orderBy(col("width"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def expectedPick(c: Seq[(Long, Long)]): Long =
+      c.filter(_._2 >= Similarity.Q36cTargetE4).map(_._1).sorted
+        .headOption.getOrElse(Similarity.Q36cWidths.max)
+    // 1. shipped tier: the pick is exactly the curve lookup, the width
+    // rides every served row, and nested widths make the curve monotone
+    val curve = curveOf(sf)
+    assert(curve.map(_._1) === Similarity.Q36cWidths,
+      s"curve domain wrong: $curve")
+    assert(curve.sliding(2).forall {
+      case Seq((_, a), (_, b)) => a <= b
+      case _ => true
+    }, s"nested-width curve not monotone: $curve")
+    val pick = expectedPick(curve)
+    assert(Similarity.q36cPickWidth(spark, sf) === pick,
+      "serving's width lookup diverged from the curve")
+    val served = SparkEntry.queries("q36c_ann_ivf_autotuned")(spark, sf)
+      .collect()
+    assert(served.nonEmpty && served.forall(_.getLong(3) === pick),
+      "probe_width column does not carry the picked width")
+    // the curve is measured once per corpus
+    val w0 = Similarity.q36cCurveWrites.get()
+    SparkEntry.queries("q36c_ann_ivf_autotuned")(spark, sf).collect()
+    assert(Similarity.q36cCurveWrites.get() === w0,
+      "warm auto-tuned serving re-measured the curve")
+    // 2. clustered tier (the q36b regime): the target must actually be
+    // MET — the pick is a curve row at or above the target, not the
+    // widest-width fallback
+    val dim = 64
+    val rnd = new scala.util.Random(2026)
+    val centroids =
+      Seq.fill(16)(Seq.fill(dim)(rnd.nextGaussian())) :+
+        operators.Pipeline.queryVec
+    val rows = for {
+      (c, j) <- centroids.zipWithIndex
+      m <- 0 until 1200
+    } yield (j * 10000L + m,
+      c.map(x => (x + 0.25 * rnd.nextGaussian()).toFloat), j)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q36c").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val cCurve = curveOf(dir)
+    val cPick = expectedPick(cCurve)
+    val met = cCurve.toMap.apply(cPick)
+    info(s"q36c clustered curve: $cCurve -> width $cPick (recall_e4 $met)")
+    assert(met >= Similarity.Q36cTargetE4,
+      s"clustered tier missed the recall target: curve $cCurve")
+    assert(Similarity.q36cPickWidth(spark, dir) === cPick)
+  }
+
   test("q36 IVF recall on clustered embeddings meets the 60% floor") {
     // The synthetic testdata is uniform — the worst case for any cell
     // quantizer (measured 2/10 there, documented in Similarity.scala).
