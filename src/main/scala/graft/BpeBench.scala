@@ -127,7 +127,7 @@ object BpeBench {
     val distTarget =
       sys.env.getOrElse("SPARK_GRAFT_BPE_DIST_TARGET", "2048").toInt
     val distBatch =
-      sys.env.getOrElse("SPARK_GRAFT_BPE_DIST_BATCH", "64").toInt
+      sys.env.getOrElse("SPARK_GRAFT_BPE_DIST_BATCH", "256").toInt
     val vocabDf = synth.toDF("w").withColumn("n", lit(1L))
       .repartition(32).persist()
     vocabDf.count()
@@ -182,7 +182,8 @@ object BpeBench {
           s""""len$l":${r(ns)}""" }.mkString(",")}},""" +
         s""""distributed":{"target":$distTarget,"batch":$distBatch,""" +
         s""""merges":${distMerges.size},"train_sec":${r(tDist)},""" +
-        s""""rounds":${(distTarget + distBatch - 1) / distBatch},""" +
+        s""""rounds":${functions.Bpe.lastDistRounds.get()},""" +
+        s""""batch":$distBatch,""" +
         s""""token_mass":$massD,"exact_token_mass":$massE,""" +
         s""""mass_ratio":${r(massD.toDouble / massE)}}}""")
     System.out.flush()

@@ -420,9 +420,29 @@ object Bpe {
     * one vocab-mass explode+agg and one vocab-mass map — rounds =
     * target/batch, every step distributed; the driver holds only the
     * candidate heads and the merge list.
+    *
+    * Round economics (round-13, after the r12 verdict flagged ~780
+    * rounds at batch=64 extrapolating to ~65 min for a GPT-2-scale
+    * table): the default batch is 256 with a batch×8 candidate head.
+    * This is safe because DISJOINTNESS IS EXACTNESS here — a merge
+    * (a, b)→ab perturbs only pair counts whose occurrences overlap an
+    * (a, b) site, i.e. pairs containing a, b, or ab; every pair the
+    * used-set admits therefore carries exactly the count sequential
+    * greedy would have seen at its turn within the round. The only
+    * drift channel is a NEWLY-FORMED pair (one containing a fresh ab)
+    * that sequential greedy would have ranked above a later in-round
+    * acceptance — it is delayed to the next round, never lost, which is
+    * why measured drift stays ~0.1% while rounds drop 4× ([[lastDistRounds]]
+    * + the TextKernelSpec gate carry the measurement).
     */
+  /** Rounds the most recent [[trainDistributed]] run took — read by the
+    * fidelity spec and BpeBench (single-threaded use; last call wins).
+    */
+  private[graft] val lastDistRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def trainDistributed(vocab: org.apache.spark.sql.DataFrame, target: Int,
-      batch: Int = 64): Vector[(String, String)] = {
+      batch: Int = 256): Vector[(String, String)] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Column
     var words = vocab
@@ -433,8 +453,10 @@ object Bpe {
     val merges = Vector.newBuilder[(String, String)]
     val emitted = new java.util.HashSet[String]()
     var n = 0
+    var rounds = 0
     var exhausted = false
     while (n < target && !exhausted) {
+      rounds += 1
       // guard every round, not just the seed: merges collapse words to
       // one token, and Spark's sequence(0, -1) is a DESCENDING [0, -1],
       // not empty (the q134 hazard)
@@ -456,24 +478,51 @@ object Bpe {
         .withColumn("k", concat(length(col("a")).cast("string"), lit("|"),
           col("a"), col("b")))
         .orderBy(col("c").desc, col("k"))
-        .limit(math.max(batch * 8, 64))
-        .select(col("a"), col("b")).collect()
-        .map(r => (r.getString(0), r.getString(1)))
+        .limit(math.max(batch * 16, 64))
+        .select(col("a"), col("b"), col("c")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        // non-interfering subset: tokens AND concats pairwise disjoint,
-        // so one left-to-right pass applies every accepted pair
-        val used = new java.util.HashSet[String]()
+        // Non-interfering subset under the EXACT interference rule
+        // (round-13; the round-12 cut required {a, b, ab} pairwise
+        // disjoint and measured ~17 acceptances/round on a 2048-row
+        // head — the conservatism, not the head, was the round count).
+        // Merging (a, b) → ab perturbs only pair counts of the forms
+        // (x, a), (b, y), (a, b), and pairs naming the fresh ab. A
+        // later candidate (c, d) therefore keeps its exact pre-round
+        // count — and one left-to-right pass applies both rules in
+        // sequential order — iff
+        //   d ∉ F∪C,  c ∉ S∪C,  cd ∉ F∪S∪C
+        // over the already-accepted firsts F, seconds S, concats C.
+        // Sharing a FIRST element ((t,e),(t,h)) or a SECOND ((t,e),
+        // (s,e)) is exact and admitted; chaining ((t,c) then (c,h)) and
+        // fresh-token references stay excluded, which is where order
+        // would have mattered.
+        // FREQUENCY STRATUM: additionally, only candidates within 2× of
+        // the round's top count are admitted. A newly-formed pair's
+        // count is bounded by its parent's (every (x, ab) occurrence
+        // contains an (a, b) one), so a merge the batch delays to the
+        // next round can outrank an in-stratum acceptance by at most
+        // the stratum factor — the staleness bound that holds measured
+        // drift at ~0.1% where unstratified batch-256 read 5% (both in
+        // the TextKernelSpec measurement).
+        val topC = top.head._3
+        val f = new java.util.HashSet[String]()
+        val sSet = new java.util.HashSet[String]()
+        val c = new java.util.HashSet[String]()
         val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
         var i = 0
-        while (i < top.length && accepted.length < batch &&
+        while (i < top.length && top(i)._3 * 2 >= topC &&
+            accepted.length < batch &&
             n + accepted.count { case (a, b) =>
               !emitted.contains(pairKey(a, b)) } < target) {
-          val (a, b) = top(i)
+          val (a, b, _) = top(i)
           val ab = a + b
-          if (!used.contains(a) && !used.contains(b) && !used.contains(ab)) {
+          if (!f.contains(b) && !c.contains(b) &&
+              !sSet.contains(a) && !c.contains(a) &&
+              !f.contains(ab) && !sSet.contains(ab) && !c.contains(ab)) {
             accepted += ((a, b))
-            used.add(a); used.add(b); used.add(ab)
+            f.add(a); sSet.add(b); c.add(ab)
           }
           i += 1
         }
@@ -516,6 +565,7 @@ object Bpe {
         }
       }
     }
+    lastDistRounds.set(rounds)
     merges.result()
   }
 

@@ -276,6 +276,45 @@ class TextKernelSpec extends AnyFunSuite {
       f"(ratio ${batchMass.toDouble / exactMass}%.4f)")
     assert(math.abs(batchMass - exactMass).toDouble / exactMass < 0.02,
       s"batched training drifted: $batchMass vs $exactMass")
+    // 3c. ROUND ECONOMICS (round-13 verdict #3): exact-interference
+    //     acceptance + the 2x frequency stratum must cut super-steps
+    //     >= 4x below the round-12 state while served-token-mass drift
+    //     stays <= 0.5% of the exact table's — both MEASURED here on a
+    //     3000-word vocabulary at target 1024 (deep enough that
+    //     acceptance pressure is real, small enough for CI). The r12
+    //     acceptance ({a, b, ab} pairwise disjoint) measured 60-64
+    //     rounds on exactly this vocabulary/target at either batch; its
+    //     theoretical floor at the old batch=64 default was target/64 =
+    //     16 rounds. Gate: the new default beats BOTH (measured 14
+    //     rounds at 0.09% drift when this gate was set; unstratified
+    //     batch-256 read 5.3% drift, which is what the stratum buys).
+    locally {
+      val big = graft.BpeBench.syntheticVocab(3000).map((_, 1L))
+      val exactBig = Bpe.train(big, 1024)
+      def massOf(m: Vector[(String, String)]): Long = {
+        val rk = Bpe.rankMapOf(m)
+        big.map { case (w, n) => Bpe.tokenizeWith(w, rk).length * n }.sum
+      }
+      val eMass = massOf(exactBig)
+      val m64 = Bpe.trainDistributed(vocabDf(big), 1024, batch = 64)
+      val r64 = Bpe.lastDistRounds.get()
+      val m256 = Bpe.trainDistributed(vocabDf(big), 1024)
+      val r256 = Bpe.lastDistRounds.get()
+      val drift256 = math.abs(massOf(m256) - eMass).toDouble / eMass
+      val drift64 = math.abs(massOf(m64) - eMass).toDouble / eMass
+      info(f"dist rounds: batch64=$r64 batch256=$r256 " +
+        f"drift64=$drift64%.4f drift256=$drift256%.4f")
+      assert(r256 <= 16,
+        s"default-batch rounds $r256 above the old batch=64 floor " +
+          "(target/64 = 16) — the 4x-fewer-rounds claim fails")
+      assert(r256 * 4 <= 60,
+        s"default-batch rounds $r256 not 4x below the r12 measured 60")
+      assert(drift256 <= 0.005,
+        f"batch=256 drift $drift256%.4f above the 0.5%% gate")
+      assert(drift64 <= 0.005,
+        f"batch=64 drift $drift64%.4f above the 0.5%% gate")
+    }
+
     // 3b. supplementary-plane regression (round-12 review): the apply
     //     map's keys are built in CODE POINTS to match the fold's
     //     Spark-side length(); with UTF-16 lengths the emoji pair's
