@@ -391,6 +391,65 @@ object Retrieval {
       Dedup.tombstonesOf(Tables.documents(s, d)).select(col("doc_id")),
       8, Seq("doc_id"))
 
+  // ---- q161e: positional-store COMPACTION ---------------------------------
+  //
+  // The closer that completes the family's LSM arc (insert q161c /
+  // delete q165d / continuous q161d / COMPACT here): fold the batch
+  // leaf into the base and scrub the landed tombstones in ONE
+  // marker-guarded base rewrite ([[Bucketed.compactSwap]] — the batch
+  // leaf is the truncated delta), then GC the tombstone side table.
+  // The tombstone truncate runs AFTER the swap and needs no marker of
+  // its own: post-swap the landed ids are already anti-joined out of
+  // the base, so re-anti-joining them is a no-op (the q155 latest-wins
+  // class) — a crash before the truncate leaves a correct-serving
+  // store and the next compact re-truncates. At 100 TB the truncate is
+  // a metadata op; here it rewrites an O(|tombstones|) table.
+  // Per the q126 namespacing rule the compaction owns COPIES of the
+  // three stores — q161c/q165d/q161d keep serving their pristine ones.
+
+  /** Spec counter: the q161e store copies stage once. */
+  private[graft] val q161eWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def q161eBase(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q161e_pos_base",
+      s"$d/documents.parquet", {
+        q161eWrites.incrementAndGet()
+        posIdx(s, d, "base", q157Corpus(s, d))
+      }, 8, Seq("term"))
+
+  private[graft] def q161eBatch(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q161e_pos_batch",
+      s"$d/documents.parquet", posIdx(s, d, "batch", q157Batch(s, d)),
+      8, Seq("term"))
+
+  private[graft] def q161eTombs(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q161e_tombs",
+      s"$d/documents.parquet", posTombArtifact(s, d), 8, Seq("doc_id"))
+
+  /** Serving view at every compaction state: (base ∪ batch) minus the
+    * landed tombstones. Pre-compact this is the maintained store;
+    * post-compact batch and tombs are empty and it degenerates to the
+    * base scan — identical rows by construction at every crash point.
+    */
+  private[graft] def q161eServeFrame(s: SparkSession, d: String): DataFrame =
+    q161eBase(s, d).unionByName(q161eBatch(s, d))
+      .join(broadcast(q161eTombs(s, d)), Seq("doc_id"), "left_anti")
+
+  private[graft] def q161eRecover(s: SparkSession, d: String): Unit =
+    Bucketed.recoverPending(s, Bucketed.dbFor(d), "q161e_pos_base",
+      "q161e_pos_batch", "q161e_compact_pending", 8, Seq("term"))
+
+  private[graft] def q161eCompact(s: SparkSession, d: String): Unit = {
+    val db = Bucketed.dbFor(d)
+    Bucketed.compactSwap(s, db, "q161e_pos_base", "q161e_pos_batch",
+      "q161e_compact_pending", q161eServeFrame(s, d), 8, Seq("term"))
+    // tombstone-store GC (no marker — see the section comment)
+    Bucketed.rewriteBucketed(s, db, "q161e_tombs",
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.table(s"$db.q161e_tombs").schema), 8, Seq("doc_id"))
+  }
+
   /** The q161 anchor-count body over ANY positional posting frame. */
   private[graft] def phraseMatchOver(s: SparkSession,
       post: DataFrame): DataFrame = {
@@ -546,6 +605,20 @@ object Retrieval {
     // the answer vs q165.
     "q165c_proximity_capped" -> ((s, d) =>
       proximityOver(s, cappedPosArtifact(s, d))),
+
+    // q161e — positional-store COMPACTION (see the q161e section
+    // comment): recover any interrupted swap, fold batch + tombstones
+    // into the base when either store is non-empty, serve phrase
+    // matching from the compacted view. Oracle = the phrase replay over
+    // the SURVIVORS — identical rows before, during (any crash state),
+    // and after the compaction, which is what the hash proves.
+    "q161e_pos_compact" -> ((s, d) => {
+      q161eRecover(s, d)
+      if (q161eBatch(s, d).limit(1).count() > 0 ||
+          q161eTombs(s, d).limit(1).count() > 0)
+        q161eCompact(s, d)
+      phraseMatchOver(s, q161eServeFrame(s, d))
+    }),
 
     // q161c — INCREMENTAL positional maintenance: the arriving tenth's
     // postings land as their own term-bucketed leaf (O(|batch|) rows,
@@ -727,7 +800,12 @@ object Retrieval {
     // q165d: the proximity replay over the tombstone survivors
     "q165d_proximity_tombstone" -> proximitySqlOver(tokCteFrom(
       s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
-        s" <> ${Dedup.TombRes})"))
+        s" <> ${Dedup.TombRes})")),
+    // q161e: the phrase replay over the survivors — the compaction
+    // (fold + scrub + GC) must be invisible at serve
+    "q161e_pos_compact" -> phraseSqlFrom(
+      s"(SELECT * FROM documents WHERE doc_id % ${Dedup.TombMod}" +
+        s" <> ${Dedup.TombRes})")
   )
 
   /** The shared proximity replay over a parameterized positional CTE
@@ -786,7 +864,7 @@ object Retrieval {
        | tok AS (SELECT doc_id, term, pos FROM tokr WHERE prk <= $PosCap)"""
       .stripMargin)
 
-  private lazy val phraseSql: String = {
+  private def phraseSqlFrom(docsRel: String): String = {
       val pqVals = PhraseBatch.flatMap { case (id, p) =>
         val ts = p.split(' ')
         ts.zipWithIndex.map { case (t, i) =>
@@ -794,11 +872,7 @@ object Retrieval {
         }
       }.mkString(", ")
       s"""WITH pq(phrase_id, term, off, plen) AS (VALUES $pqVals),
-         | tok AS (SELECT doc_id,
-         |     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
-         |     generate_subscripts(
-         |       regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
-         |   FROM documents),
+         | ${tokCteFrom(docsRel)},
          | m AS (SELECT pq.phrase_id, tok.doc_id,
          |     tok.pos - pq.off AS anchor, pq.plen
          |   FROM tok JOIN pq USING (term)),
@@ -810,4 +884,6 @@ object Retrieval {
          |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id, n_occ
          |FROM occ ORDER BY phrase_id, doc_id""".stripMargin
   }
+
+  private lazy val phraseSql: String = phraseSqlFrom("documents")
 }

@@ -440,6 +440,50 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
       "q165d serving rescanned the corpus for its tombstone set")
   }
 
+  test("q161e compaction: serve invariant at every state, stores truncated, double-compact idempotent") {
+    // own-tier copy: the compaction mutates its staged tables and the
+    // registered-query run on the shared tier must not see half-states
+    val dir = java.nio.file.Files.createTempDirectory("graft_q161e")
+      .toString
+    spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    def serve() = Retrieval.phraseMatchOver(spark,
+        Retrieval.q161eServeFrame(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // pre-compact state: maintained view over populated batch + tombs
+    val before = serve()
+    assert(before.nonEmpty)
+    assert(Retrieval.q161eTombs(spark, dir).count() > 0,
+      "fixture degenerate: no landed tombstones to compact")
+    // mid-state seam: run ONLY the marker-guarded swap (batch folded,
+    // tombstones scrubbed from the base but their store not yet GC'd) —
+    // re-anti-joining removed ids must be a no-op
+    val db = operators.Bucketed.dbFor(dir)
+    operators.Bucketed.compactSwap(spark, db, "q161e_pos_base",
+      "q161e_pos_batch", "q161e_compact_pending",
+      Retrieval.q161eServeFrame(spark, dir), 8, Seq("term"))
+    assert(Retrieval.q161eTombs(spark, dir).count() > 0,
+      "seam not exercised: tombstone store already empty")
+    assert(serve() === before, "inter-swap crash window changed serving")
+    // full compact (idempotent from the seam): stores truncated
+    val full = Retrieval.queries("q161e_pos_compact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === before, "compaction changed the served rows")
+    assert(Retrieval.q161eBatch(spark, dir).count() === 0L,
+      "batch leaf not truncated")
+    assert(Retrieval.q161eTombs(spark, dir).count() === 0L,
+      "tombstone store not GC'd")
+    // double compact: nothing to fold; serve identical
+    val again = Retrieval.queries("q161e_pos_compact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === before)
+    // no tombstoned doc serves
+    before.foreach { case (_, docId, _) =>
+      assert(docId % Dedup.TombMod !== Dedup.TombRes,
+        s"tombstoned doc served: $docId")
+    }
+  }
+
   test("q161d continuous positional fold lands on the from-scratch index") {
     val a = Retrieval.queries("q161_phrase_match")(spark, TestSpark.sf)
       .collect()
