@@ -700,7 +700,9 @@ object Similarity {
     * and the oracle replay do not.
     */
   private[graft] def ivfPqServeStaged(s: SparkSession, d: String,
-      codes: DataFrame): DataFrame = {
+      codes: DataFrame,
+      masks: Seq[Long] = (0L +: (0 until 8).map(1L << _)),
+      radiusCol: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -724,8 +726,7 @@ object Similarity {
       .withColumn("adcq", adcq)
       .withColumn("qcell", cellOf(col("qv")))
     val probes = qb
-      .withColumn("m", explode(array(
-        (0 +: (0 until 8).map(1 << _)).map(m => lit(m.toLong)): _*)))
+      .withColumn("m", explode(array(masks.map(lit(_)): _*)))
       .select(col("q_id"), col("adcq"),
         col("qcell").bitwiseXOR(col("m")).as("pcell"))
     val adc = (0 until 8).map { sub =>
@@ -755,8 +756,9 @@ object Similarity {
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"),
-        round(col("adc"), 4).as("adc_dist"), col("cos"))
+      .select(Seq(col("q_id"), col("rk"), col("vec_id"), col("cell"),
+        round(col("adc"), 4).as("adc_dist"), col("cos")) ++
+        radiusCol.map(r => lit(r).as("probe_radius")).toSeq: _*)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1097,6 +1099,21 @@ object Similarity {
     // identical replay.
     "q90c_ann_ivfpq_staged" -> ((s, d) =>
       ivfPqServeStaged(s, d, pqCodesArtifact(s, d))),
+
+    // q90d — AUTO-TUNED IVF-PQ: q36c's curve discipline applied to the
+    // PQ serving path (the round-12 verdict named both). The measured
+    // per-radius recall curve of the FULL ADC + re-rank pipeline picks
+    // the smallest hamming radius meeting the shared 0.90 target
+    // (widest fallback), the pick rides every row as probe_radius, and
+    // the oracle replays curve + pick + serve so the hash proves the
+    // selection. Sign-cell radii are the coarse lever (1/9/37 of 256
+    // cells); the trained path's finer lever is q36c.
+    "q90d_ann_ivfpq_autotuned" -> ((s, d) => {
+      val r = q90dPickRadius(s, d)
+      ivfPqServeStaged(s, d, pqCodesArtifact(s, d),
+        masks = probeWidths.filter(_._1.toLong == r).map(_._2),
+        radiusCol = Some(r))
+    }),
 
     // q122 — INCREMENTAL pq_codes maintenance: the third staged artifact
     // (after q120's dup_labels and q121's sem_cells) folded forward
@@ -1779,6 +1796,107 @@ object Similarity {
       .select(col("width"), col("mean_recall_e4")).collect()
     curve.filter(_.getLong(1) >= Q36cTargetE4).map(_.getLong(0))
       .sorted.headOption.getOrElse(Q36cWidths.max)
+  }
+
+  // ---- q90d: auto-tuned probe radius for the IVF-PQ path ------------------
+
+  /** Spec counter: the PQ recall curve is measured once per corpus. */
+  private[graft] val q90dCurveWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The measured IVF-PQ recall curve (width = hamming radius 0/1/2,
+    * mean_recall_e4): the FULL serving path — ADC cut at [[PqRerank]]
+    * per (query, width), bounded exact re-rank, top-10 — audited
+    * against the brute-force baseline at each of [[probeWidths]]'
+    * cumulative mask sets in one pass (the q117 shape applied to what
+    * q90c actually returns, not to raw cell membership). Write-once
+    * index metadata, like q36c's curve for the trained path.
+    */
+  private[graft] def q90dCurveArtifact(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q90d_curve",
+      s"$d/embeddings.parquet", {
+        q90dCurveWrites.incrementAndGet()
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm", sqrt(dot(col("emb"), col("emb"))))
+          .filter(col("nrm") > 0)
+        val q = e.filter(col("vec_id") % 500 === 0)
+          .orderBy(col("vec_id")).limit(AnnBatchSize)
+          .select(col("vec_id").as("q_id"), col("emb").as("qv"),
+            col("nrm").as("qnrm"))
+        val exact = annExactTopK(
+          e.select(col("vec_id"), col("emb").as("v"), col("nrm")), q)
+        val adcq = array((0 until 8).flatMap { sub =>
+          (0 until 4).map { c =>
+            (0 until 8).map { dd =>
+              val x = element_at(col("qv"), 8 * sub + dd + 1)
+              val l = lit(pqCodebook(sub)(c)(dd))
+              (x - l) * (x - l)
+            }.reduce(_ + _)
+          }
+        }: _*)
+        val wm = array(probeWidths.map { case (w, m) =>
+          struct(lit(w.toLong).as("width"), lit(m).as("m"))
+        }: _*)
+        val probes = q.withColumn("adcq", adcq)
+          .withColumn("qcell", cellOf(col("qv")))
+          .select(col("q_id"), col("adcq"), col("qcell"),
+            explode(wm).as("wm"))
+          .select(col("q_id"), col("adcq"), col("wm.width").as("width"),
+            col("qcell").bitwiseXOR(col("wm.m")).as("pcell"))
+        val adc = (0 until 8).map { sub =>
+          element_at(col("adcq"),
+            (lit(4 * sub + 1) + col(s"c$sub")).cast("int"))
+        }.reduce(_ + _)
+        val survivors = pqCodesArtifact(s, d).join(broadcast(probes),
+            col("cell") === col("pcell") && col("vec_id") =!= col("q_id"))
+          .withColumn("adc", adc)
+          .withColumn("ar", row_number().over(
+            Window.partitionBy(col("q_id"), col("width"))
+              .orderBy(col("adc"), col("vec_id"))))
+          .filter(col("ar") <= PqRerank)
+          .select(col("q_id"), col("width"), col("vec_id"), col("nrm"))
+        val store = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+        val ivt = survivors.join(store, "vec_id")
+          .join(broadcast(q.select(col("q_id"), col("qv"), col("qnrm"))),
+            "q_id")
+          .withColumn("cos", round(
+            dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id"), col("width"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= AnnRecallK)
+          .select(col("q_id").as("iq_id"), col("width").as("iwidth"),
+            col("vec_id").as("ivec_id"))
+        exact
+          .select(col("q_id"), col("vec_id"),
+            explode(array(sweepWidths.map(w => lit(w.toLong)): _*))
+              .as("width"))
+          .join(ivt,
+            col("q_id") === col("iq_id") &&
+              col("width") === col("iwidth") &&
+              col("vec_id") === col("ivec_id"), "left")
+          .groupBy(col("q_id"), col("width"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("ivec_id")).as("n_hit"))
+          .withColumn("recall_e4", expr("(10000 * n_hit) div n_exact"))
+          .groupBy(col("width"))
+          .agg(expr("sum(recall_e4) div count(1)").as("mean_recall_e4"))
+      }, 1, Seq("width"))
+
+  /** The curve lookup for the PQ path: smallest radius whose measured
+    * mean recall meets the shared [[Q36cTargetE4]] target; the widest
+    * radius when none does.
+    */
+  private[graft] def q90dPickRadius(s: SparkSession, d: String): Long = {
+    val curve = q90dCurveArtifact(s, d)
+      .select(col("width"), col("mean_recall_e4")).collect()
+    curve.filter(_.getLong(1) >= Q36cTargetE4).map(_.getLong(0))
+      .sorted.headOption.getOrElse(sweepWidths.max.toLong)
   }
 
   /** The q36b serve body at an arbitrary probe budget — shared by the
@@ -2695,6 +2813,104 @@ object Similarity {
       // vector store by id — so its rows are identical to q90b's and
       // the oracle is the same replay.
       "q90c_ann_ivfpq_staged" -> ivfPqBatchSql,
+
+      // q90d: the COMPLETE replay — brute-force baseline, the per-radius
+      // ADC + re-rank sweep, the integer-exact mean-recall curve, the
+      // smallest-radius-meeting-target pick, then the q90c serve at the
+      // picked radius. A hash match proves the radius selection.
+      "q90d_ann_ivfpq_autotuned" -> {
+        def qdSql(sub: Int, c: Int): String =
+          (0 until 8).map { dd =>
+            val l = pqCodebook(sub)(c)(dd)
+            s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l) * " +
+              s"(qv[${8 * sub + dd + 1}]::DOUBLE - $l)"
+          }.mkString(" + ")
+        val adcqSql = (0 until 8).map { sub =>
+          s"(CASE c$sub WHEN 0 THEN ${qdSql(sub, 0)} " +
+            s"WHEN 1 THEN ${qdSql(sub, 1)} WHEN 2 THEN ${qdSql(sub, 2)} " +
+            s"ELSE ${qdSql(sub, 3)} END)::DOUBLE"
+        }.mkString(" + ")
+        val wmVals = probeWidths
+          .map { case (w, m) => s"($w, $m)" }.mkString(", ")
+        s"""WITH e0 AS (SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |         x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           |  FROM embeddings),
+           | e AS (SELECT * FROM e0 WHERE nrm > 0),
+           | q0 AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qnrm,
+           |        CAST($cellSql AS BIGINT) AS qcell
+           |      FROM e WHERE vec_id % 500 = 0
+           |      ORDER BY vec_id LIMIT $AnnBatchSize),
+           | ex AS (SELECT q.q_id, e.vec_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qv),
+           |          p -> p[1]::DOUBLE * p[2]::DOUBLE)) / (e.nrm * q.qnrm),
+           |        4) DESC, e.vec_id) AS rk
+           |   FROM e, q0 q WHERE e.vec_id <> q.q_id),
+           | ext AS (SELECT q_id, vec_id FROM ex WHERE rk <= $AnnRecallK),
+           | wm(width, m) AS (VALUES $wmVals),
+           | coded AS (SELECT vec_id, embedding, nrm,
+           |    CAST($cellSql AS BIGINT) AS cell,
+           |    $pqCodesSql
+           |   FROM e),
+           | probe2 AS (SELECT q_id, qv, qnrm, wm.width,
+           |      xor(qcell, wm.m) AS pcell FROM q0, wm),
+           | j2 AS (SELECT p.q_id, p.width, p.qv, p.qnrm, c.vec_id,
+           |        c.embedding, c.nrm, $adcqSql AS adc
+           |   FROM probe2 p JOIN coded c
+           |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+           | r1w AS (SELECT *, row_number() OVER (
+           |     PARTITION BY q_id, width ORDER BY adc, vec_id) AS ar
+           |   FROM j2),
+           | scw AS (SELECT q_id, width, vec_id,
+           |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
+           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
+           |      AS cos
+           |   FROM r1w WHERE ar <= $PqRerank),
+           | r2w AS (SELECT q_id, width, vec_id,
+           |    row_number() OVER (PARTITION BY q_id, width
+           |      ORDER BY cos DESC, vec_id) AS rk
+           |   FROM scw),
+           | ivt AS (SELECT q_id, width, vec_id FROM r2w
+           |         WHERE rk <= $AnnRecallK),
+           | exw AS (SELECT ext.q_id, ext.vec_id, w.width FROM ext,
+           |         (SELECT unnest([${sweepWidths.mkString(", ")}])
+           |            AS width) w),
+           | rc AS (SELECT x.q_id, x.width, COUNT(*) AS n_exact,
+           |     COUNT(i.vec_id) AS n_hit
+           |   FROM exw x LEFT JOIN ivt i
+           |     ON x.q_id = i.q_id AND x.width = i.width
+           |        AND x.vec_id = i.vec_id
+           |   GROUP BY x.q_id, x.width),
+           | curve AS (SELECT width,
+           |     CAST(SUM((10000 * n_hit) // n_exact) // COUNT(*)
+           |       AS BIGINT) AS mre4
+           |   FROM rc GROUP BY width),
+           | pick AS (SELECT CAST(COALESCE(
+           |     MIN(width) FILTER (WHERE mre4 >= $Q36cTargetE4),
+           |     ${sweepWidths.max}) AS BIGINT) AS w FROM curve),
+           | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
+           |        c.nrm, c.cell, $adcqSql AS adc
+           |   FROM (SELECT q_id, qv, qnrm, xor(qcell, wm.m) AS pcell
+           |         FROM q0, wm
+           |         WHERE wm.width = (SELECT w FROM pick)) p
+           |     JOIN coded c
+           |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+           | r1 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |          ORDER BY adc, vec_id) AS ar FROM j),
+           | sc AS (SELECT q_id, vec_id, cell, ROUND(adc, 4) AS adc_dist,
+           |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
+           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
+           |      AS cos
+           |   FROM r1 WHERE ar <= $PqRerank),
+           | r2 AS (SELECT q_id, vec_id, cell, adc_dist, cos,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, vec_id) AS rk
+           |   FROM sc)
+           |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos,
+           |  (SELECT w FROM pick) AS probe_radius
+           |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+      },
       // q122 serves base ∪ delta; the rows are provably those of the
       // from-scratch artifact, so the oracle is the identical full replay
       "q122_incremental_pq_codes" -> ivfPqBatchSql,

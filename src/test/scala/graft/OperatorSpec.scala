@@ -1254,6 +1254,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(Similarity.q36cPickWidth(spark, dir) === cPick)
   }
 
+  test("q90d auto-tuned PQ radius: curve monotone, pick minimal, width rides the rows") {
+    import operators.Similarity
+    val curve = Similarity.q90dCurveArtifact(spark, sf)
+      .orderBy(col("width")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(curve.map(_._1) === Similarity.sweepWidths.map(_.toLong),
+      s"curve domain wrong: $curve")
+    // nested radii -> monotone non-decreasing recall
+    assert(curve.sliding(2).forall {
+      case Seq((_, a), (_, b)) => a <= b
+      case _ => true
+    }, s"nested-radius curve not monotone: $curve")
+    val pick = curve.filter(_._2 >= Similarity.Q36cTargetE4).map(_._1)
+      .sorted.headOption.getOrElse(Similarity.sweepWidths.max.toLong)
+    info(s"q90d tier curve: $curve -> radius $pick")
+    assert(Similarity.q90dPickRadius(spark, sf) === pick,
+      "serving's radius lookup diverged from the curve")
+    val served = SparkEntry.queries("q90d_ann_ivfpq_autotuned")(spark, sf)
+      .collect()
+    assert(served.nonEmpty && served.forall(_.getLong(6) === pick),
+      "probe_radius column does not carry the picked radius")
+    val w0 = Similarity.q90dCurveWrites.get()
+    SparkEntry.queries("q90d_ann_ivfpq_autotuned")(spark, sf).collect()
+    assert(Similarity.q90dCurveWrites.get() === w0,
+      "warm auto-tuned PQ serving re-measured the curve")
+  }
+
   test("q36 IVF recall on clustered embeddings meets the 60% floor") {
     // The synthetic testdata is uniform — the worst case for any cell
     // quantizer (measured 2/10 there, documented in Similarity.scala).
