@@ -255,7 +255,13 @@ object Bench {
       }.mkString("{", ",", "}")
       val skippedNames = {
         import scala.jdk.CollectionConverters._
-        admissionSkipped.asScala.toSeq.sorted
+        // a row the admission gate skipped can still be measured by a
+        // later refinement pass (coldClass spans `names` since round
+        // 13) — report as skipped only what actually went unmeasured,
+        // so the artifact can never claim a coverage hole for a row
+        // whose seconds it carries
+        admissionSkipped.asScala.toSeq
+          .filterNot(results.containsKey).sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]")
       }
       java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_detail.json"),

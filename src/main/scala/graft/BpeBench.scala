@@ -183,7 +183,6 @@ object BpeBench {
         s""""distributed":{"target":$distTarget,"batch":$distBatch,""" +
         s""""merges":${distMerges.size},"train_sec":${r(tDist)},""" +
         s""""rounds":${functions.Bpe.lastDistRounds.get()},""" +
-        s""""batch":$distBatch,""" +
         s""""token_mass":$massD,"exact_token_mass":$massE,""" +
         s""""mass_ratio":${r(massD.toDouble / massE)}}}""")
     System.out.flush()
