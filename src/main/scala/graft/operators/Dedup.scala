@@ -1024,6 +1024,51 @@ object Dedup {
     latestWins(q167BaseArtifact(s, d), q167DeltaArtifact(s, d))
   }
 
+  // ---- q166b: STAGED time travel over a ver-PARTITIONED chain -------------
+  //
+  // q166 proves the snapshot algebra with the chain derived inline —
+  // its plan claim is Catalyst folding `2 <= 1` away. Production time
+  // travel does not refold history per read: the chain is a STAGED
+  // store, and the layout that makes as-of cheap is partitioning BY
+  // `ver` — the snapshot predicate then prunes whole version subtrees
+  // at the scan (PartitionFilters), which is the Delta/Iceberg-style
+  // property the q166 Scaladoc names. q166b is that form: the two-fold
+  // chain lands once as a ver-partitioned dir (the q140 zcell layout
+  // discipline), serving is latest-wins(base, chain where ver ≤ asOf),
+  // and the spec asserts the pushed partition filter. Rows identical
+  // to q166; one shared oracle.
+
+  /** Spec counter: the staged chain lands once per corpus. */
+  private[graft] val q166bWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val q166bMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Write-once ver-partitioned chain dir ([[verChainFolds]], shared
+    * derivation with q166/q167).
+    */
+  private[graft] def q166bChainDir(s: SparkSession, d: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir", "/tmp/graft-warehouse"),
+      s"${Bucketed.dbFor(d)}.db"), "q166b_chain").toString
+    val srcM = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+    q166bMemo.synchronized {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val exists = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .exists(hp)
+      if (!(q166bMemo.containsKey(dir) && q166bMemo.get(dir) == srcM &&
+          exists)) {
+        q166bWrites.incrementAndGet()
+        val (d1, d2) = verChainFolds(s, d)
+        d1.unionByName(d2).repartition(col("ver"))
+          .write.mode("overwrite").partitionBy("ver").parquet(dir)
+        q166bMemo.put(dir, srcM)
+      }
+    }
+    dir
+  }
+
   // ---- q170: RETENTION VACUUM over the span-override chain ----------------
   //
   // q167 bounded the LABELS ver chain; the span-strip override chain
@@ -1881,6 +1926,17 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // q166b — STAGED time travel (see the q166b section comment): the
+    // as-of-1 snapshot served from the write-once ver-PARTITIONED
+    // chain — the snapshot predicate prunes the ver=2 subtree at the
+    // scan (PartitionFilters, spec-asserted), and no serve ever refolds
+    // history. Rows identical to q166; one shared oracle.
+    "q166b_timetravel_staged" -> ((s, d) => {
+      val chain = s.read.parquet(q166bChainDir(s, d))
+      latestWins(q120LabelsArtifact(s, d), chain.filter(col("ver") <= 1))
+        .orderBy(col("doc_id"))
+    }),
+
     // q167 — RETENTION VACUUM (see the q167 section comment): stage the
     // two-fold versioned chain, vacuum vers ≤ [[Q167Horizon]] into the
     // base, serve at latest. The correctness gate covers the whole arc —
@@ -2711,6 +2767,25 @@ object Dedup {
       // q166: the as-of-ver-1 snapshot must equal the from-scratch
       // closure over corpus ∪ fold-1 docs ALONE — ver-2 rows provably
       // invisible
+      // q166b: the staged ver-partitioned chain serves the identical
+      // as-of-1 snapshot — physical layout only, same replay
+      "q166b_timetravel_staged" -> {
+        val asOf1 = "(SELECT * FROM documents WHERE doc_id % 10 <> 0" +
+          " OR (doc_id // 10) % 2 = 0)"
+        s"""WITH RECURSIVE ${sqlPrefixPairsFrom(asOf1)},
+           |  e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           |        UNION ALL SELECT doc_b, doc_a FROM p),
+           |  reach(src, r) AS (
+           |    SELECT DISTINCT src, src FROM e
+           |    UNION
+           |    SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.src),
+           |  reps AS (SELECT src AS doc_id, MIN(r) AS rep
+           |           FROM reach GROUP BY src)
+           |SELECT doc_id, rep,
+           |  COUNT(*) OVER (PARTITION BY rep) AS cluster_size
+           |FROM reps ORDER BY doc_id""".stripMargin
+      },
+
       "q166_labels_timetravel" -> {
         val asOf1 = "(SELECT * FROM documents WHERE doc_id % 10 <> 0" +
           " OR (doc_id // 10) % 2 = 0)"

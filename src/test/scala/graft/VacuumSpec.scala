@@ -75,6 +75,31 @@ class VacuumSpec extends AnyFunSuite {
       "warm q167 serving re-derived the fold chain")
   }
 
+  // ---- q166b: staged ver-partitioned time travel ---------------------------
+
+  test("q166b staged time travel: rows == q166, later vers pruned at the scan, chain staged once") {
+    val a = SparkEntry.queries("q166_labels_timetravel")(
+      spark, TestSpark.sf).collect()
+    val bDf = SparkEntry.queries("q166b_timetravel_staged")(
+      spark, TestSpark.sf)
+    val b = bDf.collect()
+    assert(a.nonEmpty && a.toSeq === b.toSeq,
+      "staging changed the as-of snapshot")
+    // the production claim: the snapshot predicate is a PARTITION
+    // filter on the staged chain — the ver=2 subtree never scans
+    val plan = bDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ver") ||
+        plan.contains("PartitionFilters: [(ver"),
+      s"as-of predicate not pushed as a partition filter:\n${plan.take(2000)}")
+    assert(!plan.contains("ver=2"),
+      s"pruned ver=2 partition appears in the scan:\n${plan.take(2000)}")
+    val w0 = Dedup.q166bWrites.get()
+    SparkEntry.queries("q166b_timetravel_staged")(spark, TestSpark.sf)
+      .collect()
+    assert(Dedup.q166bWrites.get() === w0,
+      "warm staged time travel refolded the chain")
+  }
+
   // ---- q170: the span-override chain --------------------------------------
 
   private def spanRows(df: org.apache.spark.sql.DataFrame) =
