@@ -971,15 +971,38 @@ object Dedup {
     (d1, d2)
   }
 
+  /** Spec counter: the shared two-fold label chain DERIVES once. */
+  private[graft] val verChainWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The [[verChainFolds]] arc STAGED write-once (round-14): the 2-fold
+    * derivation is ~12 s of fold machinery at bench sf, and BOTH staged
+    * consumers (q167's vacuum chain, q166b's ver-partitioned chain)
+    * derived it independently — two full derivations of one arc, each
+    * lazily inside whichever timed row ran first (the round-13
+    * "state-coupled cost" finding). One landed table; consumers copy or
+    * re-layout from it in O(|chain|). q166 still derives inline BY
+    * DESIGN — its plan claim is Catalyst pruning the unioned fold
+    * branches, which requires the un-staged shape.
+    */
+  private[graft] def verChainStaged(s: SparkSession, d: String): DataFrame =
+    Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q166_ver_chain",
+      s"$d/documents.parquet", {
+        verChainWrites.incrementAndGet()
+        val (d1, d2) = verChainFolds(s, d)
+        d1.unionByName(d2)
+      }, 8, Seq("doc_id"))
+
   /** The staged override chain — the q166 two-fold arc written once as a
-    * ver-columned delta table ([[verChainFolds]]).
+    * ver-columned delta table (a private copy of [[verChainStaged]]:
+    * the vacuum truncates THIS table, the shared chain stays pristine —
+    * the q126 namespacing rule).
     */
   private[graft] def q167DeltaArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q167_labels_delta",
       s"$d/documents.parquet", {
         q167DeltaWrites.incrementAndGet()
-        val (d1, d2) = verChainFolds(s, d)
-        d1.unionByName(d2)
+        verChainStaged(s, d)
       }, 8, Seq("doc_id"))
 
   private[graft] def q167Recover(s: SparkSession, d: String): Unit =
@@ -1055,14 +1078,26 @@ object Dedup {
       java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
     q166bMemo.synchronized {
       val hp = new org.apache.hadoop.fs.Path(dir)
-      val exists = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .exists(hp)
-      if (!(q166bMemo.containsKey(dir) && q166bMemo.get(dir) == srcM &&
-          exists)) {
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(hp)
+      if (!(q166bMemo.containsKey(dir) &&
+          q166bMemo.get(dir).longValue == srcM && exists)) {
         q166bWrites.incrementAndGet()
-        val (d1, d2) = verChainFolds(s, d)
-        d1.unionByName(d2).repartition(col("ver"))
-          .write.mode("overwrite").partitionBy("ver").parquet(dir)
+        // re-layout of the SHARED staged chain (one derivation for the
+        // whole q166/q167 family), ver-partitioned for scan pruning
+        val chain = verChainStaged(s, d)
+        // Stage into a scratch dir and RENAME over the served path (the
+        // compactSwap _next/promote discipline): a reader in another
+        // session must never observe a partially-rewritten chain, which
+        // a mode=overwrite write directly into `dir` would expose
+        // between its delete and its commit.
+        val next = new org.apache.hadoop.fs.Path(dir + "_next")
+        if (fs.exists(next)) fs.delete(next, true)
+        chain.repartition(col("ver"))
+          .write.mode("overwrite").partitionBy("ver")
+          .parquet(next.toString)
+        if (exists) fs.delete(hp, true)
+        fs.rename(next, hp)
         q166bMemo.put(dir, srcM)
       }
     }
@@ -1781,6 +1816,62 @@ object Dedup {
         .filter(pmod(col("vec_id"), lit(TombMod)) === TombRes)
         .select(col("cell"), col("vec_id")),
       8, Seq("cell"))
+
+  // ---- bench artifact staging (round-13 verdict #1) ------------------------
+  //
+  // Bench pre-builds every write-once store a timed row depends on, and
+  // runs the ONE-SHOT state transitions (vacuum / compaction swaps) so
+  // the timed rows measure steady-state recover+serve REPRODUCIBLY: a
+  // destructive transition inside a min-of-passes timed row records its
+  // cheap second run (serve-only) as the row's cost and corrupts the
+  // next round's admission control — q171 recorded 0.2 s warm while the
+  // driver's cold run measured 36.8 s. The `artifact:` rows carry the
+  // staging + transition cost instead; Verify and the specs still
+  // exercise the cold/crash paths.
+
+  /** Stage the q120 frozen corpus index (labels, df, prefix postings). */
+  private[graft] def q120Staged(s: SparkSession, d: String): Unit = {
+    q120LabelsArtifact(s, d); q120DfArtifact(s, d)
+    q120PrefixArtifact(s, d); ()
+  }
+
+  /** Stage the q135/q136/q163/q170 span-store leaves. */
+  private[graft] def q135Staged(s: SparkSession, d: String): Unit = {
+    q135PostingsArtifact(s, d); q135ByDocArtifact(s, d)
+    q135BaseArtifact(s, d); ()
+  }
+
+  /** Stage the q163 deletion-family store copies. */
+  private[graft] def q163Staged(s: SparkSession, d: String): Unit = {
+    q163PostingsArtifact(s, d); q163ByDocArtifact(s, d)
+    q163BaseArtifact(s, d); ()
+  }
+
+  /** Stage the q167 chain and run the vacuum to its steady state. */
+  private[graft] def q167Staged(s: SparkSession, d: String): Unit = {
+    q167BaseArtifact(s, d); q167DeltaArtifact(s, d)
+    q167Recover(s, d)
+    if (q167DeltaArtifact(s, d).filter(col("ver") <= Q167Horizon)
+        .limit(1).count() > 0) q167Vacuum(s, d, Q167Horizon)
+  }
+
+  /** Stage the q170 span chain and run the vacuum to its steady state. */
+  private[graft] def q170Staged(s: SparkSession, d: String): Unit = {
+    q170BaseArtifact(s, d); q170DeltaArtifact(s, d)
+    q170Recover(s, d)
+    if (q170DeltaArtifact(s, d).filter(col("ver") <= Q170Horizon)
+        .limit(1).count() > 0) q170Vacuum(s, d, Q170Horizon)
+  }
+
+  /** Stage the q130 posting store and run its compaction once. */
+  private[graft] def q130Staged(s: SparkSession, d: String): Unit = {
+    if (q130DeltaArtifact(s, d).limit(1).count() > 0) q130Compact(s, d)
+    else q130CompactRecover(s, d)
+  }
+
+  /** Stage the q126 override store and run its compaction once. */
+  private[graft] def q126Staged(s: SparkSession, d: String): Unit =
+    if (q126DeltaArtifact(s, d).limit(1).count() > 0) q126Compact(s, d)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q131 — the compaction trigger policy as data: per-artifact

@@ -368,16 +368,21 @@ object Retrieval {
     * q161d all maintain THESE tables, not private copies.
     */
   private[graft] def posIdx(s: SparkSession, d: String, leaf: String,
-      docs: => DataFrame, counter: Boolean = false): DataFrame =
+      docs: => DataFrame): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), s"q161c_pos_$leaf",
       s"$d/documents.parquet", {
-        if (counter) posBaseWrites.incrementAndGet()
+        // counter keyed on the LEAF, inside the build thunk: the
+        // write-once invariant ("the base builds once across verbs")
+        // must hold no matter which verb touches the shared leaf first
+        // (round-13 advice: a caller-passed flag left the counter 0
+        // when q161d built the base before q161c did).
+        if (leaf == "base") posBaseWrites.incrementAndGet()
         posPostingsOf(docs)
       }, 8, Seq("term"))
 
   /** The maintained positional frame: frozen base ∪ arriving batch. */
   private[graft] def posMaintained(s: SparkSession, d: String): DataFrame =
-    posIdx(s, d, "base", q157Corpus(s, d), counter = true)
+    posIdx(s, d, "base", q157Corpus(s, d))
       .unionByName(posIdx(s, d, "batch", q157Batch(s, d)))
 
   /** q165d's landed doc tombstones — write-once staged side table (the
@@ -533,6 +538,30 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("min_dist"),
         col("n_pairs"), col("rk"))
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  // ---- bench artifact staging (round-13 verdict #1; see Dedup's section) --
+
+  /** Stage every write-once retrieval store (BM25 denormalized +
+    * normalized leaves, positional full/capped/maintained leaves,
+    * tombstone side tables).
+    */
+  private[graft] def retrievalStaged(s: SparkSession, d: String): Unit = {
+    postingArtifact(s, d); statsArtifact(s, d)
+    idx157(s, d, "base", q157Corpus(s, d), counter = true)
+    idx157(s, d, "batch", q157Batch(s, d))
+    posPostingArtifact(s, d); cappedPosArtifact(s, d)
+    posMaintained(s, d); posTombArtifact(s, d); ()
+  }
+
+  /** Stage the q161e store copies and run the compaction to steady
+    * state (one-shot transition — see Dedup's staging section).
+    */
+  private[graft] def q161eStaged(s: SparkSession, d: String): Unit = {
+    q161eRecover(s, d)
+    if (q161eBatch(s, d).limit(1).count() > 0 ||
+        q161eTombs(s, d).limit(1).count() > 0)
+      q161eCompact(s, d)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

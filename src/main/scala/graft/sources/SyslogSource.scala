@@ -159,7 +159,16 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     * acceptance side. This is the local[32] image of the real scale-out
     * (N listener endpoints / N receiver buffers → N source partitions).
     */
-  private[sources] val numSegments = math.max(1, options.getInt("listeners", 1))
+  private[sources] val numSegments = {
+    val requested = math.max(1, options.getInt("listeners", 1))
+    // Clamp the fan-out so the per-segment >=2-row livelock floor (see
+    // [[segments]]) can never push TOTAL buffered capacity past the
+    // configured maxBufferedRows: at most maxBuffered/2 lanes of 2 rows
+    // each. Without this, maxBufferedRows=8 with listeners=8 silently
+    // buffered up to 16 rows — the memory-cap contract the option
+    // documents would be weakened exactly when it is set tightest.
+    math.min(requested, math.max(1, maxBuffered / 2))
+  }
 
   /** One independently-locked buffer shard: offsets are LOCAL to the
     * segment (the stream's offset is the vector of segment offsets).
@@ -221,12 +230,16 @@ private[sources] class SyslogReceiver(options: CaseInsensitiveStringMap) {
     }
   }
 
-  /** The shards; total capacity stays `maxBufferedRows` at any fan-out,
-    * except that each segment holds AT LEAST 2 rows: the per-lane
-    * livelock guard plans at most half a lane, and a 1-row lane makes
-    * "half" equal the whole lane (laneMax = max(1, 1/2) = 1 = capacity),
-    * re-opening the deferred-commit livelock the guard exists to close.
-    * Capacity >= 2 keeps laneMax (= capacity/2) strictly below capacity.
+  /** The shards; total capacity stays `maxBufferedRows` at any fan-out
+    * (the [[numSegments]] clamp guarantees maxBuffered/numSegments >= 2,
+    * so the >=2-row floor below never multiplies past the cap; the sole
+    * exception is maxBufferedRows < 2 itself, where the floor wins —
+    * a 1-row buffer cannot host the livelock guard at all). Each
+    * segment holds AT LEAST 2 rows: the per-lane livelock guard plans
+    * at most half a lane, and a 1-row lane makes "half" equal the whole
+    * lane (laneMax = max(1, 1/2) = 1 = capacity), re-opening the
+    * deferred-commit livelock the guard exists to close. Capacity >= 2
+    * keeps laneMax (= capacity/2) strictly below capacity.
     */
   private[sources] val segments: Array[Segment] =
     Array.fill(numSegments)(new Segment(
