@@ -702,7 +702,9 @@ object Similarity {
   private[graft] def ivfPqServeStaged(s: SparkSession, d: String,
       codes: DataFrame,
       masks: Seq[Long] = (0L +: (0 until 8).map(1L << _)),
-      radiusCol: Option[Long] = None): DataFrame = {
+      radiusCol: Option[Long] = None,
+      rerank: Int = PqRerank,
+      rerankCol: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
@@ -740,7 +742,7 @@ object Similarity {
       .withColumn("ar", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("adc"), col("vec_id"))))
-      .filter(col("ar") <= PqRerank)
+      .filter(col("ar") <= rerank)
       .select(col("q_id"), col("vec_id"), col("cell"), col("nrm"),
         col("adc"))
     // bounded exact re-rank: survivors re-join the vector store by id
@@ -758,7 +760,8 @@ object Similarity {
       .filter(col("rk") <= 10)
       .select(Seq(col("q_id"), col("rk"), col("vec_id"), col("cell"),
         round(col("adc"), 4).as("adc_dist"), col("cos")) ++
-        radiusCol.map(r => lit(r).as("probe_radius")).toSeq: _*)
+        radiusCol.map(r => lit(r).as("probe_radius")).toSeq ++
+        rerankCol.map(r => lit(r).as("rerank_cut")).toSeq: _*)
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1101,18 +1104,22 @@ object Similarity {
       ivfPqServeStaged(s, d, pqCodesArtifact(s, d))),
 
     // q90d — AUTO-TUNED IVF-PQ: q36c's curve discipline applied to the
-    // PQ serving path (the round-12 verdict named both). The measured
-    // per-radius recall curve of the FULL ADC + re-rank pipeline picks
-    // the smallest hamming radius meeting the shared 0.90 target
-    // (widest fallback), the pick rides every row as probe_radius, and
-    // the oracle replays curve + pick + serve so the hash proves the
-    // selection. Sign-cell radii are the coarse lever (1/9/37 of 256
-    // cells); the trained path's finer lever is q36c.
+    // PQ serving path, now over BOTH knobs (round-13 verdict: the
+    // radius-only curve saturated at 0.20 by radius 1 on the uniform
+    // tier, so radius alone provably wasn't the binding constraint).
+    // The measured 2-D recall surface (hamming radius 0-3 x ADC-rerank
+    // cut 100-6400) of the FULL ADC + re-rank pipeline picks the
+    // cheapest combo meeting the shared 0.90 target (max-recall
+    // fallback when none does — the quantizer's measured information
+    // limit on uniform data); the pick rides every row as
+    // (probe_radius, rerank_cut), and the oracle replays surface +
+    // pick + serve so the hash proves the selection. Sign-cell radii
+    // are the coarse lever; the trained path's finer lever is q36c.
     "q90d_ann_ivfpq_autotuned" -> ((s, d) => {
-      val r = q90dPickRadius(s, d)
+      val (r, rk) = q90dPickParams(s, d)
       ivfPqServeStaged(s, d, pqCodesArtifact(s, d),
-        masks = probeWidths.filter(_._1.toLong == r).map(_._2),
-        radiusCol = Some(r))
+        masks = q90dProbeWidths.filter(_._1.toLong == r).map(_._2),
+        radiusCol = Some(r), rerank = rk.toInt, rerankCol = Some(rk))
     }),
 
     // q122 — INCREMENTAL pq_codes maintenance: the third staged artifact
@@ -1798,19 +1805,53 @@ object Similarity {
       .sorted.headOption.getOrElse(Q36cWidths.max)
   }
 
-  // ---- q90d: auto-tuned probe radius for the IVF-PQ path ------------------
+  // ---- q90d: auto-tuned probe radius x rerank for the IVF-PQ path ---------
 
   /** Spec counter: the PQ recall curve is measured once per corpus. */
   private[graft] val q90dCurveWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** The measured IVF-PQ recall curve (width = hamming radius 0/1/2,
-    * mean_recall_e4): the FULL serving path — ADC cut at [[PqRerank]]
-    * per (query, width), bounded exact re-rank, top-10 — audited
-    * against the brute-force baseline at each of [[probeWidths]]'
-    * cumulative mask sets in one pass (the q117 shape applied to what
-    * q90c actually returns, not to raw cell membership). Write-once
-    * index metadata, like q36c's curve for the trained path.
+  /** q90d's rerank-cut domain — the ADC-survivor-depth axis of the 2-D
+    * curve. The round-13 radius-only curve saturated at 0.20 by radius
+    * 1 on the uniform tier, which could mean EITHER "the [[PqRerank]]
+    * = 100 cut drops true neighbors the probes did find" OR "the probed
+    * cells never contained them"; only sweeping the cut separates the
+    * two. 100 is the fixed legacy point; the deepest cut upper-bounds
+    * the radius-3 candidate count at oracle sf, so its row measures the
+    * IVF coverage ceiling itself — rerank provably not binding there.
+    */
+  private[graft] val q90dRerankCuts: Seq[Int] = Seq(100, 400, 1600, 6400)
+
+  /** q90d's probe domain — [[probeWidths]] extended to hamming radius 3
+    * (93 of 256 cells, ~36% of a uniform corpus). Radius 3 exists to
+    * bound the saturation measurement (does MORE coverage keep paying
+    * on this corpus?), not as a serving recommendation; q117 and the
+    * exact sweep keep the shared 0-2 domain.
+    */
+  private[graft] val q90dProbeWidths: Seq[(Int, Long)] = {
+    val bits = 0 until 8
+    val h3 = for { i <- bits; j <- bits if j > i; k <- bits if k > j }
+      yield (1L << i) | (1L << j) | (1L << k)
+    probeWidths ++
+      (probeWidths.filter(_._1 == 2).map(_._2) ++ h3).map((3, _))
+  }
+
+  /** The 2-D sweep's radius domain, derived from [[q90dProbeWidths]]. */
+  private[graft] val q90dSweepWidths: Seq[Int] =
+    q90dProbeWidths.map(_._1).distinct.sorted
+
+  /** The measured IVF-PQ recall SURFACE (width = hamming radius 0-3 x
+    * rerank = ADC-survivor cut, mean_recall_e4): the full serving path
+    * audited against the brute-force baseline over every (radius,
+    * rerank) combo in ONE pass. Candidates are ranked by ADC per
+    * (query, radius) up to the DEEPEST cut only once; each grid row is
+    * then pure aggregation, because MEMBERSHIP = SERVED for a true
+    * top-10 row: if an exact top-10 neighbor survives a cut, at most 9
+    * survivors precede it in (cos desc, vec_id) order, so its served
+    * rank is <= 10 — counting survivor membership IS counting
+    * recall@10, no per-cut re-rank join needed (the oracle replays the
+    * identical shortcut). Write-once index metadata, like q36c's curve
+    * for the trained path.
     */
   private[graft] def q90dCurveArtifact(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q90d_curve",
@@ -1837,7 +1878,7 @@ object Similarity {
             }.reduce(_ + _)
           }
         }: _*)
-        val wm = array(probeWidths.map { case (w, m) =>
+        val wm = array(q90dProbeWidths.map { case (w, m) =>
           struct(lit(w.toLong).as("width"), lit(m).as("m"))
         }: _*)
         val probes = q.withColumn("adcq", adcq)
@@ -1856,47 +1897,49 @@ object Similarity {
           .withColumn("ar", row_number().over(
             Window.partitionBy(col("q_id"), col("width"))
               .orderBy(col("adc"), col("vec_id"))))
-          .filter(col("ar") <= PqRerank)
-          .select(col("q_id"), col("width"), col("vec_id"), col("nrm"))
-        val store = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            col("embedding").cast("array<double>").as("emb"))
-        val ivt = survivors.join(store, "vec_id")
-          .join(broadcast(q.select(col("q_id"), col("qv"), col("qnrm"))),
-            "q_id")
-          .withColumn("cos", round(
-            dot(col("emb"), col("qv")) / (col("nrm") * col("qnrm")), 4))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("q_id"), col("width"))
-              .orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rk") <= AnnRecallK)
-          .select(col("q_id").as("iq_id"), col("width").as("iwidth"),
-            col("vec_id").as("ivec_id"))
+          .filter(col("ar") <= q90dRerankCuts.max)
+          .select(col("q_id").as("sq_id"), col("width").as("swidth"),
+            col("vec_id").as("svec_id"), col("ar"))
         exact
           .select(col("q_id"), col("vec_id"),
-            explode(array(sweepWidths.map(w => lit(w.toLong)): _*))
+            explode(array(q90dSweepWidths.map(w => lit(w.toLong)): _*))
               .as("width"))
-          .join(ivt,
-            col("q_id") === col("iq_id") &&
-              col("width") === col("iwidth") &&
-              col("vec_id") === col("ivec_id"), "left")
-          .groupBy(col("q_id"), col("width"))
+          .join(survivors,
+            col("q_id") === col("sq_id") &&
+              col("width") === col("swidth") &&
+              col("vec_id") === col("svec_id"), "left")
+          .select(col("q_id"), col("width"), col("ar"),
+            explode(array(q90dRerankCuts.map(c => lit(c.toLong)): _*))
+              .as("rerank"))
+          .groupBy(col("q_id"), col("width"), col("rerank"))
           .agg(count(lit(1)).as("n_exact"),
-            count(col("ivec_id")).as("n_hit"))
+            count(when(col("ar") <= col("rerank"), lit(1))).as("n_hit"))
           .withColumn("recall_e4", expr("(10000 * n_hit) div n_exact"))
-          .groupBy(col("width"))
+          .groupBy(col("width"), col("rerank"))
           .agg(expr("sum(recall_e4) div count(1)").as("mean_recall_e4"))
       }, 1, Seq("width"))
 
-  /** The curve lookup for the PQ path: smallest radius whose measured
-    * mean recall meets the shared [[Q36cTargetE4]] target; the widest
-    * radius when none does.
+  /** The 2-D curve lookup for the PQ path: combos are ordered by
+    * SERVING COST — lexicographic (radius, rerank), because the ADC
+    * scan reads coverage(radius)*N codes while rerank is bounded by
+    * the cut, so at corpus scale radius dominates any bounded rerank —
+    * and the cheapest combo whose measured mean recall meets the
+    * shared [[Q36cTargetE4]] target wins. When NO combo meets it (the
+    * uniform tier — the quantizer's measured information limit, see
+    * SCALING.md), serve the max-recall combo, ties to the cheapest;
+    * the (probe_radius, rerank_cut) columns riding every served row
+    * disclose which branch fired. The collect is a |grid|-row (<= 16)
+    * control frame.
     */
-  private[graft] def q90dPickRadius(s: SparkSession, d: String): Long = {
-    val curve = q90dCurveArtifact(s, d)
-      .select(col("width"), col("mean_recall_e4")).collect()
-    curve.filter(_.getLong(1) >= Q36cTargetE4).map(_.getLong(0))
-      .sorted.headOption.getOrElse(sweepWidths.max.toLong)
+  private[graft] def q90dPickParams(s: SparkSession, d: String): (Long, Long) = {
+    val grid = q90dCurveArtifact(s, d)
+      .select(col("width"), col("rerank"), col("mean_recall_e4")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val meeting = grid.filter(_._3 >= Q36cTargetE4).map(t => (t._1, t._2))
+    meeting.sorted.headOption.getOrElse {
+      val best = grid.map(_._3).max
+      grid.filter(_._3 == best).map(t => (t._1, t._2)).sorted.head
+    }
   }
 
   /** The q36b serve body at an arbitrary probe budget — shared by the
@@ -2814,10 +2857,12 @@ object Similarity {
       // the oracle is the same replay.
       "q90c_ann_ivfpq_staged" -> ivfPqBatchSql,
 
-      // q90d: the COMPLETE replay — brute-force baseline, the per-radius
-      // ADC + re-rank sweep, the integer-exact mean-recall curve, the
-      // smallest-radius-meeting-target pick, then the q90c serve at the
-      // picked radius. A hash match proves the radius selection.
+      // q90d: the COMPLETE replay — brute-force baseline, the 2-D
+      // (radius x rerank) ADC-survivor sweep via the membership-=-served
+      // shortcut (doc'd at q90dCurveArtifact), the integer-exact
+      // mean-recall surface, the cheapest-combo-meeting-target pick
+      // (max-recall fallback), then the q90c serve at the picked combo.
+      // A hash match proves the 2-D selection.
       "q90d_ann_ivfpq_autotuned" -> {
         def qdSql(sub: Int, c: Int): String =
           (0 until 8).map { dd =>
@@ -2830,7 +2875,7 @@ object Similarity {
             s"WHEN 1 THEN ${qdSql(sub, 1)} WHEN 2 THEN ${qdSql(sub, 2)} " +
             s"ELSE ${qdSql(sub, 3)} END)::DOUBLE"
         }.mkString(" + ")
-        val wmVals = probeWidths
+        val wmVals = q90dProbeWidths
           .map { case (w, m) => s"($w, $m)" }.mkString(", ")
         s"""WITH e0 AS (SELECT vec_id, embedding,
            |    sqrt(list_sum(list_transform(embedding,
@@ -2855,40 +2900,38 @@ object Similarity {
            |   FROM e),
            | probe2 AS (SELECT q_id, qv, qnrm, wm.width,
            |      xor(qcell, wm.m) AS pcell FROM q0, wm),
-           | j2 AS (SELECT p.q_id, p.width, p.qv, p.qnrm, c.vec_id,
-           |        c.embedding, c.nrm, $adcqSql AS adc
+           | j2 AS (SELECT p.q_id, p.width, c.vec_id, $adcqSql AS adc
            |   FROM probe2 p JOIN coded c
            |     ON c.cell = p.pcell AND c.vec_id <> p.q_id),
-           | r1w AS (SELECT *, row_number() OVER (
-           |     PARTITION BY q_id, width ORDER BY adc, vec_id) AS ar
-           |   FROM j2),
-           | scw AS (SELECT q_id, width, vec_id,
-           |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
-           |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
-           |      AS cos
-           |   FROM r1w WHERE ar <= $PqRerank),
-           | r2w AS (SELECT q_id, width, vec_id,
-           |    row_number() OVER (PARTITION BY q_id, width
-           |      ORDER BY cos DESC, vec_id) AS rk
-           |   FROM scw),
-           | ivt AS (SELECT q_id, width, vec_id FROM r2w
-           |         WHERE rk <= $AnnRecallK),
+           | srv AS (SELECT q_id, width, vec_id, ar FROM (
+           |     SELECT *, row_number() OVER (
+           |       PARTITION BY q_id, width ORDER BY adc, vec_id) AS ar
+           |     FROM j2)
+           |   WHERE ar <= ${q90dRerankCuts.max}),
            | exw AS (SELECT ext.q_id, ext.vec_id, w.width FROM ext,
-           |         (SELECT unnest([${sweepWidths.mkString(", ")}])
+           |         (SELECT unnest([${q90dSweepWidths.mkString(", ")}])
            |            AS width) w),
-           | rc AS (SELECT x.q_id, x.width, COUNT(*) AS n_exact,
-           |     COUNT(i.vec_id) AS n_hit
-           |   FROM exw x LEFT JOIN ivt i
-           |     ON x.q_id = i.q_id AND x.width = i.width
-           |        AND x.vec_id = i.vec_id
-           |   GROUP BY x.q_id, x.width),
-           | curve AS (SELECT width,
+           | rr AS (SELECT unnest([${q90dRerankCuts.mkString(", ")}])
+           |          AS rerank),
+           | rc AS (SELECT x.q_id, x.width, r.rerank, COUNT(*) AS n_exact,
+           |     COUNT(*) FILTER (WHERE s.ar IS NOT NULL
+           |                        AND s.ar <= r.rerank) AS n_hit
+           |   FROM exw x CROSS JOIN rr r LEFT JOIN srv s
+           |     ON x.q_id = s.q_id AND x.width = s.width
+           |        AND x.vec_id = s.vec_id
+           |   GROUP BY x.q_id, x.width, r.rerank),
+           | curve AS (SELECT width, rerank,
            |     CAST(SUM((10000 * n_hit) // n_exact) // COUNT(*)
            |       AS BIGINT) AS mre4
-           |   FROM rc GROUP BY width),
-           | pick AS (SELECT CAST(COALESCE(
-           |     MIN(width) FILTER (WHERE mre4 >= $Q36cTargetE4),
-           |     ${sweepWidths.max}) AS BIGINT) AS w FROM curve),
+           |   FROM rc GROUP BY width, rerank),
+           | pick AS (SELECT CAST(width AS BIGINT) AS w,
+           |     CAST(rerank AS BIGINT) AS r
+           |   FROM curve
+           |   ORDER BY (CASE WHEN mre4 >= $Q36cTargetE4
+           |               THEN 1 ELSE 0 END) DESC,
+           |     (CASE WHEN mre4 >= $Q36cTargetE4 THEN 0 ELSE -mre4 END),
+           |     width, rerank
+           |   LIMIT 1),
            | j AS (SELECT p.q_id, p.qv, p.qnrm, c.vec_id, c.embedding,
            |        c.nrm, c.cell, $adcqSql AS adc
            |   FROM (SELECT q_id, qv, qnrm, xor(qcell, wm.m) AS pcell
@@ -2902,13 +2945,14 @@ object Similarity {
            |    ROUND(list_sum(list_transform(list_zip(embedding, qv),
            |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) / (nrm * qnrm), 4)
            |      AS cos
-           |   FROM r1 WHERE ar <= $PqRerank),
+           |   FROM r1 WHERE ar <= (SELECT r FROM pick)),
            | r2 AS (SELECT q_id, vec_id, cell, adc_dist, cos,
            |    row_number() OVER (PARTITION BY q_id
            |      ORDER BY cos DESC, vec_id) AS rk
            |   FROM sc)
            |SELECT q_id, rk::BIGINT AS rk, vec_id, cell, adc_dist, cos,
-           |  (SELECT w FROM pick) AS probe_radius
+           |  (SELECT w FROM pick) AS probe_radius,
+           |  (SELECT r FROM pick) AS rerank_cut
            |FROM r2 WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
       },
       // q122 serves base ∪ delta; the rows are provably those of the
