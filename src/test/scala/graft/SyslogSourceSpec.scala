@@ -145,6 +145,27 @@ class SyslogSourceSpec extends AnyFunSuite with Eventually {
     } finally s.stop()
   }
 
+  test("listener fan-out clamps so the 2-row lane floor never exceeds maxBufferedRows") {
+    // round-13 advice: the >=2-row per-lane livelock floor multiplied
+    // past the configured cap at high fan-out (maxBufferedRows=8 with
+    // listeners=8 silently buffered up to 16 rows). The fan-out now
+    // clamps to maxBuffered/2 lanes, visible as the offset vector's
+    // arity; total capacity stays at the documented cap.
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("tcp.port", "-1"); opts.put("udp.port", "-1")
+    opts.put("tcp.host", "127.0.0.1"); opts.put("udp.host", "127.0.0.1")
+    opts.put("maxBufferedRows", "8")
+    opts.put("listeners", "8")
+    val s = new sources.SyslogMicroBatchStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    try {
+      val lanes = s.latestOffset().json().split(",")
+      assert(lanes.length === 4,
+        s"8 requested lanes at cap 8 must clamp to 4 (2-row floor x 4 " +
+          s"= the cap, not 16): got ${lanes.length}")
+    } finally s.stop()
+  }
+
   test("a single skewed lane never livelocks the deferred-commit cycle (per-lane half cap)") {
     // round-12 review regression: with listeners=4 and ONE connection,
     // all traffic lands in one segment; a batch that plans that entire
