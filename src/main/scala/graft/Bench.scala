@@ -463,14 +463,37 @@ object Bench {
           operators.Similarity.q122DeltaArtifact(spark, sfDir)
           operators.Similarity.q155BaseArtifact(spark, sfDir)
           operators.Similarity.q155TombArtifact(spark, sfDir)
+        }),
+      // the small incremental-family bases: each is cheap (<= 3 s
+      // recorded for the whole row), but with the warmup now CAPPED a
+      // cold run could fold any of these builds into its timed row —
+      // the same coupling as the big chains, just smaller. One pooled
+      // slot stages them all.
+      ("artifact:incr_bases", Seq("q123", "q125", "q126", "q129", "q131",
+        "q139", "q162"),
+        () => {
+          operators.TextOps.q123BaseArtifact(spark, sfDir)
+          operators.TextOps.q129TrainIndexArtifact(spark, sfDir)
+          operators.TextOps.q129TestShinglesArtifact(spark, sfDir)
+          operators.TextOps.q129BaseArtifact(spark, sfDir)
+          operators.Dedup.q125DfArtifact(spark, sfDir)
+          operators.Dedup.q126BaseArtifact(spark, sfDir)
+          operators.Dedup.q126DeltaArtifact(spark, sfDir)
+          operators.Sketches.q139BaseArtifact(spark, sfDir)
+          operators.Layout.q162TombArtifact(spark, sfDir)
         }))
-    // q126's store is NOT pre-built here: its delta derivation is cheap,
-    // was never cost-coupled (stable 0.6 s recorded across rounds), and
-    // the warmup stages it 16-way-overlapped for free; a cold reading
-    // self-certifies below. Only stores the round-13 verdict names (the
-    // ver chains, q166b's partitioned chain, the positional/LM stores)
-    // plus the q128b/q130 compaction inputs pay a dedicated wave slot.
     val wave2: Seq[Art] = Seq(
+      // the measured recall curves: index metadata whose build is an
+      // audit pass (brute-force baseline + swept candidate ranks) —
+      // 10-100x the serve cost it tunes, so leaving it inside the
+      // timed q36c/q90d rows would re-create exactly the q171-class
+      // recorded-cost lie (0.2 s warm serve recorded, tens of seconds
+      // cold curve measured).
+      ("artifact:ann_curves", Seq("q36c", "q90d"),
+        () => {
+          operators.Similarity.q36cCurveArtifact(spark, sfDir)
+          operators.Similarity.q90dCurveArtifact(spark, sfDir)
+        }),
       ("artifact:ver_chain", Seq("q166b", "q167"),
         () => operators.Dedup.verChainStaged(spark, sfDir)),
       ("artifact:sc_chain", Seq("q128b", "q171"),
