@@ -24,12 +24,12 @@ package graft
   *  - an UNTIMED concurrent warmup (pass 0) pays Janino codegen + JIT for
   *    every cheap batch query shape up front (a fresh JVM spends 5-20s per
   *    shape — sequential, that alone can eat a slow box's whole deadline),
-  *    CAPPED at min(40% of deadline, 135 s): round 13 measured the 40%
-  *    budget (312 s on a slow_factor-1.52 box) starving the fold rows and
-  *    the self-certify pass of their entire window. With the staged
-  *    stores pre-built the warmup pays codegen only, which 16 concurrent
-  *    shapes cover in ~60-90 s quiet; shapes the cap leaves cold are
-  *    re-run by the self-certify / pass-2 machinery below;
+  *    CAPPED at min(40% of deadline, WarmupCapSec = 100 s): round 13
+  *    measured the uncapped 40% budget (312 s on a slow_factor-1.52 box)
+  *    starving the fold rows and the self-certify pass of their entire
+  *    window. With the staged stores pre-built the warmup pays codegen
+  *    only; shapes the cap leaves cold are re-run by the self-certify /
+  *    pass-2 machinery below at the price of one extra sample each;
   *  - a timed PROBE (the ~20 cheapest recorded-cost warmed rows) then
   *    estimates live contention (slowFactorObserved) BEFORE anything
   *    expensive is scheduled;
@@ -215,12 +215,21 @@ object Bench {
     "q128b_scorecard_compact", "q36c_ann_ivf_autotuned",
     "q90d_ann_ivfpq_autotuned")
 
-  /** -1 = measure everything (reseed runs); else a 0/1 parity. */
+  /** -1 = measure everything (reseed runs); else a 0/1 parity. Parsing
+    * is defensive: the env var steers a long unattended run, so a typo
+    * must degrade loudly to the default, never crash it ("ALL" works,
+    * an overflowing numeral falls back with a warning).
+    */
   private def rotorParity: Int =
     sys.env.get("SPARK_GRAFT_BENCH_ROTOR") match {
-      case Some("all") => -1
-      case Some(v) if v.forall(_.isDigit) && v.nonEmpty => v.toInt % 2
-      case _ =>
+      case Some(v) if v.equalsIgnoreCase("all") => -1
+      case Some(v) =>
+        v.toLongOption.map(n => (math.abs(n) % 2).toInt).getOrElse {
+          System.err.println(s"[bench] SPARK_GRAFT_BENCH_ROTOR='$v' not " +
+            "'all' or a number; falling back to UTC day parity")
+          java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
+        }
+      case None =>
         java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
     }
 
@@ -507,6 +516,8 @@ object Bench {
       // chain-independent one-shot transitions ride wave 2's pole
       ("artifact:q130_compact", Seq("q130"),
         () => operators.Dedup.q130Staged(spark, sfDir)),
+      ("artifact:q126_compact", Seq("q126"),
+        () => operators.Dedup.q126Staged(spark, sfDir)),
       ("artifact:q161e_compact", Seq("q161e"),
         () => operators.Retrieval.q161eStaged(spark, sfDir)),
       ("artifact:q170_vacuum", Seq("q170"),
@@ -523,22 +534,38 @@ object Bench {
       val wanted = entries.filter { case (_, subs, _) =>
         only.isEmpty || only.exists(q => subs.exists(q.contains)) }
       if (wanted.nonEmpty) {
+        val sc = spark.sparkContext
         val pool = java.util.concurrent.Executors.newFixedThreadPool(poolN)
         for ((n, _, f) <- wanted) pool.submit(new Runnable {
           override def run(): Unit = {
+            sc.setJobGroup("bench-artifacts", n, interruptOnCancel = true)
             val s0 = System.nanoTime()
             val t = try { f(); (System.nanoTime() - s0) / 1e9 } catch {
               case e: Throwable =>
                 System.err.println(s"[bench] $n FAILED: ${e.getMessage}")
                 -1.0
-            }
+            } finally sc.clearJobGroup()
             results.put(n, t)
           }
         })
         pool.shutdown()
-        pool.awaitTermination(
+        val done = pool.awaitTermination(
           math.max(1L, ((deadlineSec - margin - elapsed) * 1000).toLong),
           java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (!done) {
+          // No silent caps: a wave that overruns the window must not
+          // keep building concurrently under the timed passes. Cancel,
+          // name the unfinished rows (sec -1 in the artifact), and let
+          // the affected timed rows surface their own failures.
+          sc.cancelJobGroup("bench-artifacts")
+          pool.shutdownNow()
+          pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+          for ((n, _, _) <- wanted if !results.containsKey(n)) {
+            results.put(n, -1.0)
+            System.err.println(s"[bench] $n UNFINISHED: wave hit the " +
+              "deadline window; dependent timed rows will pay or fail")
+          }
+        }
       }
     }
     // Pool sizes trade per-artifact wall fidelity for total wave wall:

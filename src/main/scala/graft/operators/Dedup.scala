@@ -1087,17 +1087,25 @@ object Dedup {
         // whole q166/q167 family), ver-partitioned for scan pruning
         val chain = verChainStaged(s, d)
         // Stage into a scratch dir and RENAME over the served path (the
-        // compactSwap _next/promote discipline): a reader in another
-        // session must never observe a partially-rewritten chain, which
-        // a mode=overwrite write directly into `dir` would expose
-        // between its delete and its commit.
+        // compactSwap _next/promote discipline): a concurrent reader
+        // never observes a PARTIALLY-WRITTEN chain (the long rewrite
+        // happens in _next); the delete->rename seam leaves a brief
+        // ABSENT-dir window in which a reader fails loudly on a missing
+        // path rather than silently reading half the data — the same
+        // contract as compactSwap's promote. rename's boolean is
+        // checked: Hadoop FileSystems report several failure modes by
+        // returning false, and memoizing a failed promote would serve
+        // the absent path for the rest of the session.
         val next = new org.apache.hadoop.fs.Path(dir + "_next")
         if (fs.exists(next)) fs.delete(next, true)
         chain.repartition(col("ver"))
           .write.mode("overwrite").partitionBy("ver")
           .parquet(next.toString)
         if (exists) fs.delete(hp, true)
-        fs.rename(next, hp)
+        if (!fs.rename(next, hp))
+          throw new java.io.IOException(
+            s"q166b chain promote failed: rename($next -> $hp) " +
+              "returned false; staged chain left in _next")
         q166bMemo.put(dir, srcM)
       }
     }

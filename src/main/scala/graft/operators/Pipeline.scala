@@ -991,7 +991,7 @@ object Pipeline {
       Bucketed.rewriteBucketed(s, db, "q128b_sc_base",
         scBase0.withColumn("ver", lit(0L)), 1, Seq("source"))
       Bucketed.rewriteBucketed(s, db, "q128b_sc_delta",
-        scChain.filter(col("ver") > 0), 1, Seq("source"))
+        scChain, 1, Seq("source"))
       Bucketed.compactSwap(s, db, "q128b_sc_base", "q128b_sc_delta",
         "q128b_sc_pending",
         // explicit repartition before the window: the union of two
