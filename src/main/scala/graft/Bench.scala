@@ -220,18 +220,20 @@ object Bench {
     * must degrade loudly to the default, never crash it ("ALL" works,
     * an overflowing numeral falls back with a warning).
     */
-  private def rotorParity: Int =
-    sys.env.get("SPARK_GRAFT_BENCH_ROTOR") match {
-      case Some(v) if v.equalsIgnoreCase("all") => -1
-      case Some(v) =>
-        v.toLongOption.map(n => (math.abs(n) % 2).toInt).getOrElse {
-          System.err.println(s"[bench] SPARK_GRAFT_BENCH_ROTOR='$v' not " +
-            "'all' or a number; falling back to UTC day parity")
-          java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
-        }
-      case None =>
+  private[graft] def rotorParityOf(v: Option[String]): Int = v match {
+    case Some(s) if s.equalsIgnoreCase("all") => -1
+    case Some(s) =>
+      s.toLongOption.map(n => (math.abs(n) % 2).toInt).getOrElse {
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_ROTOR='$s' not " +
+          "'all' or a number; falling back to UTC day parity")
         java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
-    }
+      }
+    case None =>
+      java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
+  }
+
+  private def rotorParity: Int =
+    rotorParityOf(sys.env.get("SPARK_GRAFT_BENCH_ROTOR"))
 
   /** A variant is rotation-eligible only when it is CHEAP and its cost
     * is already on record (a never-measured row must be measured, not

@@ -10,6 +10,20 @@ class SmokeSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("bench rotor env parsing: 'all' any case, numerals mod 2, garbage falls back") {
+    assert(Bench.rotorParityOf(Some("all")) === -1)
+    assert(Bench.rotorParityOf(Some("ALL")) === -1)
+    assert(Bench.rotorParityOf(Some("7")) === 1)
+    assert(Bench.rotorParityOf(Some("4")) === 0)
+    // overflow-sized numerals and typos must DEGRADE (day parity), not
+    // crash an unattended run before any row is measured
+    val day = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .getDayOfYear % 2
+    assert(Bench.rotorParityOf(Some("9999999999")) === 1) // abs(n) % 2
+    assert(Bench.rotorParityOf(Some("alll")) === day)
+    assert(Bench.rotorParityOf(None) === day)
+  }
+
   // Queries that may legitimately return zero rows at some SF (pair
   // thresholds depend on planted duplicates).
   private val mayBeEmpty = Set(
