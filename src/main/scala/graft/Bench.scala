@@ -226,11 +226,19 @@ object Bench {
       s.toLongOption.map(n => (math.abs(n) % 2).toInt).getOrElse {
         System.err.println(s"[bench] SPARK_GRAFT_BENCH_ROTOR='$s' not " +
           "'all' or a number; falling back to UTC day parity")
-        java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
+        utcDayParity
       }
-    case None =>
-      java.time.LocalDate.now(java.time.ZoneOffset.UTC).getDayOfYear % 2
+    case None => utcDayParity
   }
+
+  /** Epoch-day parity (NOT day-of-year: that repeats across a non-leap
+    * year boundary — Dec 31 is day 365, Jan 1 is day 1, both odd — and
+    * a repeated parity leaves the same variant half unmeasured two
+    * consecutive runs). Epoch days alternate strictly.
+    */
+  private[graft] def utcDayParity: Int =
+    math.floorMod(java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .toEpochDay, 2L).toInt
 
   private def rotorParity: Int =
     rotorParityOf(sys.env.get("SPARK_GRAFT_BENCH_ROTOR"))
@@ -449,7 +457,12 @@ object Bench {
       ("artifact:q89_bands", Seq("q89"),
         () => _root_.graft.streaming.StreamingQueries
           .q89CorpusBands(spark, sfDir)),
-      ("artifact:sem_cells", Seq("q99", "q103", "q107"),
+      // subscriber list = EVERY query reading the trained cell store
+      // (cells/centroids/codebook ride one training) — a dev-restricted
+      // run of any of them must still pre-build, or its timed row
+      // re-couples the Lloyd training cost
+      ("artifact:sem_cells", Seq("q99", "q103", "q104", "q105", "q107",
+        "q112b", "q36b", "q36c", "q41c", "q131", "q132"),
         () => operators.Similarity.cellsArtifact(spark, sfDir)),
       ("artifact:pq_codes", Seq("q90", "q104", "q105", "q112", "q117",
         "q131", "q132", "q160"),

@@ -16,12 +16,15 @@ class SmokeSpec extends AnyFunSuite {
     assert(Bench.rotorParityOf(Some("7")) === 1)
     assert(Bench.rotorParityOf(Some("4")) === 0)
     // overflow-sized numerals and typos must DEGRADE (day parity), not
-    // crash an unattended run before any row is measured
-    val day = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-      .getDayOfYear % 2
+    // crash an unattended run before any row is measured. Day parity is
+    // sampled before AND after each call so a UTC-midnight rollover
+    // mid-test cannot flake the assert.
     assert(Bench.rotorParityOf(Some("9999999999")) === 1) // abs(n) % 2
-    assert(Bench.rotorParityOf(Some("alll")) === day)
-    assert(Bench.rotorParityOf(None) === day)
+    def dayNow = Bench.utcDayParity
+    val (d1, typo, d2) = (dayNow, Bench.rotorParityOf(Some("alll")), dayNow)
+    assert(typo === d1 || typo === d2)
+    val (d3, none, d4) = (dayNow, Bench.rotorParityOf(None), dayNow)
+    assert(none === d3 || none === d4)
   }
 
   // Queries that may legitimately return zero rows at some SF (pair
