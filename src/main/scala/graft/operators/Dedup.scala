@@ -1074,8 +1074,11 @@ object Dedup {
     val dir = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir", "/tmp/graft-warehouse"),
       s"${Bucketed.dbFor(d)}.db"), "q166b_chain").toString
-    val srcM = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$d/documents.parquet")).toMillis
+    // Hadoop-FS mtime, same scheme-portability reasoning as
+    // Bucketed.writeOnceBucketed (java.nio only resolves local paths)
+    val srcHp = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val srcM = srcHp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcHp).getModificationTime
     q166bMemo.synchronized {
       val hp = new org.apache.hadoop.fs.Path(dir)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
