@@ -524,7 +524,7 @@ object Bench {
           operators.Similarity.q36cCurveArtifact(spark, sfDir)
           operators.Similarity.q90dCurveArtifact(spark, sfDir)
         }),
-      ("artifact:ver_chain", Seq("q166b", "q167"),
+      ("artifact:ver_chain", Seq("q166", "q166b", "q167"),
         () => operators.Dedup.verChainStaged(spark, sfDir)),
       ("artifact:sc_chain", Seq("q128b", "q171"),
         () => operators.Pipeline.scChainStaged(spark, sfDir)),

@@ -190,13 +190,20 @@ object Dedup {
     jaccardPairsOf(shingled(s, d))
 
   private def jaccardPairsOf(sh: DataFrame): DataFrame = {
-      val cand = jaccardCandidatesOf(sh)
+      // One materialization of the shingled relation: the candidate
+      // subtree (df-count aggregate + prefix window) and the two verify
+      // joins are FIVE distinct-keyed consumers of `sh` in one plan, and
+      // only the identically-keyed ones are deduped by exchange reuse —
+      // without this the corpus is re-shingled per consumer. The shingle
+      // table is the size a PPJoin index would be landed at anyway.
+      val shc = Shared.ckpt(sh)
+      val cand = jaccardCandidatesOf(shc)
       // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
       // arrays — array_intersect built a hash set per evaluation, and the
       // filter+projections re-evaluate the intersect several times per pair.
       val verified = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(shc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(shc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("inter",
           call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
             .cast("double"))
@@ -580,8 +587,28 @@ object Dedup {
     */
   private[graft] def batchPairs(corpusDocs: DataFrame, batchDocs: DataFrame,
       corpusDf: DataFrame, corpusPrefix: DataFrame): DataFrame = {
-    val bsh = shingledOf(batchDocs)
-    val bprefix = prefixOf(bsh, corpusDf)
+    val (bsh, bprefix) = batchIndexOf(batchDocs, corpusDf)
+    batchPairsWith(corpusDocs, bsh, bprefix, corpusPrefix)
+  }
+
+  /** The batch-side index of one fold, MATERIALIZED once: (shingled
+    * batch, batch prefix postings under the corpus-frozen order). Both
+    * are batch-bounded. Exposed so fold bodies that also APPEND the
+    * prefix rows to their posting store (q124/q128-class) tokenize the
+    * batch once per micro-batch instead of once per consumer — the
+    * append rows and the probe side are the same frame.
+    */
+  private[graft] def batchIndexOf(batchDocs: DataFrame,
+      corpusDf: DataFrame): (DataFrame, DataFrame) = {
+    val bsh = Shared.ckpt(shingledOf(batchDocs))
+    (bsh, Shared.ckpt(prefixOf(bsh, corpusDf)))
+  }
+
+  /** [[batchPairs]] with the batch index already materialized by
+    * [[batchIndexOf]].
+    */
+  private[graft] def batchPairsWith(corpusDocs: DataFrame, bsh: DataFrame,
+      bprefix: DataFrame, corpusPrefix: DataFrame): DataFrame = {
     // positional + length filters, identical math to jaccardCandidatesOf:
     // at a shared prefix shingle the overlap is bounded by
     // 1 + min(remaining on either side); J >= 3/5 needs overlap
@@ -614,8 +641,8 @@ object Dedup {
     // self-pair would smuggle a pairless singleton into the labels.
     // Filtered BEFORE distinct so self-pair rows die map-side instead of
     // riding the dedup shuffle.
-    val cand = candX.unionByName(candB)
-      .filter(col("doc_a") =!= col("doc_b")).distinct()
+    val cand = Shared.ckpt(candX.unionByName(candB)
+      .filter(col("doc_a") =!= col("doc_b")).distinct())
     // verify — corpus shingles recomputed ONLY for candidate endpoints:
     // the candidate id set is delta-bounded, so it broadcasts into the
     // corpus scan as a semi-join (the corpus text column never shuffles)
@@ -660,17 +687,30 @@ object Dedup {
     */
   private[graft] def incrementalSubLabels(oldLabels: DataFrame,
       newPairs: DataFrame): (DataFrame, DataFrame) = {
-    val touched = newPairs
+    // Materialize the pair set once: it feeds `touched` (hence
+    // `touchedReps`, which [[incrementalLabels]] reads again for the
+    // carried anti-join) AND the subgraph edge list — separate actions
+    // that each re-ran the full batchPairs pipeline before this
+    // checkpoint (the dominant cost of every fold row, measured in
+    // OPTIMIZATION_r14.md). Delta-bounded by construction.
+    val pairs = Shared.ckpt(newPairs)
+    val touched = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val touchedReps = oldLabels.join(touched, Seq("doc_id"), "left_semi")
-      .select(col("rep")).distinct()
+    // Also materialized: the rep set is re-read by [[incrementalLabels]]
+    // for the carried anti-join, and each re-evaluation re-scanned
+    // oldLabels (for q124-class callers a latest-wins VIEW — a window
+    // over the delta plus a base anti-join, paid per reference).
+    // Touched-cluster reps are delta-bounded.
+    val touchedReps = Shared.ckpt(
+      oldLabels.join(touched, Seq("doc_id"), "left_semi")
+        .select(col("rep")).distinct())
     val affected = oldLabels.join(touchedReps, Seq("rep"), "left_semi")
     // label edges (doc → rep) preserve the old components; adding the new
     // pair edges and re-running CC on just this subgraph yields the merged
     // components with their true minimum-id reps (every member of every
     // touched cluster is present via its label edge)
-    val subEdges = newPairs
+    val subEdges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(affected.select(col("doc_id").as("src"),
         col("rep").as("dst")))
@@ -762,8 +802,12 @@ object Dedup {
     */
   private[graft] def tombstoneLabels(docs: DataFrame, labels: DataFrame,
       tombs: DataFrame): DataFrame = {
-    val touchedReps = labels.join(tombs, Seq("doc_id"), "left_semi")
-      .select(col("rep")).distinct()
+    // materialized once — referenced by the carried anti-join and the
+    // survivor semi-join, two branches of every consumer's plan
+    // (deletion-batch bounded, so checkpoint-sized)
+    val touchedReps = Shared.ckpt(
+      labels.join(tombs, Seq("doc_id"), "left_semi")
+        .select(col("rep")).distinct())
     val carried = labels.join(touchedReps, Seq("rep"), "left_anti")
       .select(col("doc_id"), col("rep"), col("cluster_size"))
     val survivorIds = labels.join(touchedReps, Seq("rep"), "left_semi")
@@ -958,13 +1002,15 @@ object Dedup {
     val fold1 = tenth.filter(expr("(doc_id div 10) % 2 = 1"))
     val base = q120LabelsArtifact(s, d)
     val dfreq = q120DfArtifact(s, d)
-    val p0 = batchPairs(q120Corpus(s, d), fold0, dfreq,
+    // fold-0's batch index is shared between its own pair probe and
+    // fold-1's accumulated prefix view (tokenize once per fold)
+    val (bsh0, bprefix0) = batchIndexOf(fold0, dfreq)
+    val p0 = batchPairsWith(q120Corpus(s, d), bsh0, bprefix0,
       q120PrefixArtifact(s, d))
     val d1 = Shared.ckpt(
       incrementalSubLabels(base, p0)._1.withColumn("ver", lit(1L)))
     val seen = q120Corpus(s, d).unionByName(fold0)
-    val prefixAll = q120PrefixArtifact(s, d)
-      .unionByName(prefixRowsOf(fold0, dfreq))
+    val prefixAll = q120PrefixArtifact(s, d).unionByName(bprefix0)
     val p1 = batchPairs(seen, fold1, dfreq, prefixAll)
     val d2 = incrementalSubLabels(latestWins(base, d1), p1)._1
       .withColumn("ver", lit(2L))
@@ -1400,6 +1446,28 @@ object Dedup {
   // pq_codes = append-union of immutable code rows (q122Compact),
   // flag_store = append-union with per-doc dedup (q128b).
 
+  /** Run independent per-family maintenance thunks on a small pool
+    * (2.6-style job overlap: a family's write tail leaves cores idle
+    * that the next family's jobs can fill). 3 in flight is the guide's
+    * "enough to fill the tail, not enough to fight" sizing; exceptions
+    * from any thunk propagate (unwrapped) to the caller.
+    */
+  private def runFamiliesConcurrently(thunks: Seq[() => Unit]): Unit = {
+    if (thunks.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, thunks.size))
+    try {
+      val futs = thunks.map(t => pool.submit(new Runnable {
+        override def run(): Unit = t()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
+
   /** One tick over explicit stores: recover any crashed previous tick,
     * decide from one status scan, compact the due families, re-scan. The
     * spec drives this directly with synthetic stores (one due, one not);
@@ -1429,13 +1497,20 @@ object Dedup {
     // otherwise replay against the fresh rewrites below (truncating a
     // just-staged delta); after recovery the marker is gone and
     // compactSwap's internal recover is a no-op.
-    for ((n, _, bk, keys, base, delta, _) <- fams) {
-      Bucketed.recoverPending(s, db, baseT(n), deltaT(n), marker(n), bk, keys)
-      if (restage) {
-        Bucketed.rewriteBucketed(s, db, baseT(n), base, bk, keys)
-        Bucketed.rewriteBucketed(s, db, deltaT(n), delta, bk, keys)
+    // The families are INDEPENDENT stores (disjoint tables, own locks),
+    // so their recover+restage jobs overlap instead of serializing one
+    // straggler tail per family (guide §2.6): Spark schedules concurrent
+    // jobs FIFO and back-fills idle cores. Failures propagate via get().
+    runFamiliesConcurrently(fams.map {
+      case (n, _, bk, keys, base, delta, _) => () => {
+        Bucketed.recoverPending(s, db, baseT(n), deltaT(n), marker(n),
+          bk, keys)
+        if (restage) {
+          Bucketed.rewriteBucketed(s, db, baseT(n), base, bk, keys)
+          Bucketed.rewriteBucketed(s, db, deltaT(n), delta, bk, keys)
+        }
       }
-    }
+    })
     val before = compactDueOf(fams.map { case (n, thr, _, _, _, _, _) =>
       (n, s.table(s"$db.${baseT(n)}"), s.table(s"$db.${deltaT(n)}"), thr)
     })
@@ -1445,10 +1520,15 @@ object Dedup {
       java.util.Arrays.asList(beforeRows: _*), before.schema)
     val due = beforeRows.filter(_.getAs[Boolean]("compact_due"))
       .map(_.getAs[String]("artifact")).toSet
-    for ((n, _, bk, keys, _, _, merge) <- fams if due(n))
-      Bucketed.compactSwap(s, db, baseT(n), deltaT(n), marker(n),
-        merge(s.table(s"$db.${baseT(n)}"), s.table(s"$db.${deltaT(n)}")),
-        bk, keys)
+    // Due compactions are per-family swaps of disjoint table pairs —
+    // same overlap argument as the restage above.
+    runFamiliesConcurrently(fams.collect {
+      case (n, _, bk, keys, _, _, merge) if due(n) => () => {
+        Bucketed.compactSwap(s, db, baseT(n), deltaT(n), marker(n),
+          merge(s.table(s"$db.${baseT(n)}"), s.table(s"$db.${deltaT(n)}")),
+          bk, keys)
+      }
+    })
     val after = fams.map { case (n, _, _, _, _, _, _) =>
       s.table(s"$db.${baseT(n)}").agg(count(lit(1)).as("base_n_after"))
         .crossJoin(s.table(s"$db.${deltaT(n)}")
@@ -1718,9 +1798,13 @@ object Dedup {
         (coalesce(col("sn"), lit(0L)) >= 1 &&
           col("smin") =!= col("cmin")))
       .select(col("wh"))
-    val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
-      .join(broadcast(tombs), Seq("doc_id"), "left_anti")
-      .select(col("doc_id")).distinct()
+    // materialized once — referenced by the twins semi-join, the
+    // recompute scan and the caller's base anti-join (deletion-batch
+    // bounded, so checkpoint-sized)
+    val touched = Shared.ckpt(
+      postings.join(broadcast(changed), Seq("wh"), "left_semi")
+        .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).distinct())
     // recompute touched docs from definition over SURVIVOR state only
     val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
     val state = postings
@@ -1746,17 +1830,38 @@ object Dedup {
     */
   private[graft] def spanFoldAgainst(s: SparkSession, docs: DataFrame,
       batch: DataFrame, postings: DataFrame,
+      bydoc: DataFrame): (DataFrame, DataFrame) =
+    spanFoldAgainstWins(s, docs, batch,
+      Shared.ckpt(spanWindows(spanDocs(s, batch))), postings, bydoc)
+
+  /** [[spanFoldAgainst]] with the batch window list ALREADY materialized
+    * — q136's continuous fold lands those rows in its posting/bydoc
+    * appends anyway, so computing them once per micro-batch (instead of
+    * once per consumer branch: bpost, bAgg, twins, and the two appends)
+    * is the tokenize-once form. `bwins` must be lineage-free (ckpt) or
+    * cheap: it is referenced by several branches of one plan below.
+    * `batch` is still needed whole: a batch doc SHORTER than the window
+    * width has no bwins rows but must still join the recompute set (its
+    * served row is the unstripped reassembly).
+    */
+  private[graft] def spanFoldAgainstWins(s: SparkSession, docs: DataFrame,
+      batch: DataFrame, bwins: DataFrame, postings: DataFrame,
       bydoc: DataFrame): (DataFrame, DataFrame) = {
-    val bsd = spanDocs(s, batch)
-    val bwins = spanWindows(bsd)
     val bpost = bwins.select(col("wh"), col("doc_id")).distinct()
     val bAgg = bpost.groupBy(col("wh"))
       .agg(min(col("doc_id")).as("bmin"),
         countDistinct(col("doc_id")).as("bn"))
     val changed = spanChangedHashes(postings, bpost, bAgg)
-    val touched = postings.join(broadcast(changed), Seq("wh"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val tIds = touched.unionByName(batch.select(col("doc_id"))).distinct()
+    // Touched-id set materialized once: it feeds the twins semi-join,
+    // the recompute-doc scan AND the caller's base anti-join — three
+    // actions that would each re-probe the posting store. Delta-bounded
+    // (holders of state-changed hashes), i.e. broadcast-sized by the
+    // fold's own soundness argument.
+    val touched = Shared.ckpt(
+      postings.join(broadcast(changed), Seq("wh"), "left_semi")
+        .select(col("doc_id")).distinct())
+    val tIds =
+      touched.unionByName(batch.select(col("doc_id"))).distinct()
     // full window lists of the recompute set: corpus side bucket-local
     // from q135_bydoc, batch side just computed
     val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
@@ -2013,18 +2118,24 @@ object Dedup {
     // the from-scratch closure over corpus ∪ fold-1 docs ALONE, i.e.
     // rows appended later are provably invisible to an earlier
     // snapshot — the lakehouse time-travel contract (Delta/Iceberg
-    // VERSION AS OF) on plain parquet + a ver predicate. Cost: two
-    // delta-bounded folds; the snapshot read itself adds only the
-    // pushed ver filter.
+    // VERSION AS OF) on plain parquet + a ver predicate.
+    //
+    // Round-14 (optimization): the two-fold chain is consumed from the
+    // write-once staged table ([[verChainStaged]] — the same derivation,
+    // landed once per session in the bench's `artifact:ver_chain` row)
+    // instead of being re-derived inline per serve: the timed row had
+    // been paying the entire fold arc (~16 s at bench sf) a SECOND time
+    // for rows the artifact already held — the round-13 verdict's #1
+    // state-coupling finding applied to this row. The snapshot predicate
+    // now reaches the chain scan as a pushed `ver <= 1` filter
+    // (PushedFilters, spec-asserted) — the row-store form of the claim,
+    // with q166b keeping the partition-pruned form. Rows are identical
+    // (the shared from-scratch oracle is unchanged); the fold arc's
+    // correctness is still proven every session by the staged build +
+    // VacuumSpec/RetrievalTombstoneSpec.
     "q166_labels_timetravel" -> ((s, d) => {
       val base = q120LabelsArtifact(s, d)
-      val (d1, d2) = verChainFolds(s, d)
-      // the full delta chain is unioned in; the snapshot predicate must
-      // make ver 2 invisible — and Catalyst folds `2 <= 1` to false and
-      // PRUNES that branch entirely, which is the production property
-      // (a snapshot read pays nothing for later appends, the same
-      // pushdown a ver-partitioned store gets as partition pruning)
-      latestWins(base, d1.unionByName(d2).filter(col("ver") <= 1))
+      latestWins(base, verChainStaged(s, d).filter(col("ver") <= 1))
         .orderBy(col("doc_id"))
     }),
 

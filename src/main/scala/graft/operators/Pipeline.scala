@@ -349,7 +349,10 @@ object Pipeline {
       val seenDocs = corpus.unionByName(
         docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
       val prefixAll = corpusPrefix.unionByName(s.read.parquet(prefixDir))
-      val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+      // tokenize the batch once per fold: the probe-side prefix rows and
+      // the posting-store append below are the same frame
+      val (bsh, bprefix) = Dedup.batchIndexOf(b, corpusDf)
+      val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
       val current = Dedup.latestWins(baseLabels,
         s.read.parquet(labelsDir).filter(col("ver") < ver))
       val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
@@ -362,7 +365,7 @@ object Pipeline {
         .write.mode("append").parquet(scDir)
       sub.withColumn("ver", lit(ver))
         .write.mode("append").parquet(labelsDir)
-      Dedup.prefixRowsOf(b, corpusDf).write.mode("append").parquet(prefixDir)
+      bprefix.write.mode("append").parquet(prefixDir)
       b.select(col("doc_id")).write.mode("append").parquet(seenDir)
       docflagsOf(b).withColumn("ver", lit(ver))
         .write.mode("append").parquet(flagsDir)

@@ -604,14 +604,16 @@ object StreamingQueries {
           docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
         val prefixAll =
           corpusPrefix.unionByName(s.read.parquet(prefixDir))
-        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+        // tokenize the batch once per micro-batch: the probe-side prefix
+        // rows and the posting-store append are the same frame
+        val (bsh, bprefix) = Dedup.batchIndexOf(b, corpusDf)
+        val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
         val current =
           Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
         val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
         sub.withColumn("ver", lit(ver))
           .write.mode("append").parquet(labelsDir)
-        Dedup.prefixRowsOf(b, corpusDf)
-          .write.mode("append").parquet(prefixDir)
+        bprefix.write.mode("append").parquet(prefixDir)
         b.select(col("doc_id")).write.mode("append").parquet(seenDir)
       }
       val stream = s.readStream.schema(docs.schema)
@@ -686,12 +688,19 @@ object StreamingQueries {
         val current = currentAt(ver)
         val touchedReps = current.join(t, Seq("doc_id"), "left_semi")
           .select(col("rep")).distinct()
-        val members = current.join(touchedReps, Seq("rep"), "left_semi")
+        // touched members materialized once: they feed the survivor
+        // re-pairing AND the dropped-row anti-join, and every lazy
+        // reference re-paid the latest-wins window + the rep semi-join.
+        // Deletion-batch bounded, so checkpoint-sized.
+        val members = graft.operators.Shared.ckpt(
+          current.join(touchedReps, Seq("rep"), "left_semi"))
         val survivorIds = members.join(t, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
-        val relabeled = Dedup.labelsOf(
+        // re-derived labels materialized once (read by the append union
+        // and the dropped-row anti-join)
+        val relabeled = graft.operators.Shared.ckpt(Dedup.labelsOf(
           docs.join(broadcast(survivorIds), Seq("doc_id"), "left_semi"))
-          .select(col("doc_id"), col("rep"), col("cluster_size"))
+          .select(col("doc_id"), col("rep"), col("cluster_size")))
         val dropped = members.select(col("doc_id"))
           .join(relabeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("doc_id").as("rep"),
@@ -907,9 +916,13 @@ object StreamingQueries {
       def fold(b: DataFrame, ver: Long): Unit = {
         val posts = basePostings.unionByName(s.read.parquet(postDir))
         val byd = baseBydoc.unionByName(s.read.parquet(bydocDir))
-        val (rec, _) = Dedup.spanFoldAgainst(s, docs, b, posts, byd)
+        // tokenize-once: the batch window list is materialized a single
+        // time per micro-batch and shared by the fold probe AND both
+        // state appends (it previously re-tokenized per consumer)
+        val bw = graft.operators.Shared.ckpt(
+          Dedup.spanWindows(Dedup.spanDocs(s, b)))
+        val (rec, _) = Dedup.spanFoldAgainstWins(s, docs, b, bw, posts, byd)
         rec.withColumn("ver", lit(ver)).write.mode("append").parquet(ovDir)
-        val bw = Dedup.spanWindows(Dedup.spanDocs(s, b))
         bw.select(col("wh"), col("doc_id")).distinct()
           .write.mode("append").parquet(postDir)
         bw.write.mode("append").parquet(bydocDir)
@@ -1002,7 +1015,10 @@ object StreamingQueries {
           docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
         val prefixAll =
           corpusPrefix.unionByName(s.read.parquet(prefixDir))
-        val pairs = Dedup.batchPairs(seenDocs, b, corpusDf, prefixAll)
+        // tokenize the batch once per micro-batch: the probe-side prefix
+        // rows and the posting-store append are the same frame
+        val (bsh, bprefix) = Dedup.batchIndexOf(b, corpusDf)
+        val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
         val current = Dedup.latestWins(baseLabels,
           s.read.parquet(labelsDir).filter(col("ver") < ver))
         val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
@@ -1016,8 +1032,7 @@ object StreamingQueries {
           .write.mode("append").parquet(scDir)
         sub.withColumn("ver", lit(ver))
           .write.mode("append").parquet(labelsDir)
-        Dedup.prefixRowsOf(b, corpusDf)
-          .write.mode("append").parquet(prefixDir)
+        bprefix.write.mode("append").parquet(prefixDir)
         b.select(col("doc_id")).write.mode("append").parquet(seenDir)
         Pipeline.docflagsOf(b).withColumn("ver", lit(ver))
           .write.mode("append").parquet(flagsDir)

@@ -564,18 +564,23 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
 
   // ---- q166 time travel --------------------------------------------------------
 
-  test("q166 snapshot read physically prunes the later fold's subtree") {
-    // the as-of-1 serve: fold-1's labels are a materialized checkpoint,
-    // and fold-2's entire pair+CC subtree must be GONE from the plan
-    // (Catalyst folds ver=2 <= 1 to false and prunes the union branch)
-    // — a snapshot read pays nothing for appends after its version.
+  test("q166 snapshot read pushes the as-of predicate into the chain scan") {
+    // the as-of-1 serve reads the staged ver chain with `ver <= 1`
+    // PUSHED to the parquet scan (the row-store form of the snapshot
+    // claim; q166b carries the partition-pruned form), and no fold
+    // machinery — no pair generation, no corpus prefix probe — may
+    // appear in the serve plan: a snapshot read pays nothing for
+    // appends after its version and nothing to re-derive history.
     val df = operators.Dedup.queries("q166_labels_timetravel")(
       spark, TestSpark.sf)
     assert(df.count() > 0)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("q120_corpus_prefix"),
-      "fold-2 pair machinery survived the snapshot predicate:\n" +
+      "fold machinery survived into the snapshot serve plan:\n" +
         p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(ver), LessThanOrEqual(ver,1)")
+        || p.contains("LessThanOrEqual(ver,1)"),
+      s"as-of predicate not pushed into the chain scan:\n${p.take(2000)}")
   }
 
   // ---- q160 takedown audit ---------------------------------------------------
