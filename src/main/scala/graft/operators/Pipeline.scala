@@ -355,7 +355,10 @@ object Pipeline {
       val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
       val current = Dedup.latestWins(baseLabels,
         s.read.parquet(labelsDir).filter(col("ver") < ver))
-      val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+      // the fold's label delta is read three times (batch aggregate,
+      // corrections, the append) — materialize it once per fold
+      val (sub0, _) = Dedup.incrementalSubLabels(current, pairs)
+      val sub = Shared.ckpt(sub0)
       val allFlags = corpusFlags.unionByName(
         s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
           .dropDuplicates("doc_id"))
@@ -631,13 +634,22 @@ object Pipeline {
     // implement). Exact percentile sorts per group — the scale path is
     // approx_percentile (t-digest sketch), same shape as q12 vs q12b.
     "q44_percentiles" -> ((s, d) => {
+      // ONE percentile aggregate with an array of fractions: three
+      // scalar percentile() calls each buffered the whole column per
+      // group (3x the aggregation state and three sorts of the same
+      // values); the array form buffers and sorts once and interpolates
+      // all three ranks from it — identical values by construction.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+            .as("ps"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"),
+          round(element_at(col("ps"), 3), 4).as("p99"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1133,10 +1145,18 @@ object Pipeline {
     // incremental table here); inline caching would leak executor memory
     // across the suite.
     "q65_gapfill" -> ((s, d) => {
-      val hourly = Tables.events(s, d)
+      // The hourly rollup feeds two consumers with different column
+      // sets (the spine's min/max and the fill join), so pruning makes
+      // their subtrees differ and ReusedExchange cannot fire — without
+      // materialization the events pre-aggregation ran twice. One
+      // lineage-free checkpoint IS the natural incremental table here
+      // (it scales with users x hours, not events), and unlike a
+      // session-lifetime .persist() its blocks are reclaimed as soon as
+      // the row's plan is dropped.
+      val hourly = Shared.ckpt(Tables.events(s, d)
         .groupBy(col("user_id"),
           date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
       val spine = hourly.groupBy(col("user_id"))
         .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
         .select(col("user_id"),

@@ -1021,7 +1021,10 @@ object StreamingQueries {
         val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
         val current = Dedup.latestWins(baseLabels,
           s.read.parquet(labelsDir).filter(col("ver") < ver))
-        val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
+        // the fold's label delta is read three times (batch aggregate,
+        // corrections, the append) — materialize it once per fold
+        val (sub0, _) = Dedup.incrementalSubLabels(current, pairs)
+        val sub = graft.operators.Shared.ckpt(sub0)
         val allFlags = corpusFlags.unionByName(
           s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
             .dropDuplicates("doc_id"))
