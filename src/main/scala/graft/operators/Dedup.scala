@@ -1472,27 +1472,11 @@ object Dedup {
   // pq_codes = append-union of immutable code rows (q122Compact),
   // flag_store = append-union with per-doc dedup (q128b).
 
-  /** Run independent per-family maintenance thunks on a small pool
-    * (2.6-style job overlap: a family's write tail leaves cores idle
-    * that the next family's jobs can fill). 3 in flight is the guide's
-    * "enough to fill the tail, not enough to fight" sizing; exceptions
-    * from any thunk propagate (unwrapped) to the caller.
+  /** Per-family maintenance thunks overlap via [[Shared.inParallel]]
+    * (disjoint table families, own locks).
     */
-  private def runFamiliesConcurrently(thunks: Seq[() => Unit]): Unit = {
-    if (thunks.isEmpty) return
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(3, thunks.size))
-    try {
-      val futs = thunks.map(t => pool.submit(new Runnable {
-        override def run(): Unit = t()
-      }))
-      futs.foreach { f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause }
-      }
-    } finally pool.shutdown()
-  }
+  private def runFamiliesConcurrently(thunks: Seq[() => Unit]): Unit =
+    Shared.inParallel(thunks)
 
   /** One tick over explicit stores: recover any crashed previous tick,
     * decide from one status scan, compact the due families, re-scan. The

@@ -362,16 +362,20 @@ object Pipeline {
       val allFlags = corpusFlags.unionByName(
         s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
           .dropDuplicates("doc_id"))
-      q127MergeOf(latestSc(ver), q127BatchAgg(b, sub),
-          q127Corrections(sub, allFlags, current))
-        .withColumn("ver", lit(ver + 1))
-        .write.mode("append").parquet(scDir)
-      sub.withColumn("ver", lit(ver))
-        .write.mode("append").parquet(labelsDir)
-      bprefix.write.mode("append").parquet(prefixDir)
-      b.select(col("doc_id")).write.mode("append").parquet(seenDir)
-      docflagsOf(b).withColumn("ver", lit(ver))
-        .write.mode("append").parquet(flagsDir)
+      // independent appends over disjoint dirs, every cross-store read
+      // ver-filtered to pre-fold rows — overlap them (§2.6; the q128
+      // stream form's argument verbatim)
+      Shared.inParallel(Seq(
+        () => q127MergeOf(latestSc(ver), q127BatchAgg(b, sub),
+            q127Corrections(sub, allFlags, current))
+          .withColumn("ver", lit(ver + 1))
+          .write.mode("append").parquet(scDir),
+        () => sub.withColumn("ver", lit(ver))
+          .write.mode("append").parquet(labelsDir),
+        () => bprefix.write.mode("append").parquet(prefixDir),
+        () => b.select(col("doc_id")).write.mode("append").parquet(seenDir),
+        () => docflagsOf(b).withColumn("ver", lit(ver))
+          .write.mode("append").parquet(flagsDir)))
     }
     (s.read.parquet(scDir), s.read.parquet(flagsDir))
   }

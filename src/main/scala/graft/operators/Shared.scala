@@ -101,4 +101,31 @@ object Shared {
         .get("spark.graft.reliableCheckpoints", "false").toBoolean)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Run independent Spark actions concurrently on a small pool (guide
+    * §2.6 job overlap: one action's straggler tail leaves cores idle
+    * that the next action's tasks back-fill; FIFO scheduling does the
+    * rest). Used by the maintenance ticks (disjoint table families) and
+    * the fold bodies' per-micro-batch state appends (disjoint dirs,
+    * each reading only pre-fold state through its ver filter — the same
+    * argument that makes redelivery safe makes the appends
+    * order-independent). 3 in flight is the guide's "enough to fill the
+    * tail, not enough to fight" sizing; exceptions propagate unwrapped.
+    */
+  private[graft] def inParallel(thunks: Seq[() => Unit]): Unit = {
+    if (thunks.isEmpty) return
+    if (thunks.size == 1) { thunks.head(); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, thunks.size))
+    try {
+      val futs = thunks.map(t => pool.submit(new Runnable {
+        override def run(): Unit = t()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -611,10 +611,16 @@ object StreamingQueries {
         val current =
           Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
         val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
-        sub.withColumn("ver", lit(ver))
-          .write.mode("append").parquet(labelsDir)
-        bprefix.write.mode("append").parquet(prefixDir)
-        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
+        // the three state appends are independent actions over disjoint
+        // dirs whose inputs are materialized (sub's CC output, the
+        // ckpt'd bprefix) or pre-fold reads — overlap them (§2.6; the
+        // redelivery argument already covers any subset-committed state)
+        graft.operators.Shared.inParallel(Seq(
+          () => sub.withColumn("ver", lit(ver))
+            .write.mode("append").parquet(labelsDir),
+          () => bprefix.write.mode("append").parquet(prefixDir),
+          () => b.select(col("doc_id")).write.mode("append")
+            .parquet(seenDir)))
       }
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -922,10 +928,16 @@ object StreamingQueries {
         val bw = graft.operators.Shared.ckpt(
           Dedup.spanWindows(Dedup.spanDocs(s, b)))
         val (rec, _) = Dedup.spanFoldAgainstWins(s, docs, b, bw, posts, byd)
+        // rec's write-time plan re-reads the RAW store dirs (these views
+        // are not ver-filtered — duplication-insensitivity covers
+        // redelivery, not a same-fold leak), so it must complete BEFORE
+        // this fold's own rows land; the two bw appends are then
+        // independent (bw is checkpointed) and overlap (§2.6)
         rec.withColumn("ver", lit(ver)).write.mode("append").parquet(ovDir)
-        bw.select(col("wh"), col("doc_id")).distinct()
-          .write.mode("append").parquet(postDir)
-        bw.write.mode("append").parquet(bydocDir)
+        graft.operators.Shared.inParallel(Seq(
+          () => bw.select(col("wh"), col("doc_id")).distinct()
+            .write.mode("append").parquet(postDir),
+          () => bw.write.mode("append").parquet(bydocDir)))
       }
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -1028,17 +1040,23 @@ object StreamingQueries {
         val allFlags = corpusFlags.unionByName(
           s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
             .dropDuplicates("doc_id"))
-        Pipeline.q127MergeOf(latestSc(ver),
-            Pipeline.q127BatchAgg(b, sub),
-            Pipeline.q127Corrections(sub, allFlags, current))
-          .withColumn("ver", lit(ver + 1))
-          .write.mode("append").parquet(scDir)
-        sub.withColumn("ver", lit(ver))
-          .write.mode("append").parquet(labelsDir)
-        bprefix.write.mode("append").parquet(prefixDir)
-        b.select(col("doc_id")).write.mode("append").parquet(seenDir)
-        Pipeline.docflagsOf(b).withColumn("ver", lit(ver))
-          .write.mode("append").parquet(flagsDir)
+        // the five state appends are independent actions over disjoint
+        // dirs: every cross-store read is ver-filtered to strictly
+        // pre-fold rows (the redelivery-safety filters), so they are
+        // order-independent — overlap them (§2.6)
+        graft.operators.Shared.inParallel(Seq(
+          () => Pipeline.q127MergeOf(latestSc(ver),
+              Pipeline.q127BatchAgg(b, sub),
+              Pipeline.q127Corrections(sub, allFlags, current))
+            .withColumn("ver", lit(ver + 1))
+            .write.mode("append").parquet(scDir),
+          () => sub.withColumn("ver", lit(ver))
+            .write.mode("append").parquet(labelsDir),
+          () => bprefix.write.mode("append").parquet(prefixDir),
+          () => b.select(col("doc_id")).write.mode("append")
+            .parquet(seenDir),
+          () => Pipeline.docflagsOf(b).withColumn("ver", lit(ver))
+            .write.mode("append").parquet(flagsDir)))
       }
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
