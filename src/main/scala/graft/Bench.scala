@@ -96,8 +96,8 @@ object Bench {
   /** Round-14 suite budget: the sum of recorded quiet costs over the
     * full registry must stay under this — a new query row must displace
     * or share cost with existing ones (BASELINE.md policy). Re-sized
-    * after the round-14 OPTIMIZATION pass (reseed = 290.4 s over 212
-    * rows, per-row min of three quiet runs) plus ~12% headroom, so the
+    * after the round-14 OPTIMIZATION pass (reseed = 267.7 s over 212
+    * rows, per-row min of four quiet runs) plus ~21% headroom, so the
     * optimization gains are locked in as the growth gate rather than
     * silently re-spent; NOT a deadline — the run-time guard is the
     * admission machinery.
