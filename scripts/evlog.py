@@ -8,6 +8,12 @@ def lines(d):
     for f in sorted(glob.glob(os.path.join(d, "events_*"))):
         if f.endswith(".zstd"):
             p = subprocess.run(["zstd", "-dc", f], capture_output=True)
+            if p.returncode != 0:
+                # a silent empty segment would underreport stage costs —
+                # the one failure mode a measure-first tool must not have
+                raise RuntimeError(
+                    f"zstd -dc {f} failed (rc={p.returncode}): "
+                    f"{p.stderr.decode('utf-8', 'replace')[:200]}")
             data = p.stdout.decode("utf-8", "replace")
         else:
             data = open(f, encoding="utf-8", errors="replace").read()

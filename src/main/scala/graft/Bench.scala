@@ -104,11 +104,11 @@ object Bench {
     */
   private val QuietBudgetSec = 325.0
   /** Warmup wall cap (sec): codegen-only once the stores are pre-built.
-    * Sized against the driver-window arithmetic (BASELINE.md round-14):
-    * waves ~50 s wall + warmup + 386 s quiet timed mass x slow_factor
-    * must fit 780 s; shapes the cap leaves cold are caught by the
-    * self-certify re-run, which costs one extra sample only for rows
-    * that actually read cold.
+    * Sized against the driver-window arithmetic (BASELINE.md round-14,
+    * post-optimization figures): waves ~50 s wall + warmup + ~268 s
+    * quiet timed mass x slow_factor must fit 780 s; shapes the cap
+    * leaves cold are caught by the self-certify re-run, which costs one
+    * extra sample only for rows that actually read cold.
     */
   private val WarmupCapSec = 100.0
   // ---- per-row provenance (emitted to target/bench_detail.json) ----------

@@ -14,7 +14,10 @@ object FmtPlan {
       println(s"\n===== $n : explain(formatted) =====")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      df.collect()
+      // execute without buffering rows in the driver (collect() on a
+      // corpus-sized result would OOM this dev tool); foreach runs the
+      // identical plan and finalizes AQE
+      df.foreach(_ => ())
       println(s"===== $n : executed plan (AQE-final) =====")
       println(df.queryExecution.executedPlan.toString.take(12000))
     }

@@ -190,23 +190,22 @@ object Dedup {
     jaccardPairsOf(shingled(s, d))
 
   private def jaccardPairsOf(sh: DataFrame): DataFrame = {
-      // NOT checkpointed (measured, wave 3): the shingle pass is one
-      // compiled native expression, and for the single-action consumers
-      // of this function (q32's listing, labelsOf's edge materialization
-      // — each evaluates the tree exactly once) re-shingling per branch
-      // costs LESS than an eager materialization plus cache round-trips
-      // of the array column (q32 read +1.2 s, q73 +0.9 s with the
-      // checkpoint). The fold path's batch-side shingles stay
-      // checkpointed in [[batchIndexOf]], where several ACTIONS consume
-      // them.
-      val shc = sh
-      val cand = jaccardCandidatesOf(shc)
+      // `sh` is deliberately NOT checkpointed (measured, round-14): the
+      // shingle pass is one compiled native expression, and for the
+      // single-action consumers of this function (q32's listing,
+      // labelsOf's edge materialization — each evaluates the tree
+      // exactly once) re-shingling per branch costs LESS than an eager
+      // materialization plus cache round-trips of the array column (q32
+      // read +1.2 s, q73 +0.9 s with the checkpoint). The fold path's
+      // batch-side shingles stay checkpointed in [[batchIndexOf]],
+      // where several ACTIONS consume them.
+      val cand = jaccardCandidatesOf(sh)
       // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
       // arrays — array_intersect built a hash set per evaluation, and the
       // filter+projections re-evaluate the intersect several times per pair.
       val verified = cand
-        .join(shc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(shc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
         .withColumn("inter",
           call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
             .cast("double"))
@@ -1472,12 +1471,6 @@ object Dedup {
   // pq_codes = append-union of immutable code rows (q122Compact),
   // flag_store = append-union with per-doc dedup (q128b).
 
-  /** Per-family maintenance thunks overlap via [[Shared.inParallel]]
-    * (disjoint table families, own locks).
-    */
-  private def runFamiliesConcurrently(thunks: Seq[() => Unit]): Unit =
-    Shared.inParallel(thunks)
-
   /** One tick over explicit stores: recover any crashed previous tick,
     * decide from one status scan, compact the due families, re-scan. The
     * spec drives this directly with synthetic stores (one due, one not);
@@ -1511,7 +1504,7 @@ object Dedup {
     // so their recover+restage jobs overlap instead of serializing one
     // straggler tail per family (guide §2.6): Spark schedules concurrent
     // jobs FIFO and back-fills idle cores. Failures propagate via get().
-    runFamiliesConcurrently(fams.map {
+    Shared.inParallel(fams.map {
       case (n, _, bk, keys, base, delta, _) => () => {
         Bucketed.recoverPending(s, db, baseT(n), deltaT(n), marker(n),
           bk, keys)
@@ -1532,7 +1525,7 @@ object Dedup {
       .map(_.getAs[String]("artifact")).toSet
     // Due compactions are per-family swaps of disjoint table pairs —
     // same overlap argument as the restage above.
-    runFamiliesConcurrently(fams.collect {
+    Shared.inParallel(fams.collect {
       case (n, _, bk, keys, _, _, merge) if due(n) => () => {
         Bucketed.compactSwap(s, db, baseT(n), deltaT(n), marker(n),
           merge(s.table(s"$db.${baseT(n)}"), s.table(s"$db.${deltaT(n)}")),
@@ -1879,10 +1872,15 @@ object Dedup {
     // The batch-affected SLICE of the posting store, materialized once:
     // the per-hash corpus aggregate and the touched-doc probe each
     // semi-joined the FULL store before this (two corpus-sized scans per
-    // fold for one batch-bounded row set). Rows whose wh the batch holds
-    // are delta-bounded by the fold's soundness argument.
+    // fold for one batch-bounded row set). The slice scales with the
+    // BATCH's window-hash footprint — micro-batch-bounded for the
+    // continuous callers; for the batch-form tenth (q135) it is the
+    // store increment the fold lands anyway, spilled by the checkpoint's
+    // MEMORY_AND_DISK level. No broadcast hint on the probe: the batch
+    // side is not broadcast-bounded for the tenth-batch caller, so the
+    // planner/AQE picks the strategy per actual size.
     val aff = Shared.ckpt(postings.join(
-      broadcast(bpost.select(col("wh")).distinct()), Seq("wh"), "left_semi"))
+      bpost.select(col("wh")).distinct(), Seq("wh"), "left_semi"))
     val changed = spanChangedFromAgg(
       aff.groupBy(col("wh")).agg(min(col("doc_id")).as("cmin"),
         countDistinct(col("doc_id")).as("cn")),

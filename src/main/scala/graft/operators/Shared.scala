@@ -121,11 +121,22 @@ object Shared {
       val futs = thunks.map(t => pool.submit(new Runnable {
         override def run(): Unit = t()
       }))
+      // Await EVERY thunk before propagating the first failure: callers'
+      // contracts are crash-recovery re-invocation (ticks) or redelivery
+      // (folds), and returning while sibling writers still run would let
+      // the retry race a zombie write job on the same output dir (two
+      // Spark write jobs share one _temporary). No cancellation — the
+      // siblings are idempotent appends/rewrites, finishing them is
+      // strictly safer than interrupting mid-commit.
+      var firstFailure: Throwable = null
       futs.foreach { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
       }
+      if (firstFailure != null) throw firstFailure
     } finally pool.shutdown()
   }
 }

@@ -578,8 +578,7 @@ class RetrievalTombstoneSpec extends AnyFunSuite {
     assert(!p.contains("q120_corpus_prefix"),
       "fold machinery survived into the snapshot serve plan:\n" +
         p.take(2000))
-    assert(p.contains("PushedFilters: [IsNotNull(ver), LessThanOrEqual(ver,1)")
-        || p.contains("LessThanOrEqual(ver,1)"),
+    assert(p.contains("LessThanOrEqual(ver,1)"),
       s"as-of predicate not pushed into the chain scan:\n${p.take(2000)}")
   }
 
