@@ -96,11 +96,11 @@ object Bench {
   /** Round-14 suite budget: the sum of recorded quiet costs over the
     * full registry must stay under this — a new query row must displace
     * or share cost with existing ones (BASELINE.md policy). Re-sized
-    * after the round-14 OPTIMIZATION pass (reseed = 267.7 s over 212
-    * rows, per-row min of four quiet runs) plus ~21% headroom, so the
-    * optimization gains are locked in as the growth gate rather than
-    * silently re-spent; NOT a deadline — the run-time guard is the
-    * admission machinery.
+    * after the round-14 OPTIMIZATION pass (committed reseed = 257.3 s
+    * over 212 rows, per-row min of five quiet runs — 018f488) plus ~26%
+    * headroom, so the optimization gains are locked in as the growth
+    * gate rather than silently re-spent; NOT a deadline — the run-time
+    * guard is the admission machinery.
     */
   private val QuietBudgetSec = 325.0
   /** Warmup wall cap (sec): codegen-only once the stores are pre-built.
@@ -253,6 +253,19 @@ object Bench {
     VariantRe.matches(n) && !RotationExempt(n) && !StreamSentinelSet(n) &&
       costTable.contains(n) && estCost(n) < 3.0
 
+  /** `artifact:` rows reading above 2x their recorded quiet cost — the
+    * staging-regression gate (round-14 verdict: artifact wall is part of
+    * the performance surface; a chain builder doubling must trip a flag,
+    * not hide in an untimed row). Same 2x threshold as the timed rows'
+    * self-certify gate; a never-recorded artifact cannot be gated.
+    */
+  private[graft] def artifactRegressions(rows: Seq[(String, Double)],
+      costs: Map[String, Double]): Seq[String] =
+    rows.collect {
+      case (k, v) if k.startsWith("artifact:") && v > 0 &&
+        costs.get(k).exists(c => v > 2.0 * c) => k
+    }.sorted
+
   /** Print the ONE result line. Idempotent: called from the normal path and
     * from the shutdown hook (driver kill), whichever comes first.
     */
@@ -263,7 +276,24 @@ object Bench {
       .mkString("{", ",", "}")
     // `artifact:` rows are one-time staged-table builds + transitions
     // (ingest-side cost, measured and reported per row) — not query
-    // cost, so not in `total`.
+    // cost, so not in `total`. Their summed wall IS a first-class
+    // regression surface (round-14 verdict: a chain builder doubling
+    // would otherwise be invisible to the timed-row comparison):
+    // `artifact_total_s` lands in BOTH result lines for round-over-round
+    // comparison, and any artifact row reading > 2x its recorded quiet
+    // cost is flagged by name (`artifact_regress`) — write-once stores
+    // cannot be re-run for self-certification (a second call is a memo
+    // hit), so the flag is the loud signal, triaged against slow_factor.
+    val aRows = rs.filter(_._1.startsWith("artifact:"))
+    val artTotal = math.rint(
+      aRows.collect { case (_, v) if v >= 0 => v }.sum * 1000) / 1000
+    val artRegress = artifactRegressions(aRows, costTable)
+    if (artRegress.nonEmpty)
+      System.err.println("[bench] ARTIFACT ROWS >2x recorded cost " +
+        s"(staging regression or contention): ${artRegress.mkString(", ")}")
+    val artJson = s""""artifact_total_s":$artTotal,""" +
+      artRegress.map("\"" + _ + "\"")
+        .mkString("\"artifact_regress\":[", ",", "],")
     val qRows = rs.filterNot(_._1.startsWith("artifact:"))
     val total = qRows.collect { case (_, v) if v >= 0 => v }.sum
     val maintS = qRows.collect { case (k, v)
@@ -283,7 +313,7 @@ object Bench {
       s""""quiet_est_total":$quietEst,"quiet_budget":$QuietBudgetSec,""" +
         s""""rotated":${rotatedNames.size},"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$split$budget"queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$split$budget$artJson"queries":$qs,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     emittedLine = line
     // COMPACT twin of the line above: same schema, but `queries` carries
     // only the 10 slowest rows (plus a `queries_measured` count). Rounds
@@ -326,7 +356,7 @@ object Bench {
     }
     val slowF = math.rint(slowFactorObserved * 100) / 100
     compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec",$split$budget"queries":$slow,"queries_measured":${qRows.size},"slow_factor":$slowF$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$split$budget$artJson"queries":$slow,"queries_measured":${qRows.size},"slow_factor":$slowF$sentinel,"failed":$nFailed,"skipped":$nSkipped,"sf":"$sfDir"}"""
     println(line)
     println(compactLine)
     System.out.flush()
@@ -368,8 +398,10 @@ object Bench {
       }
       val rotatedJson = rotatedNames.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val artRegressJson = artRegress
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       java.nio.file.Files.write(java.nio.file.Paths.get("target", "bench_detail.json"),
-        (s"""{"slow_factor":$slowF,"admission_skipped":$skippedNames,"rotated":$rotatedJson,"quiet_est_total":$quietEst,"quiet_budget":$QuietBudgetSec,"rows":$detail}""" + "\n")
+        (s"""{"slow_factor":$slowF,"admission_skipped":$skippedNames,"rotated":$rotatedJson,"quiet_est_total":$quietEst,"quiet_budget":$QuietBudgetSec,"artifact_total_s":$artTotal,"artifact_regress":$artRegressJson,"rows":$detail}""" + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // Candidate cost table for the next round's scheduling: only a
       // COMPLETE, zero-failure, UNRESTRICTED, UNROTATED run qualifies

@@ -354,6 +354,13 @@ object Dedup {
         edges.select(col("src").as("doc_id")).distinct()
           .withColumn("rep", col("doc_id"))
     }
+    // Whether the loop body ever materialized `labels` on the in-memory
+    // path: if it never runs (test-only haltAfterRound = 0), the lazy
+    // identity frame above would be returned with lineage over the
+    // just-unpersisted `edges` — violating the lineage-free-return
+    // contract below and recomputing the edge derivation per consumer
+    // action. Guarded at the return site.
+    val lazyIdentityStart = resumeFrom.isEmpty && progressDir.isEmpty
     // Convergence is observed by a LongAccumulator bumped INSIDE the
     // round's own materialization pass (the eager localCheckpoint is the
     // action), not by a separate join+count job per round. Accumulator
@@ -417,6 +424,11 @@ object Dedup {
           st.getPath.getName.stripPrefix("round_").toInt < iters)
         .foreach(st => fs.delete(st.getPath, true))
     }
+    // Degenerate in-memory case (loop body never ran): materialize the
+    // identity labeling now — `edges` was just unpersisted, so the lazy
+    // frame would silently re-derive the edge subtree on every
+    // downstream action, violating the return contract below.
+    if (lazyIdentityStart && iters == 0) labels = Shared.ckpt(labels)
     (labels, iters) // narrow view over a lineage-free materialization
   }
 
@@ -1036,14 +1048,16 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The [[verChainFolds]] arc STAGED write-once (round-14): the 2-fold
-    * derivation is ~12 s of fold machinery at bench sf, and BOTH staged
+    * derivation is ~12 s of fold machinery at bench sf, and the staged
     * consumers (q167's vacuum chain, q166b's ver-partitioned chain)
-    * derived it independently — two full derivations of one arc, each
-    * lazily inside whichever timed row ran first (the round-13
+    * each derived it independently — two full derivations of one arc,
+    * each lazily inside whichever timed row ran first (the round-13
     * "state-coupled cost" finding). One landed table; consumers copy or
-    * re-layout from it in O(|chain|). q166 still derives inline BY
-    * DESIGN — its plan claim is Catalyst pruning the unioned fold
-    * branches, which requires the un-staged shape.
+    * re-layout from it in O(|chain|). q166 is the THIRD staged consumer
+    * (rewired late in round 14): it serves `ver <= horizon` directly
+    * off this table, whose scan carries the pushed
+    * `LessThanOrEqual(ver, …)` filter (RetrievalTombstoneSpec pins the
+    * claim); q166b keeps the ver=partition-pruned re-layout instead.
     */
   private[graft] def verChainStaged(s: SparkSession, d: String): DataFrame =
     Bucketed.writeOnceBucketed(s, Bucketed.dbFor(d), "q166_ver_chain",

@@ -127,16 +127,29 @@ object Shared {
       // the retry race a zombie write job on the same output dir (two
       // Spark write jobs share one _temporary). No cancellation — the
       // siblings are idempotent appends/rewrites, finishing them is
-      // strictly safer than interrupting mid-commit.
+      // strictly safer than interrupting mid-commit. An interrupt of
+      // THIS thread (e.g. a streaming query stop mid-fold) must not
+      // bypass that contract either: keep awaiting through interrupts,
+      // then restore the flag and surface the interruption.
       var firstFailure: Throwable = null
+      var interrupted = false
       futs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause
+              done = true
+            case _: InterruptedException =>
+              interrupted = true // re-await this future; flag restored below
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
+      if (interrupted) throw new InterruptedException(
+        "inParallel interrupted; all sibling thunks were awaited first")
     } finally pool.shutdown()
   }
 }

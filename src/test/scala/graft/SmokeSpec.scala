@@ -27,6 +27,21 @@ class SmokeSpec extends AnyFunSuite {
     assert(none === d3 || none === d4)
   }
 
+  test("artifact staging-regression gate: >2x recorded cost trips, " +
+      "<=2x and unrecorded rows do not") {
+    val costs = Map("artifact:ver_chain" -> 9.1, "artifact:sc_chain" -> 22.0,
+      "q1_x" -> 1.0)
+    val rows = Seq(
+      ("artifact:ver_chain", 18.3),  // 2.01x — a doubled chain builder
+      ("artifact:sc_chain", 43.9),   // 1.995x — under the gate
+      ("artifact:new_store", 50.0),  // no recorded cost — cannot gate
+      ("artifact:failed", -1.0),     // failed build — surfaced elsewhere
+      ("q1_x", 99.0))                // timed row — not this gate's job
+    assert(Bench.artifactRegressions(rows, costs) ===
+      Seq("artifact:ver_chain"))
+    assert(Bench.artifactRegressions(Seq.empty, costs) === Seq.empty)
+  }
+
   // Queries that may legitimately return zero rows at some SF (pair
   // thresholds depend on planted duplicates).
   private val mayBeEmpty = Set(
