@@ -196,9 +196,10 @@ object Dedup {
       // labelsOf's edge materialization — each evaluates the tree
       // exactly once) re-shingling per branch costs LESS than an eager
       // materialization plus cache round-trips of the array column (q32
-      // read +1.2 s, q73 +0.9 s with the checkpoint). The fold path's
-      // batch-side shingles stay checkpointed in [[batchIndexOf]],
-      // where several ACTIONS consume them.
+      // read +1.2 s, q73 +0.9 s with the checkpoint). Round 15 extended
+      // the same finding to the fold path's batch-side shingles
+      // ([[batchIndexOf]]): micro-batch-sized re-shingling is cheaper
+      // than the extra checkpoint execution per fold.
       val cand = jaccardCandidatesOf(sh)
       // Verify: |A∩B| via the compiled merge-scan over the sorted shingle
       // arrays — array_intersect built a hash set per evaluation, and the
@@ -622,7 +623,15 @@ object Dedup {
     */
   private[graft] def batchIndexOf(batchDocs: DataFrame,
       corpusDf: DataFrame): (DataFrame, DataFrame) = {
-    val bsh = Shared.ckpt(shingledOf(batchDocs))
+    // bsh itself is NOT checkpointed (round-15): it is referenced twice
+    // (the prefix build below and the verify-side union in
+    // batchPairsWith), but each reference is one narrow shingle pass
+    // over the micro-batch — re-tokenizing ~|batch| rows twice costs
+    // far less than the extra checkpoint execution per fold did. The
+    // PREFIX build is checkpointed: it carries the df join + rank
+    // window, is consumed by both candidate joins AND appended to the
+    // fold's posting store, and is the frame later folds re-read.
+    val bsh = shingledOf(batchDocs)
     (bsh, Shared.ckpt(prefixOf(bsh, corpusDf)))
   }
 
@@ -663,8 +672,9 @@ object Dedup {
     // self-pair would smuggle a pairless singleton into the labels.
     // Filtered BEFORE distinct so self-pair rows die map-side instead of
     // riding the dedup shuffle.
-    val cand = Shared.ckpt(candX.unionByName(candB)
-      .filter(col("doc_a") =!= col("doc_b")).distinct())
+    val cand = Shared.ckptBounded(candX.unionByName(candB)
+      .filter(col("doc_a") =!= col("doc_b")).distinct(),
+      "batch candidate-pair set")
     // verify — corpus shingles recomputed ONLY for candidate endpoints:
     // the candidate id set is delta-bounded, so it broadcasts into the
     // corpus scan as a semi-join (the corpus text column never shuffles)
@@ -695,7 +705,16 @@ object Dedup {
     */
   private[graft] def incrementalLabels(oldLabels: DataFrame,
       newPairs: DataFrame): DataFrame = {
-    val (sub, touchedReps) = incrementalSubLabels(oldLabels, newPairs)
+    val (sub, touchedReps0) = incrementalSubLabels(oldLabels, newPairs)
+    // The rep set is consumed a SECOND time here (the carried anti-join);
+    // materialize it at this two-consumer site — not inside
+    // incrementalSubLabels, whose fold-row callers (q124/q128 per
+    // micro-batch) consume it exactly once inside the CC edge
+    // materialization, where a dedicated checkpoint execution costs more
+    // than the duplicated small-view scan it would save (round-15
+    // measurement: ~8 sequential executions per fold, each ~0.3-0.9 s of
+    // fixed planning/scheduling overhead at micro-batch sizes).
+    val touchedReps = Shared.ckpt(touchedReps0)
     val carried = oldLabels.join(touchedReps, Seq("rep"), "left_anti")
     carried.select(col("doc_id"), col("rep"), col("cluster_size"))
       .unionByName(sub)
@@ -719,14 +738,21 @@ object Dedup {
     val touched = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // Also materialized: the rep set is re-read by [[incrementalLabels]]
-    // for the carried anti-join, and each re-evaluation re-scanned
-    // oldLabels (for q124-class callers a latest-wins VIEW — a window
-    // over the delta plus a base anti-join, paid per reference).
-    // Touched-cluster reps are delta-bounded.
-    val touchedReps = Shared.ckpt(
+    // NOT checkpointed here (round-15): within this function the rep set
+    // has exactly ONE consumer — the `affected` scan below — and both
+    // land inside the subgraph CC's single edge materialization, so a
+    // dedicated checkpoint execution per fold bought nothing and cost a
+    // full planning/scheduling round trip (the fold rows' binding cost
+    // is execution COUNT, not task work). [[incrementalLabels]], whose
+    // carried anti-join is a genuine second consumer, checkpoints the
+    // returned frame at its own two-consumer site. The duplicated
+    // oldLabels reference this leaves inside one edge job (the
+    // latest-wins view for q124-class callers) is a small window over
+    // the delta plus a bucketed-base anti-join — sub-stage cost, cheaper
+    // than the execution it replaces (measured in OPTIMIZATION_r15.md).
+    val touchedReps =
       oldLabels.join(touched, Seq("doc_id"), "left_semi")
-        .select(col("rep")).distinct())
+        .select(col("rep")).distinct()
     val affected = oldLabels.join(touchedReps, Seq("rep"), "left_semi")
     // label edges (doc → rep) preserve the old components; adding the new
     // pair edges and re-running CC on just this subgraph yields the merged
@@ -827,9 +853,9 @@ object Dedup {
     // materialized once — referenced by the carried anti-join and the
     // survivor semi-join, two branches of every consumer's plan
     // (deletion-batch bounded, so checkpoint-sized)
-    val touchedReps = Shared.ckpt(
+    val touchedReps = Shared.ckptBounded(
       labels.join(tombs, Seq("doc_id"), "left_semi")
-        .select(col("rep")).distinct())
+        .select(col("rep")).distinct(), "tombstone touched-cluster reps")
     val carried = labels.join(touchedReps, Seq("rep"), "left_anti")
       .select(col("doc_id"), col("rep"), col("cluster_size"))
     val survivorIds = labels.join(touchedReps, Seq("rep"), "left_semi")
@@ -1833,10 +1859,10 @@ object Dedup {
     // materialized once — referenced by the twins semi-join, the
     // recompute scan and the caller's base anti-join (deletion-batch
     // bounded, so checkpoint-sized)
-    val touched = Shared.ckpt(
+    val touched = Shared.ckptBounded(
       aff.join(broadcast(changed), Seq("wh"), "left_semi")
         .join(broadcast(tombs), Seq("doc_id"), "left_anti")
-        .select(col("doc_id")).distinct())
+        .select(col("doc_id")).distinct(), "span delete touched-doc set")
     // recompute touched docs from definition over SURVIVOR state only
     val twins = bydoc.join(broadcast(touched), Seq("doc_id"), "left_semi")
     val state = postings
@@ -1904,9 +1930,9 @@ object Dedup {
     // actions that would each re-probe the posting store. Delta-bounded
     // (holders of state-changed hashes), i.e. broadcast-sized by the
     // fold's own soundness argument.
-    val touched = Shared.ckpt(
+    val touched = Shared.ckptBounded(
       aff.join(broadcast(changed), Seq("wh"), "left_semi")
-        .select(col("doc_id")).distinct())
+        .select(col("doc_id")).distinct(), "span fold touched-doc set")
     val tIds =
       touched.unionByName(batch.select(col("doc_id"))).distinct()
     // full window lists of the recompute set: corpus side bucket-local
@@ -2273,50 +2299,60 @@ object Dedup {
             col("rows_n").cast("long").as("rows_n"),
             coalesce(col("tomb_rows_n"), lit(0L)).cast("long")
               .as("tomb_rows_n"))
-      val labels = audit("dup_labels",
-        tombstoneLabels(docs, labelsArtifact(s, d), tombs), col("doc_id"))
-      // manifest doc mass must equal the survivor count exactly — the
-      // group-inverse retraction is the thing being audited
-      val manifest = TextOps.retractManifest(
-          TextOps.manifestAgg(docs), TextOps.manifestAgg(
-            docs.join(broadcast(tombs), Seq("doc_id"), "left_semi")))
-        .agg(sum(col("n_docs")).as("rows_n"))
-        .crossJoin(docs.join(tombs, Seq("doc_id"), "left_anti")
-          .agg(count(lit(1)).as("surv_n")))
-        .select(lit("manifest_docs").as("artifact"),
-          col("rows_n").cast("long").as("rows_n"),
-          (col("rows_n") - col("surv_n")).cast("long").as("tomb_rows_n"))
-      val postings = audit("bm25_postings", {
-        val (bPost, _, _) = Retrieval.idx157(s, d, "base",
-          docs.filter(col("doc_id") % 10 =!= 0))
-        val (nPost, _, _) = Retrieval.idx157(s, d, "batch",
-          docs.filter(col("doc_id") % 10 === 0))
-        bPost.unionByName(nPost)
-          .join(broadcast(tombs), Seq("doc_id"), "left_anti")
-      }, col("doc_id"))
-      Similarity.q155CompactRecover(s, d) // owed swap before counting
-      val codes = audit("pq_codes",
-        Similarity.q155ServeCodes(s, d), col("vec_id"))
-      // span store: q163's deletion-folded serving view (one row per
-      // surviving doc; tombstoned rows must have left with their docs)
-      val spans = audit("span_store",
-        queries("q163_span_tombstone")(s, d), col("doc_id"))
-      // z-order layout: the tombstone-filtered store across base + both
-      // deltas — the WHOLE store, not just one box, so an escaped event
-      // anywhere in any segment is caught
-      val layout = audit("events_zorder", {
-        val base = Layout.zBase(s, d)
-        val deltas = Seq(Layout.zDelta(s, d, 0), Layout.zDelta(s, d, 1))
-        val tombsE = Tables.events(s, d)
-          .filter(pmod(col("event_id"), lit(TombMod)) === TombRes)
-          .select(col("event_id"))
-        (base +: deltas).map(p => s.read.parquet(p))
-          .reduce(_ unionByName _)
-          .join(broadcast(tombsE), Seq("event_id"), "left_anti")
-      }, col("event_id"))
-      labels.unionByName(manifest).unionByName(postings)
-        .unionByName(codes).unionByName(spans).unionByName(layout)
-        .orderBy(col("artifact"))
+      // The six audit legs touch DISJOINT store families, but their
+      // CONSTRUCTION is not lazy: the labels leg re-derives the deletion
+      // fold (subgraph CC + eager touched-set checkpoints), the span leg
+      // runs q163's fold, the codes leg owes a compaction swap. Built
+      // sequentially those eager phases serialize (round-15 evlog: the
+      // final union action was preceded by ~3 s of one-leg-at-a-time
+      // checkpoint executions). Build the legs on the shared 3-wide pool
+      // (§2.6) — same independence argument as q132's per-family ticks;
+      // the final union action is unchanged.
+      val legs = Shared.inParallelEval[DataFrame](Seq(
+        () => audit("dup_labels",
+          tombstoneLabels(docs, labelsArtifact(s, d), tombs),
+          col("doc_id")),
+        // manifest doc mass must equal the survivor count exactly — the
+        // group-inverse retraction is the thing being audited
+        () => TextOps.retractManifest(
+            TextOps.manifestAgg(docs), TextOps.manifestAgg(
+              docs.join(broadcast(tombs), Seq("doc_id"), "left_semi")))
+          .agg(sum(col("n_docs")).as("rows_n"))
+          .crossJoin(docs.join(tombs, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("surv_n")))
+          .select(lit("manifest_docs").as("artifact"),
+            col("rows_n").cast("long").as("rows_n"),
+            (col("rows_n") - col("surv_n")).cast("long").as("tomb_rows_n")),
+        () => audit("bm25_postings", {
+          val (bPost, _, _) = Retrieval.idx157(s, d, "base",
+            docs.filter(col("doc_id") % 10 =!= 0))
+          val (nPost, _, _) = Retrieval.idx157(s, d, "batch",
+            docs.filter(col("doc_id") % 10 === 0))
+          bPost.unionByName(nPost)
+            .join(broadcast(tombs), Seq("doc_id"), "left_anti")
+        }, col("doc_id")),
+        () => {
+          Similarity.q155CompactRecover(s, d) // owed swap before counting
+          audit("pq_codes", Similarity.q155ServeCodes(s, d), col("vec_id"))
+        },
+        // span store: q163's deletion-folded serving view (one row per
+        // surviving doc; tombstoned rows must have left with their docs)
+        () => audit("span_store",
+          queries("q163_span_tombstone")(s, d), col("doc_id")),
+        // z-order layout: the tombstone-filtered store across base + both
+        // deltas — the WHOLE store, not just one box, so an escaped event
+        // anywhere in any segment is caught
+        () => audit("events_zorder", {
+          val base = Layout.zBase(s, d)
+          val deltas = Seq(Layout.zDelta(s, d, 0), Layout.zDelta(s, d, 1))
+          val tombsE = Tables.events(s, d)
+            .filter(pmod(col("event_id"), lit(TombMod)) === TombRes)
+            .select(col("event_id"))
+          (base +: deltas).map(p => s.read.parquet(p))
+            .reduce(_ unionByName _)
+            .join(broadcast(tombsE), Seq("event_id"), "left_anti")
+        }, col("event_id"))))
+      legs.reduce(_ unionByName _).orderBy(col("artifact"))
     }),
 
     // Q32 — exact n-gram Jaccard near-dup via prefix-filtered join with

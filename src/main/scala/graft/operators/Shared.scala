@@ -102,6 +102,39 @@ object Shared {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** [[ckpt]] with a LOUD delta-bound guard (round-15, verdict item):
+    * the fold operators' soundness arguments say these sets are
+    * "delta-bounded" — batch-proportional, hence broadcastable — but a
+    * pathological batch (every doc touching one hot window-hash) makes
+    * them corpus-sized, and the first symptom at cluster scale would be
+    * an executor OOM inside a broadcast build. This variant materializes
+    * the checkpoint through an explicit count() — the SAME single action
+    * an eager checkpoint runs internally, so no extra job — and throws a
+    * named, actionable error when the set exceeds
+    * `spark.graft.deltaBound.maxRows` (default 10M rows ≈ a few hundred
+    * MB as a broadcast hash relation; 0 disables). The failure mode
+    * becomes a message naming the operator, not an OOM.
+    */
+  private[graft] def ckptBounded(df: org.apache.spark.sql.DataFrame,
+      what: String): org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    val ck =
+      if (conf.get("spark.graft.reliableCheckpoints", "false").toBoolean)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    val n = ck.count() // materializes the checkpoint AND yields the bound
+    val maxRows =
+      conf.get("spark.graft.deltaBound.maxRows", "10000000").toLong
+    if (maxRows > 0 && n > maxRows) throw new IllegalStateException(
+      s"delta-bounded set '$what' has $n rows > " +
+        s"spark.graft.deltaBound.maxRows=$maxRows: this batch violates " +
+        "the operator's delta-bounded soundness argument (downstream " +
+        "broadcasts of the set would OOM at cluster scale). Shrink or " +
+        "split the batch, compact the accumulated delta, or raise the " +
+        "bound if the cluster's executors can hold it.")
+    ck
+  }
+
   /** Run independent Spark actions concurrently on a small pool (guide
     * §2.6 job overlap: one action's straggler tail leaves cores idle
     * that the next action's tasks back-fill; FIFO scheduling does the
@@ -112,15 +145,24 @@ object Shared {
     * order-independent). 3 in flight is the guide's "enough to fill the
     * tail, not enough to fight" sizing; exceptions propagate unwrapped.
     */
-  private[graft] def inParallel(thunks: Seq[() => Unit]): Unit = {
-    if (thunks.isEmpty) return
-    if (thunks.size == 1) { thunks.head(); return }
+  private[graft] def inParallel(thunks: Seq[() => Unit]): Unit =
+    { inParallelEval(thunks); () }
+
+  /** [[inParallel]] returning each thunk's value in input order — for
+    * callers whose independent units are DataFrame CONSTRUCTIONS with
+    * eager materializations inside (q160's six audit legs: each builds
+    * its deletion-folded view, which checkpoints touched-set slices /
+    * runs a subgraph CC before the frame is returned). Same
+    * await-every-thunk contract as [[inParallel]].
+    */
+  private[graft] def inParallelEval[A](thunks: Seq[() => A]): Seq[A] = {
+    if (thunks.isEmpty) return Seq.empty
+    if (thunks.size == 1) return Seq(thunks.head())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(3, thunks.size))
     try {
-      val futs = thunks.map(t => pool.submit(new Runnable {
-        override def run(): Unit = t()
-      }))
+      val futs = thunks.map(t => pool.submit(
+        new java.util.concurrent.Callable[A] { override def call(): A = t() }))
       // Await EVERY thunk before propagating the first failure: callers'
       // contracts are crash-recovery re-invocation (ticks) or redelivery
       // (folds), and returning while sibling writers still run would let
@@ -133,10 +175,11 @@ object Shared {
       // then restore the flag and surface the interruption.
       var firstFailure: Throwable = null
       var interrupted = false
-      futs.foreach { f =>
+      val out = futs.map { f =>
         var done = false
+        var v: Option[A] = None
         while (!done) {
-          try { f.get(); done = true }
+          try { v = Some(f.get()); done = true }
           catch {
             case e: java.util.concurrent.ExecutionException =>
               if (firstFailure == null) firstFailure = e.getCause
@@ -145,11 +188,13 @@ object Shared {
               interrupted = true // re-await this future; flag restored below
           }
         }
+        v
       }
       if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
       if (interrupted) throw new InterruptedException(
         "inParallel interrupted; all sibling thunks were awaited first")
+      out.map(_.get)
     } finally pool.shutdown()
   }
 }

@@ -87,6 +87,42 @@ object StreamingQueries {
     dst.toFile.setLastModified(1700000000000L + n * 60000L)
   }
 
+  /** Stage ALL of a replay's fold files in ONE pass: partitionBy on the
+    * fold index writes every `<prefix>NNNN.parquet` from a single scan of
+    * `df`, where the per-fold [[writeReplayFile]] loop re-scanned (and
+    * re-filtered) the source once per fold — k write jobs → 1 for the
+    * same bytes (round 15; the staging runs inside the TIMED region of
+    * every replay-based row, so this is query-path cost, not harness
+    * cost). coalesce(1) keeps one task writing all fold directories, so
+    * each fold lands as exactly one part file; file contents and mtimes
+    * (the stream's ordering contract) are identical to the per-fold
+    * writer's.
+    */
+  private def writeReplayFolds(dir: java.nio.file.Path, df: DataFrame,
+      foldIdx: org.apache.spark.sql.Column, folds: Int,
+      prefix: String): Unit = {
+    val stage = dir.resolve(s"stage_$prefix")
+    df.withColumn("_fold", foldIdx.cast("int")).coalesce(1)
+      .write.mode("overwrite").partitionBy("_fold").parquet(stage.toString)
+    for (n <- 0 until folds) {
+      val sub = stage.resolve(s"_fold=$n")
+      if (Files.isDirectory(sub)) {
+        val ls = Files.list(sub)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        val dst = dir.resolve(f"$prefix$n%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + n * 60000L)
+      } else {
+        // an EMPTY fold produces no partition directory; the replay
+        // contract still needs a (schema-carrying, zero-row) file so the
+        // stream fires the same number of micro-batches
+        writeReplayFile(dir, df.filter(foldIdx.cast("int") === n), prefix, n)
+      }
+    }
+  }
+
   /** Streaming view of events, `ts` normalized to TimestampType whatever
     * raw layout the parquet ships ([[graft.Tables.tsTimestamp]]).
     */
@@ -394,11 +430,9 @@ object StreamingQueries {
     "q143_stream_registers" -> ((s, d) => {
       val docs = s.read.parquet(s"$d/documents.parquet")
       val inDir = Files.createTempDirectory("graft_q143_in")
-      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 =!= 0), "b", 0)
-      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-        .filter(expr("(doc_id div 10) % 2 = 0")), "b", 1)
-      writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-        .filter(expr("(doc_id div 10) % 2 = 1")), "b", 2)
+      writeReplayFolds(inDir, docs, expr(
+        "CASE WHEN doc_id % 10 != 0 THEN 0" +
+          " ELSE 1 + (doc_id div 10) % 2 END"), 3, "b")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val regs = graft.operators.Sketches.docRegisters(stream)
@@ -577,9 +611,8 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       // frozen corpus index (q120's staged artifacts) + per-run state
       val baseLabels = Dedup.q120LabelsArtifact(s, d)
       val corpusDf = Dedup.q120DfArtifact(s, d)
@@ -592,6 +625,11 @@ object StreamingQueries {
         .write.parquet(labelsDir)
       corpusPrefix.limit(0).write.parquet(prefixDir)
       docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      // state-dir schemas are fixed by the seed writes above: read with
+      // explicit schemas so no fold pays per-read footer inference
+      val labelsSchema = baseLabels.schema.add("ver", "long")
+      val prefixSchema = corpusPrefix.schema
+      val seenSchema = docs.select(col("doc_id")).schema
       // Micro-batch REDELIVERY (a crash between the appends and the
       // checkpoint commit) re-runs the fold with the same ver and
       // appends byte-identical rows; every consumer is insensitive to
@@ -601,15 +639,16 @@ object StreamingQueries {
       // yields exactly-once RESULTS without a transactional sink.
       def fold(b: DataFrame, ver: Long): Unit = {
         val seenDocs = corpus.unionByName(
-          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
-        val prefixAll =
-          corpusPrefix.unionByName(s.read.parquet(prefixDir))
+          docs.join(s.read.schema(seenSchema).parquet(seenDir),
+            Seq("doc_id"), "left_semi"))
+        val prefixAll = corpusPrefix.unionByName(
+          s.read.schema(prefixSchema).parquet(prefixDir))
         // tokenize the batch once per micro-batch: the probe-side prefix
         // rows and the posting-store append are the same frame
         val (bsh, bprefix) = Dedup.batchIndexOf(b, corpusDf)
         val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
-        val current =
-          Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
+        val current = Dedup.latestWins(baseLabels,
+          s.read.schema(labelsSchema).parquet(labelsDir))
         val (sub, _) = Dedup.incrementalSubLabels(current, pairs)
         // the three state appends are independent actions over disjoint
         // dirs whose inputs are materialized (sub's CC output, the
@@ -634,7 +673,8 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      Dedup.latestWins(baseLabels, s.read.parquet(labelsDir))
+      Dedup.latestWins(baseLabels,
+          s.read.schema(labelsSchema).parquet(labelsDir))
         .orderBy(col("doc_id"))
     }),
 
@@ -672,10 +712,8 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 2
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, Dedup.tombstonesOf(docs)
-          .filter(expr(s"(doc_id div ${Dedup.TombMod}) % $folds") === k),
-          "fold", k)
+      writeReplayFolds(inDir, Dedup.tombstonesOf(docs),
+        expr(s"(doc_id div ${Dedup.TombMod}) % $folds"), folds, "fold")
       val base = Dedup.labelsArtifact(s, d)
       // ver-keyed fold dirs with mode=overwrite (the q159/q150
       // redelivery shape): a redelivered micro-batch REWRITES its own
@@ -686,7 +724,12 @@ object StreamingQueries {
       val deltaDir = dir.resolve("labels_delta").toString
       base.limit(0).withColumn("ver", lit(0L))
         .write.parquet(s"$deltaDir/ver=0")
-      def deltaAll(): DataFrame = s.read.parquet(s"$deltaDir/ver=*")
+      // `ver` is a FILE column (the fold writes it); the ver=k path is
+      // only the overwrite-idempotency key. Explicit schema spares the
+      // per-fold footer inference.
+      val deltaSchema = base.schema.add("ver", "long")
+      def deltaAll(): DataFrame =
+        s.read.schema(deltaSchema).parquet(s"$deltaDir/ver=*")
       def currentAt(ver: Long): DataFrame =
         Dedup.latestWins(base, deltaAll().filter(col("ver") < ver))
           .filter(col("cluster_size") > 0)
@@ -698,8 +741,9 @@ object StreamingQueries {
         // re-pairing AND the dropped-row anti-join, and every lazy
         // reference re-paid the latest-wins window + the rep semi-join.
         // Deletion-batch bounded, so checkpoint-sized.
-        val members = graft.operators.Shared.ckpt(
-          current.join(touchedReps, Seq("rep"), "left_semi"))
+        val members = graft.operators.Shared.ckptBounded(
+          current.join(touchedReps, Seq("rep"), "left_semi"),
+          "tombstone-fold touched-cluster members")
         val survivorIds = members.join(t, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
         // re-derived labels materialized once (read by the append union
@@ -738,13 +782,16 @@ object StreamingQueries {
     // maxFilesPerTrigger=1, foreachBatch — the q124 replay pattern).
     // Each fold runs [[Dedup.spanFoldAgainst]] with the corpus stores ∪
     // the ACCUMULATED per-fold appends, so a fold-3 doc pairs with
-    // fold-1 docs through the appended postings, and a later fold's
+    // fold-1 docs through the appended window rows, and a later fold's
     // smaller-id doc demotes an EARLIER fold's keeper (the recomputed
     // override row with a newer `ver` wins at readout). State appended
-    // per fold: recomputed rows (ver = fold), the fold's distinct
-    // (wh, doc_id) postings, and its (doc_id, pos, wh) windows.
+    // per fold: recomputed rows (ver = fold) and the fold's
+    // (doc_id, pos, wh) windows — the posting view later folds probe is
+    // a PROJECTION of the window store (round 15; sound because the
+    // fold's posting consumers are per-hash min/COUNT DISTINCT
+    // aggregates, insensitive to the per-position duplicates).
     //
-    // Redelivery: the fold reads only the posting/window stores, whose
+    // Redelivery: the fold reads only the window store, whose
     // duplication is invisible (per-hash aggregates are min/COUNT
     // DISTINCT; coverage is an interval union), so a redelivered
     // micro-batch appends byte-identical override rows and latest-wins
@@ -774,9 +821,8 @@ object StreamingQueries {
       val ev = graft.Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("tsc"),
           col("user_id"), col("event_type"), col("value"))
-      for (k <- 0 until 2)
-        writeReplayFile(inDir, ev.filter(col("event_id") % 10 === 0)
-          .filter(expr(s"(event_id div 10) % 2") === k), "b", k)
+      writeReplayFolds(inDir, ev.filter(col("event_id") % 10 === 0),
+        expr("(event_id div 10) % 2"), 2, "b")
       val stream = s.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -815,9 +861,8 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = graft.Tables.documents(s, d)
       val folds = 2
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       // frozen base = the q157 staged corpus index (nine tenths)
       val (bPost, bDf, bStats) = Retrieval.idx157(s, d, "base",
         docs.filter(col("doc_id") % 10 =!= 0))
@@ -875,9 +920,8 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = graft.Tables.documents(s, d)
       val folds = 2
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       // frozen base = the same physical store q161c/q165d maintain
       val base = Retrieval.posIdx(s, d, "base",
         docs.filter(col("doc_id") % 10 =!= 0))
@@ -907,37 +951,43 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       val basePostings = Dedup.q135PostingsArtifact(s, d)
       val baseBydoc = Dedup.q135ByDocArtifact(s, d)
       val base = Dedup.q135BaseArtifact(s, d)
-      val postDir = dir.resolve("postings_delta").toString
       val bydocDir = dir.resolve("bydoc_delta").toString
       val ovDir = dir.resolve("overrides").toString
-      basePostings.limit(0).write.parquet(postDir)
       baseBydoc.limit(0).write.parquet(bydocDir)
       base.limit(0).withColumn("ver", lit(0L)).write.parquet(ovDir)
+      val bydocSchema = baseBydoc.schema
+      val ovSchema = base.schema.add("ver", "long")
       def fold(b: DataFrame, ver: Long): Unit = {
-        val posts = basePostings.unionByName(s.read.parquet(postDir))
-        val byd = baseBydoc.unionByName(s.read.parquet(bydocDir))
+        // ONE accumulated state store (round 15): the posting view is a
+        // projection of the bydoc delta — sound because the fold's only
+        // posting consumers are the per-hash min/COUNT(DISTINCT)
+        // aggregates in [[Dedup.spanFoldAgainstWins]] (aff/cState),
+        // which are insensitive to the per-position duplicates the
+        // unprojected rows carry (the same argument that makes
+        // redelivery safe). This removes the distinct shuffle + second
+        // append the old postings_delta store paid per fold; the frozen
+        // corpus store stays distinct + wh-bucketed.
+        val bydDelta = s.read.schema(bydocSchema).parquet(bydocDir)
+        val posts = basePostings.unionByName(
+          bydDelta.select(col("wh"), col("doc_id")))
+        val byd = baseBydoc.unionByName(bydDelta)
         // tokenize-once: the batch window list is materialized a single
-        // time per micro-batch and shared by the fold probe AND both
-        // state appends (it previously re-tokenized per consumer)
+        // time per micro-batch and shared by the fold probe AND the
+        // state append (it previously re-tokenized per consumer)
         val bw = graft.operators.Shared.ckpt(
           Dedup.spanWindows(Dedup.spanDocs(s, b)))
         val (rec, _) = Dedup.spanFoldAgainstWins(s, docs, b, bw, posts, byd)
-        // rec's write-time plan re-reads the RAW store dirs (these views
-        // are not ver-filtered — duplication-insensitivity covers
+        // rec's write-time plan re-reads the RAW store dir (the view is
+        // not ver-filtered — duplication-insensitivity covers
         // redelivery, not a same-fold leak), so it must complete BEFORE
-        // this fold's own rows land; the two bw appends are then
-        // independent (bw is checkpointed) and overlap (§2.6)
+        // this fold's own rows land
         rec.withColumn("ver", lit(ver)).write.mode("append").parquet(ovDir)
-        graft.operators.Shared.inParallel(Seq(
-          () => bw.select(col("wh"), col("doc_id")).distinct()
-            .write.mode("append").parquet(postDir),
-          () => bw.write.mode("append").parquet(bydocDir)))
+        bw.write.mode("append").parquet(bydocDir)
       }
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -951,7 +1001,7 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      Dedup.latestSpanWins(base, s.read.parquet(ovDir))
+      Dedup.latestSpanWins(base, s.read.schema(ovSchema).parquet(ovDir))
         .orderBy(col("doc_id"))
     }),
 
@@ -996,9 +1046,8 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      for (k <- 0 until folds)
-        writeReplayFile(inDir, docs.filter(col("doc_id") % 10 === 0)
-          .filter(expr(s"(doc_id div 10) % $folds") === k), "fold", k)
+      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       val baseLabels = Dedup.q120LabelsArtifact(s, d)
       val corpusDf = Dedup.q120DfArtifact(s, d)
       val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
@@ -1017,28 +1066,38 @@ object StreamingQueries {
         .write.parquet(flagsDir)
       Pipeline.q127BaseArtifact(s, d).withColumn("ver", lit(0L))
         .write.parquet(scDir)
+      // state-dir schemas are fixed by the seed writes above: explicit
+      // schemas spare every fold the per-read footer inference
+      val labelsSchema = baseLabels.schema.add("ver", "long")
+      val prefixSchema = corpusPrefix.schema
+      val seenSchema = docs.select(col("doc_id")).schema
+      val flagsSchema = corpusFlags.schema.add("ver", "long")
+      val scSchema = Pipeline.q127BaseArtifact(s, d).schema.add("ver", "long")
       def latestSc(upTo: Long): DataFrame =
-        s.read.parquet(scDir).filter(col("ver") <= upTo)
+        s.read.schema(scSchema).parquet(scDir).filter(col("ver") <= upTo)
           .withColumn("_rn", row_number().over(
             Window.partitionBy(col("source")).orderBy(col("ver").desc)))
           .filter(col("_rn") === 1).drop("_rn", "ver")
       def fold(b: DataFrame, ver: Long): Unit = {
         val seenDocs = corpus.unionByName(
-          docs.join(s.read.parquet(seenDir), Seq("doc_id"), "left_semi"))
-        val prefixAll =
-          corpusPrefix.unionByName(s.read.parquet(prefixDir))
+          docs.join(s.read.schema(seenSchema).parquet(seenDir),
+            Seq("doc_id"), "left_semi"))
+        val prefixAll = corpusPrefix.unionByName(
+          s.read.schema(prefixSchema).parquet(prefixDir))
         // tokenize the batch once per micro-batch: the probe-side prefix
         // rows and the posting-store append are the same frame
         val (bsh, bprefix) = Dedup.batchIndexOf(b, corpusDf)
         val pairs = Dedup.batchPairsWith(seenDocs, bsh, bprefix, prefixAll)
         val current = Dedup.latestWins(baseLabels,
-          s.read.parquet(labelsDir).filter(col("ver") < ver))
+          s.read.schema(labelsSchema).parquet(labelsDir)
+            .filter(col("ver") < ver))
         // the fold's label delta is read three times (batch aggregate,
         // corrections, the append) — materialize it once per fold
         val (sub0, _) = Dedup.incrementalSubLabels(current, pairs)
         val sub = graft.operators.Shared.ckpt(sub0)
         val allFlags = corpusFlags.unionByName(
-          s.read.parquet(flagsDir).filter(col("ver") < ver).drop("ver")
+          s.read.schema(flagsSchema).parquet(flagsDir)
+            .filter(col("ver") < ver).drop("ver")
             .dropDuplicates("doc_id"))
         // the five state appends are independent actions over disjoint
         // dirs: every cross-store read is ver-filtered to strictly
@@ -1083,8 +1142,8 @@ object StreamingQueries {
       // driver generated the source table.
       val ev = graft.Tables.events(s, d)
       val split = timestamp_micros(lit(QThirty.splitNanos / 1000L))
-      writeReplayFile(dir, ev.filter(col("ts") < split), "batch", 1)
-      writeReplayFile(dir, ev.filter(col("ts") >= split), "batch", 2)
+      writeReplayFolds(dir, ev,
+        when(col("ts") < split, lit(0)).otherwise(lit(1)), 2, "batch")
 
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -11,6 +11,49 @@ class OperatorSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("delta-bound guardrail: an oversized 'delta-bounded' set is a " +
+      "named error, not a downstream broadcast OOM") {
+    import graft.operators.Shared
+    val conf = spark.conf
+    val prev = conf.get("spark.graft.deltaBound.maxRows", "10000000")
+    try {
+      conf.set("spark.graft.deltaBound.maxRows", "3")
+      // under the bound: passes through and is materialized
+      val ok = Shared.ckptBounded(
+        spark.range(3).toDF("doc_id"), "small set")
+      assert(ok.count() === 3)
+      // over the bound: loud, actionable, names the operator's set
+      val e = intercept[IllegalStateException] {
+        Shared.ckptBounded(spark.range(10).toDF("doc_id"), "planted hot set")
+      }
+      assert(e.getMessage.contains("planted hot set"))
+      assert(e.getMessage.contains("deltaBound.maxRows"))
+      // integration: a planted hot batch (one new doc touching every
+      // corpus doc's windows, with a smaller id so every keeper
+      // migrates) trips the span fold's touched-set guard — the 100-TB
+      // hot-batch failure mode is a message naming the set
+      conf.set("spark.graft.deltaBound.maxRows", "1")
+      import spark.implicits._
+      val text = (0 until 25).map(i => s"tok$i").mkString(" ")
+      val corpus = Seq((10L, text), (11L, text), (12L, text))
+        .toDF("doc_id", "text")
+      val batch = Seq((1L, text)).toDF("doc_id", "text")
+      val postings = graft.operators.Dedup
+        .spanWindows(graft.operators.Dedup.spanDocs(spark, corpus))
+        .select(col("wh"), col("doc_id")).distinct()
+      val bydoc = graft.operators.Dedup
+        .spanWindows(graft.operators.Dedup.spanDocs(spark, corpus))
+      val e2 = intercept[IllegalStateException] {
+        graft.operators.Dedup.spanFoldAgainst(spark,
+          corpus.unionByName(batch), batch, postings, bydoc)
+      }
+      assert(e2.getMessage.contains("span fold touched-doc set"))
+      conf.set("spark.graft.deltaBound.maxRows", "0") // 0 disables
+      assert(Shared.ckptBounded(
+        spark.range(10).toDF("doc_id"), "unbounded ok").count() === 10)
+    } finally conf.set("spark.graft.deltaBound.maxRows", prev)
+  }
+
   test("q23 sessionization: gaps within a session never exceed 30 min") {
     val rows = SparkEntry.queries("q23_sessionize")(spark, sf)
     // every event belongs to exactly one session
