@@ -611,8 +611,6 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
-        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       // frozen corpus index (q120's staged artifacts) + per-run state
       val baseLabels = Dedup.q120LabelsArtifact(s, d)
       val corpusDf = Dedup.q120DfArtifact(s, d)
@@ -621,10 +619,15 @@ object StreamingQueries {
       val labelsDir = dir.resolve("labels_delta").toString
       val prefixDir = dir.resolve("prefix_delta").toString
       val seenDir = dir.resolve("seen").toString
-      baseLabels.limit(0).withColumn("ver", lit(0L))
-        .write.parquet(labelsDir)
-      corpusPrefix.limit(0).write.parquet(prefixDir)
-      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
+      // replay staging + the three schema-seed writes are independent
+      // one-time actions over disjoint dirs — overlap them (§2.6)
+      graft.operators.Shared.inParallel(Seq(
+        () => writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+          expr(s"(doc_id div 10) % $folds"), folds, "fold"),
+        () => baseLabels.limit(0).withColumn("ver", lit(0L))
+          .write.parquet(labelsDir),
+        () => corpusPrefix.limit(0).write.parquet(prefixDir),
+        () => docs.select(col("doc_id")).limit(0).write.parquet(seenDir)))
       // state-dir schemas are fixed by the seed writes above: read with
       // explicit schemas so no fold pays per-read footer inference
       val labelsSchema = baseLabels.schema.add("ver", "long")
@@ -665,6 +668,12 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+      // NOTE (round-15, measured): disabling AQE for the fold bodies
+      // ("micro-plans don't need runtime re-optimization") was tried and
+      // REVERTED — q124 regressed ~1.7x (11-12 s → 17-28 s over 3 runs).
+      // AQE's runtime broadcast-join picks on the fold's stat-less
+      // store-dir reads are load-bearing; without them the tiny joins
+      // fall back to shuffle plans. Keep AQE on in fold bodies.
       try {
         val q = stream.writeStream
           .foreachBatch((b: DataFrame, id: java.lang.Long) =>
@@ -951,15 +960,17 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
-        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       val basePostings = Dedup.q135PostingsArtifact(s, d)
       val baseBydoc = Dedup.q135ByDocArtifact(s, d)
       val base = Dedup.q135BaseArtifact(s, d)
       val bydocDir = dir.resolve("bydoc_delta").toString
       val ovDir = dir.resolve("overrides").toString
-      baseBydoc.limit(0).write.parquet(bydocDir)
-      base.limit(0).withColumn("ver", lit(0L)).write.parquet(ovDir)
+      // replay staging + the two seed writes overlap (§2.6)
+      graft.operators.Shared.inParallel(Seq(
+        () => writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+          expr(s"(doc_id div 10) % $folds"), folds, "fold"),
+        () => baseBydoc.limit(0).write.parquet(bydocDir),
+        () => base.limit(0).withColumn("ver", lit(0L)).write.parquet(ovDir)))
       val bydocSchema = baseBydoc.schema
       val ovSchema = base.schema.add("ver", "long")
       def fold(b: DataFrame, ver: Long): Unit = {
@@ -1046,8 +1057,6 @@ object StreamingQueries {
       Files.createDirectories(inDir)
       val docs = Tables.documents(s, d)
       val folds = 3
-      writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
-        expr(s"(doc_id div 10) % $folds"), folds, "fold")
       val baseLabels = Dedup.q120LabelsArtifact(s, d)
       val corpusDf = Dedup.q120DfArtifact(s, d)
       val corpusPrefix = Dedup.q120PrefixArtifact(s, d)
@@ -1058,14 +1067,19 @@ object StreamingQueries {
       val seenDir = dir.resolve("seen").toString
       val flagsDir = dir.resolve("flags_delta").toString
       val scDir = dir.resolve("scorecard").toString
-      baseLabels.limit(0).withColumn("ver", lit(0L))
-        .write.parquet(labelsDir)
-      corpusPrefix.limit(0).write.parquet(prefixDir)
-      docs.select(col("doc_id")).limit(0).write.parquet(seenDir)
-      corpusFlags.limit(0).withColumn("ver", lit(0L))
-        .write.parquet(flagsDir)
-      Pipeline.q127BaseArtifact(s, d).withColumn("ver", lit(0L))
-        .write.parquet(scDir)
+      // replay staging + the five seed writes: independent one-time
+      // actions over disjoint dirs — overlap them (§2.6)
+      graft.operators.Shared.inParallel(Seq(
+        () => writeReplayFolds(inDir, docs.filter(col("doc_id") % 10 === 0),
+          expr(s"(doc_id div 10) % $folds"), folds, "fold"),
+        () => baseLabels.limit(0).withColumn("ver", lit(0L))
+          .write.parquet(labelsDir),
+        () => corpusPrefix.limit(0).write.parquet(prefixDir),
+        () => docs.select(col("doc_id")).limit(0).write.parquet(seenDir),
+        () => corpusFlags.limit(0).withColumn("ver", lit(0L))
+          .write.parquet(flagsDir),
+        () => Pipeline.q127BaseArtifact(s, d).withColumn("ver", lit(0L))
+          .write.parquet(scDir)))
       // state-dir schemas are fixed by the seed writes above: explicit
       // schemas spare every fold the per-read footer inference
       val labelsSchema = baseLabels.schema.add("ver", "long")
